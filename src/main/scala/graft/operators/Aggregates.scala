@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Det._
+
+/** Aggregation catalog — SURVEY.md §2.4 (A1–A10) re-expressed on the harness
+  * star schema. Every query is a declarative DataFrame program (partial
+  * aggregation, pushdown and pruning come from Catalyst; SURVEY.md §4) with a
+  * deterministic total ordering so the DuckDB oracle hash-matches.
+  *
+  * Scale notes (100 TB stance):
+  *  - group-by keys here are low-cardinality (flags, priorities, nations) →
+  *    map-side partial agg collapses the shuffle to ~|groups| rows per task.
+  *  - countDistinct is exact (expand + 2-phase agg); the approx twin
+  *    (`agg_approx_distinct`, non-oracle) is the drop-in at high cardinality.
+  *  - no collect(): even the "global" aggregate stays a 1-row DataFrame.
+  */
+object Aggregates {
+
+  /** A1 multi-key hash agg + HAVING, mirrors reference 03:28-43 (TPC-H Q1
+    * shape). Ref: /root/reference/code/03_SQLOperations.scala:28-43. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        drevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .filter(col("count_order") > 10)
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** A2/A7 single-key agg with exact countDistinct over a 3-way join,
+    * mirrors reference 01:160-179 state aggregation.
+    * Ref: /root/reference/code/01_DataPreprocessing.scala:160-179. */
+  def nationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_value"),
+        davg(col("o_totalprice")).as("avg_order_value"),
+        countDistinct(col("c_custkey")).as("n_customers"))
+      .orderBy(col("n_name"))
+  }
+
+  /** A3 exact percentiles per group (exact `percentile` so the DuckDB
+    * `quantile_cont` oracle matches; the approx twin is non-oracle).
+    * Ref: /root/reference/code/01_DataPreprocessing.scala:168-175. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** A4 global aggregate — stays a 1-row relation (no `.first()` driver
+    * scalar). Ref: /root/reference/code/04_MachineLearning.scala:186. */
+  def globalStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      davg(col("l_extendedprice")).as("avg_price"),
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"),
+      drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+  }
+
+  /** Approximate-distinct twin of A2 (HLL++). NOT oracle'd: DuckDB's
+    * approx_count_distinct uses a different sketch; declared rows-only. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_pricing_summary" -> (pricingSummary _),
+    "agg_nation_revenue"  -> (nationRevenue _),
+    "agg_percentiles"     -> (percentiles _),
+    "agg_global_stats"    -> (globalStats _),
+    "agg_approx_distinct" -> (approxDistinct _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |HAVING COUNT(*) > 10
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_nation_revenue" ->
+      """SELECT n_name,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice) AS avg_order_value,
+        |  COUNT(DISTINCT c_custkey) AS n_customers
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "agg_percentiles" ->
+      """SELECT o_orderpriority,
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+        |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "agg_global_stats" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        |  MIN(l_extendedprice) AS min_price,
+        |  MAX(l_extendedprice) AS max_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem""".stripMargin
+  )
+}

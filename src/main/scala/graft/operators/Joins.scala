@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Det._
+
+/** Join catalog — SURVEY.md §2.5. The reference has a single left equi-join
+  * (01:177-179); "same capabilities" means the full Spark join surface, so
+  * the catalog exercises inner / left / semi / anti / non-equi (range).
+  *
+  * Scale notes:
+  *  - dimension tables (region/nation/supplier/part/customer) are broadcast —
+  *    the fact-side scan never shuffles for them.
+  *  - fact⨝fact (lineitem⨝orders) shuffles on the join key once; AQE
+  *    coalesces post-shuffle partitions.
+  *  - semi/anti joins never materialize right-side payload columns.
+  */
+object Joins {
+
+  /** Multi-way star join: lineitem ⨝ orders ⨝ customer ⨝ nation ⨝ region →
+    * revenue per region (broadcast all dimension sides). */
+  def innerRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    val r  = Tables.region(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Left equi-join — the reference's one join shape (aggregate ⨝ aggregate
+    * on the group key). Ref: /root/reference/code/01_DataPreprocessing.scala:177-179. */
+  def leftNationCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val counts = c.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+           dsum(col("c_acctbal")).as("total_acctbal"))
+    n.join(counts, n("n_nationkey") === counts("c_nationkey"), "left")
+      .select(col("n_name"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("total_acctbal"), lit(0.0)).as("total_acctbal"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Left-semi join (EXISTS): customers having at least one high-value
+    * order; right payload never materialized. */
+  def semiActiveCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 1000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join (NOT EXISTS): parts that never appear in lineitem. */
+  def antiUnsoldParts(spark: SparkSession, dir: String): DataFrame = {
+    val p  = Tables.part(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Non-equi (range) join: price-band lookup — each part matched to the
+    * band whose [lo, hi) interval contains its retail price. The band table
+    * is tiny and broadcast → broadcast-nested-loop stays cheap; at scale the
+    * same shape holds because the inner side is O(bands). */
+  def rangePriceBands(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val bands = spark.createDataFrame(Seq(
+      ("budget",   0.0,    500.0),
+      ("standard", 500.0,  1000.0),
+      ("premium",  1000.0, 1500.0),
+      ("luxury",   1500.0, 1e18)
+    )).toDF("band", "lo", "hi")
+    p.join(broadcast(bands), p("p_retailprice") >= bands("lo") && p("p_retailprice") < bands("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_parts"),
+           davg(col("p_retailprice")).as("avg_price"))
+      .orderBy(col("band"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_inner_revenue"      -> (innerRevenue _),
+    "join_left_nation"        -> (leftNationCustomers _),
+    "join_semi_active_cust"   -> (semiActiveCustomers _),
+    "join_anti_unsold_parts"  -> (antiUnsoldParts _),
+    "join_range_price_bands"  -> (rangePriceBands _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "join_inner_revenue" ->
+      """SELECT r_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin,
+    "join_left_nation" ->
+      """WITH counts AS (
+        |  SELECT c_nationkey, COUNT(*) AS n_customers,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT n_name,
+        |  COALESCE(n_customers, 0) AS n_customers,
+        |  COALESCE(total_acctbal, 0.0) AS total_acctbal
+        |FROM nation LEFT JOIN counts ON n_nationkey = c_nationkey
+        |ORDER BY n_name""".stripMargin,
+    "join_semi_active_cust" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 1000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti_unsold_parts" ->
+      """SELECT p_partkey, p_name, p_retailprice
+        |FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+    "join_range_price_bands" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('budget', 0.0, 500.0), ('standard', 500.0, 1000.0),
+        |  ('premium', 1000.0, 1500.0), ('luxury', 1500.0, 1e18))
+        |SELECT band, COUNT(*) AS n_parts,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(p_retailprice) AS avg_price
+        |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY band
+        |ORDER BY band""".stripMargin
+  )
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Sort / limit / top-k (SURVEY.md §2.7) and set operations (§2.8).
+  *
+  * Scale notes: ORDER BY + LIMIT plans as TakeOrderedAndProject — each task
+  * keeps a k-row heap, the driver merges k·|tasks| rows; no global sort, no
+  * driver collect (this replaces the reference's `collect().takeRight(10)`
+  * bottom-k, /root/reference/code/02_RDDOperations.scala:427-443).
+  * Set ops are union-all (no shuffle) vs distinct-union/except/intersect
+  * (one hash shuffle on the full row).
+  */
+object SortsAndSets {
+
+  /** O2 top-k: highest-value orders, unique tiebreak on key. */
+  def topkOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** O7 bottom-k: ascending twin (in-plan, not a driver takeRight). */
+  def bottomkOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey"))
+      .limit(10)
+
+  /** UNION ALL of two filtered projections + re-aggregation. */
+  def unionHighValue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val hi = o.filter(col("o_totalprice") > 5000.0)
+      .select(col("o_custkey"), lit("high").as("bucket"))
+    val lo = o.filter(col("o_totalprice") < 100.0)
+      .select(col("o_custkey"), lit("low").as("bucket"))
+    hi.unionByName(lo)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"), countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy(col("bucket"))
+  }
+
+  /** EXCEPT (distinct): customer keys with orders but no high-priority order. */
+  def exceptCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val all  = o.select(col("o_custkey"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    all.except(urgent).orderBy(col("o_custkey"))
+  }
+
+  /** INTERSECT (distinct): customer keys appearing in both priority classes. */
+  def intersectCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val high   = o.filter(col("o_orderpriority") === "2-HIGH").select(col("o_custkey"))
+    urgent.intersect(high).orderBy(col("o_custkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sort_topk_orders"    -> (topkOrders _),
+    "sort_bottomk_orders" -> (bottomkOrders _),
+    "set_union_buckets"   -> (unionHighValue _),
+    "set_except_cust"     -> (exceptCustomers _),
+    "set_intersect_cust"  -> (intersectCustomers _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sort_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "sort_bottomk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_totalprice ASC, o_orderkey LIMIT 10""".stripMargin,
+    "set_union_buckets" ->
+      """WITH u AS (
+        |  SELECT o_custkey, 'high' AS bucket FROM orders WHERE o_totalprice > 5000.0
+        |  UNION ALL
+        |  SELECT o_custkey, 'low' AS bucket FROM orders WHERE o_totalprice < 100.0)
+        |SELECT bucket, COUNT(*) AS n_orders, COUNT(DISTINCT o_custkey) AS n_customers
+        |FROM u GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "set_except_cust" ->
+      """SELECT o_custkey FROM orders
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_custkey""".stripMargin,
+    "set_intersect_cust" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+        |ORDER BY o_custkey""".stripMargin
+  )
+}

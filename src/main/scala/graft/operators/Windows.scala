@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Det._
+
+/** Window-function catalog — SURVEY.md §2.6–2.7 (W1/W2, A9 replacement,
+  * O2/O7) over the harness tables.
+  *
+  * Scale notes: the reference's windows use an empty PARTITION BY (a single-
+  * partition exchange — fine over grouped output of ~25 rows, an anti-pattern
+  * over raw data; SURVEY.md §7.6). Catalog rule: unpartitioned windows only
+  * ever run on top of an aggregate whose cardinality is O(|groups|); all
+  * row-level windows partition by a real key (custkey/suppkey/user_id).
+  */
+object Windows {
+
+  /** W2 + flagship (SURVEY.md §7.3): CTE → multi-agg + countDistinct →
+    * HAVING → RANK() → top-k. Ref: /root/reference/code/03_SQLOperations.scala:106-127. */
+  def rankTopNations(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Aggregates.nationRevenue(spark, dir)
+      .filter(col("n_orders") >= 20)
+    // unique tiebreak (n_name) so rank is deterministic across engines
+    val w = Window.orderBy(col("avg_order_value").desc, col("n_name"))
+    agg.withColumn("rnk", rank().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .orderBy(col("rnk"), col("n_name"))
+  }
+
+  /** W1: grand-total analytic over an aggregate — AVG(AVG(x)) OVER ().
+    * Unpartitioned window over ≤25 grouped rows (documented constraint).
+    * Ref: /root/reference/code/03_SQLOperations.scala:79-94. */
+  def grandAvgDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val byPriority = o.groupBy(col("o_orderpriority"))
+      .agg(davg(col("o_totalprice")).as("avg_price"), count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy() // empty: grand total over grouped output
+    byPriority
+      .withColumn("overall_avg", avg(col("avg_price")).over(w))
+      .withColumn("diff_from_overall", col("avg_price") - col("overall_avg"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** A9 replacement: driver-side percentile cutoffs → in-plan ntile(3)
+    * tiering. Ref: /root/reference/code/02_RDDOperations.scala:111-156. */
+  def ntileTiers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    o.select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("tier", ntile(3).over(w).cast("long"))
+      .groupBy(col("tier"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        davg(col("o_totalprice")).as("avg_price"))
+      .orderBy(col("tier"))
+  }
+
+  /** lag/lead: per-customer consecutive order-value delta (partitioned
+    * window — scales by key). Reference gap filled per SURVEY.md §2.6. */
+  def lagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    o.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("delta", col("o_totalprice") - col("prev_price"))
+      .withColumn("order_seq", row_number().over(w).cast("long"))
+      .filter(col("order_seq") <= 3)
+      .orderBy(col("o_custkey"), col("order_seq"))
+  }
+
+  /** Explicit ROWS frame: per-supplier 3-row moving sum of quantities by
+    * ship date (deterministic order via unique (orderkey, linenumber)). */
+  def movingSum(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    li.select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .withColumn("moving_qty",
+        sum(col("l_quantity").cast("decimal(18,2)")).over(w.rowsBetween(-2, 0)).cast("double"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rank_topn"      -> (rankTopNations _),
+    "win_grand_avg_diff" -> (grandAvgDiff _),
+    "win_ntile_tiers"    -> (ntileTiers _),
+    "win_lag_delta"      -> (lagDelta _),
+    "win_moving_sum"     -> (movingSum _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "win_rank_topn" ->
+      """WITH agg AS (
+        |  SELECT n_name,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice) AS avg_order_value,
+        |    COUNT(DISTINCT c_custkey) AS n_customers
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name
+        |  HAVING COUNT(*) >= 20)
+        |SELECT n_name, n_orders, total_value, avg_order_value, n_customers, rnk
+        |FROM (SELECT *, RANK() OVER (ORDER BY avg_order_value DESC, n_name) AS rnk FROM agg)
+        |WHERE rnk <= 10
+        |ORDER BY rnk, n_name""".stripMargin,
+    "win_grand_avg_diff" ->
+      """WITH byp AS (
+        |  SELECT o_orderpriority,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice) AS avg_price,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, avg_price, n_orders,
+        |  AVG(avg_price) OVER () AS overall_avg,
+        |  avg_price - AVG(avg_price) OVER () AS diff_from_overall
+        |FROM byp
+        |ORDER BY o_orderpriority""".stripMargin,
+    "win_ntile_tiers" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    NTILE(3) OVER (ORDER BY o_totalprice, o_orderkey) AS tier
+        |  FROM orders)
+        |SELECT tier, COUNT(*) AS n_orders,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice) AS avg_price
+        |FROM t GROUP BY tier ORDER BY tier""".stripMargin,
+    "win_lag_delta" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+        |    LAG(o_totalprice, 1) OVER w AS prev_price,
+        |    o_totalprice - LAG(o_totalprice, 1) OVER w AS delta,
+        |    ROW_NUMBER() OVER w AS order_seq
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        |WHERE order_seq <= 3
+        |ORDER BY o_custkey, order_seq""".stripMargin,
+    "win_moving_sum" ->
+      """SELECT * FROM (
+        |  SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |      PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_qty,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 5
+        |ORDER BY l_suppkey, rn""".stripMargin
+  )
+}
