@@ -26,7 +26,9 @@ object SparkEntry {
       (Aggregates.queries, Aggregates.oracle),
       (Windows.queries, Windows.oracle),
       (Joins.queries, Joins.oracle),
-      (SortsAndSets.queries, SortsAndSets.oracle)
+      (SortsAndSets.queries, SortsAndSets.oracle),
+      (Etl.queries, Etl.oracle),
+      (TextAnalysis.queries, TextAnalysis.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

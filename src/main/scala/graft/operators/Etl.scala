@@ -1,0 +1,270 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Det._
+
+/** ETL / per-row derivation catalog — SURVEY.md §2.2–2.3 and §2.9: dedup
+  * survivor semantics, null-tolerant validity filters, null handling,
+  * when/otherwise decode chains, datetime decomposition, string functions,
+  * JSON extraction. All expressed as native Column expressions (no UDFs;
+  * SURVEY.md §2.12 rebuild policy), so everything stays inside
+  * whole-stage codegen and pushes into the parquet scan where possible.
+  */
+object Etl {
+
+  /** U1 deterministic dedup: first order per customer by (date, key) via
+    * row_number()=1 — the deterministic-survivor variant of
+    * dropDuplicates. Ref: /root/reference/code/01_DataPreprocessing.scala:31. */
+  def dedupFirstOrder(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** U1 arbitrary-survivor twin: dropDuplicates on the dedup key. Survivor
+    * choice is partition-order-dependent → NOT oracle'd (rows-only). */
+  def dedupDropDuplicates(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .dropDuplicates(Seq("o_custkey"))
+      .select(col("o_custkey"), col("o_orderkey"))
+      .orderBy(col("o_custkey"))
+
+  /** F1–F4 null-tolerant validity filter, mirroring the reference's
+    * `isNull || bounds` salary guards. Nulls are introduced via NULLIF
+    * (testdata has none), then rows pass when the value is null OR in
+    * range — SQL 3-valued logic preserved end to end.
+    * Ref: /root/reference/code/01_DataPreprocessing.scala:42-46. */
+  def validityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("tax_n", nullif(col("l_tax"), lit(0.0)))
+      .withColumn("disc_n", nullif(col("l_discount"), lit(0.0)))
+    li.filter(
+        (col("tax_n").isNull || (col("tax_n") > 0.0 && col("tax_n") <= 0.06)) &&
+        (col("disc_n").isNull || col("disc_n") <= 0.08) &&
+        col("l_quantity") > 0.0)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("tax_n")).as("n_tax_present"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** D1–D3 null handling: na.fill / coalesce / null-preserving flag.
+    * Ref: /root/reference/code/01_DataPreprocessing.scala:39,239-248. */
+  def nullHandling(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      // introduce nulls deterministically: zero-valued and error events lose `value`
+      .withColumn("value_n", when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+    val filled = e.na.fill(Map("value_n" -> 0.0))
+      .withColumnRenamed("value_n", "value_filled")
+    filled
+      .withColumn("value_coalesced", coalesce(nullif(col("value_filled"), lit(0.0)), lit(-1.0)))
+      // null-preserving ternary flag (reference keeps null, does NOT default to 0)
+      .withColumn("is_big",
+        when(col("value_filled") > 100.0, lit(1))
+          .when(col("value_filled") > 0.0, lit(0))
+          .otherwise(lit(null).cast("int")))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value_filled")).as("sum_filled"),
+        count(col("is_big")).as("n_flagged"),
+        sum(col("is_big")).cast("long").as("n_big"))
+      .orderBy(col("event_type"))
+  }
+
+  /** X8 when/otherwise decode chains: multi-branch priority decode plus
+    * price bucketing (the reference's 19-branch state decode shape).
+    * Ref: /root/reference/code/01_DataPreprocessing.scala:268-295. */
+  def caseWhenBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val decoded = o
+      .withColumn("priority_class",
+        when(col("o_orderpriority") === "1-URGENT", "critical")
+          .when(col("o_orderpriority") === "2-HIGH", "elevated")
+          .when(col("o_orderpriority") === "3-MEDIUM", "normal")
+          .when(col("o_orderpriority") === "4-NOT SPECIFIED", "unspecified")
+          .when(col("o_orderpriority") === "5-LOW", "relaxed")
+          .otherwise("unknown"))
+      .withColumn("price_bucket",
+        when(col("o_totalprice") < 100.0, "xs")
+          .when(col("o_totalprice") < 1000.0, "s")
+          .when(col("o_totalprice") < 5000.0, "m")
+          .when(col("o_totalprice") < 20000.0, "l")
+          .otherwise("xl"))
+    decoded.groupBy(col("priority_class"), col("price_bucket"))
+      .agg(count(lit(1)).as("n_orders"), davg(col("o_totalprice")).as("avg_price"))
+      .orderBy(col("priority_class"), col("price_bucket"))
+  }
+
+  /** X9/X10 datetime decomposition + epoch round-trip (UTC pinned).
+    * Spark dayofweek is Sunday=1; the oracle compensates (+1 on DuckDB's
+    * Sunday=0). Ref: /root/reference/code/01_DataPreprocessing.scala:52-63,255-258. */
+  def datetimeParts(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.withColumn("order_year", year(col("o_orderdate")).cast("long"))
+      .withColumn("order_month", month(col("o_orderdate")).cast("long"))
+      .withColumn("order_dow", dayofweek(col("o_orderdate")).cast("long"))
+      .withColumn("epoch_ms", unix_millis(col("o_orderdate").cast("timestamp")))
+      // round-trip: epoch millis → timestamp → month must be stable
+      .withColumn("rt_month", month(timestamp_millis(col("epoch_ms"))).cast("long"))
+      .groupBy(col("order_year"), col("order_month"), col("order_dow"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("rt_month") === col("order_month"), 1L).otherwise(0L)).as("n_roundtrip_ok"))
+      .orderBy(col("order_year"), col("order_month"), col("order_dow"))
+  }
+
+  /** X1–X7 string functions: split/element_at/size/length/upper/substring/
+    * regexp_replace over part names and types.
+    * Ref: /root/reference/code/01_DataPreprocessing.scala:152-158,269-300. */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    p.withColumn("type_tokens", split(col("p_type"), " "))
+      .withColumn("type_last", element_at(col("type_tokens"), -1))
+      .withColumn("type_first", element_at(col("type_tokens"), 1))
+      .withColumn("n_tokens", size(col("type_tokens")).cast("long"))
+      .withColumn("name_upper", upper(col("p_name")))
+      .withColumn("name_len", length(col("p_name")).cast("long"))
+      .withColumn("name_squashed", regexp_replace(col("p_name"), "[aeiou]", ""))
+      .groupBy(col("type_last"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        max(col("n_tokens")).as("max_tokens"),
+        davg(col("name_len")).as("avg_name_len"),
+        min(col("name_squashed")).as("min_squashed"))
+      .orderBy(col("type_last"))
+  }
+
+  /** JSON extraction (X-gap; harness events.props is a JSON string):
+    * get_json_object + cast, aggregated per event_type.
+    * SURVEY.md §7.5 multimodal/JSON column handling. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_dedup_first_order" -> (dedupFirstOrder _),
+    "etl_dedup_dropdup"     -> (dedupDropDuplicates _),
+    "etl_validity_filter"   -> (validityFilter _),
+    "etl_null_handling"     -> (nullHandling _),
+    "etl_case_when"         -> (caseWhenBuckets _),
+    "etl_datetime_parts"    -> (datetimeParts _),
+    "etl_string_funcs"      -> (stringFuncs _),
+    "etl_json_extract"      -> (jsonExtract _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "etl_dedup_first_order" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+        |FROM (SELECT *, ROW_NUMBER() OVER (
+        |        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "etl_validity_filter" ->
+      """WITH li AS (
+        |  SELECT *, NULLIF(l_tax, 0.0) AS tax_n, NULLIF(l_discount, 0.0) AS disc_n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(tax_n) AS n_tax_present,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM li
+        |WHERE (tax_n IS NULL OR (tax_n > 0.0 AND tax_n <= 0.06))
+        |  AND (disc_n IS NULL OR disc_n <= 0.08)
+        |  AND l_quantity > 0.0
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "etl_null_handling" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    COALESCE(CASE WHEN event_type = 'error' THEN NULL ELSE value END, 0.0) AS value_filled
+        |  FROM events),
+        |f AS (
+        |  SELECT event_type, value_filled,
+        |    COALESCE(NULLIF(value_filled, 0.0), -1.0) AS value_coalesced,
+        |    CASE WHEN value_filled > 100.0 THEN 1
+        |         WHEN value_filled > 0.0 THEN 0
+        |         ELSE NULL END AS is_big
+        |  FROM e)
+        |SELECT event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value_filled AS DECIMAL(18,2))) AS DOUBLE) AS sum_filled,
+        |  COUNT(is_big) AS n_flagged,
+        |  CAST(SUM(is_big) AS BIGINT) AS n_big
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "etl_case_when" ->
+      """SELECT
+        |  CASE o_orderpriority
+        |    WHEN '1-URGENT' THEN 'critical'
+        |    WHEN '2-HIGH' THEN 'elevated'
+        |    WHEN '3-MEDIUM' THEN 'normal'
+        |    WHEN '4-NOT SPECIFIED' THEN 'unspecified'
+        |    WHEN '5-LOW' THEN 'relaxed'
+        |    ELSE 'unknown' END AS priority_class,
+        |  CASE WHEN o_totalprice < 100.0 THEN 'xs'
+        |       WHEN o_totalprice < 1000.0 THEN 's'
+        |       WHEN o_totalprice < 5000.0 THEN 'm'
+        |       WHEN o_totalprice < 20000.0 THEN 'l'
+        |       ELSE 'xl' END AS price_bucket,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice) AS avg_price
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "etl_datetime_parts" ->
+      """WITH o AS (
+        |  SELECT year(o_orderdate) AS order_year,
+        |    month(o_orderdate) AS order_month,
+        |    dayofweek(o_orderdate) + 1 AS order_dow,
+        |    epoch_ms(o_orderdate) AS ems,
+        |    month(epoch_ms(epoch_ms(o_orderdate))) AS rt_month
+        |  FROM orders)
+        |SELECT order_year, order_month, order_dow,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CASE WHEN rt_month = order_month THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok
+        |FROM o
+        |GROUP BY order_year, order_month, order_dow
+        |ORDER BY order_year, order_month, order_dow""".stripMargin,
+    "etl_string_funcs" ->
+      """WITH p AS (
+        |  SELECT string_split(p_type, ' ') AS type_tokens,
+        |    string_split(p_type, ' ')[-1] AS type_last,
+        |    len(string_split(p_type, ' ')) AS n_tokens,
+        |    length(p_name) AS name_len,
+        |    regexp_replace(p_name, '[aeiou]', '', 'g') AS name_squashed
+        |  FROM part)
+        |SELECT type_last,
+        |  COUNT(*) AS n_parts,
+        |  MAX(n_tokens) AS max_tokens,
+        |  CAST(SUM(CAST(name_len AS DECIMAL(18,2))) AS DOUBLE) / COUNT(name_len) AS avg_name_len,
+        |  MIN(name_squashed) AS min_squashed
+        |FROM p GROUP BY type_last ORDER BY type_last""".stripMargin,
+    "etl_json_extract" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
+  )
+}

@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis catalog over the `documents` table — SURVEY.md §7.5 (the
+  * LLM-data-pipeline surface) + the reference's token pipeline
+  * (/root/reference/code/02_RDDOperations.scala:238-253 re-expressed as
+  * split+explode; SURVEY.md A6).
+  *
+  * Determinism rules used throughout (so the DuckDB oracle hash-matches):
+  *  - ratios are computed as ONE double division of exact integer sums —
+  *    never summed as doubles, never decimal-cast (engine rounding differs
+  *    on dyadic rationals like 0.125);
+  *  - ln() may differ between libm implementations in the last ulp →
+  *    logarithm outputs are rounded to 6 decimals;
+  *  - every top-k has a unique tiebreak.
+  *
+  * Scale notes: all pipelines are explode → hash-agg (map-side partial) —
+  * linear in corpus size, shuffle bounded by |vocabulary|; per-doc metrics
+  * are pure projections (no shuffle at all until the final group-by).
+  */
+object TextAnalysis {
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** A6 word count: split → explode → groupBy(word).count → top-20.
+    * Ref: /root/reference/code/02_RDDOperations.scala:238-253. */
+  def wordCount(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+  }
+
+  /** Token counting two ways: whitespace tokens + a BPE-ish regex
+    * tokenizer (`\w+|[^\w\s]`), aggregated per source. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.withColumn("n_ws", size(tokens(col("text"))).cast("long"))
+      .withColumn("n_re", size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0))).cast("long"))
+      .withColumn("n_chars_m", length(col("text")).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_ws")).as("total_ws_tokens"),
+        sum(col("n_re")).as("total_re_tokens"),
+        sum(col("n_chars_m")).as("total_chars"),
+        (sum(col("n_chars_m")).cast("double") / sum(col("n_ws"))).as("chars_per_token"))
+      .orderBy(col("source"))
+  }
+
+  /** Quality scoring: per-doc word/stopword/length stats → per-lang rollup.
+    * Ratios = one division of exact integer sums (determinism rule). */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val stop = Seq("the", "a")
+    val perDoc = d
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("n_stop", size(filter(col("toks"), t => t.isin(stop.map(lit(_)): _*))).cast("long"))
+      .withColumn("n_chars_m", length(col("text")).cast("long"))
+      .withColumn("is_quality",
+        (col("n_words") >= 20 && col("n_words") <= 1000 &&
+          col("n_stop") * 10 < col("n_words") * 5).cast("long"))
+    perDoc.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        (sum(col("n_stop")).cast("double") / sum(col("n_words"))).as("stopword_ratio"),
+        (sum(col("n_chars_m")).cast("double") / sum(col("n_words"))).as("chars_per_word"),
+        sum(col("is_quality")).as("n_quality"))
+      .orderBy(col("lang"))
+  }
+
+  /** Language-ID heuristic: marker-word votes with deterministic argmax
+    * (integer counts; ties break by fixed label order via the when-chain). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    def votes(words: Seq[String]): Column =
+      size(filter(tokens(col("text")), t => t.isin(words.map(lit(_)): _*)))
+    val scored = d
+      .withColumn("v_article", votes(Seq("the", "a")))
+      .withColumn("v_engine", votes(Seq("spark", "query", "data")))
+      .withColumn("v_ops", votes(Seq("join", "merge", "sort")))
+      .withColumn("predicted",
+        when(col("v_article") >= col("v_engine") && col("v_article") >= col("v_ops"), "articleish")
+          .when(col("v_engine") >= col("v_ops"), "engineish")
+          .otherwise("opsish"))
+    scored.groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  /** Document fingerprinting: md5 of normalized text; bucket stats +
+    * exact-duplicate detection (n_docs - n_distinct fingerprints). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.withColumn("fp", md5(trim(lower(col("text")))))
+      .withColumn("bucket", substring(col("fp"), 1, 1))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"),
+        min(col("fp")).as("min_fp"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Corpus-level TF-IDF: per-word total term frequency × ln(N/df),
+    * rounded to 6 (libm ulp rule), top-20 by (score, word). */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    // corpus size as a broadcast 1-row relation, not a driver .count() scalar
+    val n = d.agg(count(lit(1)).cast("double").as("corpus_n"))
+    val words = d.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+    words.groupBy(col("word"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("corpus_n") / col("df")), 6))
+      .select(col("word"), col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("tfidf").desc, col("word"))
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_word_count"  -> (wordCount _),
+    "text_token_stats" -> (tokenStats _),
+    "text_quality"     -> (qualityScore _),
+    "text_langid"      -> (langId _),
+    "text_fingerprint" -> (fingerprint _),
+    "text_tfidf"       -> (tfidfTopTerms _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_word_count" ->
+      """SELECT word, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE length(word) > 0
+        |GROUP BY word
+        |ORDER BY n DESC, word
+        |LIMIT 20""".stripMargin,
+    "text_token_stats" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    len(string_split(text, ' ')) AS n_ws,
+        |    len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_re,
+        |    length(text) AS n_chars_m
+        |  FROM documents)
+        |SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens,
+        |  CAST(SUM(n_re) AS BIGINT) AS total_re_tokens,
+        |  CAST(SUM(n_chars_m) AS BIGINT) AS total_chars,
+        |  CAST(SUM(n_chars_m) AS DOUBLE) / CAST(SUM(n_ws) AS BIGINT) AS chars_per_token
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "text_quality" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS n_stop,
+        |    length(text) AS n_chars_m
+        |  FROM documents),
+        |q AS (
+        |  SELECT *, CASE WHEN n_words >= 20 AND n_words <= 1000
+        |                  AND n_stop * 10 < n_words * 5 THEN 1 ELSE 0 END AS is_quality
+        |  FROM d)
+        |SELECT lang,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_words) AS BIGINT) AS total_words,
+        |  CAST(SUM(n_stop) AS DOUBLE) / CAST(SUM(n_words) AS BIGINT) AS stopword_ratio,
+        |  CAST(SUM(n_chars_m) AS DOUBLE) / CAST(SUM(n_words) AS BIGINT) AS chars_per_word,
+        |  CAST(SUM(is_quality) AS BIGINT) AS n_quality
+        |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_langid" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS v_article,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('spark', 'query', 'data'))) AS v_engine,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('join', 'merge', 'sort'))) AS v_ops
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN v_article >= v_engine AND v_article >= v_ops THEN 'articleish'
+        |       WHEN v_engine >= v_ops THEN 'engineish'
+        |       ELSE 'opsish' END AS predicted,
+        |  COUNT(*) AS n_docs
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "text_fingerprint" ->
+      """WITH f AS (SELECT md5(trim(lower(text))) AS fp FROM documents)
+        |SELECT substr(fp, 1, 1) AS bucket,
+        |  COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT fp) AS n_distinct,
+        |  COUNT(*) - COUNT(DISTINCT fp) AS n_exact_dups,
+        |  MIN(fp) AS min_fp
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_tfidf" ->
+      """WITH n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+        |w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |agg AS (
+        |  SELECT word, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word)
+        |SELECT word, tf, df,
+        |  ROUND(tf * ln((SELECT n FROM n) / df), 6) AS tfidf
+        |FROM agg
+        |ORDER BY tfidf DESC, word
+        |LIMIT 20""".stripMargin
+  )
+}
