@@ -28,7 +28,9 @@ object SparkEntry {
       (Joins.queries, Joins.oracle),
       (SortsAndSets.queries, SortsAndSets.oracle),
       (Etl.queries, Etl.oracle),
-      (TextAnalysis.queries, TextAnalysis.oracle)
+      (TextAnalysis.queries, TextAnalysis.oracle),
+      (Dedup.queries, Dedup.oracle),
+      (Similarity.queries, Similarity.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

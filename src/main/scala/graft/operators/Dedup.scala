@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorOps
+
+/** Deduplication catalog over `documents` / `embeddings` — SURVEY.md §7.5,
+  * the LLM-data-pipeline surface: exact (md5, see TextAnalysis.fingerprint),
+  * MinHash+LSH, inverted-index n-gram Jaccard, SimHash, embedding-cosine.
+  *
+  * Scale design (the whole point of these operators):
+  *  - NOTHING is quadratic in corpus size. Candidate pairs come from
+  *    equi-joins on discriminative keys (LSH band signatures, shared rare
+  *    shingles, equal simhash, sign buckets) — each a plain shuffle join
+  *    whose output is bounded by Σ df², not |docs|².
+  *  - all hashes are engine-portable (md5 hex, polynomial char fold mod
+  *    1e9+7) so the DuckDB oracle reproduces them bit-for-bit.
+  *  - Jaccard/cosine are exact integer-or-IEEE arithmetic — no rounding.
+  */
+object Dedup {
+
+  private val P = 1000000007L
+  private val NumHashes = 8 // minhash signature length; 4 bands × 2 rows
+
+  /** doc_id + distinct 3-word shingles (guarded for <3-word docs; Spark's
+    * sequence() DESCENDS when stop<start, so the guard is not optional). */
+  private def shingled(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = split(col("text"), " ")
+    d.select(
+      col("doc_id"),
+      when(size(toks) >= 3,
+        array_distinct(transform(sequence(lit(1), size(toks) - 2),
+          i => array_join(slice(toks, i, lit(3)), " "))))
+        .otherwise(array().cast("array<string>")).as("shingles"))
+  }
+
+  private val shingledSql =
+    """SELECT doc_id,
+      |  list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+      |    THEN list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+      |           i -> array_to_string(list_slice(string_split(text,' '), i, i + 2), ' '))
+      |    ELSE [] END) AS shingles
+      |FROM documents""".stripMargin
+
+  /** MinHash + LSH near-dup pairs: shingle → 8 portable minhashes (min of
+    * md5("i:"||shingle)) → 4 bands of 2 → candidates = band-equality join →
+    * exact Jaccard verification ≥ 0.7. The standard scale pipeline: the
+    * only join key is the band signature, so work is Σ(bucket size²) over
+    * near-dup buckets, never |docs|². */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).cache()
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
+    val sigCols = (0 until NumHashes).map(i => min(md5(concat(lit(s"$i:"), col("g")))).as(s"s$i"))
+    val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until NumHashes / 2).map(b =>
+        struct(lit(b).as("band_idx"), concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("band_val"))): _*
+    )).as("band")).select(col("doc_id"), col("band.band_idx"), col("band.band_val"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val withSets = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), Seq("doc_b"))
+    withSets
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("n_inter")))
+      .filter(col("jaccard") >= 0.7)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted index: explode
+    * distinct shingles, equi-join on the shingle, count shared shingles per
+    * pair, then Jaccard from exact set sizes. Complete (any pair with
+    * jac > 0 shares a shingle) and linear-ish: pair rows = Σ df². */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).cache()
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard", col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")))
+      .filter(col("jaccard") >= 0.7)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash clustering: portable word hash (char fold: acc*31+ascii mod
+    * 1e9+7), 16 sign-summed bits per doc, exact-signature clusters with >1
+    * member. Near-identical docs collapse to the same 16-bit signature. */
+  def simhashClusters(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val words = d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    // chars → ascii codes (filtering the trailing "" Spark's regex split can
+    // emit; ascii("")=0), then a left fold seeded with 0 — mirrored in the
+    // oracle by list_prepend(0, codes) since DuckDB's list_reduce is 2-arg.
+    val h = aggregate(
+      filter(transform(split(col("w"), ""), c => ascii(c).cast("long")), a => a > 0),
+      lit(0L), (acc, a) => (acc * 31 + a) % P)
+    val hashed = words.withColumn("h", h)
+    val bitSums = (0 until 16).map(j =>
+      sum(when(shiftright(col("h"), j) % 2 === 1, 1L).otherwise(-1L)).as(s"b$j"))
+    val sums = hashed.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 16).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    sums.withColumn("simhash", simhash)
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("doc_id")).as("min_doc"),
+           max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("simhash"))
+  }
+
+  /** Embedding-cosine candidate near-dups: all pairs ≥ 0.45 cosine (the
+    * corpus has no planted exact dups — the threshold surfaces the nearest
+    * pairs). Exact brute pairs here; the LSH-bucketed scale path is
+    * Similarity.knnLsh. Norms are precomputed per vector (O(n)), the pair
+    * stage computes one fold per pair. */
+  def embeddingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+      .cache()
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    pairs.select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        VectorOps.cosine(VectorOps.dot(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm")).as("cos"))
+      .filter(col("cos") >= 0.45)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash_lsh"     -> (minhashLsh _),
+    "dedup_ngram_jaccard"   -> (ngramJaccard _),
+    "dedup_simhash"         -> (simhashClusters _),
+    "dedup_embedding_pairs" -> (embeddingPairs _)
+  )
+
+  private val sigSelect = (0 until NumHashes)
+    .map(i => s"min(md5('$i:' || g)) AS s$i").mkString(",\n        |    ")
+
+  private val bandUnion = (0 until NumHashes / 2)
+    .map(b => s"SELECT doc_id, $b AS band_idx, s${2 * b} || s${2 * b + 1} AS band_val FROM sig")
+    .mkString("\n        |  UNION ALL ")
+
+  private val simhashBitSums = (0 until 16)
+    .map(j => s"SUM(CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS b$j")
+    .mkString(",\n      |    ")
+
+  private val simhashExpr = (0 until 16)
+    .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+    .mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "dedup_minhash_lsh" ->
+      s"""WITH sh AS ($shingledSql),
+        |ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+        |sig AS (SELECT doc_id,
+        |    $sigSelect
+        |  FROM ex GROUP BY doc_id),
+        |bands AS (
+        |  $bandUnion),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |   AND a.doc_id < b.doc_id),
+        |j AS (
+        |  SELECT doc_a, doc_b,
+        |    len(list_intersect(sa.shingles, sb.shingles))::BIGINT AS n_inter,
+        |    len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+        |      / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+        |  FROM cand
+        |  JOIN sh sa ON sa.doc_id = doc_a
+        |  JOIN sh sb ON sb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, n_inter, jaccard FROM j
+        |WHERE jaccard >= 0.7
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH sh AS ($shingledSql),
+        |ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+        |sizes AS (SELECT doc_id, len(shingles)::BIGINT AS n FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_inter,
+        |  n_inter::DOUBLE / (na.n + nb.n - n_inter) AS jaccard
+        |FROM inter
+        |JOIN sizes na ON na.doc_id = doc_a
+        |JOIN sizes nb ON nb.doc_id = doc_b
+        |WHERE n_inter::DOUBLE / (na.n + nb.n - n_inter) >= 0.7
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0::BIGINT, list_transform(string_split(w, ''), ch -> ascii(ch)::BIGINT)),
+        |                (acc, a) -> (acc * 31 + a) % $P) AS h
+        |  FROM words WHERE length(w) > 0),
+        |sums AS (
+        |  SELECT doc_id,
+        |    $simhashBitSums
+        |  FROM hashed GROUP BY doc_id),
+        |sig AS (SELECT doc_id, CAST($simhashExpr AS BIGINT) AS simhash FROM sums)
+        |SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM sig GROUP BY simhash HAVING COUNT(*) > 1
+        |ORDER BY simhash""".stripMargin,
+    "dedup_embedding_pairs" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(v, v), z -> z[1] * z[2])),
+        |                     (x, y) -> x + y)) AS nrm
+        |  FROM e),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])),
+        |                (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cos FROM p
+        |WHERE cos >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin
+  )
+}
