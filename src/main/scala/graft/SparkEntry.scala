@@ -30,7 +30,9 @@ object SparkEntry {
       (Etl.queries, Etl.oracle),
       (TextAnalysis.queries, TextAnalysis.oracle),
       (Dedup.queries, Dedup.oracle),
-      (Similarity.queries, Similarity.oracle)
+      (Similarity.queries, Similarity.oracle),
+      (Events.queries, Events.oracle),
+      (Multimodal.queries, Multimodal.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

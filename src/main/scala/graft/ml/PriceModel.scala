@@ -1,0 +1,98 @@
+package graft.ml
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.feature._
+import org.apache.spark.ml.regression.{GBTRegressor, LinearRegression, RandomForestRegressor}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** MLlib order-value regression — the reference's salary-regression surface
+  * (M1–M14, /root/reference/code/04_MachineLearning.scala) re-expressed as
+  * ONE Pipeline instead of 11 hand-threaded fit/transform stages (SURVEY.md
+  * §2.13): StringIndexer×3 → OneHotEncoder → Tokenizer → StopWordsRemover →
+  * HashingTF → IDF → VectorAssembler → StandardScaler(withMean=false) →
+  * regressor. Fit-on-train leakage hygiene comes free: the Pipeline is fit
+  * only on the train split.
+  *
+  * Label = log1p(o_totalprice) (the reference's log-salary target,
+  * 04:305-306); back-transform via expm1 (04:323-324). Seeds fixed (42)
+  * like the reference (04:79,208,222). Gated by beat-the-baseline tests
+  * (04:259-286), not the DuckDB oracle (SURVEY.md §5).
+  */
+object PriceModel {
+
+  /** Join features exactly once; all derivations are Column exprs. */
+  def trainingFrame(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(
+        col("o_orderkey"),
+        col("o_orderpriority"), col("c_mktsegment"), col("n_name"),
+        col("c_acctbal"),
+        month(col("o_orderdate")).cast("double").as("order_month"),
+        dayofweek(col("o_orderdate")).cast("double").as("order_dow"),
+        // pseudo-text column so the token/TF-IDF stages mirror the
+        // reference's title pipeline (04:119-138)
+        concat_ws(" ", col("c_mktsegment"), col("o_orderpriority"), col("n_name")).as("desc_text"),
+        log1p(col("o_totalprice")).as("label"))
+  }
+
+  def pipeline(regressor: String): Pipeline = {
+    val cats = Array("o_orderpriority", "c_mktsegment", "n_name")
+    val indexers = cats.map(c =>
+      new StringIndexer().setInputCol(c).setOutputCol(s"${c}_idx").setHandleInvalid("keep"))
+    val encoder = new OneHotEncoder()
+      .setInputCols(cats.map(c => s"${c}_idx")).setOutputCols(cats.map(c => s"${c}_vec"))
+    val tokenizer = new Tokenizer().setInputCol("desc_text").setOutputCol("tokens")
+    val remover = new StopWordsRemover().setInputCol("tokens").setOutputCol("tokens_clean")
+    val tf = new HashingTF().setInputCol("tokens_clean").setOutputCol("tf").setNumFeatures(64)
+    val idf = new IDF().setInputCol("tf").setOutputCol("tfidf")
+    val assembler = new VectorAssembler()
+      .setInputCols(cats.map(c => s"${c}_vec") ++ Array("c_acctbal", "order_month", "order_dow", "tfidf"))
+      .setOutputCol("features_raw").setHandleInvalid("skip")
+    val scaler = new StandardScaler() // withMean=false: sparse-safe, like the reference (04:168-173)
+      .setInputCol("features_raw").setOutputCol("features").setWithMean(false).setWithStd(true)
+    val model = regressor match {
+      case "lr" => new LinearRegression()
+        .setMaxIter(200).setRegParam(0.05).setElasticNetParam(0.1)
+      case "rf" => new RandomForestRegressor()
+        .setNumTrees(50).setMaxDepth(8).setSeed(42)
+      case "gbt" => new GBTRegressor()
+        .setMaxIter(40).setMaxDepth(6).setStepSize(0.05).setSubsamplingRate(0.8).setSeed(42)
+      case other => throw new IllegalArgumentException(s"unknown regressor: $other")
+    }
+    new Pipeline().setStages(indexers ++ Array(encoder, tokenizer, remover, tf, idf, assembler, scaler, model))
+  }
+
+  final case class Metrics(model: String, rmse: Double, mae: Double, r2: Double)
+
+  private def evalRegression(name: String, predictions: DataFrame): Metrics = {
+    def m(metric: String): Double = new RegressionEvaluator()
+      .setLabelCol("label").setPredictionCol("prediction").setMetricName(metric)
+      .evaluate(predictions)
+    Metrics(name, m("rmse"), m("mae"), m("r2"))
+  }
+
+  /** Train baseline + the requested regressors on a seeded 70/30 split;
+    * returns one Metrics row per model (log-label scale, like the
+    * reference). */
+  def run(spark: SparkSession, dir: String, regressors: Seq[String] = Seq("lr", "rf")): Seq[Metrics] = {
+    val data = trainingFrame(spark, dir).cache()
+    val Array(train, test) = data.randomSplit(Array(0.7, 0.3), seed = 42)
+    // baseline: predict the training mean (in-plan, no driver scalar)
+    val trainMean = train.agg(avg(col("label")).as("prediction"))
+    val baselinePred = test.crossJoin(broadcast(trainMean))
+    val baseline = evalRegression("baseline_mean", baselinePred)
+    val fitted = regressors.map { r =>
+      val model = pipeline(r).fit(train)
+      evalRegression(r, model.transform(test))
+    }
+    baseline +: fitted
+  }
+}

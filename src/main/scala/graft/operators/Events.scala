@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Det._
+
+/** Event-stream analytics as BATCH twins — SURVEY.md §7.5 streaming
+  * extension. Structured Streaming can't be DuckDB-hash-checked, so each
+  * streaming shape ships twice: the batch formulation here (oracle'd) and
+  * the streaming formulation in graft.streaming.Streams, with a ScalaTest
+  * asserting batch ≡ stream on the same input (StreamingSpec).
+  *
+  * Scale notes: tumbling aggregation is a plain hash-agg on (window, type)
+  * — map-side partials apply. Sessionization is the gaps-and-islands
+  * pattern: one shuffle on user_id, then two window passes inside each
+  * partition — no cross-user data movement, skew bounded by max events
+  * per user.
+  */
+object Events {
+
+  /** Tumbling 1-hour windowed aggregation (batch twin of
+    * Streams.tumblingCounts). */
+  def tumblingHour(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.withColumn("hour_start", date_trunc("hour", col("ts")))
+      .groupBy(col("hour_start"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
+  /** Sessionization with a 30-minute inactivity gap (batch twin of
+    * Streams.sessionWindows): lag → gap flag → running sum = session id. */
+  def sessionization(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    val flagged = e
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  /** Per-row ML feature derivation (X11/X12): log1p/expm1 round-trip,
+    * engagement score — the reference's feature-prep surface on orders.
+    * ln() is libm-dependent → rounded to 6; the round-trip flag is exact.
+    * Ref: /root/reference/code/01_DataPreprocessing.scala:247-248,299-306;
+    * 04_MachineLearning.scala:323-324. */
+  def featurePrep(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(
+        col("o_orderkey"),
+        round(log1p(col("o_totalprice")), 6).as("log_price"),
+        when(abs(expm1(log1p(col("o_totalprice"))) - col("o_totalprice")) < 1e-6, 1L)
+          .otherwise(0L).as("roundtrip_ok"),
+        month(col("o_orderdate")).cast("long").as("order_month"),
+        (round(log1p(col("o_totalprice")), 6) * 2.0 +
+          month(col("o_orderdate"))).as("engagement"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_tumbling_hour" -> (tumblingHour _),
+    "events_sessionization" -> (sessionization _),
+    "ml_feature_prep"      -> (featurePrep _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "events_tumbling_hour" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "events_sessionization" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+        |    LAG(epoch_us(ts), 1) OVER w AS prev_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |                 THEN 1 ELSE 0 END AS is_new
+        |  FROM f),
+        |s AS (
+        |  SELECT *, CAST(SUM(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM g)
+        |SELECT user_id, session_seq,
+        |  COUNT(*) AS n_events,
+        |  MIN(ts_us) AS start_us,
+        |  MAX(ts_us) AS end_us,
+        |  MAX(ts_us) - MIN(ts_us) AS duration_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "ml_feature_prep" ->
+      """SELECT o_orderkey,
+        |  ROUND(ln(1 + o_totalprice), 6) AS log_price,
+        |  CAST(CASE WHEN abs((exp(ln(1 + o_totalprice)) - 1) - o_totalprice) < 1e-6
+        |       THEN 1 ELSE 0 END AS BIGINT) AS roundtrip_ok,
+        |  month(o_orderdate) AS order_month,
+        |  ROUND(ln(1 + o_totalprice), 6) * 2.0 + month(o_orderdate) AS engagement
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}

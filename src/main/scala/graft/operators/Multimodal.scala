@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing — SURVEY.md §7.5. The harness has no real
+  * image/audio tables and this container has no codec libraries, so the
+  * DECODE step is a clearly-marked deterministic stub; everything around it
+  * — binary columns with typed metadata, batched per-partition decode,
+  * explicit output schema, partition-count preservation — is real Spark
+  * plumbing and is what the spec exercises.
+  *
+  * Scale notes: media bytes stay opaque `binary` all the way to the decode
+  * operator (no per-row driver traffic, no string round-trips); decode runs
+  * via mapPartitions so a real implementation amortizes codec init per
+  * partition (the Scala analogue of a batched Pandas-UDF decode), and its
+  * output is a narrow typed struct so downstream pruning drops the bytes.
+  */
+object Multimodal {
+
+  /** Typed media record: opaque payload + envelope metadata. */
+  final case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
+
+  /** Decoded features; a real decoder would fill these from the codec. */
+  final case class MediaFeatures(media_id: Long, kind: String,
+                                 n_bytes: Long, width: Int, height: Int,
+                                 channels: Int, checksum: Long)
+
+  /** Build a binary media table from documents (payload = utf8 bytes —
+    * stands in for image/audio blobs with the same schema shape). */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** STUB DECODER — deterministic fake standing in for e.g. libjpeg.
+    * Reads only payload bytes; a real decoder swaps in here without any
+    * change to the surrounding plan. */
+  private def decodeStub(r: MediaRecord): MediaFeatures = {
+    val bytes = r.payload
+    val checksum = bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+    val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+    MediaFeatures(r.media_id, r.kind, bytes.length.toLong,
+      width = 32 + b0 % 64, height = 32 + (b0 * 7) % 64,
+      channels = if (r.kind == "image") 3 else 1, checksum = checksum)
+  }
+
+  /** Batched per-partition decode: the real operator shape (codec init
+    * once per partition, rows streamed through). */
+  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real impl: open codec/context here, once per partition
+      rows.map(decodeStub)
+    }
+  }
+
+  /** Oracle'd catalog entry: binary envelope metadata (octet length, md5 of
+    * the payload bytes) aggregated per kind — the part of the multimodal
+    * path that IS plain relational algebra. */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame = {
+    val m = mediaTable(spark, dir).toDF()
+    m.withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .withColumn("payload_md5", md5(col("payload")))
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        min(col("n_bytes")).as("min_bytes"),
+        max(col("n_bytes")).as("max_bytes"),
+        min(col("payload_md5")).as("min_md5"))
+      .orderBy(col("kind"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_meta" -> (binaryMeta _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio'
+        |         ELSE 'video' END AS kind,
+        |    octet_length(encode(text)) AS n_bytes,
+        |    md5(text) AS payload_md5
+        |  FROM documents)
+        |SELECT kind,
+        |  COUNT(*) AS n_media,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(MIN(n_bytes) AS BIGINT) AS min_bytes,
+        |  CAST(MAX(n_bytes) AS BIGINT) AS max_bytes,
+        |  MIN(payload_md5) AS min_md5
+        |FROM m GROUP BY kind ORDER BY kind""".stripMargin
+  )
+}
