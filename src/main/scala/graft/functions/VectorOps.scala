@@ -2,24 +2,30 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
-/** Vector math over `array<double>` columns via higher-order functions —
-  * SURVEY.md §7.5 (similarity search). All folds run in array order, so the
-  * result is a bit-deterministic double reproducible by a sequential
-  * `list_reduce` fold on the oracle side (no rounding needed).
+import graft.expressions.DotProduct
+
+/** Vector math over `array<double>` columns — SURVEY.md §7.5 (similarity
+  * search). All folds run in array order, so the result is a
+  * bit-deterministic double reproducible by a sequential `list_reduce` fold
+  * on the oracle side (no rounding needed).
   *
   * Inputs must be cast to array<double> FIRST (`array<float>` would
   * round each product to float and diverge from a double-arithmetic oracle).
   *
-  * Scale note: HOFs are not whole-stage-codegen'd; if a bench shows the
-  * pair-scoring stage dominated by fold overhead, the upgrade path is a
-  * codegen'd Catalyst Expression with the same left-to-right semantics.
+  * The dot product is a codegen'd Catalyst Expression (graft.expressions
+  * .DotProduct) rather than `aggregate(zip_with(...))`: same left-to-right
+  * fold semantics, but it joins whole-stage codegen, which is the difference
+  * between an interpreted lambda per pair and a primitive loop inside the
+  * all-pairs join (the similarity bench's hot path).
   */
 object VectorOps {
 
   /** Sequential-fold dot product: ((0 + a0·b0) + a1·b1) + … */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** L2 norm (IEEE sqrt is correctly rounded → engine-identical). */
   def norm(v: Column): Column = sqrt(dot(v, v))

@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Access shim for Spark's `private[sql]` Column ⇄ Expression converters.
+  *
+  * Spark 4 moved the Column ⇄ Catalyst-Expression bridge behind
+  * `org.apache.spark.sql.classic.ExpressionUtils`, which is `private[sql]`;
+  * a library shipping custom codegen'd Expressions (graft.expressions.*)
+  * needs exactly these two calls and nothing else, so this object lives in a
+  * sub-package of `org.apache.spark.sql` to satisfy the access modifier —
+  * the established pattern for Spark extension libraries.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
