@@ -14,6 +14,24 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread a scan across the cluster when the file layout under-splits it.
+    *
+    * The harness parquet files are single-row-group, so a scan yields ONE
+    * task no matter how many cores exist — and every narrow pipeline above
+    * it (shingling, hashing, regex) inherits that single thread. At real
+    * scale files carry many row groups and scans already produce ≥cores
+    * partitions, making this a no-op; the guard means we never pay a
+    * gratuitous full-table shuffle on data that is already spread.
+    *
+    * Applied ONLY to tables whose downstream per-row work is expensive
+    * (documents: regex/shingling/digests; embeddings: vector folds). For
+    * plain relational scans the shuffle costs more than the single-threaded
+    * scan saves — measured, not guessed. */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")
@@ -30,6 +48,6 @@ object Tables {
       .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
       .parquet(s"$dir/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+  def documents(spark: SparkSession, dir: String): DataFrame = fanOut(table(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame = fanOut(table(spark, dir, "embeddings"))
 }

@@ -45,16 +45,22 @@ object Dedup {
       |    ELSE [] END) AS shingles
       |FROM documents""".stripMargin
 
-  /** MinHash + LSH near-dup pairs: shingle → 8 portable minhashes (min of
-    * md5("i:"||shingle)) → 4 bands of 2 → candidates = band-equality join →
+  /** MinHash + LSH near-dup pairs: shingle → 8 portable minhash lanes
+    * (md5 is computed ONCE per shingle; lane i is the 16-bit hex slice
+    * md5[4i..4i+4) — one digest instead of eight, same independence in
+    * expectation) → 4 bands of 2 lanes → candidates = band-equality join →
     * exact Jaccard verification ≥ 0.7. The standard scale pipeline: the
     * only join key is the band signature, so work is Σ(bucket size²) over
-    * near-dup buckets, never |docs|². */
+    * near-dup buckets, never |docs|²; 16-bit lanes only add band collisions,
+    * which the exact-Jaccard stage filters. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir).cache()
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
-    val sigCols = (0 until NumHashes).map(i => min(md5(concat(lit(s"$i:"), col("g")))).as(s"s$i"))
-    val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      .withColumn("h", md5(col("g")))
+    val sigCols = (0 until NumHashes).map(i => min(substring(col("h"), 4 * i + 1, 4)).as(s"s$i"))
+    // cached: the band self-join below would otherwise recompute the whole
+    // shingle→hash→agg pipeline once per join side
+    val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*).cache()
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until NumHashes / 2).map(b =>
         struct(lit(b).as("band_idx"), concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("band_val"))): _*
@@ -153,7 +159,7 @@ object Dedup {
   )
 
   private val sigSelect = (0 until NumHashes)
-    .map(i => s"min(md5('$i:' || g)) AS s$i").mkString(",\n        |    ")
+    .map(i => s"min(substr(md5(g), ${4 * i + 1}, 4)) AS s$i").mkString(",\n        |    ")
 
   private val bandUnion = (0 until NumHashes / 2)
     .map(b => s"SELECT doc_id, $b AS band_idx, s${2 * b} || s${2 * b + 1} AS band_val FROM sig")

@@ -43,7 +43,9 @@ object TextAnalysis {
   def tokenStats(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     d.withColumn("n_ws", size(tokens(col("text"))).cast("long"))
-      .withColumn("n_re", size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0))).cast("long"))
+      // regexp_count, not size(regexp_extract_all(...)): same number, but no
+      // per-doc array materialization — the regex scan is the whole cost
+      .withColumn("n_re", regexp_count(col("text"), lit("\\w+|[^\\w\\s]")).cast("long"))
       .withColumn("n_chars_m", length(col("text")).cast("long"))
       .groupBy(col("source"))
       .agg(
