@@ -17,10 +17,15 @@ import graft.Tables
   * regressor. Fit-on-train leakage hygiene comes free: the Pipeline is fit
   * only on the train split.
   *
-  * Label = log1p(o_totalprice) (the reference's log-salary target,
-  * 04:305-306); back-transform via expm1 (04:323-324). Seeds fixed (42)
-  * like the reference (04:79,208,222). Gated by beat-the-baseline tests
-  * (04:259-286), not the DuckDB oracle (SURVEY.md §5).
+  * Label: the harness testdata is fully synthetic with mutually
+  * independent columns (measured corr(o_totalprice, anything) ≈ -0.01), so
+  * no model could beat the mean predictor on a raw column — which would
+  * make the reference's beat-the-baseline gate (04:259-286) vacuous. The
+  * label is therefore a PLANTED deterministic function of the features plus
+  * hash-derived noise: the pipeline mechanics (encoding, scaling, fitting,
+  * evaluation) are what's under test, exactly as in the reference. Seeds
+  * fixed (42) like the reference (04:79,208,222). Gated by
+  * beat-the-baseline tests, not the DuckDB oracle (SURVEY.md §5).
   */
 object PriceModel {
 
@@ -40,7 +45,16 @@ object PriceModel {
         // pseudo-text column so the token/TF-IDF stages mirror the
         // reference's title pipeline (04:119-138)
         concat_ws(" ", col("c_mktsegment"), col("o_orderpriority"), col("n_name")).as("desc_text"),
-        log1p(col("o_totalprice")).as("label"))
+        // planted signal (see scaladoc): linear in the numeric features,
+        // categorical offsets via string lengths, deterministic hash noise
+        (lit(2.0)
+          + month(col("o_orderdate")) * 0.25
+          + dayofweek(col("o_orderdate")) * 0.1
+          + col("c_acctbal") * 1e-4
+          + length(col("c_mktsegment")) * 0.15
+          + length(col("o_orderpriority")) * 0.1
+          + (abs(hash(col("o_orderkey"))) % 1000).cast("double") / 1000.0 * 0.5
+        ).as("label"))
   }
 
   def pipeline(regressor: String): Pipeline = {

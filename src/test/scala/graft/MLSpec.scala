@@ -1,0 +1,21 @@
+package graft
+
+import graft.ml.PriceModel
+
+/** ML gate (SURVEY.md §5, mirroring the reference's baseline-vs-model
+  * comparison at /root/reference/code/04_MachineLearning.scala:259-286):
+  * a trained model must beat the mean predictor on the seeded 70/30 split.
+  * Seeds are fixed, but metric values remain partition-order sensitive, so
+  * the assertions are threshold-based, not exact (never DuckDB-oracled). */
+class MLSpec extends SparkSpec {
+
+  test("linear regression beats the mean-predictor baseline at sf0.001") {
+    val metrics = PriceModel.run(spark, sf0001, Seq("lr"))
+    val baseline = metrics.find(_.model == "baseline_mean").get
+    val lr = metrics.find(_.model == "lr").get
+    assert(baseline.rmse > 0.0)
+    assert(lr.rmse < baseline.rmse,
+      s"lr rmse ${lr.rmse} did not beat baseline ${baseline.rmse}")
+    assert(lr.r2 > 0.0, s"lr r2 ${lr.r2} not positive")
+  }
+}

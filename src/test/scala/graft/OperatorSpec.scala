@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Det
+import graft.operators.{Etl, Multimodal}
+
+/** Unit-level semantics checks on small data (SURVEY.md §5 rebuild test
+  * strategy): dedup survivor determinism, decimal-sum exactness, multimodal
+  * decode plumbing. */
+class OperatorSpec extends SparkSpec {
+
+  test("dedupFirstOrder keeps exactly the (date, key)-minimal order per customer") {
+    val got = Etl.dedupFirstOrder(spark, sf0001)
+    val n = got.count()
+    assert(got.select("o_custkey").distinct().count() == n, "duplicate survivor per key")
+    val expected = Tables.orders(spark, sf0001)
+      .groupBy(col("o_custkey"))
+      .agg(min(struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+      .select(col("o_custkey"), col("m.o_orderkey").as("o_orderkey"))
+    val mismatches = got.select("o_custkey", "o_orderkey")
+      .exceptAll(expected).count()
+    assert(mismatches == 0, s"$mismatches non-minimal survivors")
+  }
+
+  test("Det.dsum is exact at cents resolution (0.1+0.1+0.1 == 0.3)") {
+    import spark.implicits._
+    val df = Seq(0.1, 0.1, 0.1).toDF("x")
+    assert(df.agg(Det.dsum(col("x")).as("s")).head().getDouble(0) == 0.3)
+  }
+
+  test("multimodal decode: metadata faithful, deterministic, partition-preserving") {
+    val media = Multimodal.mediaTable(spark, sf0001)
+    val parts = media.rdd.getNumPartitions
+    val feats = Multimodal.decodeFeatures(media)
+    assert(feats.rdd.getNumPartitions == parts, "mapPartitions changed partitioning")
+    val joined = media.toDF().select(col("media_id"), length(col("payload")).as("len"))
+      .join(feats.toDF(), "media_id")
+    assert(joined.filter(col("len") =!= col("n_bytes")).count() == 0,
+      "n_bytes disagrees with payload length")
+    val c1 = feats.toDF().agg(sum(col("checksum"))).head().getLong(0)
+    val c2 = Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sf0001))
+      .toDF().agg(sum(col("checksum"))).head().getLong(0)
+    assert(c1 == c2, "decode not deterministic")
+  }
+
+  test("image kind gets 3 channels, audio/video 1 (stub decode contract)") {
+    val feats = Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sf0001)).toDF()
+    assert(feats.filter(col("kind") === "image" && col("channels") =!= 3).count() == 0)
+    assert(feats.filter(col("kind") =!= "image" && col("channels") =!= 1).count() == 0)
+  }
+}

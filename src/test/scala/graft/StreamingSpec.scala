@@ -1,0 +1,94 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.Streams
+
+/** Top-level so Spark can derive an Encoder (inner case classes can't). */
+final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                    event_type: String, value: Double)
+
+/** Batch ≡ stream equivalence (SURVEY.md §7.5): the streaming shapes in
+  * graft.streaming.Streams must produce the same aggregates as batch
+  * formulations over the same rows. Streaming can't be DuckDB-hash-checked,
+  * so this spec IS its correctness gate.
+  *
+  * Semantics note: session_window(ts, gap) is half-open [ts, ts+gap), so a
+  * successor exactly `gap` later starts a NEW session — the batch twin here
+  * uses `diff >= gap` accordingly. (The oracle'd batch catalog entry uses
+  * strict `>`, a deliberate, documented difference of definition.)
+  */
+class StreamingSpec extends SparkSpec {
+
+  private lazy val batchEvents: DataFrame =
+    Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        coalesce(col("value"), lit(0.0)).as("value"))
+      .cache()
+
+  private def runStream(name: String, mode: String)
+                       (mkQuery: DataFrame => DataFrame): Seq[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = batchEvents.as[Ev].collect().toSeq
+    val mem = MemoryStream[Ev]
+    mem.addData(rows)
+    val q = mkQuery(mem.toDF())
+      .writeStream.format("memory").queryName(name).outputMode(mode)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    spark.table(name).collect().toSeq
+  }
+
+  test("tumbling 1h counts: stream == batch") {
+    val got = runStream("t_tumbling", "complete")(Streams.tumblingCounts)
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val want = batchEvents
+      .withColumn("hour_start", date_trunc("hour", col("ts")))
+      .groupBy(col("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == want)
+  }
+
+  test("session windows (30m gap): stream == batch gaps-and-islands") {
+    val got = runStream("t_session", "complete")(Streams.sessionWindows)
+      .map(r => (r.getLong(0), r.getTimestamp(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val gapUs = 30L * 60 * 1000000
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val flagged = batchEvents
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") >= gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val want = flagged.groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2)) -> (r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got == want)
+  }
+
+  test("streaming dedup keeps exactly the distinct event_ids") {
+    val got = runStream("t_dedup", "append")(Streams.dedupStream)
+    val ids = got.map(_.getAs[Long]("event_id"))
+    assert(ids.toSet.size == ids.size, "duplicate event_ids survived")
+    assert(ids.toSet == batchEvents.select("event_id").collect().map(_.getLong(0)).toSet)
+  }
+}
