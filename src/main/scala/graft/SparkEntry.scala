@@ -32,7 +32,9 @@ object SparkEntry {
       (Dedup.queries, Dedup.oracle),
       (Similarity.queries, Similarity.oracle),
       (Events.queries, Events.oracle),
-      (Multimodal.queries, Multimodal.oracle)
+      (Multimodal.queries, Multimodal.oracle),
+      (Sql.queries, Sql.oracle),
+      (Sources.queries, Sources.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

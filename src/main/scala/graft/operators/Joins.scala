@@ -92,12 +92,29 @@ object Joins {
       .orderBy(col("band"))
   }
 
+  /** Full-outer join: per-nation rich-customer counts vs supplier balances —
+    * filters make each side miss some nations, so both null-padded sides are
+    * exercised; keys recombined via coalesce. */
+  def fullOuterNation(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_acctbal") > 9000.0)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_rich_customers"))
+    val s = Tables.supplier(spark, dir).filter(col("s_acctbal") > 0.0)
+      .groupBy(col("s_nationkey")).agg(dsum(col("s_acctbal")).as("supp_acctbal"))
+    c.join(s, c("c_nationkey") === s("s_nationkey"), "full_outer")
+      .select(
+        coalesce(c("c_nationkey"), s("s_nationkey")).as("nationkey"),
+        coalesce(col("n_rich_customers"), lit(0L)).as("n_rich_customers"),
+        coalesce(col("supp_acctbal"), lit(0.0)).as("supp_acctbal"))
+      .orderBy(col("nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_inner_revenue"      -> (innerRevenue _),
     "join_left_nation"        -> (leftNationCustomers _),
     "join_semi_active_cust"   -> (semiActiveCustomers _),
     "join_anti_unsold_parts"  -> (antiUnsoldParts _),
-    "join_range_price_bands"  -> (rangePriceBands _)
+    "join_range_price_bands"  -> (rangePriceBands _),
+    "join_full_outer_nation"  -> (fullOuterNation _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -134,6 +151,19 @@ object Joins {
         |FROM part
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
         |ORDER BY p_partkey""".stripMargin,
+    "join_full_outer_nation" ->
+      """WITH c AS (
+        |  SELECT c_nationkey, COUNT(*) AS n_rich_customers
+        |  FROM customer WHERE c_acctbal > 9000.0 GROUP BY c_nationkey),
+        |s AS (
+        |  SELECT s_nationkey,
+        |    CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS supp_acctbal
+        |  FROM supplier WHERE s_acctbal > 0.0 GROUP BY s_nationkey)
+        |SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+        |  COALESCE(n_rich_customers, 0) AS n_rich_customers,
+        |  COALESCE(supp_acctbal, 0.0) AS supp_acctbal
+        |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+        |ORDER BY nationkey""".stripMargin,
     "join_range_price_bands" ->
       """WITH bands(band, lo, hi) AS (VALUES
         |  ('budget', 0.0, 500.0), ('standard', 500.0, 1000.0),

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Det._
+
+/** Source/sink + sampling surface — SURVEY.md §2.1/§2.3.
+  *
+  * - CSV scan/sink (S1): the reference's primary ingest is an option-laden
+  *   CSV read (header, multiLine, quote=escape=`"`, PERMISSIVE;
+  *   /root/reference/code/01_DataPreprocessing.scala:14-21). Re-expressed
+  *   with an EXPLICIT schema (SURVEY.md §1: fix the inferred-schema
+  *   fragility) as a parquet→csv→aggregate roundtrip, oracled against the
+  *   same aggregate on the original parquet table — proving the CSV path
+  *   is lossless for every column type it carries.
+  * - Stratified sample (U2, `stat.sampleBy`) and random split (U3,
+  *   `randomSplit`): seeded but partition-order-sensitive → rows-only
+  *   driver check + rate assertions in SamplingSpec (SURVEY.md §7.6).
+  * - Summary stats (A5, `df.summary`): quantile profile of a money column.
+  */
+object Sources {
+
+  private def csvDir(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+
+  /** S1/S3: supplier → CSV (header, quoted) → explicit-schema PERMISSIVE
+    * read → per-nation aggregate. Oracle runs the same aggregate on the
+    * parquet table, so any roundtrip loss would hash-mismatch. */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.supplier(spark, dir)
+    val out = csvDir(dir)
+    src.write.mode("overwrite")
+      .options(Map("header" -> "true", "quote" -> "\"", "escape" -> "\""))
+      .csv(out)
+    spark.read
+      .options(Map(
+        "header" -> "true", "multiLine" -> "true",
+        "quote" -> "\"", "escape" -> "\"", "mode" -> "PERMISSIVE"))
+      .schema(src.schema) // explicit, never inferSchema (SURVEY.md §1)
+      .csv(out)
+      .groupBy(col("s_nationkey"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        dsum(col("s_acctbal")).as("sum_acctbal"),
+        min(col("s_name")).as("first_name"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  /** U2: seeded stratified sample by order status; per-stratum achieved
+    * counts. Sampling is partition-order-sensitive → no SQL oracle; the
+    * driver records rows>0 and SamplingSpec asserts the rate. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val strata = o.select(col("o_orderstatus")).distinct().collect()
+      .map(_.getString(0)).sorted
+    val sampled = o.stat.sampleBy(
+      "o_orderstatus", strata.map(_ -> 0.2).toMap, 42L)
+    sampled.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** U3: seeded 70/30 random split; returns the split sizes (the ML
+    * pipeline's split, surfaced as a relation). Rows-only check. */
+  def randomSplitSizes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Array(train, test) = Tables.orders(spark, dir)
+      .randomSplit(Array(0.7, 0.3), seed = 42)
+    Seq(("train", train.count()), ("test", test.count()))
+      .toDF("split", "n_rows").orderBy(col("split"))
+  }
+
+  /** A5: `df.summary` quantile profile (count/min/quartiles/max/mean) of
+    * o_totalprice. Approx percentiles → rows-only check.
+    * Ref: /root/reference/code/01_DataPreprocessing.scala:144-146. */
+  def summaryStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_totalprice"))
+      .summary("count", "min", "25%", "50%", "75%", "max", "mean")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_csv_roundtrip"    -> (csvRoundtrip _),
+    "etl_stratified_sample" -> (stratifiedSample _),
+    "etl_random_split"     -> (randomSplitSizes _),
+    "agg_summary_stats"    -> (summaryStats _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "src_csv_roundtrip" ->
+      """SELECT s_nationkey,
+        |  COUNT(*) AS n_suppliers,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+        |  MIN(s_name) AS first_name
+        |FROM supplier
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin
+  )
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** SQL-text surface — SURVEY.md §2.10 (the reference's
+  * 03_SQLOperations.scala runs every analytical query as `spark.sql` over a
+  * temp view, /root/reference/code/03_SQLOperations.scala:16,26-152).
+  *
+  * These entries exercise the parser→analyzer path end to end: temp-view
+  * resolution, chained CTEs, HAVING, window functions over aggregates,
+  * NULLIF guards — the same LogicalPlan IR the DataFrame entries produce
+  * (SURVEY.md §3.2), so both surfaces ship.
+  *
+  * The SQL strings double as the oracle (modulo Spark↔DuckDB dialect: both
+  * accept this ANSI subset verbatim).
+  */
+object Sql {
+
+  /** Q4-shape: chained CTEs → multi-agg with countDistinct → HAVING →
+    * RANK() OVER → top-k with ties.
+    * Ref: /root/reference/code/03_SQLOperations.scala:106-127. */
+  private val rankSql =
+    """WITH seg_stats AS (
+      |  SELECT c_mktsegment,
+      |    COUNT(*) AS n_orders,
+      |    COUNT(DISTINCT o_custkey) AS n_customers,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_mktsegment
+      |  HAVING COUNT(*) > 10),
+      |ranked AS (
+      |  SELECT *, CAST(RANK() OVER (ORDER BY total_value DESC) AS BIGINT) AS seg_rank
+      |  FROM seg_stats)
+      |SELECT c_mktsegment, n_orders, n_customers, total_value, seg_rank
+      |FROM ranked
+      |WHERE seg_rank <= 5
+      |ORDER BY seg_rank, c_mktsegment""".stripMargin
+
+  /** Q5-shape: derived-metric expressions with a NULLIF divide guard.
+    * Ref: /root/reference/code/03_SQLOperations.scala:143-152. */
+  private val rateSql =
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+      |  ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / NULLIF(COUNT(*), 0) * 100, 4) AS finished_pct
+      |FROM orders
+      |WHERE o_totalprice IS NOT NULL
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  private def run(spark: SparkSession, dir: String, sql: String,
+                  tables: Seq[String]): DataFrame = {
+    tables.foreach(t => Tables.table(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(sql)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_cte_rank_topk" ->
+      ((s, dir) => run(s, dir, rankSql, Seq("orders", "customer"))),
+    "sql_rate_nullif" ->
+      ((s, dir) => run(s, dir, rateSql, Seq("orders")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sql_cte_rank_topk" -> rankSql,
+    "sql_rate_nullif"   -> rateSql
+  )
+}
