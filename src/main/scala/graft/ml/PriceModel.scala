@@ -109,4 +109,19 @@ object PriceModel {
     }
     baseline +: fitted
   }
+
+  /** M14 introspection (ref 04:302-314): top-k RF feature importances as
+    * (feature_index, importance), descending. Importances live on the
+    * fitted model (driver-side by construction in MLlib). */
+  def rfFeatureImportances(spark: SparkSession, dir: String, k: Int = 15): Seq[(Int, Double)] = {
+    val data = trainingFrame(spark, dir).cache()
+    val Array(train, _) = data.randomSplit(Array(0.7, 0.3), seed = 42)
+    val model = pipeline("rf").fit(train)
+    val rf = model.stages.last
+      .asInstanceOf[org.apache.spark.ml.regression.RandomForestRegressionModel]
+    rf.featureImportances.toArray.zipWithIndex
+      .map { case (imp, i) => (i, imp) }
+      .sortBy { case (i, imp) => (-imp, i) }
+      .take(k).toSeq
+  }
 }

@@ -92,12 +92,32 @@ object Aggregates {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Hierarchical rollup (region → nation → grand total) with GROUPING()
+    * flags — the grouping-sets surface the reference lacks (SURVEY.md §2.4
+    * "not present"); completes the aggregation category. One Expand + one
+    * hash-agg; output is Σ|levels| groups, tiny at any scale. */
+  def rollupRegionNation(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("total_acctbal"),
+        grouping(col("r_name")).cast("long").as("g_region"),
+        grouping(col("n_name")).cast("long").as("g_nation"))
+      .orderBy(col("g_region"), col("g_nation"), col("r_name"), col("n_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_pricing_summary" -> (pricingSummary _),
     "agg_nation_revenue"  -> (nationRevenue _),
     "agg_percentiles"     -> (percentiles _),
     "agg_global_stats"    -> (globalStats _),
-    "agg_approx_distinct" -> (approxDistinct _)
+    "agg_approx_distinct" -> (approxDistinct _),
+    "agg_rollup_region"   -> (rollupRegionNation _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -132,6 +152,17 @@ object Aggregates {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "agg_rollup_region" ->
+      """SELECT r_name, n_name,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+        |  CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+        |  CAST(GROUPING(n_name) AS BIGINT) AS g_nation
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY g_region, g_nation, r_name, n_name""".stripMargin,
     "agg_global_stats" ->
       """SELECT COUNT(*) AS n_rows,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,

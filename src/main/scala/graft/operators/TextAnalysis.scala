@@ -115,14 +115,22 @@ object TextAnalysis {
   }
 
   /** Corpus-level TF-IDF: per-word total term frequency × ln(N/df),
-    * rounded to 6 (libm ulp rule), top-20 by (score, word). */
+    * rounded to 6 (libm ulp rule), top-20 by (score, word).
+    *
+    * df is computed as a two-stage agg — (word, doc_id) partial counts,
+    * then per-word rollup — instead of countDistinct: the distinct-agg
+    * Expand would double the exploded token stream through the shuffle,
+    * while the (word, doc_id) partial collapses it map-side to per-doc
+    * vocabulary size first. */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     // corpus size as a broadcast 1-row relation, not a driver .count() scalar
     val n = d.agg(count(lit(1)).cast("double").as("corpus_n"))
     val words = d.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-    words.groupBy(col("word"))
-      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+    words.groupBy(col("word"), col("doc_id"))
+      .agg(count(lit(1)).as("tf_doc"))
+      .groupBy(col("word"))
+      .agg(sum(col("tf_doc")).as("tf"), count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
       .withColumn("tfidf", round(col("tf") * log(col("corpus_n") / col("df")), 6))
       .select(col("word"), col("tf"), col("df"), col("tfidf"))

@@ -18,4 +18,13 @@ class MLSpec extends SparkSpec {
       s"lr rmse ${lr.rmse} did not beat baseline ${baseline.rmse}")
     assert(lr.r2 > 0.0, s"lr r2 ${lr.r2} not positive")
   }
+
+  test("RF feature importances: top-k non-negative, sorted, sums <= 1") {
+    val imps = PriceModel.rfFeatureImportances(spark, sf0001, k = 15)
+    assert(imps.nonEmpty)
+    assert(imps.forall(_._2 >= 0.0))
+    assert(imps.map(_._2) == imps.map(_._2).sorted.reverse, "not descending")
+    assert(imps.map(_._2).sum <= 1.0 + 1e-9)
+    assert(imps.head._2 > 0.0, "no feature carries any importance")
+  }
 }
