@@ -138,7 +138,20 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Pivot (wide reshape): doc counts per source × language. Pivot values
+    * are declared explicitly — at scale, letting pivot() discover values
+    * costs an extra distinct job and risks schema drift between runs. */
+  def pivotLangs(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val d = Tables.documents(spark, dir)
+    val p = d.groupBy(col("source")).pivot("lang", langs).count()
+    langs.foldLeft(p) { (df, l) =>
+      df.withColumn(s"n_$l", coalesce(col(l), lit(0L))).drop(l)
+    }.orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pivot_langs" -> (pivotLangs _),
     "text_word_count"  -> (wordCount _),
     "text_token_stats" -> (tokenStats _),
     "text_quality"     -> (qualityScore _),
@@ -148,6 +161,16 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_pivot_langs" ->
+      """SELECT source,
+        |  COUNT(*) FILTER (lang = 'de') AS n_de,
+        |  COUNT(*) FILTER (lang = 'en') AS n_en,
+        |  COUNT(*) FILTER (lang = 'es') AS n_es,
+        |  COUNT(*) FILTER (lang = 'fr') AS n_fr,
+        |  COUNT(*) FILTER (lang = 'zh') AS n_zh
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
     "text_word_count" ->
       """SELECT word, COUNT(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)

@@ -87,12 +87,31 @@ object Windows {
       .orderBy(col("l_suppkey"), col("rn"))
   }
 
+  /** Ranking-function breadth: row_number / dense_rank / percent_rank /
+    * cume_dist / lead in one partitioned window (per-priority top-3 by
+    * price). percent_rank and cume_dist are exact rationals — identical
+    * IEEE doubles on both engines, no rounding needed. */
+  def rankKinds(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank_topn"      -> (rankTopNations _),
     "win_grand_avg_diff" -> (grandAvgDiff _),
     "win_ntile_tiers"    -> (ntileTiers _),
     "win_lag_delta"      -> (lagDelta _),
-    "win_moving_sum"     -> (movingSum _)
+    "win_moving_sum"     -> (movingSum _),
+    "win_rank_kinds"     -> (rankKinds _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -143,6 +162,19 @@ object Windows {
         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
         |WHERE order_seq <= 3
         |ORDER BY o_custkey, order_seq""".stripMargin,
+    "win_rank_kinds" ->
+      """SELECT * FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    DENSE_RANK() OVER w AS drnk,
+        |    PERCENT_RANK() OVER w AS pct_rank,
+        |    CUME_DIST() OVER w AS cume,
+        |    LEAD(o_totalprice, 1) OVER w AS next_price
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority, rn""".stripMargin,
     "win_moving_sum" ->
       """SELECT * FROM (
         |  SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
