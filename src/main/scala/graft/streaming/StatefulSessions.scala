@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom sessionization state machine via flatMapGroupsWithState —
+  * SURVEY.md §7.5's "custom state" surface (the declarative
+  * `session_window` twin lives in Streams.sessionWindows; this is the
+  * imperative-state path for session logic a built-in window can't express,
+  * e.g. value-dependent gaps or per-session caps).
+  *
+  * Emission contract: a session is emitted the moment an event closes it
+  * (arrives ≥ gap after the session's last event). The group's final
+  * session stays open in state — in streaming it would emit on a later
+  * batch/timeout; in batch mode it is intentionally withheld too, so BATCH
+  * AND STREAM PRODUCE IDENTICAL OUTPUT on the same input
+  * (StatefulSessionsSpec asserts this against the gaps-and-islands SQL).
+  *
+  * Scale notes: state is one small record per (user, open session); rows
+  * are sorted per user PER BATCH only (bounded by batch size, no global
+  * sort); eager emission keeps state from accumulating closed sessions.
+  */
+object StatefulSessions {
+
+  final case class SEvent(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
+  final case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
+  final case class Session(user_id: Long, start_us: Long, end_us: Long,
+                           n_events: Long, sum_value: Double)
+
+  val GapUs: Long = 30L * 60 * 1000000
+
+  private def micros(ts: Timestamp): Long =
+    ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+
+  /** The state-transition function: fold this batch's (sorted) events into
+    * the open session, emitting every session an event closes. */
+  def sessionize(user: Long, rows: Iterator[SEvent],
+                 state: GroupState[SessionState]): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      // flush the open session when the watermark passes it
+      val s = state.get
+      state.remove()
+      return Iterator.single(Session(user, s.startUs, s.lastUs, s.n, s.sum))
+    }
+    val evs = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
+    val out = Vector.newBuilder[Session]
+    var cur = state.getOption.orNull
+    evs.foreach { e =>
+      val t = micros(e.ts)
+      if (cur == null) cur = SessionState(t, t, 1, e.value)
+      else if (t - cur.lastUs > GapUs) {
+        out += Session(user, cur.startUs, cur.lastUs, cur.n, cur.sum)
+        cur = SessionState(t, t, 1, e.value)
+      } else cur = SessionState(cur.startUs, t, cur.n + 1, cur.sum + e.value)
+    }
+    if (cur != null) state.update(cur)
+    out.result().iterator
+  }
+
+  /** Apply on a batch OR streaming Dataset — identical logical semantics
+    * (the batch run is the oracle for the streaming run). */
+  def sessions(events: Dataset[SEvent]): Dataset[Session] = {
+    implicit val se = Encoders.product[Session]
+    implicit val st = Encoders.product[SessionState]
+    implicit val ke = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionize)
+  }
+}

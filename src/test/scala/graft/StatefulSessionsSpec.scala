@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StatefulSessions
+import graft.streaming.StatefulSessions.{SEvent, Session}
+
+/** flatMapGroupsWithState sessionizer: batch run == streaming run == the
+  * declarative gaps-and-islands SQL (minus each user's final session, which
+  * stays open in state by the emission contract). */
+class StatefulSessionsSpec extends SparkSpec {
+
+  private lazy val events = {
+    import spark.implicits._
+    Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        coalesce(col("value"), lit(0.0)).as("value"))
+      .as[SEvent].cache()
+  }
+
+  /** Closed sessions per gaps-and-islands (strict > gap boundary, like the
+    * sessionizer), excluding each user's last (still-open) session. */
+  private def expectedClosed(): Map[(Long, Long, Long, Long), Double] = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = StatefulSessions.GapUs
+    val flagged = events.toDF()
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val sess = flagged.groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+        count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+    val wLast = Window.partitionBy(col("user_id"))
+    sess.withColumn("max_seq", max(col("session_seq")).over(wLast))
+      .filter(col("session_seq") < col("max_seq"))
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events"), col("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) -> r.getDouble(4))
+      .toMap
+  }
+
+  /** Keyed compare: identity on session boundaries/counts, 1e-6 tolerance
+    * on the double sum (fold order differs between the imperative state
+    * machine and the SQL aggregate). */
+  private def assertSessionsEqual(got: Seq[Session],
+                                  want: Map[(Long, Long, Long, Long), Double]): Unit = {
+    val gotMap = got.map(s => (s.user_id, s.start_us, s.end_us, s.n_events) -> s.sum_value).toMap
+    assert(gotMap.keySet == want.keySet,
+      s"session keys differ; extra=${gotMap.keySet -- want.keySet} missing=${want.keySet -- gotMap.keySet}")
+    gotMap.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-6, s"sum mismatch at $k: $v vs ${want(k)}")
+    }
+  }
+
+  test("batch flatMapGroupsWithState == gaps-and-islands closed sessions") {
+    assertSessionsEqual(StatefulSessions.sessions(events).collect().toSeq, expectedClosed())
+  }
+
+  test("streaming flatMapGroupsWithState == batch (single-batch input)") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[SEvent]
+    mem.addData(events.collect().toSeq)
+    val q = StatefulSessions.sessions(mem.toDS())
+      .writeStream.format("memory").queryName("t_statesess").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assertSessionsEqual(spark.table("t_statesess").as[Session].collect().toSeq, expectedClosed())
+  }
+}
