@@ -100,16 +100,19 @@ object TextAnalysis {
   }
 
   /** Document fingerprinting: md5 of normalized text; bucket stats +
-    * exact-duplicate detection (n_docs - n_distinct fingerprints). */
+    * exact-duplicate detection (n_docs - n_distinct fingerprints).
+    * Two-stage agg (per-fp counts, then per-bucket rollup) instead of
+    * countDistinct — no Expand, fp cardinality collapses map-side. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     d.withColumn("fp", md5(trim(lower(col("text")))))
-      .withColumn("bucket", substring(col("fp"), 1, 1))
+      .groupBy(substring(col("fp"), 1, 1).as("bucket"), col("fp"))
+      .agg(count(lit(1)).as("n_fp"))
       .groupBy(col("bucket"))
       .agg(
-        count(lit(1)).as("n_docs"),
-        countDistinct(col("fp")).as("n_distinct"),
-        (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"),
+        sum(col("n_fp")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        (sum(col("n_fp")) - count(lit(1))).as("n_exact_dups"),
         min(col("fp")).as("min_fp"))
       .orderBy(col("bucket"))
   }
