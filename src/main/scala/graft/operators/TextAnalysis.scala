@@ -26,6 +26,8 @@ object TextAnalysis {
 
   private def tokens(c: Column): Column = split(c, " ")
 
+  private val P = 1000000007L
+
   /** A6 word count: split → explode → groupBy(word).count → top-20.
     * Ref: /root/reference/code/02_RDDOperations.scala:238-253. */
   def wordCount(spark: SparkSession, dir: String): DataFrame = {
@@ -141,6 +143,27 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Rolling-hash fingerprint: Rabin-Karp-style incremental fold over the
+    * token stream — h = Σ tokhash(wᵢ)·B^(n-i) mod P, computed as the fold
+    * h ← (h·B + tokhash(w)) mod P. Token hash = 16-bit md5 slice (portable);
+    * B=257. Unlike the md5 fingerprint this is INCREMENTAL: at scale the
+    * same fold extends chunk-by-chunk (streaming append, document
+    * concatenation) without rehashing the prefix. Emits per-doc hashes
+    * joined to duplicate-cluster sizes. */
+  def rollingHash(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val B = 257L
+    val toks = filter(tokens(col("text")), t => length(t) > 0)
+    val tokHash = (t: Column) => conv(substring(md5(t), 1, 4), 16, 10).cast("long")
+    val h = aggregate(toks, lit(0L), (acc, t) => (acc * B + tokHash(t)) % P)
+    val hashed = d.select(col("doc_id"), h.as("rhash"))
+    val clusters = hashed.groupBy(col("rhash")).agg(count(lit(1)).as("cluster_size"))
+    hashed.join(clusters, "rhash")
+      .filter(col("cluster_size") > 1)
+      .select(col("doc_id"), col("rhash"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Pivot (wide reshape): doc counts per source × language. Pivot values
     * are declared explicitly — at scale, letting pivot() discover values
     * costs an extra distinct job and risks schema drift between runs. */
@@ -154,6 +177,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rolling_hash" -> (rollingHash _),
     "text_pivot_langs" -> (pivotLangs _),
     "text_word_count"  -> (wordCount _),
     "text_token_stats" -> (tokenStats _),
@@ -164,6 +188,21 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_rolling_hash" ->
+      s"""WITH h AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(0::BIGINT,
+        |        list_transform(
+        |          list_filter(string_split(text, ' '), t -> length(t) > 0),
+        |          t -> ('0x' || substr(md5(t), 1, 4))::BIGINT)),
+        |      (acc, x) -> (acc * 257 + x) % $P) AS rhash
+        |  FROM documents),
+        |c AS (SELECT rhash, COUNT(*) AS cluster_size FROM h GROUP BY rhash)
+        |SELECT doc_id, h.rhash, cluster_size
+        |FROM h JOIN c ON h.rhash = c.rhash
+        |WHERE cluster_size > 1
+        |ORDER BY doc_id""".stripMargin,
     "text_pivot_langs" ->
       """SELECT source,
         |  COUNT(*) FILTER (lang = 'de') AS n_de,
