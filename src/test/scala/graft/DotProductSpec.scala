@@ -62,4 +62,20 @@ class DotProductSpec extends SparkSpec {
   test("empty arrays yield 0.0") {
     assert(run(Seq.empty, Seq.empty).contains(0.0))
   }
+
+  test("SQL registration: spark.sql('graft_dot(...)') == Column API") {
+    VectorOps.registerSql(spark)
+    Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .createOrReplaceTempView("emb_dot_test")
+    val viaSql = spark.sql(
+      "SELECT vec_id, graft_dot(v, v) AS d FROM emb_dot_test ORDER BY vec_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaCol = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"),
+        VectorOps.dot(col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSql == viaCol)
+  }
 }
