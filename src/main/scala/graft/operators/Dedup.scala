@@ -112,12 +112,13 @@ object Dedup {
     val d = Tables.documents(spark, dir)
     val words = d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-    // chars → ascii codes (filtering the trailing "" Spark's regex split can
-    // emit; ascii("")=0), then a left fold seeded with 0 — mirrored in the
-    // oracle by list_prepend(0, codes) since DuckDB's list_reduce is 2-arg.
-    val h = aggregate(
-      filter(transform(split(col("w"), ""), c => ascii(c).cast("long")), a => a > 0),
-      lit(0L), (acc, a) => (acc * 31 + a) % P)
+    // codegen'd polynomial code-point fold (graft.expressions.PolyHash) —
+    // identical to the ascii-per-char HOF fold, mirrored in the oracle by
+    // list_reduce(list_prepend(0, codes), ...) since DuckDB's list_reduce
+    // is 2-arg
+    val h = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.PolyHash(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("w"))))
     val hashed = words.withColumn("h", h)
     val bitSums = (0 until 16).map(j =>
       sum(when(shiftright(col("h"), j) % 2 === 1, 1L).otherwise(-1L)).as(s"b$j"))
