@@ -111,7 +111,23 @@ object Aggregates {
       .orderBy(col("g_region"), col("g_nation"), col("r_name"), col("n_name"))
   }
 
+  /** Custom typed Aggregator (SURVEY.md §2.12 surface): bounded-state exact
+    * top-3 order keys by price per priority — O(k) aggregation state per
+    * group vs collect_list's O(group size) (see graft.functions.TopKKeys).
+    * Output exploded to rows (array columns don't hash-compare portably). */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKKeys(3))
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("keys"))
+      .select(col("o_orderpriority"),
+        posexplode(col("keys")).as(Seq("pos", "o_orderkey")))
+      .withColumn("pos", col("pos").cast("long"))
+      .orderBy(col("o_orderpriority"), col("pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_topk_aggregator" -> (topkPerGroup _),
     "agg_pricing_summary" -> (pricingSummary _),
     "agg_nation_revenue"  -> (nationRevenue _),
     "agg_percentiles"     -> (percentiles _),
@@ -121,6 +137,16 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_topk_aggregator" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority,
+        |    (array_agg(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3] AS keys
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority,
+        |  CAST(unnest(generate_series(0, len(keys) - 1)) AS BIGINT) AS pos,
+        |  unnest(keys) AS o_orderkey
+        |FROM t
+        |ORDER BY o_orderpriority, pos""".stripMargin,
     "agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
