@@ -91,4 +91,34 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSet.size == ids.size, "duplicate event_ids survived")
     assert(ids.toSet == batchEvents.select("event_id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("watermark drops late data: closed windows ignore stragglers") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, t: String, v: Double) =
+      Ev(id, Timestamp.valueOf(t), user_id = 1L, event_type = "click", value = v)
+    val mem = MemoryStream[Ev]
+    val q = Streams.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("t_late").outputMode("append")
+      .start()
+    // batch 1: events in hour 10 and hour 13 → watermark advances to 12:00
+    mem.addData(Seq(ev(1, "2024-01-01 10:15:00", 1.0),
+                    ev(2, "2024-01-01 10:45:00", 2.0),
+                    ev(3, "2024-01-01 13:00:00", 4.0)))
+    q.processAllAvailable()
+    // batch 2: straggler for hour 10 — BELOW the 12:00 watermark → dropped
+    mem.addData(Seq(ev(4, "2024-01-01 10:50:00", 100.0)))
+    q.processAllAvailable()
+    // batch 3: push event time far forward so every window closes and emits
+    mem.addData(Seq(ev(5, "2024-01-02 10:00:00", 8.0)))
+    q.processAllAvailable()
+    q.stop()
+    val hour10 = spark.table("t_late")
+      .filter(col("hour_start") === Timestamp.valueOf("2024-01-01 10:00:00"))
+      .collect()
+    assert(hour10.length == 1)
+    // the straggler's value=100.0 must NOT be included
+    assert(hour10.head.getAs[Long]("n_events") == 2)
+    assert(hour10.head.getAs[Double]("sum_value") == 3.0)
+  }
 }
