@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Similarity
+
+/** ANN quality gates: the bucketed variants can't be hash-oracled (LSH is
+  * oracle'd separately; IVF centroids are float-order-dependent), so the
+  * gate is recall against the exact brute-force top-k — the standard ANN
+  * evaluation. */
+class SimilaritySpec extends SparkSpec {
+
+  private def neighbors(df: DataFrame, k: Int): Map[Long, Set[Long]] =
+    df.collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("rn")).take(k)
+        .map(_.getAs[Long]("vec_id")).toSet)
+      .toMap
+
+  test("IVF recall@3 vs brute force is well above the random floor") {
+    val sf001 = "/root/testdata/sf0.01"
+    val brute = neighbors(Similarity.knnBrute(spark, sf001), 3)
+    val ivf = neighbors(Similarity.knnIvf(spark, sf001), 3)
+    assert(ivf.nonEmpty)
+    val recalls = brute.keys.toSeq.map { q =>
+      val got = ivf.getOrElse(q, Set.empty)
+      (got intersect brute(q)).size.toDouble / brute(q).size
+    }
+    val recall = recalls.sum / recalls.size
+    // The test embeddings are uniform random, which caps how often true
+    // neighbors share a cell; the gate is therefore "clearly above the
+    // 1/16 ≈ 0.06 random-assignment floor", not a production recall bar
+    // (real corpora cluster, random ones don't).
+    assert(recall >= 0.10, s"IVF recall@3 $recall not above random floor")
+  }
+
+  test("IVF emits at most 3 ranked neighbors per query, no self-matches") {
+    val rows = Similarity.knnIvf(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getAs[Long]("rn")).sorted.sameElements(1L to rs.length))
+      assert(!rs.exists(_.getAs[Long]("vec_id") == q), s"self-match for $q")
+    }
+  }
+}
