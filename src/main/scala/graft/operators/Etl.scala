@@ -144,18 +144,25 @@ object Etl {
       .orderBy(col("type_last"))
   }
 
-  /** JSON extraction (X-gap; harness events.props is a JSON string):
-    * get_json_object + cast, aggregated per event_type.
+  /** JSON extraction (X-gap; harness events.props is a JSON string): both
+    * access paths — path-probe `get_json_object` AND schema-declared
+    * `from_json` into a struct (the scale-preferred form: one parse,
+    * pruned struct fields, typed columns) — cross-checked in-plan.
     * SURVEY.md §7.5 multimodal/JSON column handling. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     e.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("parsed",
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")))
+      .withColumn("k_struct", col("parsed.k"))
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"),
-        max(col("k")).as("max_k"))
+        max(col("k")).as("max_k"),
+        // both parse paths must agree row-by-row
+        sum(when(col("k") <=> col("k_struct"), 1L).otherwise(0L)).as("n_paths_agree"))
       .orderBy(col("event_type"))
   }
 
@@ -262,7 +269,8 @@ object Etl {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  COUNT(*) AS n_paths_agree
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin
