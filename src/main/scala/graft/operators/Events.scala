@@ -75,13 +75,70 @@ object Events {
       .orderBy(col("o_orderkey"))
   }
 
+  /** AS-OF JOIN — an operator Spark lacks natively, built by COMPOSITION
+    * (SURVEY.md §2.12 preference (a)): each click is matched to the same
+    * user's latest purchase at-or-before its timestamp.
+    *
+    * Formulation: union both sides with a side marker, one window per
+    * user ordered by (ts, side, event_id) — purchases sort before a click
+    * at the same instant, so `<=` semantics hold — and
+    * last_value(ignoreNulls) carries the most recent purchase forward;
+    * filter back to clicks. ONE shuffle on user_id and a per-key sort: the
+    * same cost profile as a sort-merge join, no range explosion, no
+    * broadcast requirement — the scalable as-of shape. Purchases are
+    * pre-deduped per (user, ts) by max event_id so tie behavior is
+    * deterministic on any input.
+    *
+    * Oracle: DuckDB's NATIVE `ASOF LEFT JOIN` — two independent
+    * implementations of the operator must agree row-for-row. */
+  def asofClicks(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("event_id")).as("p_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val u = clicks
+      .select(col("user_id"), col("ts_us"), lit(1).as("side"),
+        col("event_id"), lit(null).cast("long").as("p_id"),
+        lit(null).cast("long").as("p_ts_us"))
+      .unionByName(purchases
+        .select(col("user_id"), col("ts_us"), lit(0).as("side"),
+          lit(null).cast("long").as("event_id"), col("p_id"),
+          col("ts_us").as("p_ts_us")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    u.withColumn("asof_p_id", last(col("p_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_p_ts_us", last(col("p_ts_us"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof_p_id"), col("asof_p_ts_us"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_tumbling_hour" -> (tumblingHour _),
     "events_sessionization" -> (sessionization _),
-    "ml_feature_prep"      -> (featurePrep _)
+    "ml_feature_prep"      -> (featurePrep _),
+    "join_asof_clicks"     -> (asofClicks _)
   )
 
   val oracle: Map[String, String] = Map(
+    "join_asof_clicks" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS p_ts_us, MAX(event_id) AS p_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, epoch_us(ts)),
+        |c AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts_us,
+        |  p.p_id AS asof_p_id, p.p_ts_us AS asof_p_ts_us
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts_us >= p.p_ts_us
+        |ORDER BY c.event_id""".stripMargin,
     "events_tumbling_hour" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  COUNT(*) AS n_events,
