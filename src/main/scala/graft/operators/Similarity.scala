@@ -86,9 +86,9 @@ object Similarity {
     val all = vectors(spark, dir)
       .withColumn("fv", array_to_vector(col("v")))
       .cache()
-    val model = new KMeans().setK(16).setSeed(42)
+    val model = new KMeans().setK(16).setSeed(42).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(all)
+      .fit(all) // 5 iters: a coarse quantizer needs rough cells, not convergence
     val assigned = model.transform(all).drop("fv").cache()
     val q = assigned.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))

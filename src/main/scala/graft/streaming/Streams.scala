@@ -48,4 +48,23 @@ object Streams {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** Stream-stream interval join: each click joined to same-user purchases
+    * within the preceding hour. Both sides watermarked; the time-range
+    * predicate bounds join state to ~2h per key on each side (Spark evicts
+    * rows whose interval can no longer match under the watermark) — the
+    * state-bounded shape a 24/7 job needs. Inner join → append mode. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"), col("user_id"),
+      col("ts").as("click_ts")).withWatermark("click_ts", "1 hour")
+    val p = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("purchase_ts") <= col("click_ts"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"))
+  }
 }

@@ -92,6 +92,32 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSet == batchEvents.select("event_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("stream-stream interval join == batch join on the same rows") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = batchEvents.filter(col("event_type") === "click")
+    val purchases = batchEvents.filter(col("event_type") === "purchase")
+    val memC = MemoryStream[Ev]
+    val memP = MemoryStream[Ev]
+    memC.addData(clicks.as[Ev].collect().toSeq)
+    memP.addData(purchases.as[Ev].collect().toSeq)
+    val q = Streams.clickPurchaseJoin(memC.toDF(), memP.toDF())
+      .writeStream.format("memory").queryName("t_ssjoin").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("t_ssjoin")
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = clicks.as("c").join(purchases.as("p"),
+        col("c.user_id") === col("p.user_id") &&
+          col("p.ts") >= col("c.ts") - expr("INTERVAL 1 HOUR") &&
+          col("p.ts") <= col("c.ts"))
+      .select(col("c.event_id"), col("p.event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "batch join matched nothing — test data assumption broken")
+    assert(got == want)
+  }
+
   test("watermark drops late data: closed windows ignore stragglers") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
