@@ -126,7 +126,25 @@ object Aggregates {
       .orderBy(col("o_orderpriority"), col("pos"))
   }
 
+  /** collect_list / collect_set surface: per-region nation rosters.
+    * Serialized as sorted joined strings — deterministic (collect order is
+    * partition-dependent, sort fixes it) and scalar (the oracle comparator
+    * can't sort array cells). Bounded here by |nations|; for unbounded
+    * groups the bounded-state alternative is TopKKeys. */
+  def collectRoster(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
+        concat_ws(",", array_sort(collect_set(substring(col("n_name"), 1, 1)))).as("initials"),
+        count(lit(1)).as("n_nations"))
+      .orderBy(col("r_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_collect_roster" -> (collectRoster _),
     "agg_topk_aggregator" -> (topkPerGroup _),
     "agg_pricing_summary" -> (pricingSummary _),
     "agg_nation_revenue"  -> (nationRevenue _),
@@ -137,6 +155,14 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_collect_roster" ->
+      """SELECT r_name,
+        |  array_to_string(list_sort(array_agg(n_name)), ',') AS nations,
+        |  array_to_string(list_sort(list_distinct(array_agg(substr(n_name, 1, 1)))), ',') AS initials,
+        |  COUNT(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin,
     "agg_topk_aggregator" ->
       """WITH t AS (
         |  SELECT o_orderpriority,

@@ -176,9 +176,23 @@ object TextAnalysis {
     }.orderBy(col("source"))
   }
 
+  /** Unpivot (melt) — the inverse reshape of pivotLangs: wide per-source
+    * lang counts back to (source, lang, n) rows via stack(); round-trips
+    * the pivot, so the oracle is the plain long-format aggregate with
+    * zero-filled combinations. */
+  def unpivotLangs(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val wide = pivotLangs(spark, dir)
+    val stackExpr = s"stack(${langs.size}, " +
+      langs.map(l => s"'$l', n_$l").mkString(", ") + ") AS (lang, n)"
+    wide.select(col("source"), expr(stackExpr))
+      .orderBy(col("source"), col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_rolling_hash" -> (rollingHash _),
     "text_pivot_langs" -> (pivotLangs _),
+    "text_unpivot_langs" -> (unpivotLangs _),
     "text_word_count"  -> (wordCount _),
     "text_token_stats" -> (tokenStats _),
     "text_quality"     -> (qualityScore _),
@@ -203,6 +217,15 @@ object TextAnalysis {
         |FROM h JOIN c ON h.rhash = c.rhash
         |WHERE cluster_size > 1
         |ORDER BY doc_id""".stripMargin,
+    "text_unpivot_langs" ->
+      """WITH langs(lang) AS (VALUES ('de'), ('en'), ('es'), ('fr'), ('zh')),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |counts AS (
+        |  SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang)
+        |SELECT s.source, l.lang, COALESCE(c.n, 0) AS n
+        |FROM srcs s CROSS JOIN langs l
+        |LEFT JOIN counts c ON c.source = s.source AND c.lang = l.lang
+        |ORDER BY s.source, l.lang""".stripMargin,
     "text_pivot_langs" ->
       """SELECT source,
         |  COUNT(*) FILTER (lang = 'de') AS n_de,
