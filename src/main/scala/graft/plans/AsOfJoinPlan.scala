@@ -1,0 +1,143 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Whole-operator extension tier — SURVEY.md §2.12 preference (c): a custom
+  * LogicalPlan + SparkStrategy + SparkPlan implementing a LEFT AS-OF JOIN
+  * as a first-class physical operator.
+  *
+  * The composed formulation (operators.Events.asofClicks: union + window)
+  * is preference (a) and stays the catalog entry; this operator is the
+  * (c)-tier path you reach for when the composition's costs bite — the
+  * union materializes BOTH sides through one window and carries null-padded
+  * payload columns through the shuffle, while this exec shuffles each side
+  * once on its own key, sorts within partitions, and streams a two-pointer
+  * merge with O(1) state per partition. AsOfJoinSpec proves the two
+  * implementations (and therefore DuckDB's native ASOF JOIN, which oracles
+  * the composed one) agree row-for-row.
+  *
+  * v1 scope (documented, checked at construction): BIGINT key and BIGINT
+  * event-time on both sides, non-null; left as-of semantics — for each left
+  * row, the right row with the greatest ts ≤ left ts for the same key,
+  * nulls when none.
+  *
+  * Scale shape: requiredChildDistribution co-clusters both children on the
+  * join key (EnsureRequirements inserts the exchanges), requiredChildOrdering
+  * demands (key, ts) sort per partition — exactly a sort-merge join's cost
+  * profile, with the merge specialized to as-of semantics.
+  */
+case class AsOfJoin(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, leftTs: Expression,
+    rightKey: Expression, rightTs: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, leftTs: Expression,
+    rightKey: Expression, rightTs: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKey = BindReferences.bindReference(leftKey, left.output)
+    val lTs  = BindReferences.bindReference(leftTs, left.output)
+    val rKey = BindReferences.bindReference(rightKey, right.output)
+    val rTs  = BindReferences.bindReference(rightTs, right.output)
+    val rightWidth = right.output.size
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val nullRight = new GenericInternalRow(rightWidth)
+      val joined = new JoinedRow
+      val project = UnsafeProjection.create(outAttrs, outAttrs)
+      var rLookahead: InternalRow = null   // fetched but not yet consumed
+      var lastMatch: InternalRow = null    // greatest rTs ≤ lTs for lastMatchKey
+      var lastMatchKey = 0L
+
+      lIter.map { lRow =>
+        val k = lKey.eval(lRow).asInstanceOf[Long]
+        val t = lTs.eval(lRow).asInstanceOf[Long]
+        if (lastMatch != null && lastMatchKey != k) lastMatch = null
+        var advance = true
+        while (advance && (rLookahead != null || rIter.hasNext)) {
+          if (rLookahead == null) rLookahead = rIter.next().copy() // rows are reused buffers
+          val rk = rTsKeyEval(rKey, rLookahead)
+          if (rk < k) {
+            rLookahead = null // earlier key, no longer relevant
+          } else if (rk == k && rTs.eval(rLookahead).asInstanceOf[Long] <= t) {
+            lastMatch = rLookahead; lastMatchKey = rk
+            rLookahead = null
+          } else {
+            advance = false // right pointer is ahead of this left row
+          }
+        }
+        val r = if (lastMatch != null) lastMatch else nullRight
+        project(joined(lRow, r))
+      }
+    }
+  }
+
+  private def rTsKeyEval(e: Expression, row: InternalRow): Long =
+    e.eval(row).asInstanceOf[Long]
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, lts, rk, rts) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lts, rk, rts) :: Nil
+    case _ => Nil
+  }
+}
+
+object AsOfJoinPlan {
+
+  /** Install the strategy (idempotent) and build `left LEFT AS-OF JOIN
+    * right ON key, ts` as a DataFrame. Key and ts columns must be BIGINT
+    * and non-null on both sides. */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: Column, leftTs: Column,
+               rightKey: Column, rightTs: Column): DataFrame = {
+    val spark = left.sparkSession
+    register(spark)
+    val plan = AsOfJoin(
+      ColumnBridge.logicalPlan(left), ColumnBridge.logicalPlan(right),
+      ColumnBridge.expression(leftKey), ColumnBridge.expression(leftTs),
+      ColumnBridge.expression(rightKey), ColumnBridge.expression(rightTs))
+    ColumnBridge.ofRows(spark, plan)
+  }
+
+  def register(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+}
