@@ -118,14 +118,51 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** The SAME as-of semantics through the custom physical operator
+    * (graft.plans.AsOfJoinExec, extension tier (c)) — shares the DuckDB
+    * native-ASOF oracle with join_asof_clicks, so the driver's hash gate
+    * verifies the custom SparkPlan directly. */
+  def asofClicksCustom(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).withColumn("ts_us", unix_micros(col("ts")))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user_id"), col("ts_us").as("p_ts_us"))
+      .agg(max(col("event_id")).as("asof_p_id"))
+      .select(col("asof_p_id"), col("p_user_id"), col("p_ts_us"))
+    graft.plans.AsOfJoinPlan.asofJoin(
+        clicks, purchases,
+        clicks("user_id"), clicks("ts_us"),
+        purchases("p_user_id"), purchases("p_ts_us"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof_p_id"), col("p_ts_us").as("asof_p_ts_us"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_tumbling_hour" -> (tumblingHour _),
     "events_sessionization" -> (sessionization _),
     "ml_feature_prep"      -> (featurePrep _),
-    "join_asof_clicks"     -> (asofClicks _)
+    "join_asof_clicks"     -> (asofClicks _),
+    "join_asof_custom"     -> (asofClicksCustom _)
   )
 
+  private val asofOracleSql =
+    """WITH p AS (
+      |  SELECT user_id, epoch_us(ts) AS p_ts_us, MAX(event_id) AS p_id
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id, epoch_us(ts)),
+      |c AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      |  FROM events WHERE event_type = 'click')
+      |SELECT c.event_id, c.user_id, c.ts_us,
+      |  p.p_id AS asof_p_id, p.p_ts_us AS asof_p_ts_us
+      |FROM c ASOF LEFT JOIN p
+      |  ON c.user_id = p.user_id AND c.ts_us >= p.p_ts_us
+      |ORDER BY c.event_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "join_asof_custom" -> asofOracleSql,
     "join_asof_clicks" ->
       """WITH p AS (
         |  SELECT user_id, epoch_us(ts) AS p_ts_us, MAX(event_id) AS p_id
