@@ -62,6 +62,48 @@ object Multimodal {
     }
   }
 
+  /** Resized features (STUB kernel, real plumbing): a real implementation
+    * swaps the arithmetic for an image scaler; the operator contract —
+    * narrow typed output, per-partition batching, target dims as plain
+    * arguments captured in the closure — is what the spec pins. */
+  def resizeFeatures(media: Dataset[MediaRecord],
+                     targetW: Int, targetH: Int): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real impl: init scaler once per partition
+      rows.map { r =>
+        val f = decodeStub(r)
+        f.copy(width = targetW, height = targetH,
+          // checksum re-derived so downstream can verify the resize ran
+          checksum = (f.checksum * 31 + targetW * 1000003L + targetH) % 1000000007L)
+      }
+    }
+  }
+
+  /** Frame envelope for sampled video frames. */
+  final case class Frame(media_id: Long, frame_idx: Int, n_bytes: Long, checksum: Long)
+
+  /** Frame sampling (STUB kernel, real plumbing): every `stride`-th fixed-
+    * size chunk of the payload stands in for a decoded video frame — a
+    * 1→N flatMap per video row, the real shape of frame extraction
+    * (output rows carry (media_id, frame_idx), no driver involvement,
+    * partition count preserved). */
+  def sampleFrames(media: Dataset[MediaRecord], stride: Int,
+                   frameBytes: Int = 64): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions { rows =>
+      // real impl: open demuxer once per partition
+      rows.flatMap { r =>
+        val nFrames = math.max(1, r.payload.length / frameBytes)
+        (0 until nFrames by stride).iterator.map { i =>
+          val chunk = r.payload.slice(i * frameBytes, math.min((i + 1) * frameBytes, r.payload.length))
+          val checksum = chunk.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+          Frame(r.media_id, i, chunk.length.toLong, checksum)
+        }
+      }
+    }
+  }
+
   /** Oracle'd catalog entry: binary envelope metadata (octet length, md5 of
     * the payload bytes) aggregated per kind — the part of the multimodal
     * path that IS plain relational algebra. */

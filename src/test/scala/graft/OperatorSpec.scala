@@ -49,4 +49,27 @@ class OperatorSpec extends SparkSpec {
     assert(feats.filter(col("kind") === "image" && col("channels") =!= 3).count() == 0)
     assert(feats.filter(col("kind") =!= "image" && col("channels") =!= 1).count() == 0)
   }
+
+  test("resize sets target dims for every row and changes checksums") {
+    val media = Multimodal.mediaTable(spark, sf0001)
+    val resized = Multimodal.resizeFeatures(media, 224, 224).toDF()
+    assert(resized.filter(col("width") =!= 224 || col("height") =!= 224).count() == 0)
+    val plain = Multimodal.decodeFeatures(media).toDF()
+      .select(col("media_id"), col("checksum").as("c0"))
+    val changed = resized.select(col("media_id"), col("checksum"))
+      .join(plain, "media_id")
+      .filter(col("checksum") === col("c0")).count()
+    assert(changed == 0, "resize left checksums untouched")
+  }
+
+  test("frame sampling: only video rows, stride respected, deterministic") {
+    val media = Multimodal.mediaTable(spark, sf0001)
+    val frames = Multimodal.sampleFrames(media, stride = 2).toDF().cache()
+    val kinds = media.toDF().select(col("media_id"), col("kind"))
+    assert(frames.join(kinds, "media_id").filter(col("kind") =!= "video").count() == 0)
+    assert(frames.filter(col("frame_idx") % 2 =!= 0).count() == 0, "stride violated")
+    assert(frames.count() > 0)
+    val again = Multimodal.sampleFrames(media, stride = 2).toDF()
+    assert(frames.exceptAll(again).isEmpty && again.exceptAll(frames).isEmpty)
+  }
 }
