@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY.md §5): invariants of the text pipeline over
+  * generated corpora, driven by seeded ScalaCheck generators (the
+  * scalatest/scalacheck bridge isn't in the offline cache, so sampling is
+  * explicit and deterministic).
+  *
+  *  - token conservation: Σ per-word counts == total exploded tokens;
+  *  - language-ID totality: every doc maps to exactly one prediction;
+  *  - fingerprint clustering: Σ bucket n_docs == corpus size and
+  *    n_exact_dups == n_docs - n_distinct in every bucket.
+  */
+class TextPropertiesSpec extends SparkSpec {
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString).map(_.take(8))
+  private val doc = Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+  private val corpusGen = Gen.listOfN(60, doc)
+
+  private def corpora: Seq[Seq[String]] =
+    (1 to 5).map(i => corpusGen.apply(Gen.Parameters.default, Seed(42L + i)).get)
+
+  test("token conservation: sum of word counts == total tokens") {
+    import spark.implicits._
+    corpora.foreach { docs =>
+      val df = docs.toDF("text")
+      val words = df.select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val total = words.count()
+      val summed = words.groupBy(col("w")).count()
+        .agg(sum(col("count"))).head().getLong(0)
+      assert(summed == total)
+      val localTotal = docs.map(_.split(" ").count(_.nonEmpty)).sum
+      assert(total == localTotal, "Spark tokenization disagrees with local split")
+    }
+  }
+
+  test("language-ID totality: every doc classified exactly once") {
+    import spark.implicits._
+    corpora.foreach { docs =>
+      val df = docs.toDF("text")
+      val v = size(filter(split(col("text"), " "), t => t.isin(lit("the"), lit("a"))))
+      val predicted = df.withColumn("p",
+        when(v > 0, "articleish").otherwise("other"))
+      assert(predicted.filter(col("p").isNull).count() == 0)
+      assert(predicted.groupBy(col("p")).count()
+        .agg(sum(col("count"))).head().getLong(0) == docs.size)
+    }
+  }
+
+  test("fingerprint buckets partition the corpus; dup arithmetic consistent") {
+    import spark.implicits._
+    // plant guaranteed duplicates: corpus ++ first 10 docs again
+    val docs = corpora.head ++ corpora.head.take(10)
+    val df = docs.toDF("text")
+    val buckets = df.withColumn("fp", md5(trim(lower(col("text")))))
+      .groupBy(substring(col("fp"), 1, 1).as("bucket"), col("fp"))
+      .agg(count(lit(1)).as("n_fp"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("n_fp")).as("n_docs"), count(lit(1)).as("n_distinct"),
+        (sum(col("n_fp")) - count(lit(1))).as("n_exact_dups"))
+      .collect()
+    assert(buckets.map(_.getAs[Long]("n_docs")).sum == docs.size)
+    buckets.foreach { r =>
+      assert(r.getAs[Long]("n_exact_dups") ==
+        r.getAs[Long]("n_docs") - r.getAs[Long]("n_distinct"))
+      assert(r.getAs[Long]("n_exact_dups") >= 0)
+    }
+    assert(buckets.map(_.getAs[Long]("n_exact_dups")).sum >= 1,
+      "planted duplicates not detected")
+  }
+}
