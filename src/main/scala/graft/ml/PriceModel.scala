@@ -57,6 +57,12 @@ object PriceModel {
         ).as("label"))
   }
 
+  /** Tree hyperparameters are deliberately DOWNSCALED from the reference's
+    * (GBT 200 iters/depth 10 → 40/6; RF 100 trees/depth 10 → 50/8,
+    * ref 04:208-224): the planted label is low-dimensional and nearly
+    * linear, so the reference-sized ensembles only add minutes of CI time
+    * at identical gate outcomes. At real data scale the reference values
+    * are a config change, not a code change. */
   def pipeline(regressor: String): Pipeline = {
     val cats = Array("o_orderpriority", "c_mktsegment", "n_name")
     val indexers = cats.map(c =>

@@ -16,7 +16,8 @@ import graft.functions.Det._
   *  - group-by keys here are low-cardinality (flags, priorities, nations) →
   *    map-side partial agg collapses the shuffle to ~|groups| rows per task.
   *  - countDistinct is exact (expand + 2-phase agg); the approx twin
-  *    (`agg_approx_distinct`, non-oracle) is the drop-in at high cardinality.
+  *    (`agg_approx_distinct`, invariant-oracled) is the drop-in at high
+  *    cardinality.
   *  - no collect(): even the "global" aggregate stays a 1-row DataFrame.
   */
 object Aggregates {
@@ -81,14 +82,23 @@ object Aggregates {
       drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
   }
 
-  /** Approximate-distinct twin of A2 (HLL++). NOT oracle'd: DuckDB's
-    * approx_count_distinct uses a different sketch; declared rows-only. */
+  /** Approximate-distinct twin of A2 (HLL++). The raw estimates can't be
+    * hash-oracled (DuckDB's sketch differs), but the entry's INVARIANTS
+    * can: output the exact distincts plus a boolean per key asserting the
+    * HLL estimate landed within 10% of exact (2× the default 5% rsd —
+    * HLL++ is deterministic for a given dataset, so the flag is stable,
+    * and the oracle pins it TRUE alongside the exact counts). */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     li.groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        approx_count_distinct(col("l_suppkey")).as("asup"))
+      .select(col("l_returnflag"), col("n_parts"), col("n_supps"),
+        (abs(col("ap") - col("n_parts")) <= col("n_parts") * 0.1).as("parts_ok"),
+        (abs(col("asup") - col("n_supps")) <= col("n_supps") * 0.1).as("supps_ok"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -215,6 +225,15 @@ object Aggregates {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY g_region, g_nation, r_name, n_name""".stripMargin,
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  TRUE AS parts_ok,
+        |  TRUE AS supps_ok
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "agg_global_stats" ->
       """SELECT COUNT(*) AS n_rows,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,

@@ -28,13 +28,20 @@ object Etl {
       .orderBy(col("o_custkey"))
   }
 
-  /** U1 arbitrary-survivor twin: dropDuplicates on the dedup key. Survivor
-    * choice is partition-order-dependent → NOT oracle'd (rows-only). */
+  /** U1 arbitrary-survivor twin: dropDuplicates on the dedup key. WHICH row
+    * survives is partition-order-dependent, but these aggregates are
+    * survivor-INDEPENDENT (row count = distinct keys; every survivor carries
+    * a distinct custkey; min/max over survivors' keys = min/max over
+    * distinct keys), so the entry is fully oracle-able after all:
+    * DuckDB computes the same invariants straight from `orders`. */
   def dedupDropDuplicates(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .dropDuplicates(Seq("o_custkey"))
-      .select(col("o_custkey"), col("o_orderkey"))
-      .orderBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("n_keys"),
+        min(col("o_custkey")).as("min_key"),
+        max(col("o_custkey")).as("max_key"))
 
   /** F1–F4 null-tolerant validity filter, mirroring the reference's
     * `isNull || bounds` salary guards. Nulls are introduced via NULLIF
@@ -135,13 +142,57 @@ object Etl {
       .withColumn("name_upper", upper(col("p_name")))
       .withColumn("name_len", length(col("p_name")).cast("long"))
       .withColumn("name_squashed", regexp_replace(col("p_name"), "[aeiou]", ""))
+      // second-to-last token (negative non-unit index, ref 01:154)
+      .withColumn("name_neg2", element_at(split(col("p_name"), " "), -2))
       .groupBy(col("type_last"))
       .agg(
         count(lit(1)).as("n_parts"),
         max(col("n_tokens")).as("max_tokens"),
         davg(col("name_len")).as("avg_name_len"),
-        min(col("name_squashed")).as("min_squashed"))
+        min(col("name_squashed")).as("min_squashed"),
+        min(col("name_neg2")).as("min_neg2"))
       .orderBy(col("type_last"))
+  }
+
+  /** X8 as DATA instead of code: the reference's 19-branch when-chain
+    * decode re-expressed as a broadcast lookup dimension + left join —
+    * the shape that scales to decode tables too wide to inline (SURVEY
+    * X8 suggestion). Unmatched codes fall back to 'unknown' exactly like
+    * the chain's otherwise().
+    * Ref: /root/reference/code/01_DataPreprocessing.scala:275-295. */
+  def decodeDim(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val dim = spark.createDataFrame(Seq(
+      ("1-URGENT", "critical"), ("2-HIGH", "elevated"), ("3-MEDIUM", "normal"),
+      ("4-NOT SPECIFIED", "unspecified"), ("5-LOW", "relaxed")
+    )).toDF("o_orderpriority", "priority_class")
+    o.join(broadcast(dim), Seq("o_orderpriority"), "left")
+      .withColumn("priority_class", coalesce(col("priority_class"), lit("unknown")))
+      .groupBy(col("priority_class"))
+      .agg(count(lit(1)).as("n_orders"), davg(col("o_totalprice")).as("avg_price"))
+      .orderBy(col("priority_class"))
+  }
+
+  /** X6 prefix matching: `startsWith` decode chain — the reference's
+    * city-prefix → state decode ("SAN FRANCISCO…" → CA) re-expressed as
+    * part-name prefix → class. `Column.startsWith` compiles to the same
+    * codegen'd StartsWith predicate as `LIKE 'x%'`, so it stays inside
+    * whole-stage codegen and is pushdown-eligible.
+    * Ref: /root/reference/code/01_DataPreprocessing.scala:268-295. */
+  def prefixDecode(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    p.withColumn("name_class",
+        when(col("p_name").startsWith("small") || col("p_name").startsWith("large"), "size")
+          .when(col("p_name").startsWith("hot") || col("p_name").startsWith("cold"), "temp")
+          .when(col("p_name").startsWith("red") || col("p_name").startsWith("blue"), "color")
+          .when(col("p_name").startsWith("old") || col("p_name").startsWith("new"), "age")
+          .otherwise("other"))
+      .groupBy(col("name_class"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        davg(col("p_retailprice")).as("avg_price"),
+        min(col("p_name")).as("first_name"))
+      .orderBy(col("name_class"))
   }
 
   /** JSON extraction (X-gap; harness events.props is a JSON string): both
@@ -174,6 +225,8 @@ object Etl {
     "etl_case_when"         -> (caseWhenBuckets _),
     "etl_datetime_parts"    -> (datetimeParts _),
     "etl_string_funcs"      -> (stringFuncs _),
+    "etl_prefix_decode"     -> (prefixDecode _),
+    "etl_decode_dim"        -> (decodeDim _),
     "etl_json_extract"      -> (jsonExtract _)
   )
 
@@ -185,6 +238,12 @@ object Etl {
         |      FROM orders)
         |WHERE rn = 1
         |ORDER BY o_custkey""".stripMargin,
+    "etl_dedup_dropdup" ->
+      """SELECT COUNT(DISTINCT o_custkey) AS n_rows,
+        |  COUNT(DISTINCT o_custkey) AS n_keys,
+        |  MIN(o_custkey) AS min_key,
+        |  MAX(o_custkey) AS max_key
+        |FROM orders""".stripMargin,
     "etl_validity_filter" ->
       """WITH li AS (
         |  SELECT *, NULLIF(l_tax, 0.0) AS tax_n, NULLIF(l_discount, 0.0) AS disc_n
@@ -256,14 +315,39 @@ object Etl {
         |    string_split(p_type, ' ')[-1] AS type_last,
         |    len(string_split(p_type, ' ')) AS n_tokens,
         |    length(p_name) AS name_len,
-        |    regexp_replace(p_name, '[aeiou]', '', 'g') AS name_squashed
+        |    regexp_replace(p_name, '[aeiou]', '', 'g') AS name_squashed,
+        |    string_split(p_name, ' ')[-2] AS name_neg2
         |  FROM part)
         |SELECT type_last,
         |  COUNT(*) AS n_parts,
         |  MAX(n_tokens) AS max_tokens,
         |  CAST(SUM(CAST(name_len AS DECIMAL(18,2))) AS DOUBLE) / COUNT(name_len) AS avg_name_len,
-        |  MIN(name_squashed) AS min_squashed
+        |  MIN(name_squashed) AS min_squashed,
+        |  MIN(name_neg2) AS min_neg2
         |FROM p GROUP BY type_last ORDER BY type_last""".stripMargin,
+    "etl_decode_dim" ->
+      """WITH dim(o_orderpriority, priority_class) AS (VALUES
+        |  ('1-URGENT', 'critical'), ('2-HIGH', 'elevated'), ('3-MEDIUM', 'normal'),
+        |  ('4-NOT SPECIFIED', 'unspecified'), ('5-LOW', 'relaxed'))
+        |SELECT COALESCE(priority_class, 'unknown') AS priority_class,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice) AS avg_price
+        |FROM orders LEFT JOIN dim USING (o_orderpriority)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "etl_prefix_decode" ->
+      """SELECT
+        |  CASE WHEN p_name LIKE 'small%' OR p_name LIKE 'large%' THEN 'size'
+        |       WHEN p_name LIKE 'hot%'   OR p_name LIKE 'cold%'  THEN 'temp'
+        |       WHEN p_name LIKE 'red%'   OR p_name LIKE 'blue%'  THEN 'color'
+        |       WHEN p_name LIKE 'old%'   OR p_name LIKE 'new%'   THEN 'age'
+        |       ELSE 'other' END AS name_class,
+        |  COUNT(*) AS n_parts,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(p_retailprice) AS avg_price,
+        |  MIN(p_name) AS first_name
+        |FROM part
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "etl_json_extract" ->
       """SELECT event_type,
         |  COUNT(*) AS n_events,

@@ -20,7 +20,11 @@ import graft.functions.Det._
 object Joins {
 
   /** Multi-way star join: lineitem ⨝ orders ⨝ customer ⨝ nation ⨝ region →
-    * revenue per region (broadcast all dimension sides). */
+    * revenue per region. Only the FIXED-cardinality dims (nation=25,
+    * region=5) carry broadcast hints; customer scales with the fact data
+    * (1.5 M rows/sf1 → billions at 100 TB-class sf), so a hard-coded
+    * `broadcast(customer)` would OOM the driver at scale — it joins via
+    * shuffle, and AQE is free to pick broadcast at small sf on its own. */
   def innerRevenue(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val o  = Tables.orders(spark, dir)
@@ -28,7 +32,7 @@ object Joins {
     val n  = Tables.nation(spark, dir)
     val r  = Tables.region(spark, dir)
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"))
@@ -64,10 +68,15 @@ object Joins {
       .orderBy(col("c_custkey"))
   }
 
-  /** Left-anti join (NOT EXISTS): parts that never appear in lineitem. */
+  /** Left-anti join (NOT EXISTS): parts with no shipment since 2001-01-01.
+    * The right side is date-filtered BEFORE the anti join — (a) the filter
+    * pushes into the lineitem scan, (b) unlike "never sold" (which is empty
+    * on this data: every part sells at least once), the windowed variant
+    * returns real rows at every sf, so the oracle hash has teeth. */
   def antiUnsoldParts(spark: SparkSession, dir: String): DataFrame = {
     val p  = Tables.part(spark, dir)
     val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
     p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
       .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
       .orderBy(col("p_partkey"))
@@ -149,7 +158,9 @@ object Joins {
     "join_anti_unsold_parts" ->
       """SELECT p_partkey, p_name, p_retailprice
         |FROM part
-        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey
+        |                    AND l_shipdate >= TIMESTAMP '2001-01-01')
         |ORDER BY p_partkey""".stripMargin,
     "join_full_outer_nation" ->
       """WITH c AS (

@@ -80,11 +80,34 @@ object Sources {
       .select(col("o_totalprice"))
       .summary("count", "min", "25%", "50%", "75%", "max", "mean")
 
+  /** A5 exact twin of `agg_summary_stats`, fully oracled: the same profile
+    * with EXACT interpolated percentiles (`percentile`, not the t-digest
+    * approximation behind `summary()`), rounded to 4 decimals like
+    * `agg_percentiles` (lossless for 2-decimal prices ± quartile
+    * interpolation; absorbs last-ulp engine differences). Exact
+    * percentile's partial agg
+    * buffers a value→count map bounded by distinct-price cardinality —
+    * fine here; at extreme scale `summary()`'s approx path is the answer. */
+  def summaryExact(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def q(p: Double) =
+      round(percentile(col("o_totalprice"), lit(p)), 4)
+    o.agg(
+      count(lit(1)).as("n_orders"),
+      min(col("o_totalprice")).as("min_price"),
+      q(0.25).as("p25"),
+      q(0.50).as("p50"),
+      q(0.75).as("p75"),
+      max(col("o_totalprice")).as("max_price"),
+      davg(col("o_totalprice")).as("mean_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_csv_roundtrip"    -> (csvRoundtrip _),
     "etl_stratified_sample" -> (stratifiedSample _),
     "etl_random_split"     -> (randomSplitSizes _),
-    "agg_summary_stats"    -> (summaryStats _)
+    "agg_summary_stats"    -> (summaryStats _),
+    "agg_summary_exact"    -> (summaryExact _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -95,6 +118,15 @@ object Sources {
         |  MIN(s_name) AS first_name
         |FROM supplier
         |GROUP BY s_nationkey
-        |ORDER BY s_nationkey""".stripMargin
+        |ORDER BY s_nationkey""".stripMargin,
+    "agg_summary_exact" ->
+      """SELECT COUNT(*) AS n_orders,
+        |  MIN(o_totalprice) AS min_price,
+        |  ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |  ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+        |  ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+        |  MAX(o_totalprice) AS max_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice) AS mean_price
+        |FROM orders""".stripMargin
   )
 }

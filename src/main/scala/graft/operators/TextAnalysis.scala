@@ -148,12 +148,16 @@ object TextAnalysis {
     * h ← (h·B + tokhash(w)) mod P. Token hash = 16-bit md5 slice (portable);
     * B=257. Unlike the md5 fingerprint this is INCREMENTAL: at scale the
     * same fold extends chunk-by-chunk (streaming append, document
-    * concatenation) without rehashing the prefix. Emits per-doc hashes
-    * joined to duplicate-cluster sizes. */
+    * concatenation) without rehashing the prefix. Hashes the first 12
+    * tokens (a prefix-window fingerprint — the boilerplate-header detector
+    * of crawl pipelines): full-document hashes cluster nothing on this
+    * corpus (no exact dups below sf0.1 — a 0-row result proves nothing),
+    * while shared openings cluster at every sf, so the oracle has teeth.
+    * Emits per-doc hashes joined to duplicate-cluster sizes. */
   def rollingHash(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val B = 257L
-    val toks = filter(tokens(col("text")), t => length(t) > 0)
+    val toks = slice(filter(tokens(col("text")), t => length(t) > 0), 1, 12)
     val tokHash = (t: Column) => conv(substring(md5(t), 1, 4), 16, 10).cast("long")
     val h = aggregate(toks, lit(0L), (acc, t) => (acc * B + tokHash(t)) % P)
     val hashed = d.select(col("doc_id"), h.as("rhash"))
@@ -208,7 +212,7 @@ object TextAnalysis {
         |    list_reduce(
         |      list_prepend(0::BIGINT,
         |        list_transform(
-        |          list_filter(string_split(text, ' '), t -> length(t) > 0),
+        |          list_slice(list_filter(string_split(text, ' '), t -> length(t) > 0), 1, 12),
         |          t -> ('0x' || substr(md5(t), 1, 4))::BIGINT)),
         |      (acc, x) -> (acc * 257 + x) % $P) AS rhash
         |  FROM documents),

@@ -38,19 +38,36 @@ object Windows {
     val byPriority = o.groupBy(col("o_orderpriority"))
       .agg(davg(col("o_totalprice")).as("avg_price"), count(lit(1)).as("n_orders"))
     val w = Window.partitionBy() // empty: grand total over grouped output
+    // overall_avg sums 5 doubles in engine-dependent order → round to 6
+    // (the catalog's libm/fold-order determinism rule); diff subtracts the
+    // ROUNDED value so both engines subtract identical doubles
     byPriority
-      .withColumn("overall_avg", avg(col("avg_price")).over(w))
-      .withColumn("diff_from_overall", col("avg_price") - col("overall_avg"))
+      .withColumn("overall_avg", round(avg(col("avg_price")).over(w), 6))
+      .withColumn("diff_from_overall", round(col("avg_price") - col("overall_avg"), 6))
       .orderBy(col("o_orderpriority"))
   }
 
-  /** A9 replacement: driver-side percentile cutoffs → in-plan ntile(3)
-    * tiering. Ref: /root/reference/code/02_RDDOperations.scala:111-156. */
+  /** A9 replacement: percentile tiering WITHOUT a global window. The naive
+    * shape — `ntile(3) OVER (ORDER BY price)` on the raw fact table — forces
+    * a SinglePartition exchange (every row through one task; round-1 verdict
+    * flagged it as the catalog's worst scale anti-pattern). Instead: exact
+    * 1/3–2/3 cutoffs in a 1-row aggregate (partial agg buffers a value→count
+    * map bounded by distinct-price cardinality, not row count), broadcast
+    * back over the fact scan, tier via a `when` chain, hash-agg per tier.
+    * No global sort anywhere; at extreme scale swap `percentile` for
+    * `approx_percentile` with no plan change.
+    * Ref: /root/reference/code/02_RDDOperations.scala:111-156 (driver-side
+    * percentile cutoffs → here an in-plan broadcast relation). */
   def ntileTiers(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    o.select(col("o_orderkey"), col("o_totalprice"))
-      .withColumn("tier", ntile(3).over(w).cast("long"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    val cuts = o.agg(
+      percentile(col("o_totalprice"), lit(1.0 / 3)).as("c1"),
+      percentile(col("o_totalprice"), lit(2.0 / 3)).as("c2"))
+    o.crossJoin(broadcast(cuts))
+      .withColumn("tier",
+        when(col("o_totalprice") <= col("c1"), 1L)
+          .when(col("o_totalprice") <= col("c2"), 2L)
+          .otherwise(3L))
       .groupBy(col("tier"))
       .agg(
         count(lit(1)).as("n_orders"),
@@ -138,20 +155,24 @@ object Windows {
         |    COUNT(*) AS n_orders
         |  FROM orders GROUP BY o_orderpriority)
         |SELECT o_orderpriority, avg_price, n_orders,
-        |  AVG(avg_price) OVER () AS overall_avg,
-        |  avg_price - AVG(avg_price) OVER () AS diff_from_overall
+        |  ROUND(AVG(avg_price) OVER (), 6) AS overall_avg,
+        |  ROUND(avg_price - ROUND(AVG(avg_price) OVER (), 6), 6) AS diff_from_overall
         |FROM byp
         |ORDER BY o_orderpriority""".stripMargin,
     "win_ntile_tiers" ->
-      """WITH t AS (
-        |  SELECT o_orderkey, o_totalprice,
-        |    NTILE(3) OVER (ORDER BY o_totalprice, o_orderkey) AS tier
+      """WITH cuts AS (
+        |  SELECT quantile_cont(o_totalprice, 1.0/3) AS c1,
+        |         quantile_cont(o_totalprice, 2.0/3) AS c2
         |  FROM orders)
-        |SELECT tier, COUNT(*) AS n_orders,
+        |SELECT CAST(CASE WHEN o_totalprice <= c1 THEN 1
+        |                 WHEN o_totalprice <= c2 THEN 2
+        |                 ELSE 3 END AS BIGINT) AS tier,
+        |  COUNT(*) AS n_orders,
         |  MIN(o_totalprice) AS min_price,
         |  MAX(o_totalprice) AS max_price,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice) AS avg_price
-        |FROM t GROUP BY tier ORDER BY tier""".stripMargin,
+        |FROM orders, cuts
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "win_lag_delta" ->
       """SELECT * FROM (
         |  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,

@@ -23,10 +23,13 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * implementations (and therefore DuckDB's native ASOF JOIN, which oracles
   * the composed one) agree row-for-row.
   *
-  * v1 scope (documented, checked at construction): BIGINT key and BIGINT
-  * event-time on both sides, non-null; left as-of semantics — for each left
-  * row, the right row with the greatest ts ≤ left ts for the same key,
-  * nulls when none.
+  * v1 scope: BIGINT key and BIGINT event-time on both sides, non-null.
+  * The type contract is enforced at analysis time (asofJoin fails with
+  * IllegalArgumentException on a non-BIGINT key/ts); the null contract is
+  * enforced per row in doExecute (a clear error instead of Scala's silent
+  * null→0L unboxing, which would quietly join null keys as key 0). Left
+  * as-of semantics — for each left row, the right row with the greatest
+  * ts ≤ left ts for the same key, nulls when none.
   *
   * Scale shape: requiredChildDistribution co-clusters both children on the
   * join key (EnsureRequirements inserts the exchanges), requiredChildOrdering
@@ -81,16 +84,16 @@ case class AsOfJoinExec(
       var lastMatchKey = 0L
 
       lIter.map { lRow =>
-        val k = lKey.eval(lRow).asInstanceOf[Long]
-        val t = lTs.eval(lRow).asInstanceOf[Long]
+        val k = evalLong(lKey, lRow, "left key")
+        val t = evalLong(lTs, lRow, "left ts")
         if (lastMatch != null && lastMatchKey != k) lastMatch = null
         var advance = true
         while (advance && (rLookahead != null || rIter.hasNext)) {
           if (rLookahead == null) rLookahead = rIter.next().copy() // rows are reused buffers
-          val rk = rTsKeyEval(rKey, rLookahead)
+          val rk = evalLong(rKey, rLookahead, "right key")
           if (rk < k) {
             rLookahead = null // earlier key, no longer relevant
-          } else if (rk == k && rTs.eval(rLookahead).asInstanceOf[Long] <= t) {
+          } else if (rk == k && evalLong(rTs, rLookahead, "right ts") <= t) {
             lastMatch = rLookahead; lastMatchKey = rk
             rLookahead = null
           } else {
@@ -103,8 +106,14 @@ case class AsOfJoinExec(
     }
   }
 
-  private def rTsKeyEval(e: Expression, row: InternalRow): Long =
-    e.eval(row).asInstanceOf[Long]
+  /** Null-safe long eval: a null key/ts would silently unbox to 0L and
+    * join as key/ts 0 — fail loudly instead (v1 contract: non-null). */
+  private def evalLong(e: Expression, row: InternalRow, what: String): Long = {
+    val v = e.eval(row)
+    if (v == null) throw new IllegalArgumentException(
+      s"as-of join: null $what — v1 requires non-null BIGINT keys and timestamps")
+    v.asInstanceOf[Long]
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
@@ -133,7 +142,16 @@ object AsOfJoinPlan {
       ColumnBridge.logicalPlan(left), ColumnBridge.logicalPlan(right),
       ColumnBridge.expression(leftKey), ColumnBridge.expression(leftTs),
       ColumnBridge.expression(rightKey), ColumnBridge.expression(rightTs))
-    ColumnBridge.ofRows(spark, plan)
+    val out = ColumnBridge.ofRows(spark, plan)
+    // type contract, checked once the analyzer has resolved the expressions
+    out.queryExecution.analyzed.collectFirst { case a: AsOfJoin => a }.foreach { a =>
+      Seq("left key" -> a.leftKey, "left ts" -> a.leftTs,
+          "right key" -> a.rightKey, "right ts" -> a.rightTs).foreach { case (what, e) =>
+        require(e.dataType == org.apache.spark.sql.types.LongType,
+          s"as-of join $what must be BIGINT, got ${e.dataType.simpleString}")
+      }
+    }
+    out
   }
 
   def register(spark: SparkSession): Unit =

@@ -11,12 +11,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * imperative-state path for session logic a built-in window can't express,
   * e.g. value-dependent gaps or per-session caps).
   *
-  * Emission contract: a session is emitted the moment an event closes it
-  * (arrives ≥ gap after the session's last event). The group's final
-  * session stays open in state — in streaming it would emit on a later
-  * batch/timeout; in batch mode it is intentionally withheld too, so BATCH
-  * AND STREAM PRODUCE IDENTICAL OUTPUT on the same input
-  * (StatefulSessionsSpec asserts this against the gaps-and-islands SQL).
+  * Emission contract (`sessions`, NoTimeout): a session is emitted the
+  * moment an event closes it (arrives ≥ gap after the session's last
+  * event). The group's final session stays open in state and is
+  * intentionally withheld in batch AND stream, so BATCH AND STREAM PRODUCE
+  * IDENTICAL OUTPUT on the same input (StatefulSessionsSpec asserts this
+  * against the gaps-and-islands SQL).
+  *
+  * Streaming-lifecycle contract (`sessionsFlushing`, EventTimeTimeout):
+  * same transition function, plus each open session arms an event-time
+  * timeout at lastUs + gap — when the watermark passes it, the session
+  * flushes and its state is cleaned up. This is the variant a real
+  * long-running stream deploys (no state leak, no withheld sessions);
+  * StatefulSessionsSpec drives the watermark past every session and
+  * asserts the flushed output equals the FULL gaps-and-islands result.
   *
   * Scale notes: state is one small record per (user, open session); rows
   * are sorted per user PER BATCH only (bounded by batch size, no global
@@ -60,7 +68,8 @@ object StatefulSessions {
   }
 
   /** Apply on a batch OR streaming Dataset — identical logical semantics
-    * (the batch run is the oracle for the streaming run). */
+    * (the batch run is the oracle for the streaming run). NoTimeout by
+    * design: final sessions stay open so batch ≡ stream. */
   def sessions(events: Dataset[SEvent]): Dataset[Session] = {
     implicit val se = Encoders.product[Session]
     implicit val st = Encoders.product[SessionState]
@@ -68,5 +77,31 @@ object StatefulSessions {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionize)
+  }
+
+  /** `sessionize` + timeout arming: every still-open session schedules an
+    * event-time timeout at its close boundary (lastUs + gap, in ms). A
+    * fresh update always carries ts ≥ watermark (late rows are dropped
+    * upstream), so the armed timestamp is strictly ahead of the watermark
+    * as Spark requires. */
+  def sessionizeFlushing(user: Long, rows: Iterator[SEvent],
+                         state: GroupState[SessionState]): Iterator[Session] = {
+    val out = sessionize(user, rows, state)
+    if (state.exists)
+      state.setTimeoutTimestamp(state.get.lastUs / 1000 + GapUs / 1000)
+    out
+  }
+
+  /** Streaming deployment variant: watermark-driven final-session flush
+    * (EventTimeTimeout). State for a user is removed the moment their last
+    * session flushes — bounded state for unbounded streams. */
+  def sessionsFlushing(events: Dataset[SEvent], delay: String = "0 seconds"): Dataset[Session] = {
+    implicit val se = Encoders.product[Session]
+    implicit val st = Encoders.product[SessionState]
+    implicit val ke = Encoders.scalaLong
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(sessionizeFlushing)
   }
 }

@@ -19,6 +19,15 @@ class MLSpec extends SparkSpec {
     assert(lr.r2 > 0.0, s"lr r2 ${lr.r2} not positive")
   }
 
+  test("GBT beats the mean-predictor baseline at sf0.001 (M12)") {
+    val metrics = PriceModel.run(spark, sf0001, Seq("gbt"))
+    val baseline = metrics.find(_.model == "baseline_mean").get
+    val gbt = metrics.find(_.model == "gbt").get
+    assert(gbt.rmse < baseline.rmse,
+      s"gbt rmse ${gbt.rmse} did not beat baseline ${baseline.rmse}")
+    assert(gbt.r2 > 0.0, s"gbt r2 ${gbt.r2} not positive")
+  }
+
   test("RF feature importances: top-k non-negative, sorted, sums <= 1") {
     val imps = PriceModel.rfFeatureImportances(spark, sf0001, k = 15)
     assert(imps.nonEmpty)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.Det
-import graft.operators.{Etl, Multimodal}
+import graft.operators.{Dedup, Etl, Multimodal}
 
 /** Unit-level semantics checks on small data (SURVEY.md §5 rebuild test
   * strategy): dedup survivor determinism, decimal-sum exactness, multimodal
@@ -21,6 +21,14 @@ class OperatorSpec extends SparkSpec {
     val mismatches = got.select("o_custkey", "o_orderkey")
       .exceptAll(expected).count()
     assert(mismatches == 0, s"$mismatches non-minimal survivors")
+  }
+
+  test("ngram-Jaccard df cap is a no-op on the harness corpus") {
+    val capped = Dedup.ngramJaccard(spark, sf0001)
+    val uncapped = Dedup.ngramJaccardCapped(spark, sf0001, Long.MaxValue)
+    assert(capped.exceptAll(uncapped).isEmpty && uncapped.exceptAll(capped).isEmpty,
+      "df cap changed ngram-Jaccard output on testdata")
+    assert(capped.count() > 0, "trivially empty ngram-Jaccard output")
   }
 
   test("Det.dsum is exact at cents resolution (0.1+0.1+0.1 == 0.3)") {

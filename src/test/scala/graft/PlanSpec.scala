@@ -24,10 +24,39 @@ class PlanSpec extends SparkSpec {
       s"no pushed filters:\n$p")
   }
 
-  test("star join broadcasts every dimension side") {
-    val p = plan(Joins.innerRevenue(spark, sf0001))
+  test("star join: fixed dims hinted broadcast, customer left to AQE") {
+    val df = Joins.innerRevenue(spark, sf0001)
+    val p = plan(df)
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // exactly two hard-coded broadcast hints (nation, region): customer
+    // scales with the fact data, so its join strategy must stay AQE's
+    // choice — a hint there OOMs the driver at real scale
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.size == 2, s"expected 2 broadcast hints (nation, region), got ${hints.size}")
+  }
+
+  test("unpartitioned windows only ever run over aggregated input") {
+    // the module rule (Windows.scala): a window with an empty PARTITION BY
+    // forces a SinglePartition exchange, so it may only sit on grouped
+    // output (O(|groups|) rows), never on a raw scan — the round-1 ntile
+    // entry violated this and was rewritten as percentile-cutoff + join
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val lp = try Some(fn(spark, sf0001).queryExecution.optimizedPlan)
+               catch { case _: Throwable => None }
+      lp.toSeq.flatMap(_.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+            w.child.collectFirst { case _: Aggregate => () }.isEmpty => name
+      })
+    }.distinct
+    assert(offenders.isEmpty, s"unpartitioned window over raw input: $offenders")
+  }
+
+  test("ntile tiering plans with no window function at all") {
+    val p = plan(Windows.ntileTiers(spark, sf0001))
+    assert(!p.contains("Window"), s"ntileTiers still plans a window:\n$p")
   }
 
   test("aggregates use two-phase hash aggregation (map-side partials)") {
@@ -59,7 +88,7 @@ class PlanSpec extends SparkSpec {
     // pattern replacing a driver .count(), SURVEY.md A4/A9) — constant-size
     // build side, legal at any scale
     val allowedNestedLoop =
-      Set("dedup_embedding_pairs", "sim_knn_brute", "sim_knn_lsh", "text_tfidf")
+      Set("sim_knn_brute", "sim_knn_lsh", "text_tfidf", "win_ntile_tiers")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)

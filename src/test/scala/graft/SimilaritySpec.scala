@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 
 /** ANN quality gates: the bucketed variants can't be hash-oracled (LSH is
   * oracle'd separately; IVF centroids are float-order-dependent), so the
@@ -32,6 +32,25 @@ class SimilaritySpec extends SparkSpec {
     // 1/16 ≈ 0.06 random-assignment floor", not a production recall bar
     // (real corpora cluster, random ones don't).
     assert(recall >= 0.10, s"IVF recall@3 $recall not above random floor")
+  }
+
+  test("banded embedding LSH: subset of brute pairs, identical cosines, recall above floor") {
+    val sf001 = "/root/testdata/sf0.01"
+    def pairs(df: DataFrame): Map[(Long, Long), Double] =
+      df.collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")) ->
+        r.getAs[Double]("cos")).toMap
+    val brute = pairs(Dedup.embeddingPairs(spark, sf001))
+    val lsh = pairs(Dedup.embeddingLsh(spark, sf001))
+    assert(lsh.nonEmpty, "banded LSH found no pairs")
+    // soundness: every LSH pair is a true pair with the bit-identical cosine
+    lsh.foreach { case (k, cos) =>
+      assert(brute.contains(k), s"LSH invented pair $k")
+      assert(brute(k) == cos, s"cosine mismatch for $k")
+    }
+    // recall floor: 12 bands × 5 bits measured ~0.85 on this corpus;
+    // gate at 0.5 to stay robust to data regeneration
+    val recall = lsh.size.toDouble / brute.size
+    assert(recall >= 0.5, s"banded LSH recall $recall below floor (${lsh.size}/${brute.size})")
   }
 
   test("IVF emits at most 3 ranked neighbors per query, no self-matches") {

@@ -23,7 +23,15 @@ class StatefulSessionsSpec extends SparkSpec {
 
   /** Closed sessions per gaps-and-islands (strict > gap boundary, like the
     * sessionizer), excluding each user's last (still-open) session. */
-  private def expectedClosed(): Map[(Long, Long, Long, Long), Double] = {
+  private def expectedClosed(): Map[(Long, Long, Long, Long), Double] =
+    expectedSessions(dropLast = true)
+
+  /** ALL sessions per gaps-and-islands — the expectation once a watermark
+    * flush has closed every user's final session. */
+  private def expectedAll(): Map[(Long, Long, Long, Long), Double] =
+    expectedSessions(dropLast = false)
+
+  private def expectedSessions(dropLast: Boolean): Map[(Long, Long, Long, Long), Double] = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val gapUs = StatefulSessions.GapUs
     val flagged = events.toDF()
@@ -38,7 +46,7 @@ class StatefulSessionsSpec extends SparkSpec {
         count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
     val wLast = Window.partitionBy(col("user_id"))
     sess.withColumn("max_seq", max(col("session_seq")).over(wLast))
-      .filter(col("session_seq") < col("max_seq"))
+      .filter(if (dropLast) col("session_seq") < col("max_seq") else lit(true))
       .select(col("user_id"), col("start_us"), col("end_us"),
         col("n_events"), col("sum_value"))
       .collect()
@@ -73,5 +81,37 @@ class StatefulSessionsSpec extends SparkSpec {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
     assertSessionsEqual(spark.table("t_statesess").as[Session].collect().toSeq, expectedClosed())
+  }
+
+  test("event-time timeout flushes every final session once the watermark passes") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val data = events.collect().toSeq
+    val maxMs = data.map(_.ts.getTime).max
+    // sentinel far past every session's close boundary: once processed, the
+    // watermark exceeds lastUs + gap for ALL real users' final sessions
+    val sentinel = SEvent(-1L,
+      new java.sql.Timestamp(maxMs + 3 * StatefulSessions.GapUs / 1000), -1L, 0.0)
+    val mem = MemoryStream[SEvent]
+    val q = StatefulSessions.sessionsFlushing(mem.toDS())
+      .writeStream.format("memory").queryName("t_statesess_flush").outputMode("append")
+      .start()
+    try {
+      mem.addData(data)
+      q.processAllAvailable()          // batch 1: closed sessions; watermark -> maxMs
+      mem.addData(Seq(sentinel))
+      q.processAllAvailable()          // batch 2: watermark -> sentinel ts
+      val want = expectedAll()
+      // the timeout fires on the post-watermark (possibly no-data) batch —
+      // poll until the flushed finals land
+      val deadline = System.currentTimeMillis() + 60000
+      def got() = spark.table("t_statesess_flush").as[Session].collect().toSeq
+      while (got().size < want.size && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(200)
+      }
+      val rows = got()
+      assert(!rows.exists(_.user_id == -1L), "sentinel's open session must not flush")
+      assertSessionsEqual(rows, want)
+    } finally q.stop()
   }
 }
