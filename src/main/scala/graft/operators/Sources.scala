@@ -48,6 +48,26 @@ object Sources {
       .orderBy(col("s_nationkey"))
   }
 
+  /** S1 breadth: JSON-lines roundtrip — the second text source format.
+    * Same contract as the CSV path: explicit schema on read (JSON schema
+    * inference costs an extra full scan AND can drift types between
+    * partitions at scale), oracled against the same aggregate on the
+    * original parquet, so any serialization loss hash-mismatches. */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.nation(spark, dir)
+    val out = s"${sys.props("java.io.tmpdir")}/graft_json_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    src.write.mode("overwrite").json(out)
+    spark.read
+      .schema(src.schema) // explicit, never inferred
+      .json(out)
+      .groupBy(col("n_regionkey"))
+      .agg(
+        count(lit(1)).as("n_nations"),
+        min(col("n_name")).as("first_nation"),
+        max(col("n_nationkey")).as("max_key"))
+      .orderBy(col("n_regionkey"))
+  }
+
   /** U2: seeded stratified sample by order status; per-stratum achieved
     * counts. Sampling is partition-order-sensitive → no SQL oracle; the
     * driver records rows>0 and SamplingSpec asserts the rate. */
@@ -104,6 +124,7 @@ object Sources {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_csv_roundtrip"    -> (csvRoundtrip _),
+    "src_json_roundtrip"   -> (jsonRoundtrip _),
     "etl_stratified_sample" -> (stratifiedSample _),
     "etl_random_split"     -> (randomSplitSizes _),
     "agg_summary_stats"    -> (summaryStats _),
@@ -119,6 +140,14 @@ object Sources {
         |FROM supplier
         |GROUP BY s_nationkey
         |ORDER BY s_nationkey""".stripMargin,
+    "src_json_roundtrip" ->
+      """SELECT n_regionkey,
+        |  COUNT(*) AS n_nations,
+        |  MIN(n_name) AS first_nation,
+        |  MAX(n_nationkey) AS max_key
+        |FROM nation
+        |GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin,
     "agg_summary_exact" ->
       """SELECT COUNT(*) AS n_orders,
         |  MIN(o_totalprice) AS min_price,

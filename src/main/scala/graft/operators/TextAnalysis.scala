@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -168,6 +169,61 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Salted two-phase word count — the skew-safe twin of `wordCount`.
+    * Token frequency is Zipfian ("the" alone can be percent-scale of the
+    * stream), so any aggregation whose partial state does NOT collapse
+    * map-side (exact distinct, collect_*) hot-spots one reducer per hot
+    * key. The standard fix, expressed as a catalog operator: pre-aggregate
+    * on (key, salt) — salt = hash(doc_id) mod 16, deterministic — then
+    * merge per key. For plain counts the answer is provably identical to
+    * the direct plan (the oracle runs the UNSALTED SQL), which is exactly
+    * the property that makes salting safe to deploy. SkewSpec pins the
+    * same identity on a planted 99%-hot key. */
+  def saltedWordCount(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .withColumn("salt", pmod(hash(col("doc_id")), lit(16)))
+      .groupBy(col("word"), col("salt"))
+      .agg(count(lit(1)).as("pc"))
+      .groupBy(col("word"))
+      .agg(sum(col("pc")).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+  }
+
+  /** End-to-end training-corpus cleaning — the operators above composed
+    * the way a real LLM-data pipeline chains them: quality gate
+    * (word-count bounds + stopword-ratio cap, thresholds shared with
+    * `qualityScore`) → exact-dedup survivor (md5 fingerprint, first
+    * doc_id wins — a partitioned window on the fingerprint key) →
+    * per-(source, lang) yield stats. Everything is deterministic, so the
+    * WHOLE pipeline is one oracled SQL statement — composition introduces
+    * no new nondeterminism. Scale: projection-only until the dedup
+    * shuffle on fp; the window partitions by fp (real key, no global
+    * sort); final rollup is a tiny hash-agg. */
+  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val stop = Seq("the", "a")
+    val staged = d
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("n_stop", size(filter(col("toks"), t => t.isin(stop.map(lit(_)): _*))).cast("long"))
+      .withColumn("n_chars_m", length(col("text")).cast("long"))
+      .filter(col("n_words") >= 20 && col("n_words") <= 1000 &&
+        col("n_stop") * 10 < col("n_words") * 5)
+      .withColumn("fp", md5(trim(lower(col("text")))))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    staged.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        (sum(col("n_chars_m")).cast("double") / sum(col("n_words"))).as("chars_per_word"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   /** Pivot (wide reshape): doc counts per source × language. Pivot values
     * are declared explicitly — at scale, letting pivot() discover values
     * costs an extra distinct job and risks schema drift between runs. */
@@ -198,6 +254,8 @@ object TextAnalysis {
     "text_pivot_langs" -> (pivotLangs _),
     "text_unpivot_langs" -> (unpivotLangs _),
     "text_word_count"  -> (wordCount _),
+    "text_word_count_salted" -> (saltedWordCount _),
+    "pipe_corpus_clean" -> (corpusClean _),
     "text_token_stats" -> (tokenStats _),
     "text_quality"     -> (qualityScore _),
     "text_langid"      -> (langId _),
@@ -247,6 +305,35 @@ object TextAnalysis {
         |GROUP BY word
         |ORDER BY n DESC, word
         |LIMIT 20""".stripMargin,
+    // deliberately the UNSALTED query: salting must never change the answer
+    "text_word_count_salted" ->
+      """SELECT word, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE length(word) > 0
+        |GROUP BY word
+        |ORDER BY n DESC, word
+        |LIMIT 20""".stripMargin,
+    "pipe_corpus_clean" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lang, text,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS n_stop,
+        |    length(text) AS n_chars_m
+        |  FROM documents),
+        |q AS (
+        |  SELECT * FROM d
+        |  WHERE n_words >= 20 AND n_words <= 1000 AND n_stop * 10 < n_words * 5),
+        |dd AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY md5(trim(lower(text))) ORDER BY doc_id) AS rn
+        |  FROM q)
+        |SELECT source, lang,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_words) AS BIGINT) AS total_words,
+        |  CAST(SUM(n_chars_m) AS DOUBLE) / CAST(SUM(n_words) AS BIGINT) AS chars_per_word
+        |FROM dd WHERE rn = 1
+        |GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
     "text_token_stats" ->
       """WITH d AS (
         |  SELECT source,
