@@ -16,12 +16,14 @@ import graft.expressions.{DotProduct, PolyHash}
   * }}}
   *
   * (Per-session registration without the config is
-  * `graft.functions.VectorOps.registerSql(spark)`.) This is the
-  * SparkSessionExtensions surface the catalog would grow custom
-  * Rule/SparkStrategy injections on if an operator ever needs whole-plan
-  * treatment; for the current surface, function injection is all that's
-  * required (SURVEY.md §4: built-ins first, custom Catalyst with a
-  * measured reason).
+  * `graft.functions.VectorOps.registerSql(spark)` /
+  * `graft.plans.FoldGraftExpressions.register(spark)`.) Two extension
+  * tiers are injected here: the codegen'd functions and an optimizer
+  * `Rule[LogicalPlan]` that constant-folds them over literal inputs
+  * (SURVEY.md §4: built-ins first, custom Catalyst with a measured
+  * reason — the rule exists because custom expressions are not foldable
+  * by default, which blocks literal pushdown). The SparkStrategy tier
+  * lives in `graft.plans.AsOfJoinPlan`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -34,5 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_polyhash"),
       new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
       (exprs: Seq[Expression]) => PolyHash(exprs.head)))
+    // rule tier: constant-fold literal-input graft expressions so they
+    // compute once at optimization time and comparisons against them
+    // become pushdown-eligible literals (see FoldGraftExpressions)
+    e.injectOptimizerRule(_ => graft.plans.FoldGraftExpressions)
   }
 }

@@ -101,6 +101,29 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unexpected cartesian/nested-loop: $offenders")
   }
 
+  test("FoldGraftExpressions folds literal-input custom expressions at optimization time") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.expressions.PolyHash
+    import graft.plans.FoldGraftExpressions
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ FoldGraftExpressions
+    try {
+      val hashOfSpark = ColumnBridge.column(
+        PolyHash(ColumnBridge.expression(lit("spark"))))
+      val df = Tables.documents(spark, sf0001)
+        .filter(col("doc_id") % PolyHash.Prime === hashOfSpark)
+      val optimized = df.queryExecution.optimizedPlan
+      val unfolded = optimized.exists(p =>
+        p.expressions.exists(_.exists(_.isInstanceOf[PolyHash])))
+      assert(!unfolded, s"PolyHash survived optimization:\n$optimized")
+      val expected = PolyHash.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString("spark"))
+      assert(optimized.toString.contains(expected.toString),
+        s"folded literal $expected missing from plan:\n$optimized")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("whole-stage codegen covers the dot-product pair loop") {
     val df = Dedup.embeddingPairs(spark, sf0001)
     df.collect() // materialize so AQE finalizes stages and codegen is decided
