@@ -68,6 +68,23 @@ object Sources {
       .orderBy(col("n_regionkey"))
   }
 
+  /** S1 breadth: ORC roundtrip — the columnar alternative to parquet.
+    * ORC carries its own schema+stats like parquet (no explicit schema
+    * needed), so the roundtrip also proves the second columnar format
+    * preserves types bit-for-bit against the parquet-side oracle. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.region(spark, dir)
+    val out = s"${sys.props("java.io.tmpdir")}/graft_orc_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    src.write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .groupBy(lit(1).as("probe"))
+      .agg(
+        count(lit(1)).as("n_regions"),
+        min(col("r_name")).as("first_region"),
+        max(col("r_regionkey")).as("max_key"))
+      .orderBy(col("probe"))
+  }
+
   /** U2: seeded stratified sample by order status; per-stratum achieved
     * counts. Sampling is partition-order-sensitive → no SQL oracle; the
     * driver records rows>0 and SamplingSpec asserts the rate. */
@@ -125,6 +142,7 @@ object Sources {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_csv_roundtrip"    -> (csvRoundtrip _),
     "src_json_roundtrip"   -> (jsonRoundtrip _),
+    "src_orc_roundtrip"    -> (orcRoundtrip _),
     "etl_stratified_sample" -> (stratifiedSample _),
     "etl_random_split"     -> (randomSplitSizes _),
     "agg_summary_stats"    -> (summaryStats _),
@@ -140,6 +158,14 @@ object Sources {
         |FROM supplier
         |GROUP BY s_nationkey
         |ORDER BY s_nationkey""".stripMargin,
+    "src_orc_roundtrip" ->
+      """SELECT 1 AS probe,
+        |  COUNT(*) AS n_regions,
+        |  MIN(r_name) AS first_region,
+        |  MAX(r_regionkey) AS max_key
+        |FROM region
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "src_json_roundtrip" ->
       """SELECT n_regionkey,
         |  COUNT(*) AS n_nations,
