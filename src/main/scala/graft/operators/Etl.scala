@@ -217,6 +217,27 @@ object Etl {
       .orderBy(col("event_type"))
   }
 
+  /** Semi-structured VARIANT path (Spark 4): `parse_json` once into the
+    * shredded binary VARIANT encoding, then typed `variant_get` path
+    * access — the scale-preferred successor to per-access
+    * `get_json_object` text re-parsing (one parse per row, typed
+    * extraction, no string round-trips). The VARIANT itself stays
+    * intermediate (it has no stable external serialization to compare);
+    * the oracle checks the extracted values, which must equal the plain
+    * JSON-path numbers DuckDB reads. */
+  def variantExtract(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.withColumn("v", parse_json(col("props")))
+      .withColumn("k", variant_get(col("v"), "$.k", "bigint"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_dedup_first_order" -> (dedupFirstOrder _),
     "etl_dedup_dropdup"     -> (dedupDropDuplicates _),
@@ -227,7 +248,8 @@ object Etl {
     "etl_string_funcs"      -> (stringFuncs _),
     "etl_prefix_decode"     -> (prefixDecode _),
     "etl_decode_dim"        -> (decodeDim _),
-    "etl_json_extract"      -> (jsonExtract _)
+    "etl_json_extract"      -> (jsonExtract _),
+    "etl_variant_extract"   -> (variantExtract _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -355,6 +377,15 @@ object Etl {
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
         |  COUNT(*) AS n_paths_agree
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "etl_variant_extract" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin

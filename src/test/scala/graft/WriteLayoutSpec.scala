@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Write-side clustering for scan pruning (README scale stance): at 100 TB
+  * the cheapest filter is the one that never reads the file. Writing fact
+  * data range-partitioned + sorted on the filter key gives every output
+  * file a tight min/max envelope, so parquet footer stats (and any
+  * catalog-level file index) prune date-ranged scans to a few files.
+  * The property that makes this work is DISJOINT per-file key ranges —
+  * which is exactly what this spec asserts on a real write.
+  */
+class WriteLayoutSpec extends SparkSpec {
+
+  test("repartitionByRange + sortWithinPartitions yields disjoint per-file key ranges") {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_layout_orders"
+    Tables.orders(spark, sf0001)
+      .repartitionByRange(4, col("o_orderdate"))
+      .sortWithinPartitions(col("o_orderdate"))
+      .write.mode("overwrite").parquet(out)
+
+    val perFile = spark.read.parquet(out)
+      // epoch micros: timestamp round-trips as NTZ/LocalDateTime, longs
+      // compare portably
+      .groupBy(input_file_name().as("f"))
+      .agg(min(unix_micros(col("o_orderdate").cast("timestamp"))).as("lo"),
+           max(unix_micros(col("o_orderdate").cast("timestamp"))).as("hi"))
+      .collect()
+      .map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+
+    assert(perFile.length > 1, "range write produced a single file — nothing to prune")
+    perFile.foreach { case (lo, hi) => assert(lo <= hi) }
+    // disjoint envelopes: each file's min is >= the previous file's max
+    // (range partitioner boundaries may touch but must not interleave)
+    perFile.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) =>
+        assert(hiA <= loB, s"file ranges interleave: $hiA > $loB")
+      case _ =>
+    }
+  }
+
+  test("a date-ranged filter on the clustered layout pushes into the scan") {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_layout_orders"
+    val scan = spark.read.parquet(out)
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+    val plan = scan.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]].*"), s"no pushed filters:\n$plan")
+  }
+}
