@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -200,8 +199,11 @@ object TextAnalysis {
     * per-(source, lang) yield stats. Everything is deterministic, so the
     * WHOLE pipeline is one oracled SQL statement — composition introduces
     * no new nondeterminism. Scale: projection-only until the dedup
-    * shuffle on fp; the window partitions by fp (real key, no global
-    * sort); final rollup is a tiny hash-agg. */
+    * shuffle on fp, and the survivor is picked by a min(struct) HASH-agg
+    * (doc_id leads the struct, so lexicographic min = min-doc_id
+    * survivor) — map-side partials collapse duplicate clusters before the
+    * shuffle and nothing sorts, where the equivalent row_number() window
+    * would sort every partition; final rollup is a tiny hash-agg. */
   def corpusClean(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val stop = Seq("the", "a")
@@ -213,9 +215,12 @@ object TextAnalysis {
       .filter(col("n_words") >= 20 && col("n_words") <= 1000 &&
         col("n_stop") * 10 < col("n_words") * 5)
       .withColumn("fp", md5(trim(lower(col("text")))))
-    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-    staged.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    staged
+      .groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("source"), col("lang"),
+        col("n_words"), col("n_chars_m"))).as("s"))
+      .select(col("s.source").as("source"), col("s.lang").as("lang"),
+        col("s.n_words").as("n_words"), col("s.n_chars_m").as("n_chars_m"))
       .groupBy(col("source"), col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
