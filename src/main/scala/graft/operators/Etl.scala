@@ -217,6 +217,26 @@ object Etl {
       .orderBy(col("event_type"))
   }
 
+  /** MapType surface: build a map column from scalar pairs, then key
+    * access (`element_at`) and introspection (`map_keys`/`size`) — the
+    * column-type family the rest of the catalog doesn't otherwise touch.
+    * The oracle states the expected SEMANTICS directly (element_at of the
+    * just-built map IS the status column; the map has exactly 2 keys)
+    * rather than routing through DuckDB's MAP dialect, whose extract
+    * returns changed shapes across versions. */
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.withColumn("m", map(
+        lit("status"), col("o_orderstatus"),
+        lit("prio"), col("o_orderpriority")))
+      .withColumn("status_v", element_at(col("m"), "status"))
+      .withColumn("prio_v", element_at(col("m"), "prio"))
+      .withColumn("n_keys", size(map_keys(col("m"))).cast("long"))
+      .groupBy(col("status_v"), col("prio_v"))
+      .agg(count(lit(1)).as("n_orders"), max(col("n_keys")).as("max_keys"))
+      .orderBy(col("status_v"), col("prio_v"))
+  }
+
   /** Semi-structured VARIANT path (Spark 4): `parse_json` once into the
     * shredded binary VARIANT encoding, then typed `variant_get` path
     * access — the scale-preferred successor to per-access
@@ -249,7 +269,8 @@ object Etl {
     "etl_prefix_decode"     -> (prefixDecode _),
     "etl_decode_dim"        -> (decodeDim _),
     "etl_json_extract"      -> (jsonExtract _),
-    "etl_variant_extract"   -> (variantExtract _)
+    "etl_variant_extract"   -> (variantExtract _),
+    "etl_map_funcs"         -> (mapFuncs _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -380,6 +401,14 @@ object Etl {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "etl_map_funcs" ->
+      """SELECT o_orderstatus AS status_v,
+        |  o_orderpriority AS prio_v,
+        |  COUNT(*) AS n_orders,
+        |  CAST(2 AS BIGINT) AS max_keys
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "etl_variant_extract" ->
       """SELECT event_type,
         |  COUNT(*) AS n_events,

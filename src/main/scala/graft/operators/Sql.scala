@@ -57,15 +57,44 @@ object Sql {
     spark.sql(sql)
   }
 
+  /** Custom-expression-from-SQL-text: the codegen'd `graft_dot` Expression
+    * called by a plain SQL string (functionRegistry path — the same
+    * builder GraftExtensions injects at session build). Self-dot of every
+    * 20th embedding; the fold is left-to-right, so DuckDB's sequential
+    * list_reduce reproduces the doubles bit-for-bit. Proves SQL-text
+    * users get the whole extension surface, not just the Column API. */
+  private def graftDotSql(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorOps.registerSql(spark)
+    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
+    spark.sql(
+      """SELECT vec_id,
+        |  graft_dot(CAST(embedding AS ARRAY<DOUBLE>),
+        |            CAST(embedding AS ARRAY<DOUBLE>)) AS self_dot
+        |FROM embeddings
+        |WHERE vec_id % 20 = 0
+        |ORDER BY vec_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_cte_rank_topk" ->
       ((s, dir) => run(s, dir, rankSql, Seq("orders", "customer"))),
     "sql_rate_nullif" ->
-      ((s, dir) => run(s, dir, rateSql, Seq("orders")))
+      ((s, dir) => run(s, dir, rateSql, Seq("orders"))),
+    "sql_graft_dot" -> (graftDotSql _)
   )
 
   val oracle: Map[String, String] = Map(
     "sql_cte_rank_topk" -> rankSql,
-    "sql_rate_nullif"   -> rateSql
+    "sql_rate_nullif"   -> rateSql,
+    "sql_graft_dot" ->
+      """SELECT vec_id,
+        |  list_reduce(
+        |    list_prepend(0.0::DOUBLE,
+        |      list_transform(list_zip(embedding::DOUBLE[], embedding::DOUBLE[]),
+        |                     z -> z[1] * z[2])),
+        |    (x, y) -> x + y) AS self_dot
+        |FROM embeddings
+        |WHERE vec_id % 20 = 0
+        |ORDER BY vec_id""".stripMargin
   )
 }
