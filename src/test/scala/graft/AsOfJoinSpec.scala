@@ -51,6 +51,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(viaCustomExec(dir) == viaComposition(dir))
   }
 
+  test("asofJoin rejects non-BIGINT key/ts at analysis time") {
+    val e = Tables.events(spark, sf0001)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts")) // ts: TIMESTAMP, not BIGINT
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user_id"),
+        col("ts").as("p_ts"))
+    val ex = intercept[IllegalArgumentException] {
+      AsOfJoinPlan.asofJoin(clicks, purchases,
+        clicks("user_id"), clicks("ts"),
+        purchases("p_user_id"), purchases("p_ts"))
+    }
+    assert(ex.getMessage.contains("BIGINT"), ex.getMessage)
+  }
+
   test("physical plan shows the custom exec with co-clustered exchanges") {
     val e = Tables.events(spark, sf0001).withColumn("ts_us", unix_micros(col("ts")))
     val clicks = e.filter(col("event_type") === "click")
