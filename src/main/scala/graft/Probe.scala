@@ -34,14 +34,21 @@ object Probe {
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       }
     } else {
-      time("minhash full")(operators.Dedup.minhashLsh(spark, dir).count())
-      time("minhash full 2nd")(operators.Dedup.minhashLsh(spark, dir).count())
-      time("ngram full")(operators.Dedup.ngramJaccard(spark, dir).count())
-      time("embedding lsh")(operators.Dedup.embeddingLsh(spark, dir).count())
-      time("fingerprint")(operators.TextAnalysis.fingerprint(spark, dir).count())
-      time("anti join")(operators.Joins.antiUnsoldParts(spark, dir).count())
-      time("tfidf")(operators.TextAnalysis.tfidfTopTerms(spark, dir).count())
-      time("corpus clean")(operators.TextAnalysis.corpusClean(spark, dir).count())
+      // each heavy entry twice: run 1 = plan+codegen+execute, run 2 ≈ pure
+      // execution (codegen cache warm) — the gap is the compile floor
+      Seq[(String, () => Long)](
+        "minhash" -> (() => operators.Dedup.minhashLsh(spark, dir).count()),
+        "ngram" -> (() => operators.Dedup.ngramJaccard(spark, dir).count()),
+        "embedding lsh" -> (() => operators.Dedup.embeddingLsh(spark, dir).count()),
+        "knn ivf" -> (() => operators.Similarity.knnIvf(spark, dir).count()),
+        "fingerprint" -> (() => operators.TextAnalysis.fingerprint(spark, dir).count()),
+        "tfidf" -> (() => operators.TextAnalysis.tfidfTopTerms(spark, dir).count()),
+        "corpus clean" -> (() => operators.TextAnalysis.corpusClean(spark, dir).count()),
+        "salted wc" -> (() => operators.TextAnalysis.saltedWordCount(spark, dir).count()),
+        "sessionization" -> (() => operators.Events.sessionization(spark, dir).count())
+      ).foreach { case (n, f) =>
+        time(s"$n cold")(f()); time(s"$n warm")(f())
+      }
     }
     spark.stop()
   }
