@@ -128,17 +128,16 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** SimHash clustering: portable word hash (char fold: acc*31+ascii mod
-    * 1e9+7), 16 sign-summed bits per doc, exact-signature clusters with >1
-    * member. Near-identical docs collapse to the same 16-bit signature. */
-  def simhashClusters(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc 16-bit simhash signature (doc_id, simhash): portable word
+    * hash (char fold: acc*31+ascii mod 1e9+7, codegen'd PolyHash —
+    * identical to the ascii-per-char HOF fold, mirrored in the oracle by
+    * list_reduce since DuckDB's list_reduce is 2-arg), 16 sign-summed
+    * bits. 16 bits keeps the signature oracle-portable at demo scale; a
+    * production corpus uses 64 bits with the same code shape. */
+  private def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val words = d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-    // codegen'd polynomial code-point fold (graft.expressions.PolyHash) —
-    // identical to the ascii-per-char HOF fold, mirrored in the oracle by
-    // list_reduce(list_prepend(0, codes), ...) since DuckDB's list_reduce
-    // is 2-arg
     val h = org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.expressions.PolyHash(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("w"))))
@@ -148,13 +147,47 @@ object Dedup {
     val sums = hashed.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
     val simhash = (0 until 16).map(j =>
       when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-    sums.withColumn("simhash", simhash)
+    sums.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** SimHash clustering: exact-signature clusters with >1 member —
+    * near-identical docs collapse to the same signature. */
+  def simhashClusters(spark: SparkSession, dir: String): DataFrame =
+    simhashSigs(spark, dir)
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("n_docs"),
            min(col("doc_id")).as("min_doc"),
            max(col("doc_id")).as("max_doc"))
       .filter(col("n_docs") > 1)
       .orderBy(col("simhash"))
+
+  /** True simhash NEAR-dup matching (Manku-style): pairs within Hamming
+    * distance 1, found WITHOUT an all-pairs scan. The 16-bit signature
+    * splits into two 8-bit blocks; by pigeonhole, any pair differing in
+    * ≤1 bit agrees exactly on at least one block, so block equality is a
+    * COMPLETE candidate generator — an equi-join like every other dedup
+    * path here (work = Σ block-bucket², never |docs|²). Candidates verify
+    * with codegen'd `bit_count(xor)`. At 64 bits the same shape runs
+    * k+1 blocks for Hamming ≤ k. */
+  def simhashHamming(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = simhashSigs(spark, dir).cache()
+    val blocks = sigs.select(col("doc_id"), col("simhash"), explode(array(
+      (0 until 2).map(b => struct(
+        lit(b).as("block_idx"),
+        (shiftright(col("simhash"), b * 8) % 256).as("block_val"))): _*
+    )).as("blk")).select(col("doc_id"), col("simhash"),
+      col("blk.block_idx"), col("blk.block_val"))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.block_idx") === col("b.block_idx") &&
+        col("a.block_val") === col("b.block_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= 1)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Embedding-cosine near-dups via banded sign-LSH — the scale path.
@@ -216,6 +249,7 @@ object Dedup {
     "dedup_minhash_lsh"     -> (minhashLsh _),
     "dedup_ngram_jaccard"   -> (ngramJaccard _),
     "dedup_simhash"         -> (simhashClusters _),
+    "dedup_simhash_hamming" -> (simhashHamming _),
     "dedup_embedding_lsh"   -> (embeddingLsh _)
   )
 
@@ -300,6 +334,33 @@ object Dedup {
         |SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         |FROM sig GROUP BY simhash HAVING COUNT(*) > 1
         |ORDER BY simhash""".stripMargin,
+    "dedup_simhash_hamming" ->
+      s"""WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0::BIGINT, list_transform(string_split(w, ''), ch -> ascii(ch)::BIGINT)),
+        |                (acc, a) -> (acc * 31 + a) % $P) AS h
+        |  FROM words WHERE length(w) > 0),
+        |sums AS (
+        |  SELECT doc_id,
+        |    $simhashBitSums
+        |  FROM hashed GROUP BY doc_id),
+        |sig AS (SELECT doc_id, CAST($simhashExpr AS BIGINT) AS simhash FROM sums),
+        |blocks AS (
+        |  SELECT doc_id, simhash, 0 AS block_idx, (simhash >> 0) % 256 AS block_val FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, simhash, 1 AS block_idx, (simhash >> 8) % 256 AS block_val FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.simhash AS ha, b.simhash AS hb
+        |  FROM blocks a JOIN blocks b
+        |    ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+        |   AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(ha, hb)) <= 1
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embedding_lsh" ->
       s"""WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
