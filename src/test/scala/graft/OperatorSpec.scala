@@ -31,6 +31,24 @@ class OperatorSpec extends SparkSpec {
     assert(capped.count() > 0, "trivially empty ngram-Jaccard output")
   }
 
+  test("Observation metrics ride the query instead of a second scan (A10 at scale)") {
+    // count-audit the production way: df.observe attaches aggregates to the
+    // running query — one scan yields data AND audit counters, where a
+    // separate .count() would re-read the table (2× scan at 100 TB);
+    // identical API on streaming queries via QueryProgress events
+    import org.apache.spark.sql.Observation
+    val obs = Observation("audit")
+    val df = Tables.orders(spark, sf0001)
+      .observe(obs, count(lit(1)).as("n_rows"), sum(col("o_totalprice")).as("sum_price"))
+      .filter(col("o_totalprice") > 0.0)
+    val kept = df.count()
+    val metrics = obs.get
+    assert(metrics("n_rows").asInstanceOf[Long] == 1500L,
+      s"observed n_rows ${metrics("n_rows")}") // observe sits below the filter
+    assert(metrics("sum_price").asInstanceOf[Double] > 0.0)
+    assert(kept <= 1500L)
+  }
+
   test("Det.dsum is exact at cents resolution (0.1+0.1+0.1 == 0.3)") {
     import spark.implicits._
     val df = Seq(0.1, 0.1, 0.1).toDF("x")
