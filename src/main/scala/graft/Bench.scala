@@ -19,7 +19,11 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release intra-query caches OUTSIDE the timed window: keeps each
+      // timing self-contained and the process footprint one-query-bounded
+      spark.catalog.clearCache()
+      name -> dt
     }
     // Round per-query times to ms — the single-run variance floor (~±50%)
     // dwarfs 1 ms, and short numbers keep the JSON line small.
