@@ -52,15 +52,23 @@ object Dedup {
     * exact Jaccard verification ≥ 0.7. The standard scale pipeline: the
     * only join key is the band signature, so work is Σ(bucket size²) over
     * near-dup buckets, never |docs|²; 16-bit lanes only add band collisions,
-    * which the exact-Jaccard stage filters. */
+    * which the exact-Jaccard stage filters.
+    *
+    * The signature stage is a pure PROJECTION: `transform` hashes each
+    * shingle in place and `array_min(transform(...))` takes each lane's
+    * minimum per doc — higher-order functions over the shingle array, no
+    * explode, no hash-agg, NO SHUFFLE. (The previous formulation exploded
+    * shingles ×~|doc| rows and aggregated them back; per-doc minima never
+    * needed cross-row work in the first place.) The band self-join is the
+    * pipeline's only wide stage. Docs with <3 words get null lanes, which
+    * can never equal another band value, matching the explode
+    * formulation's drop-the-doc behavior. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir).cache()
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
-      .withColumn("h", md5(col("g")))
-    val sigCols = (0 until NumHashes).map(i => min(substring(col("h"), 4 * i + 1, 4)).as(s"s$i"))
-    // cached: the band self-join below would otherwise recompute the whole
-    // shingle→hash→agg pipeline once per join side
-    val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*).cache()
+    val sig = sh
+      .select(col("doc_id"), transform(col("shingles"), g => md5(g)).as("hs"))
+      .select(col("doc_id") +: (0 until NumHashes).map(i =>
+        array_min(transform(col("hs"), h => substring(h, 4 * i + 1, 4))).as(s"s$i")): _*)
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until NumHashes / 2).map(b =>
         struct(lit(b).as("band_idx"), concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("band_val"))): _*
