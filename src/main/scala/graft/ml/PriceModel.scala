@@ -116,18 +116,28 @@ object PriceModel {
     baseline +: fitted
   }
 
-  /** M14 introspection (ref 04:302-314): top-k RF feature importances as
-    * (feature_index, importance), descending. Importances live on the
-    * fitted model (driver-side by construction in MLlib). */
-  def rfFeatureImportances(spark: SparkSession, dir: String, k: Int = 15): Seq[(Int, Double)] = {
+  /** M14 introspection (ref 04:302-314): top-k tree-ensemble feature
+    * importances as (feature_index, importance), descending — RF or GBT
+    * (the reference inspects both). Importances live on the fitted model
+    * (driver-side by construction in MLlib). */
+  def treeFeatureImportances(spark: SparkSession, dir: String,
+                             regressor: String = "rf", k: Int = 15): Seq[(Int, Double)] = {
     val data = trainingFrame(spark, dir).cache()
     val Array(train, _) = data.randomSplit(Array(0.7, 0.3), seed = 42)
-    val model = pipeline("rf").fit(train)
-    val rf = model.stages.last
-      .asInstanceOf[org.apache.spark.ml.regression.RandomForestRegressionModel]
-    rf.featureImportances.toArray.zipWithIndex
+    val model = pipeline(regressor).fit(train)
+    val importances = model.stages.last match {
+      case m: org.apache.spark.ml.regression.RandomForestRegressionModel => m.featureImportances
+      case m: org.apache.spark.ml.regression.GBTRegressionModel => m.featureImportances
+      case other => throw new IllegalArgumentException(
+        s"no feature importances on ${other.getClass.getSimpleName}")
+    }
+    importances.toArray.zipWithIndex
       .map { case (imp, i) => (i, imp) }
       .sortBy { case (i, imp) => (-imp, i) }
       .take(k).toSeq
   }
+
+  /** Backwards-compatible RF alias. */
+  def rfFeatureImportances(spark: SparkSession, dir: String, k: Int = 15): Seq[(Int, Double)] =
+    treeFeatureImportances(spark, dir, "rf", k)
 }

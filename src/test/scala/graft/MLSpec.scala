@@ -28,12 +28,19 @@ class MLSpec extends SparkSpec {
     assert(gbt.r2 > 0.0, s"gbt r2 ${gbt.r2} not positive")
   }
 
-  test("RF feature importances: top-k non-negative, sorted, sums <= 1") {
-    val imps = PriceModel.rfFeatureImportances(spark, sf0001, k = 15)
+  private def assertImportancesSane(imps: Seq[(Int, Double)]): Unit = {
     assert(imps.nonEmpty)
     assert(imps.forall(_._2 >= 0.0))
     assert(imps.map(_._2) == imps.map(_._2).sorted.reverse, "not descending")
     assert(imps.map(_._2).sum <= 1.0 + 1e-9)
     assert(imps.head._2 > 0.0, "no feature carries any importance")
+  }
+
+  test("RF feature importances: top-k non-negative, sorted, sums <= 1") {
+    assertImportancesSane(PriceModel.treeFeatureImportances(spark, sf0001, "rf", k = 15))
+  }
+
+  test("GBT feature importances: top-k non-negative, sorted, sums <= 1 (M14)") {
+    assertImportancesSane(PriceModel.treeFeatureImportances(spark, sf0001, "gbt", k = 15))
   }
 }
