@@ -101,6 +101,41 @@ object Joins {
       .orderBy(col("band"))
   }
 
+  /** Bucketed co-located join — the data-layout lever as a USER-FACING
+    * operator, not just a spec: both sides are written bucketed+sorted on
+    * the join key (`bucketBy(8).sortBy`), so the join reads pre-shuffled,
+    * pre-sorted buckets and plans a sort-merge join with NO exchange on
+    * either side (BucketingSpec pins the plan property; this entry pins
+    * result equivalence via the plain-join oracle). At 100 TB: the fact
+    * shuffle is paid once at write time, then every keyed join is free. */
+  /** Drop `name` AND its managed location: the in-memory catalog forgets
+    * tables between JVMs while the warehouse directory persists, and
+    * saveAsTable refuses to create a table over an orphaned location. */
+  private def freshTable(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  def bucketedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    freshTable(spark, s"g_orders_b$safe")
+    freshTable(spark, s"g_cust_b$safe")
+    Tables.orders(spark, dir).write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(s"g_orders_b$safe")
+    Tables.customer(spark, dir).write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(s"g_cust_b$safe")
+    spark.table(s"g_orders_b$safe")
+      .join(spark.table(s"g_cust_b$safe"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Full-outer join: per-nation rich-customer counts vs supplier balances —
     * filters make each side miss some nations, so both null-padded sides are
     * exercised; keys recombined via coalesce. */
@@ -123,7 +158,8 @@ object Joins {
     "join_semi_active_cust"   -> (semiActiveCustomers _),
     "join_anti_unsold_parts"  -> (antiUnsoldParts _),
     "join_range_price_bands"  -> (rangePriceBands _),
-    "join_full_outer_nation"  -> (fullOuterNation _)
+    "join_full_outer_nation"  -> (fullOuterNation _),
+    "join_bucketed_revenue"   -> (bucketedRevenue _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -175,6 +211,13 @@ object Joins {
         |  COALESCE(supp_acctbal, 0.0) AS supp_acctbal
         |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
         |ORDER BY nationkey""".stripMargin,
+    "join_bucketed_revenue" ->
+      """SELECT c_mktsegment,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "join_range_price_bands" ->
       """WITH bands(band, lo, hi) AS (VALUES
         |  ('budget', 0.0, 500.0), ('standard', 500.0, 1000.0),
