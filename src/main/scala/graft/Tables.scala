@@ -18,10 +18,12 @@ object Tables {
     *
     * The harness parquet files are single-row-group, so a scan yields ONE
     * task no matter how many cores exist — and every narrow pipeline above
-    * it (shingling, hashing, regex) inherits that single thread. At real
-    * scale files carry many row groups and scans already produce ≥cores
-    * partitions, making this a no-op; the guard means we never pay a
-    * gratuitous full-table shuffle on data that is already spread.
+    * it (shingling, hashing, regex) inherits that single thread. The
+    * repartition is CONF-GATED, not inferred: `graft.fanOutSmallScans`
+    * defaults to true for the harness layout; a deployment whose files
+    * already split into ≥cores partitions sets it to false and pays no
+    * shuffle (inspecting the scan to decide automatically would force
+    * physical planning on every load — the round-1 `df.rdd` mistake).
     *
     * Applied ONLY to tables whose downstream per-row work is expensive
     * (documents: regex/shingling/digests; embeddings: vector folds). For
@@ -38,6 +40,17 @@ object Tables {
       df.repartition(spark.sparkContext.defaultParallelism)
     else df
   }
+
+  /** Scratch location/name for operators that materialize to disk or the
+    * catalog (csv/json/orc roundtrips, bucketed tables): one shared
+    * sanitization scheme, keyed by tag + source dir so different sfs never
+    * collide. */
+  def scratchName(tag: String, dir: String): String =
+    s"graft_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+
+  /** Same, as an absolute tmp path. */
+  def scratchPath(tag: String, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/${scratchName(tag, dir)}"
 
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")

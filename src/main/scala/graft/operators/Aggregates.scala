@@ -85,9 +85,11 @@ object Aggregates {
   /** Approximate-distinct twin of A2 (HLL++). The raw estimates can't be
     * hash-oracled (DuckDB's sketch differs), but the entry's INVARIANTS
     * can: output the exact distincts plus a boolean per key asserting the
-    * HLL estimate landed within 10% of exact (2× the default 5% rsd —
-    * HLL++ is deterministic for a given dataset, so the flag is stable,
-    * and the oracle pins it TRUE alongside the exact counts). */
+    * HLL estimate landed within 25% of exact (5× the default 5% rsd:
+    * HLL++ is deterministic for a given dataset so the flag is stable,
+    * but the oracle pins it TRUE, and a regenerated dataset must not be
+    * able to flip a ~2σ flag — the invariant is "sketch sane", not
+    * "sketch lucky"). */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     li.groupBy(col("l_returnflag"))
@@ -97,8 +99,8 @@ object Aggregates {
         approx_count_distinct(col("l_partkey")).as("ap"),
         approx_count_distinct(col("l_suppkey")).as("asup"))
       .select(col("l_returnflag"), col("n_parts"), col("n_supps"),
-        (abs(col("ap") - col("n_parts")) <= col("n_parts") * 0.1).as("parts_ok"),
-        (abs(col("asup") - col("n_supps")) <= col("n_supps") * 0.1).as("supps_ok"))
+        (abs(col("ap") - col("n_parts")) <= col("n_parts") * 0.25).as("parts_ok"),
+        (abs(col("asup") - col("n_supps")) <= col("n_supps") * 0.25).as("supps_ok"))
       .orderBy(col("l_returnflag"))
   }
 

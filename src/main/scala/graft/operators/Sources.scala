@@ -22,8 +22,7 @@ import graft.functions.Det._
   */
 object Sources {
 
-  private def csvDir(dir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+  private def csvDir(dir: String): String = Tables.scratchPath("csv", dir)
 
   /** S1/S3: supplier → CSV (header, quoted) → explicit-schema PERMISSIVE
     * read → per-nation aggregate. Oracle runs the same aggregate on the
@@ -55,7 +54,7 @@ object Sources {
     * original parquet, so any serialization loss hash-mismatches. */
   def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.nation(spark, dir)
-    val out = s"${sys.props("java.io.tmpdir")}/graft_json_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val out = Tables.scratchPath("json", dir)
     src.write.mode("overwrite").json(out)
     spark.read
       .schema(src.schema) // explicit, never inferred
@@ -74,7 +73,7 @@ object Sources {
     * preserves types bit-for-bit against the parquet-side oracle. */
   def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.region(spark, dir)
-    val out = s"${sys.props("java.io.tmpdir")}/graft_orc_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val out = Tables.scratchPath("orc", dir)
     src.write.mode("overwrite").orc(out)
     spark.read.orc(out)
       .groupBy(lit(1).as("probe"))

@@ -61,7 +61,14 @@ object StatefulSessions {
       else if (t - cur.lastUs > GapUs) {
         out += Session(user, cur.startUs, cur.lastUs, cur.n, cur.sum)
         cur = SessionState(t, t, 1, e.value)
-      } else cur = SessionState(cur.startUs, t, cur.n + 1, cur.sum + e.value)
+      } else {
+        // max(), not t: rows are sorted per batch but a LATER batch can
+        // deliver an in-watermark straggler older than the open session's
+        // end — overwriting lastUs would regress the session boundary and
+        // re-arm the flush timeout too early
+        cur = SessionState(math.min(cur.startUs, t), math.max(cur.lastUs, t),
+          cur.n + 1, cur.sum + e.value)
+      }
     }
     if (cur != null) state.update(cur)
     out.result().iterator

@@ -12,14 +12,19 @@ import org.apache.spark.sql.functions._
   */
 class WriteLayoutSpec extends SparkSpec {
 
-  test("repartitionByRange + sortWithinPartitions yields disjoint per-file key ranges") {
+  // shared fixture: written once on first access, so each test is
+  // self-contained (no hidden test-ordering dependency)
+  private lazy val layoutPath: String = {
     val out = s"${sys.props("java.io.tmpdir")}/graft_layout_orders"
     Tables.orders(spark, sf0001)
       .repartitionByRange(4, col("o_orderdate"))
       .sortWithinPartitions(col("o_orderdate"))
       .write.mode("overwrite").parquet(out)
+    out
+  }
 
-    val perFile = spark.read.parquet(out)
+  test("repartitionByRange + sortWithinPartitions yields disjoint per-file key ranges") {
+    val perFile = spark.read.parquet(layoutPath)
       // epoch micros: timestamp round-trips as NTZ/LocalDateTime, longs
       // compare portably
       .groupBy(input_file_name().as("f"))
@@ -41,8 +46,7 @@ class WriteLayoutSpec extends SparkSpec {
   }
 
   test("a date-ranged filter on the clustered layout pushes into the scan") {
-    val out = s"${sys.props("java.io.tmpdir")}/graft_layout_orders"
-    val scan = spark.read.parquet(out)
+    val scan = spark.read.parquet(layoutPath)
       .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
     val plan = scan.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
