@@ -87,8 +87,11 @@ class PlanSpec extends SparkSpec {
     // text_tfidf crossJoins a broadcast 1-row aggregate (the in-plan scalar
     // pattern replacing a driver .count(), SURVEY.md A4/A9) — constant-size
     // build side, legal at any scale
+    // sim_knn_ivf crossJoins the |Q|-row query set against the broadcast
+    // k-row centroid relation (both constant-size) to derive multi-probe
+    // cells — legal at any corpus size
     val allowedNestedLoop =
-      Set("sim_knn_brute", "sim_knn_lsh", "text_tfidf", "win_ntile_tiers")
+      Set("sim_knn_brute", "sim_knn_lsh", "sim_knn_ivf", "text_tfidf", "win_ntile_tiers")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
@@ -99,6 +102,39 @@ class PlanSpec extends SparkSpec {
       else None
     }
     assert(offenders.isEmpty, s"unexpected cartesian/nested-loop: $offenders")
+  }
+
+  test("ANN entries never hint-broadcast a corpus-proportional side") {
+    // round-2 verdict item #1: a broadcast hint on a side that grows with
+    // the corpus OOMs the driver at 100 TB. Only constant-size sides may be
+    // hinted: brute's fixed-budget query set, ivf's k-row centroid relation.
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, ResolvedHint}
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    def hints(df: DataFrame): Seq[ResolvedHint] =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    // lsh: bucket equi-join must be hint-free (AQE's choice)
+    assert(hints(Similarity.knnLsh(spark, sf0001)).isEmpty,
+      "sim_knn_lsh carries a broadcast hint")
+    // ivf: the only hinted subtree is the centroid LocalRelation (k rows)
+    val ivfHints = hints(Similarity.knnIvf(spark, sf0001))
+    assert(ivfHints.nonEmpty)
+    ivfHints.foreach { h =>
+      assert(h.child.collectFirst { case l: LocalRelation => l }.isDefined &&
+        h.child.collectFirst {
+          case r if r.nodeName.contains("Relation") && !r.isInstanceOf[LocalRelation] => r
+        }.isEmpty,
+        s"sim_knn_ivf hints a non-local side:\n${h.child}")
+    }
+    // brute: exactly one hint, and its subtree filters to the fixed budget
+    val bruteHints = hints(Similarity.knnBrute(spark, sf0001))
+    assert(bruteHints.size == 1)
+    def hasBudgetFilter(p: LogicalPlan): Boolean = p.exists(_.expressions.exists(_.exists {
+      case l: org.apache.spark.sql.catalyst.expressions.LessThan =>
+        l.right.toString.contains(Similarity.QueryBudget.toString)
+      case _ => false
+    }))
+    assert(hasBudgetFilter(bruteHints.head.child),
+      s"sim_knn_brute broadcast side is not budget-bounded:\n${bruteHints.head.child}")
   }
 
   test("FoldGraftExpressions folds literal-input custom expressions at optimization time") {

@@ -27,11 +27,13 @@ class SimilaritySpec extends SparkSpec {
       (got intersect brute(q)).size.toDouble / brute(q).size
     }
     val recall = recalls.sum / recalls.size
+    info(s"IVF multi-probe (nprobe=${Similarity.NProbe}) recall@3 = $recall")
     // The test embeddings are uniform random, which caps how often true
-    // neighbors share a cell; the gate is therefore "clearly above the
-    // 1/16 ≈ 0.06 random-assignment floor", not a production recall bar
-    // (real corpora cluster, random ones don't).
-    assert(recall >= 0.10, s"IVF recall@3 $recall not above random floor")
+    // neighbors share a cell (real corpora cluster, random ones don't).
+    // nprobe=1 measured ~0.2 on this corpus (r2 gate: 0.10 over the 1/16
+    // random floor); nprobe=3 measured ~0.6 — gate at 0.35, comfortably
+    // above anything single-probe can deliver, robust to regeneration.
+    assert(recall >= 0.35, s"IVF multi-probe recall@3 $recall below floor")
   }
 
   test("banded embedding LSH: subset of brute pairs, identical cosines, recall above floor") {
