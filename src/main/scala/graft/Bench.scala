@@ -48,12 +48,15 @@ object Bench {
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // bench must never fail on a file sink
     // The driver captures only the TAIL of stdout (~2 KB): round 1's single
-    // ~3 KB line lost its head and the total was recorded as parsed:null.
-    // The LAST line must therefore survive tail-truncation intact: emit the
-    // full record last when it fits comfortably, else the full record first
-    // (best effort) followed by a short guaranteed-parseable total line.
-    if (full.length <= 1600) println(full)
-    else { println(full); println(line("{}")) }
+    // ~3 KB line lost its head and the total was recorded as parsed:null;
+    // round 2's tail survived but still parsed null (suspected sbt [info]
+    // framing noise around it). Defense: print the full record (best
+    // effort), stop Spark so its shutdown chatter can't land after us, then
+    // emit the short guaranteed-parseable total line as the VERY LAST
+    // flushed stdout write of the process.
+    println(full)
     spark.stop()
+    println(line("{}"))
+    System.out.flush()
   }
 }

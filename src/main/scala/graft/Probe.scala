@@ -36,18 +36,22 @@ object Probe {
       // have blown up on |corpus|² regardless of cluster structure.
       import org.apache.spark.sql.functions._
       val n = sys.env("SPARK_GRAFT_AMPLIFY").toInt
-      val amp = s"${sys.props("java.io.tmpdir")}/graft_amplified_$n"
+      // scratch dir keyed by source dir too (not just N), and copy offset
+      // wide enough (2^40) that amplified ids can't collide with real ids
+      // at any plausible sf — a collision would corrupt the measurement
+      val amp = Tables.scratchPath(s"amplified_$n", dir)
+      val CopyOffset = 1L << 40
       val d = Tables.documents(spark, dir)
       d.crossJoin(spark.range(n).select(col("id").as("copy")))
         .select(
-          (col("doc_id") + col("copy") * 10000000L).as("doc_id"),
+          (col("doc_id") + col("copy") * CopyOffset).as("doc_id"),
           concat(col("text"), lit(" salt"), col("copy")).as("text"),
           col("lang"), col("source"))
         .write.mode("overwrite").parquet(s"$amp/documents.parquet")
       val e = Tables.embeddings(spark, dir)
       e.crossJoin(spark.range(n).select(col("id").as("copy")))
         .select(
-          (col("vec_id") + col("copy") * 10000000L).as("vec_id"),
+          (col("vec_id") + col("copy") * CopyOffset).as("vec_id"),
           col("label"),
           transform(col("embedding"),
             (x, i) => x + when(i === 0, col("copy").cast("float") * 0.01f)

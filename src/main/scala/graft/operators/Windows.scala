@@ -60,9 +60,15 @@ object Windows {
     * percentile cutoffs → here an in-plan broadcast relation). */
   def ntileTiers(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    // cutoffs rounded to 6 (the module's libm/fold-order determinism rule,
+    // cf. grandAvgDiff): Spark's percentile and DuckDB's quantile_cont use
+    // different interpolation formulas that can differ in the last ulp —
+    // a price landing exactly on an unrounded cutoff would flip tiers in
+    // one engine only. Prices have 2 decimals, so round-6 can't move a
+    // cutoff across a data value.
     val cuts = o.agg(
-      percentile(col("o_totalprice"), lit(1.0 / 3)).as("c1"),
-      percentile(col("o_totalprice"), lit(2.0 / 3)).as("c2"))
+      round(percentile(col("o_totalprice"), lit(1.0 / 3)), 6).as("c1"),
+      round(percentile(col("o_totalprice"), lit(2.0 / 3)), 6).as("c2"))
     o.crossJoin(broadcast(cuts))
       .withColumn("tier",
         when(col("o_totalprice") <= col("c1"), 1L)
@@ -161,8 +167,8 @@ object Windows {
         |ORDER BY o_orderpriority""".stripMargin,
     "win_ntile_tiers" ->
       """WITH cuts AS (
-        |  SELECT quantile_cont(o_totalprice, 1.0/3) AS c1,
-        |         quantile_cont(o_totalprice, 2.0/3) AS c2
+        |  SELECT ROUND(quantile_cont(o_totalprice, 1.0/3), 6) AS c1,
+        |         ROUND(quantile_cont(o_totalprice, 2.0/3), 6) AS c2
         |  FROM orders)
         |SELECT CAST(CASE WHEN o_totalprice <= c1 THEN 1
         |                 WHEN o_totalprice <= c2 THEN 2

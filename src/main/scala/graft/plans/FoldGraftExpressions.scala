@@ -37,7 +37,15 @@ object FoldGraftExpressions extends Rule[LogicalPlan] {
       Literal.create(d.eval(null), d.dataType)
   }
 
-  /** Idempotent per-session registration without the extensions config. */
+  /** Idempotent per-session registration without the extensions config.
+    *
+    * Guarantee caveat: `experimental.extraOptimizations` runs in the
+    * 'User Provided Optimizers' batch AFTER the operator-optimization
+    * fixed point, so on this path the literal IS folded but the resulting
+    * comparison is NOT re-pushed into the scan. Only the config path
+    * (`spark.sql.extensions=graft.GraftExtensions`, injectOptimizerRule)
+    * runs early enough for the scaladoc's pushdown win; ExtensionsSpec
+    * covers that session shape, PlanSpec covers folding here. */
   def register(spark: SparkSession): Unit =
     if (!spark.experimental.extraOptimizations.contains(FoldGraftExpressions))
       spark.experimental.extraOptimizations =

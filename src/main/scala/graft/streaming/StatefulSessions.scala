@@ -52,25 +52,32 @@ object StatefulSessions {
       state.remove()
       return Iterator.single(Session(user, s.startUs, s.lastUs, s.n, s.sum))
     }
+    // Gaps-and-islands over interval ATOMS — the open session (if any) plus
+    // this batch's events — rather than a one-sided fold onto the open
+    // session. This handles in-watermark stragglers on BOTH sides of the
+    // open session: an event within the gap extends it (min/max boundary),
+    // and an event more than GapUs BEFORE its start forms its own earlier
+    // session (emitted immediately) instead of being silently merged
+    // (round-2 advice). Known limit of eager emission: an emitted session
+    // is final, so a LATER batch's straggler adjacent to an already-emitted
+    // session stays split where the batch oracle would merge.
     val evs = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
+    val atoms = (state.getOption.toArray ++ evs.map { e =>
+        val t = micros(e.ts); SessionState(t, t, 1, e.value)
+      }).sortBy(a => (a.startUs, a.lastUs)) // stable: keeps event_id order on ties
+    if (atoms.isEmpty) return Iterator.empty
     val out = Vector.newBuilder[Session]
-    var cur = state.getOption.orNull
-    evs.foreach { e =>
-      val t = micros(e.ts)
-      if (cur == null) cur = SessionState(t, t, 1, e.value)
-      else if (t - cur.lastUs > GapUs) {
+    var cur = atoms.head
+    atoms.iterator.drop(1).foreach { a =>
+      if (a.startUs - cur.lastUs > GapUs) {
         out += Session(user, cur.startUs, cur.lastUs, cur.n, cur.sum)
-        cur = SessionState(t, t, 1, e.value)
+        cur = a
       } else {
-        // max(), not t: rows are sorted per batch but a LATER batch can
-        // deliver an in-watermark straggler older than the open session's
-        // end — overwriting lastUs would regress the session boundary and
-        // re-arm the flush timeout too early
-        cur = SessionState(math.min(cur.startUs, t), math.max(cur.lastUs, t),
-          cur.n + 1, cur.sum + e.value)
+        cur = SessionState(cur.startUs, math.max(cur.lastUs, a.lastUs),
+          cur.n + a.n, cur.sum + a.sum)
       }
     }
-    if (cur != null) state.update(cur)
+    state.update(cur)
     out.result().iterator
   }
 

@@ -70,6 +70,34 @@ class OperatorSpec extends SparkSpec {
     assert(c1 == c2, "decode not deterministic")
   }
 
+  test("real image decode: actual PNG bytes yield true width/height/channels") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    import spark.implicits._
+    // generate real PNG containers in-test (JDK codec, no new dependencies)
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y) & 0xffffff)
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", png(17, 9)),
+      Multimodal.MediaRecord(2L, "image", png(64, 48)),
+      Multimodal.MediaRecord(3L, "image", "not an image".getBytes("UTF-8"))
+    ).toDS()
+    val feats = Multimodal.decodeFeatures(media).collect().map(f => f.media_id -> f).toMap
+    // real container headers drive the dimensions — not the stub arithmetic
+    assert(feats(1L).width == 17 && feats(1L).height == 9, feats(1L))
+    assert(feats(2L).width == 64 && feats(2L).height == 48, feats(2L))
+    assert(feats(1L).channels == 3 && feats(2L).channels == 3)
+    // undecodable payload falls back to the deterministic stub, no failure
+    val stub = feats(3L)
+    assert(stub.n_bytes == "not an image".getBytes("UTF-8").length.toLong)
+  }
+
   test("image kind gets 3 channels, audio/video 1 (stub decode contract)") {
     val feats = Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sf0001)).toDF()
     assert(feats.filter(col("kind") === "image" && col("channels") =!= 3).count() == 0)

@@ -104,6 +104,23 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unexpected cartesian/nested-loop: $offenders")
   }
 
+  test("partitionBy layout: year predicate prunes the scan to one directory") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = Sources.partitionedOrdersScan(spark, sf0001)
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in the read-back plan"))
+    assert(scan.partitionFilters.nonEmpty, "no partition filters on the scan")
+    assert(scan.partitionFilters.exists(_.toString.contains("1997")),
+      s"year predicate missing from partition filters: ${scan.partitionFilters}")
+    // 7 year directories exist; the predicate must list exactly one
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 pruned partition, scan touches ${scan.selectedPartitions.partitionCount}")
+    // and the pruning must not have cost correctness
+    val years = df.select("o_year").distinct().collect().map(_.getLong(0)).toSeq
+    assert(years == Seq(1997L), s"unexpected years after pruning: $years")
+  }
+
   test("ANN entries never hint-broadcast a corpus-proportional side") {
     // round-2 verdict item #1: a broadcast hint on a side that grows with
     // the corpus OOMs the driver at 100 TB. Only constant-size sides may be

@@ -83,6 +83,39 @@ class StatefulSessionsSpec extends SparkSpec {
     assertSessionsEqual(spark.table("t_statesess").as[Session].collect().toSeq, expectedClosed())
   }
 
+  test("backward straggler beyond the gap becomes its own session, not a merge") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, t: String, v: Double) =
+      SEvent(id, java.sql.Timestamp.valueOf(t), 7L, v)
+    val mem = MemoryStream[SEvent]
+    val q = StatefulSessions.sessions(mem.toDS())
+      .writeStream.format("memory").queryName("t_backstraggle").outputMode("append")
+      .start()
+    try {
+      // batch 1 opens a session at 12:00 (NoTimeout: no watermark, so the
+      // old 10:00 event in batch 2 is still delivered, modeling an
+      // in-watermark straggler)
+      mem.addData(Seq(ev(1, "2024-01-01 12:00:00", 1.0)))
+      q.processAllAvailable()
+      // batch 2: straggler 2h BEFORE the open session's start (gap = 30m) —
+      // gaps-and-islands puts it in its own earlier session; the pre-fix
+      // fold silently merged it (startUs extended backwards)
+      mem.addData(Seq(ev(2, "2024-01-01 10:00:00", 2.0)))
+      q.processAllAvailable()
+      // batch 3: close everything still open with a far-future event
+      mem.addData(Seq(ev(3, "2024-01-02 12:00:00", 3.0)))
+      q.processAllAvailable()
+      val got = spark.table("t_backstraggle").as[Session].collect()
+        .map(s => (s.start_us, s.end_us, s.n_events, s.sum_value)).toSet
+      def us(t: String) = java.sql.Timestamp.valueOf(t).getTime * 1000
+      assert(got == Set(
+        (us("2024-01-01 10:00:00"), us("2024-01-01 10:00:00"), 1L, 2.0),
+        (us("2024-01-01 12:00:00"), us("2024-01-01 12:00:00"), 1L, 1.0)),
+        s"straggler merged instead of split: $got")
+    } finally q.stop()
+  }
+
   test("event-time timeout flushes every final session once the watermark passes") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
