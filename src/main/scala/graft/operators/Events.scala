@@ -139,6 +139,29 @@ object Events {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** LEFT-OUTER interval join — batch twin of Streams.clickPurchaseLeftJoin:
+    * every click survives; clicks with no same-user purchase in the
+    * preceding hour carry null purchase columns. In streaming those null
+    * rows are emitted when the watermark closes the click's match interval;
+    * here they fall out of a plain left join under the same predicate.
+    * Scale: identical to intervalClicks — shuffle join on user_id, the
+    * range predicate post-filters (and in streaming bounds state). */
+  def intervalClicksLeft(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).withColumn("ts_us", unix_micros(col("ts")))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts_us").as("click_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts_us").as("purchase_us"))
+    c.join(p, col("user_id") === col("p_user_id") &&
+        col("purchase_us") >= col("click_us") - lit(3600L * 1000000L) &&
+        col("purchase_us") <= col("click_us"),
+        "left_outer")
+      .select(col("click_id"), col("user_id"), col("click_us"),
+        col("purchase_id"), col("purchase_us"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   /** The SAME as-of semantics through the custom physical operator
     * (graft.plans.AsOfJoinExec, extension tier (c)) — shares the DuckDB
     * native-ASOF oracle with join_asof_clicks, so the driver's hash gate
@@ -166,7 +189,8 @@ object Events {
     "ml_feature_prep"      -> (featurePrep _),
     "join_asof_clicks"     -> (asofClicks _),
     "join_asof_custom"     -> (asofClicksCustom _),
-    "join_interval_clicks" -> (intervalClicks _)
+    "join_interval_clicks" -> (intervalClicks _),
+    "join_interval_left"   -> (intervalClicksLeft _)
   )
 
   private val asofOracleSql =
@@ -193,6 +217,18 @@ object Events {
         |  FROM events WHERE event_type = 'purchase')
         |SELECT c.click_id, c.user_id, c.click_us, p.purchase_id, p.purchase_us
         |FROM c JOIN p ON c.user_id = p.user_id
+        | AND p.purchase_us >= c.click_us - 3600000000
+        | AND p.purchase_us <= c.click_us
+        |ORDER BY c.click_id, p.purchase_id""".stripMargin,
+    "join_interval_left" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.click_id, c.user_id, c.click_us, p.purchase_id, p.purchase_us
+        |FROM c LEFT JOIN p ON c.user_id = p.user_id
         | AND p.purchase_us >= c.click_us - 3600000000
         | AND p.purchase_us <= c.click_us
         |ORDER BY c.click_id, p.purchase_id""".stripMargin,

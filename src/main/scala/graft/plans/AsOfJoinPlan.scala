@@ -23,9 +23,11 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * implementations (and therefore DuckDB's native ASOF JOIN, which oracles
   * the composed one) agree row-for-row.
   *
-  * v1 scope: BIGINT key and BIGINT event-time on both sides, non-null.
-  * The type contract is enforced at analysis time (asofJoin fails with
-  * IllegalArgumentException on a non-BIGINT key/ts); the null contract is
+  * Type scope: the merge runs on BIGINT keys and event-times; asofJoin
+  * widens integral/timestamp/date inputs to BIGINT via order-preserving
+  * cast insertion and rejects anything else with IllegalArgumentException
+  * at call time (round-2 verdict widened v1's BIGINT-only contract). The
+  * null contract is
   * enforced per row in doExecute (a clear error instead of Scala's silent
   * null→0L unboxing, which would quietly join null keys as key 0). Left
   * as-of semantics — for each left row, the right row with the greatest
@@ -131,8 +133,14 @@ object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 object AsOfJoinPlan {
 
   /** Install the strategy (idempotent) and build `left LEFT AS-OF JOIN
-    * right ON key, ts` as a DataFrame. Key and ts columns must be BIGINT
-    * and non-null on both sides. */
+    * right ON key, ts` as a DataFrame. Key and ts columns must be non-null
+    * and BIGINT-normalizable: BIGINT passes through; narrower integrals are
+    * widened; TIMESTAMP becomes epoch micros and DATE epoch days (order-
+    * preserving, so as-of semantics are unchanged). Output columns keep
+    * their original types — normalization touches only the internal join
+    * expressions. Mixed ts types across sides are the caller's contract
+    * (e.g. left TIMESTAMP vs right BIGINT micros compares fine; right
+    * BIGINT *seconds* would not). */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: Column, leftTs: Column,
                rightKey: Column, rightTs: Column): DataFrame = {
@@ -140,8 +148,10 @@ object AsOfJoinPlan {
     register(spark)
     val plan = AsOfJoin(
       ColumnBridge.logicalPlan(left), ColumnBridge.logicalPlan(right),
-      ColumnBridge.expression(leftKey), ColumnBridge.expression(leftTs),
-      ColumnBridge.expression(rightKey), ColumnBridge.expression(rightTs))
+      toBigint(left, leftKey, "left key"),
+      toBigint(left, leftTs, "left ts"),
+      toBigint(right, rightKey, "right key"),
+      toBigint(right, rightTs, "right ts"))
     val out = ColumnBridge.ofRows(spark, plan)
     // type contract, checked once the analyzer has resolved the expressions
     out.queryExecution.analyzed.collectFirst { case a: AsOfJoin => a }.foreach { a =>
@@ -152,6 +162,40 @@ object AsOfJoinPlan {
       }
     }
     out
+  }
+
+  /** Cast-insertion behind the widened type contract (round-2 verdict
+    * item #7): resolve the column's type against its own DataFrame, then
+    * rewrite to an order-preserving BIGINT expression. Rejects anything
+    * else (strings, decimals, doubles) at call time with a clear error —
+    * the exec's long-specialized merge never sees a non-BIGINT input.
+    *
+    * Built as raw Catalyst expressions, NOT via the Column API: Spark 4's
+    * Column ops wrap a lazily-converted ColumnNodeExpression that reports
+    * resolved=true / dataType=NullType, so inside a custom logical node the
+    * analyzer would never rewrite it and the exec would see `void`. */
+  private def toBigint(df: DataFrame, c: Column, what: String): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, UnixDate, UnixMicros}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.types._
+    // run the column through the analyzer against its own DataFrame: the
+    // select's analyzed projection holds the fully-resolved expression
+    // (attribute ids shared with df's analyzed plan, which AsOfJoin uses)
+    val e = ColumnBridge.logicalPlan(df.select(c)) match {
+      case Project(Seq(a: Alias), _) => a.child
+      case Project(Seq(expr), _)     => expr
+      case _                         => ColumnBridge.expression(c)
+    }
+    e.dataType match {
+      case LongType                           => e
+      case ByteType | ShortType | IntegerType => Cast(e, LongType)
+      case TimestampType                      => UnixMicros(e)
+      case TimestampNTZType                   => UnixMicros(Cast(e, TimestampType))
+      case DateType                           => Cast(UnixDate(e), LongType)
+      case other => throw new IllegalArgumentException(
+        s"as-of join $what must be BIGINT-normalizable (integral, timestamp, or date), " +
+          s"got ${other.simpleString}")
+    }
   }
 
   def register(spark: SparkSession): Unit =

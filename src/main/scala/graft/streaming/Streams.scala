@@ -54,7 +54,23 @@ object Streams {
     * predicate bounds join state to ~2h per key on each side (Spark evicts
     * rows whose interval can no longer match under the watermark) — the
     * state-bounded shape a 24/7 job needs. Inner join → append mode. */
-  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clickPurchaseJoin(clicks, purchases, "inner")
+
+  /** LEFT-OUTER stream-stream interval join: same pairing as
+    * clickPurchaseJoin, but a click with no same-user purchase in the
+    * preceding hour is still emitted — null-padded — once the watermark
+    * passes the end of its match interval (purchase_ts ≤ click_ts, so a
+    * click's interval closes when the watermark passes click_ts; Spark
+    * emits the null row in a subsequent microbatch). Matched rows are
+    * emitted eagerly like the inner join; state stays watermark-bounded.
+    * Batch twin: operators.Events.intervalClicksLeft (DuckDB LEFT JOIN
+    * oracle); StreamingSpec proves matched-eager + null-at-close. */
+  def clickPurchaseLeftJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clickPurchaseJoin(clicks, purchases, "left_outer")
+
+  private def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                                joinType: String): DataFrame = {
     val c = clicks.select(col("event_id").as("click_id"), col("user_id"),
       col("ts").as("click_ts")).withWatermark("click_ts", "1 hour")
     val p = purchases.select(col("event_id").as("purchase_id"),
@@ -63,7 +79,8 @@ object Streams {
     c.join(p,
       col("user_id") === col("p_user_id") &&
         col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
-        col("purchase_ts") <= col("click_ts"))
+        col("purchase_ts") <= col("click_ts"),
+      joinType)
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("purchase_id"), col("purchase_ts"))
   }

@@ -51,17 +51,57 @@ class AsOfJoinSpec extends SparkSpec {
     assert(viaCustomExec(dir) == viaComposition(dir))
   }
 
-  test("asofJoin rejects non-BIGINT key/ts at analysis time") {
+  test("widened types: raw TIMESTAMP ts == BIGINT-micros formulation") {
+    // round-2 verdict item #7: asofJoin inserts unix_micros itself, so the
+    // caller can pass the raw timestamp column; answers must be identical
     val e = Tables.events(spark, sf0001)
     val clicks = e.filter(col("event_type") === "click")
-      .select(col("event_id"), col("user_id"), col("ts")) // ts: TIMESTAMP, not BIGINT
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .groupBy(col("user_id").as("p_user_id"), col("ts_us").as("p_ts_us"))
+      .agg(max(col("event_id")).as("p_id"))
+      .select(col("p_id"), col("p_user_id"), col("p_ts_us"))
+    // left ts TIMESTAMP vs right ts BIGINT micros — both normalize to micros
+    val joined = AsOfJoinPlan.asofJoin(clicks, purchases,
+      clicks("user_id"), clicks("ts"),
+      purchases("p_user_id"), purchases("p_ts_us"))
+    val got = joined.collect().map { r =>
+      (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    }.toSet
+    val want = viaCustomExec(sf0001).map(t => (t._1, t._4))
+    assert(got == want, s"timestamp-normalized answer diverged")
+  }
+
+  test("widened types: INT keys are cast, join answer unchanged") {
+    val e = Tables.events(spark, sf0001).withColumn("ts_us", unix_micros(col("ts")))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id").cast("int").as("user_id"), col("ts_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").cast("int").as("p_user_id"), col("ts_us").as("p_ts_us"))
+      .agg(max(col("event_id")).as("p_id"))
+      .select(col("p_id"), col("p_user_id"), col("p_ts_us"))
+    val joined = AsOfJoinPlan.asofJoin(clicks, purchases,
+      clicks("user_id"), clicks("ts_us"),
+      purchases("p_user_id"), purchases("p_ts_us"))
+    val got = joined.collect().map { r =>
+      (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    }.toSet
+    assert(got == viaCustomExec(sf0001).map(t => (t._1, t._4)))
+  }
+
+  test("asofJoin rejects non-normalizable key/ts types at call time") {
+    val e = Tables.events(spark, sf0001)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("string").as("ts_s")) // strings stay rejected
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user_id"),
-        col("ts").as("p_ts"))
+        col("ts").cast("string").as("p_ts_s"))
     val ex = intercept[IllegalArgumentException] {
       AsOfJoinPlan.asofJoin(clicks, purchases,
-        clicks("user_id"), clicks("ts"),
-        purchases("p_user_id"), purchases("p_ts"))
+        clicks("user_id"), clicks("ts_s"),
+        purchases("p_user_id"), purchases("p_ts_s"))
     }
     assert(ex.getMessage.contains("BIGINT"), ex.getMessage)
   }

@@ -118,6 +118,60 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("left-outer interval join: matches eager, null-padded at watermark close") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, user: Long, t: String, typ: String) =
+      Ev(id, Timestamp.valueOf(t), user, typ, 1.0)
+    val memC = MemoryStream[Ev]
+    val memP = MemoryStream[Ev]
+    val q = Streams.clickPurchaseLeftJoin(memC.toDF(), memP.toDF())
+      .writeStream.format("memory").queryName("t_ssleft").outputMode("append")
+      .start()
+    try {
+      // user 1's click has a purchase 30m earlier → matched pair;
+      // user 2's click has no purchase at all → must surface null-padded
+      memC.addData(Seq(ev(1, 1L, "2024-01-01 12:00:00", "click"),
+                       ev(2, 2L, "2024-01-01 12:00:00", "click")))
+      memP.addData(Seq(ev(10, 1L, "2024-01-01 11:30:00", "purchase")))
+      q.processAllAvailable()
+      // push BOTH watermarks (global = min) past the clicks' match
+      // intervals so the unmatched click's null row can be emitted …
+      memC.addData(Seq(ev(90, 9L, "2024-01-02 12:00:00", "click")))
+      memP.addData(Seq(ev(91, 9L, "2024-01-02 12:00:00", "purchase")))
+      q.processAllAvailable()
+      // … in a subsequent microbatch (outer-join nulls emit one batch
+      // after the watermark advance)
+      memC.addData(Seq(ev(92, 9L, "2024-01-03 12:00:00", "click")))
+      memP.addData(Seq(ev(93, 9L, "2024-01-03 12:00:00", "purchase")))
+      q.processAllAvailable()
+      val got = spark.table("t_ssleft")
+        .filter(col("click_id") < 90) // ignore the watermark-sentinel rows
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+      assert(got == Set(1L -> Some(10L), 2L -> None),
+        s"expected one match and one null-padded click, got $got")
+      // and the streaming answer equals the batch twin on the same rows
+      val allRows = Seq(ev(1, 1L, "2024-01-01 12:00:00", "click"),
+        ev(2, 2L, "2024-01-01 12:00:00", "click"),
+        ev(10, 1L, "2024-01-01 11:30:00", "purchase"))
+      val e = allRows.toDF().withColumn("ts_us", unix_micros(col("ts")))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts_us").as("click_us"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+          col("ts_us").as("purchase_us"))
+      val want = c.join(p, col("user_id") === col("p_user_id") &&
+          col("purchase_us") >= col("click_us") - lit(3600L * 1000000L) &&
+          col("purchase_us") <= col("click_us"), "left_outer")
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("watermark drops late data: closed windows ignore stragglers") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
