@@ -104,6 +104,35 @@ object Aggregates {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Mergeable-sketch distinct counting (Apache DataSketches HLL via
+    * Spark 4's hll_sketch_agg / hll_union_agg) — the 100 TB cardinality
+    * pattern approx_count_distinct can't express: level-1 builds a sketch
+    * per (priority, month) — the partial a daily job would PERSIST — and
+    * level-2 re-aggregates those sketches per priority with a lossless
+    * union, no rescan of the raw data. At scale this is how distinct
+    * counts roll up across days/partitions: sketch once, union forever.
+    * Invariant-oracled like agg_approx_distinct: exact distincts + a
+    * within-25% flag on the estimate, pinned TRUE (default lgK=12 ⇒ ~1.6%
+    * rsd, so 25% is a regeneration-proof margin, "sketch sane" not
+    * "sketch lucky"). */
+  def hllPartialUnion(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val partials = o
+      .withColumn("m", month(col("o_orderdate")))
+      .groupBy(col("o_orderpriority"), col("m"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+    val merged = partials.groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_partials"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = o.groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    merged.join(exact, "o_orderpriority")
+      .select(col("o_orderpriority"), col("n_partials"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.25).as("union_ok"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Hierarchical rollup (region → nation → grand total) with GROUPING()
     * flags — the grouping-sets surface the reference lacks (SURVEY.md §2.4
     * "not present"); completes the aggregation category. One Expand + one
@@ -163,6 +192,7 @@ object Aggregates {
     "agg_percentiles"     -> (percentiles _),
     "agg_global_stats"    -> (globalStats _),
     "agg_approx_distinct" -> (approxDistinct _),
+    "agg_hll_partial"     -> (hllPartialUnion _),
     "agg_rollup_region"   -> (rollupRegionNation _)
   )
 
@@ -236,6 +266,14 @@ object Aggregates {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "agg_hll_partial" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(DISTINCT month(o_orderdate)) AS BIGINT) AS n_partials,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+        |  TRUE AS union_ok
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "agg_global_stats" ->
       """SELECT COUNT(*) AS n_rows,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,

@@ -148,10 +148,33 @@ object Similarity {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Per-label centroid vectors — the reduction every embedding pipeline
+    * needs (class prototypes, cluster seeds, IVF retraining). Computed in
+    * LONG format: posexplode to (label, dim, x) rows, then ONE hash-agg —
+    * map-side partials collapse each (label, dim) cell, so the shuffle
+    * carries |labels|·dims rows regardless of corpus size; no collect, no
+    * per-group arrays. Determinism: each element is rounded to 6 (both
+    * engines see bit-identical doubles from the same parquet floats, and
+    * round-6 of identical doubles is the catalog's proven cross-engine
+    * rule) then summed exactly in decimal; the mean is one final IEEE
+    * division — so the full centroid matrix sits under the hash gate. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+        round(col("col"), 6).cast("decimal(18,6)").as("xr"))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        (sum(col("xr")).cast("double") / count(lit(1))).as("centroid"))
+      .orderBy(col("label"), col("dim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_brute" -> (knnBrute _),
     "sim_knn_lsh"   -> (knnLsh _),
-    "sim_knn_ivf"   -> (knnIvf _)
+    "sim_knn_ivf"   -> (knnIvf _),
+    "sim_label_centroids" -> (labelCentroids _)
   )
 
   private val dotSql =
@@ -162,6 +185,21 @@ object Similarity {
     .mkString("CAST(", " + ", " AS BIGINT)")
 
   val oracle: Map[String, String] = Map(
+    "sim_label_centroids" ->
+      """WITH x0 AS (
+        |  SELECT label, embedding,
+        |    unnest(generate_series(1, len(embedding))) AS dim
+        |  FROM embeddings),
+        |x AS (
+        |  SELECT label, dim,
+        |    CAST(ROUND(embedding[dim]::DOUBLE, 6) AS DECIMAL(18,6)) AS xr
+        |  FROM x0)
+        |SELECT label, CAST(dim AS BIGINT) AS dim,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(xr) AS DOUBLE) / COUNT(*) AS centroid
+        |FROM x
+        |GROUP BY label, dim
+        |ORDER BY label, dim""".stripMargin,
     "sim_knn_brute" ->
       s"""WITH e AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

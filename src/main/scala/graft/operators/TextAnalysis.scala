@@ -229,6 +229,73 @@ object TextAnalysis {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** Context-window chunking — the operator that turns a document corpus
+    * into training examples: overlapping token windows of `ChunkW` tokens
+    * at stride `ChunkS` (overlap = ChunkW − ChunkS). Chunk boundaries come
+    * from `sequence(1, n_tokens, stride)` + posexplode — a pure projection
+    * followed by a generator, NO shuffle at all until the output sort: at
+    * 100 TB chunking is embarrassingly parallel and this plan keeps it so.
+    * Each chunk carries its token span and an md5 fingerprint of the
+    * joined window (the key a downstream chunk-level dedup would use).
+    * The fan-out factor is ~n/S per doc — bounded, and AQE splits any
+    * oversized post-explode partitions. */
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val (w, s) = (32, 24)
+    val d = Tables.documents(spark, dir)
+    val toksC = filter(tokens(col("text")), t => length(t) > 0)
+    d.select(col("doc_id"), toksC.as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(sequence(lit(1L), col("n"), lit(s.toLong))))
+      .withColumn("chunk", slice(col("toks"), col("col").cast("int"), lit(w)))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        col("col").as("start_tok"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** Corpus-frequency trigram scoring — model-based quality filtering done
+    * relationally: a "language model" of word-trigram counts is trained on
+    * the corpus itself (one hash-agg over the exploded trigram stream),
+    * then every document is scored against it by joining its trigrams back
+    * to the frequency table. High `avg_freq` flags boilerplate (trigrams
+    * the corpus repeats everywhere); high `n_unique` flags novel text —
+    * the two signals a crawl-quality gate thresholds on. Scores are exact
+    * integer sums with ONE final division (module determinism rule), so
+    * the whole train-then-score pipeline sits under the DuckDB hash gate.
+    * Scale: trigram stream is 3× the token stream, collapsed map-side by
+    * the (tg) partial agg; the score join shuffles on the trigram key —
+    * Zipf-skewed like words, and the same salting fix (saltedWordCount)
+    * applies if a hot trigram dominates. The stream is cached because both
+    * the frequency table and the score join consume it. */
+  def trigramScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toksC = filter(tokens(col("text")), t => length(t) > 0)
+    val tg = d.select(col("doc_id"), toksC.as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1L), col("n") - 2), i =>
+          concat_ws(" ",
+            element_at(col("toks"), i.cast("int")),
+            element_at(col("toks"), (i + 1).cast("int")),
+            element_at(col("toks"), (i + 2).cast("int"))))).as("tg"))
+      .cache()
+    val freq = tg.groupBy(col("tg")).agg(count(lit(1)).as("ctg"))
+    tg.join(freq, "tg")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tg"),
+        sum(col("ctg")).as("sum_freq"),
+        (sum(col("ctg")).cast("double") / count(lit(1))).as("avg_freq"),
+        sum(when(col("ctg") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Pivot (wide reshape): doc counts per source × language. Pivot values
     * are declared explicitly — at scale, letting pivot() discover values
     * costs an extra distinct job and risks schema drift between runs. */
@@ -265,10 +332,53 @@ object TextAnalysis {
     "text_quality"     -> (qualityScore _),
     "text_langid"      -> (langId _),
     "text_fingerprint" -> (fingerprint _),
-    "text_tfidf"       -> (tfidfTopTerms _)
+    "text_tfidf"       -> (tfidfTopTerms _),
+    "text_chunking"    -> (chunkDocuments _),
+    "text_trigram_score" -> (trigramScore _)
   )
 
   val oracle: Map[String, String] = Map(
+    "text_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
+        |c0 AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(generate_series(1, n, 24)) AS start_tok
+        |  FROM s),
+        |c AS (
+        |  SELECT doc_id, toks, n, start_tok,
+        |    CAST((start_tok - 1) // 24 AS BIGINT) AS chunk_id
+        |  FROM c0)
+        |SELECT doc_id, chunk_id, start_tok,
+        |  CAST(len(list_slice(toks, start_tok, least(start_tok + 31, n))) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(list_slice(toks, start_tok, least(start_tok + 31, n)), ' ')) AS chunk_fp
+        |FROM c
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "text_trigram_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 3),
+        |i0 AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, n - 2)) AS i FROM b),
+        |tg AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS tg
+        |  FROM i0),
+        |f AS (SELECT tg, COUNT(*) AS ctg FROM tg GROUP BY tg)
+        |SELECT tg.doc_id,
+        |  COUNT(*) AS n_tg,
+        |  CAST(SUM(f.ctg) AS BIGINT) AS sum_freq,
+        |  CAST(SUM(f.ctg) AS DOUBLE) / COUNT(*) AS avg_freq,
+        |  CAST(SUM(CASE WHEN f.ctg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+        |FROM tg JOIN f USING (tg)
+        |GROUP BY tg.doc_id
+        |ORDER BY tg.doc_id""".stripMargin,
     "text_rolling_hash" ->
       s"""WITH h AS (
         |  SELECT doc_id,
