@@ -16,6 +16,47 @@ class ExtensionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
   }
 
+  test("config-path session: folded custom-expression comparison pushes into the scan") {
+    // The extraOptimizations fallback only guarantees folding (it runs after
+    // the pushdown fixed point — see FoldGraftExpressions.register scaladoc);
+    // THIS is the path the scaladoc's pushdown claim rests on, so it gets the
+    // assertion: a session built with the extensions config must fold
+    // PolyHash(literal) AND push the resulting comparison into the parquet scan.
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-extensions-spec")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", 4)
+      .getOrCreate()
+    try {
+      val hashCol = ColumnBridge.column(PolyHash(ColumnBridge.expression(lit("spark"))))
+      val df = s2.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(col("doc_id") <= hashCol % 1000)
+      val optimized = df.queryExecution.optimizedPlan
+      assert(!optimized.exists(p => p.expressions.exists(_.exists(_.isInstanceOf[PolyHash]))),
+        s"PolyHash survived optimization on the config path:\n$optimized")
+      val expected = PolyHash.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString("spark")) % 1000
+      val formatted = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val pushed = formatted.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+      assert(pushed.contains(s"LessThanOrEqual(doc_id,$expected)"),
+        s"folded comparison not pushed into the scan: $pushed\n$formatted")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("builders construct evaluable expressions") {
     val dot = DotProduct(
       Literal.create(Seq(1.0, 2.0)), Literal.create(Seq(3.0, 4.0)))

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.Det
-import graft.operators.{Dedup, Etl, Multimodal}
+import graft.operators.{Aggregates, Dedup, Etl, Multimodal, Similarity, TextAnalysis}
 
 /** Unit-level semantics checks on small data (SURVEY.md §5 rebuild test
   * strategy): dedup survivor determinism, decimal-sum exactness, multimodal
@@ -29,6 +29,68 @@ class OperatorSpec extends SparkSpec {
     assert(capped.exceptAll(uncapped).isEmpty && uncapped.exceptAll(capped).isEmpty,
       "df cap changed ngram-Jaccard output on testdata")
     assert(capped.count() > 0, "trivially empty ngram-Jaccard output")
+  }
+
+  test("chunking: stride-24 starts, ≤32-token chunks, full coverage per doc") {
+    val chunks = TextAnalysis.chunkDocuments(spark, sf0001).cache()
+    val toksLen = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => length(t) > 0)).cast("long").as("n"))
+      .filter(col("n") >= 1)
+    // every start is 1 + 24·chunk_id, every chunk is ≤ 32 tokens
+    assert(chunks.filter(col("start_tok") =!= col("chunk_id") * 24 + 1).count() == 0)
+    assert(chunks.filter(col("n_tokens") > 32 || col("n_tokens") < 1).count() == 0)
+    // per doc: chunk count = ceil(n / 24) and the last chunk reaches token n
+    val perDoc = chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        max(col("start_tok") + col("n_tokens") - 1).as("last_tok"))
+      .join(toksLen, "doc_id")
+    assert(perDoc.filter(col("n_chunks") =!= ceil(col("n") / lit(24.0)).cast("long")).count() == 0,
+      "chunk count != ceil(n/stride) for some doc")
+    assert(perDoc.filter(col("last_tok") =!= col("n")).count() == 0,
+      "some doc's tail not covered by its last chunk")
+    assert(toksLen.count() == perDoc.count(), "docs lost by chunking")
+    chunks.unpersist()
+  }
+
+  test("trigram score: n_tg == n_words - 2 and unique trigrams bounded") {
+    val scored = TextAnalysis.trigramScore(spark, sf0001).cache()
+    val words = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => length(t) > 0)).cast("long").as("n"))
+      .filter(col("n") >= 3)
+    val joined = scored.join(words, "doc_id")
+    assert(joined.count() == words.count(), "scored docs != eligible docs")
+    assert(joined.filter(col("n_tg") =!= col("n") - 2).count() == 0,
+      "trigram count wrong for some doc")
+    // each trigram occurs at least once → sum_freq >= n_tg; uniques are a subset
+    assert(scored.filter(col("sum_freq") < col("n_tg")).count() == 0)
+    assert(scored.filter(col("n_unique") > col("n_tg")).count() == 0)
+    scored.unpersist()
+  }
+
+  test("HLL partial-union estimates agree with exact within the pinned margin") {
+    val got = Aggregates.hllPartialUnion(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getAs[Boolean]("union_ok")), "sketch union drifted >25% from exact")
+    // n_partials really is the number of level-1 sketches per priority
+    val months = Tables.orders(spark, sf0001)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(month(col("o_orderdate"))).as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach(r => assert(r.getAs[Long]("n_partials") == months(r.getString(0))))
+  }
+
+  test("label centroids: full |labels|×dims matrix with consistent counts") {
+    val cent = Similarity.labelCentroids(spark, sf0001).cache()
+    val e = Tables.embeddings(spark, sf0001)
+    val labels = e.select("label").distinct().count()
+    val dims = e.select(size(col("embedding"))).first().getInt(0)
+    assert(cent.count() == labels * dims, s"expected ${labels * dims} cells")
+    // every dim of a label aggregates the same number of vectors
+    val counts = e.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+    assert(cent.join(counts, "label").filter(col("n_vecs") =!= col("n_label")).count() == 0)
+    cent.unpersist()
   }
 
   test("Observation metrics ride the query instead of a second scan (A10 at scale)") {

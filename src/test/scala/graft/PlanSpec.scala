@@ -104,6 +104,21 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unexpected cartesian/nested-loop: $offenders")
   }
 
+  test("chunking is a pure generator pipeline: no join, no aggregate, one sort exchange") {
+    val df = TextAnalysis.chunkDocuments(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("Generate"), s"no generator in chunking plan:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      s"chunking should not aggregate or join:\n$p")
+    // the only required-distribution exchange is the output ORDER BY's range
+    // partitioning; the chunk computation itself is embarrassingly parallel
+    // (the round-robin fan-out exchange is the conf-gated small-scan helper,
+    // tagged REPARTITION_BY_NUM, and AQE hides exec nodes pre-execution —
+    // so the pin reads the formatted plan text)
+    assert("ENSURE_REQUIREMENTS".r.findAllIn(p).size == 1,
+      s"expected exactly the output-sort exchange:\n$p")
+  }
+
   test("partitionBy layout: year predicate prunes the scan to one directory") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val df = Sources.partitionedOrdersScan(spark, sf0001)
