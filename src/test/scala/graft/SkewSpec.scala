@@ -28,6 +28,43 @@ class SkewSpec extends SparkSpec {
     assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
   }
 
+  test("AQE splits the skewed join partition at runtime (skew=true)") {
+    // the OTHER half of the skew stance: no rewrite at all — AQE detects the
+    // oversized shuffle partition from map-output stats and splits it into
+    // advisory-sized subpartitions, replicating the matching right side.
+    // Thresholds are lowered so the planted 99%-hot key (~1 MB in one
+    // partition) trips detection on test-sized data; at real scale the
+    // defaults (256 MB) do the same job untouched.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ: skew split needs a shuffle join
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // a PLAIN relation on the dim side: OptimizeSkewedJoin only matches
+      // SMJ(Sort(shuffle), Sort(shuffle)) — an aggregate (e.g. distinct)
+      // between the sort and the shuffle stage disqualifies the split
+      val dim = spark.range(500)
+        .select((col("id") * 100).as("key"), (col("id") * 10).as("payload"))
+      val joined = fact.join(dim, Seq("key"))
+      // collect() on the SAME Dataset so ITS queryExecution finalizes
+      // (count() would spin up a separate QueryExecution and leave this
+      // one's adaptive plan un-executed)
+      assert(joined.collect().length == 50000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not flag/split the skewed partition:\n$finalPlan")
+    } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("salted join (replicated dim side) == plain join") {
     val nSalt = 8
     val dim = fact.select(col("key")).distinct()
