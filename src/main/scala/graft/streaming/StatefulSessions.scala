@@ -39,33 +39,19 @@ object StatefulSessions {
 
   val GapUs: Long = 30L * 60 * 1000000
 
-  private def micros(ts: Timestamp): Long =
+  private[streaming] def micros(ts: Timestamp): Long =
     ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
 
-  /** The state-transition function: fold this batch's (sorted) events into
-    * the open session, emitting every session an event closes. */
-  def sessionize(user: Long, rows: Iterator[SEvent],
-                 state: GroupState[SessionState]): Iterator[Session] = {
-    if (state.hasTimedOut) {
-      // flush the open session when the watermark passes it
-      val s = state.get
-      state.remove()
-      return Iterator.single(Session(user, s.startUs, s.lastUs, s.n, s.sum))
-    }
-    // Gaps-and-islands over interval ATOMS — the open session (if any) plus
-    // this batch's events — rather than a one-sided fold onto the open
-    // session. This handles in-watermark stragglers on BOTH sides of the
-    // open session: an event within the gap extends it (min/max boundary),
-    // and an event more than GapUs BEFORE its start forms its own earlier
-    // session (emitted immediately) instead of being silently merged
-    // (round-2 advice). Known limit of eager emission: an emitted session
-    // is final, so a LATER batch's straggler adjacent to an already-emitted
-    // session stays split where the batch oracle would merge.
-    val evs = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
-    val atoms = (state.getOption.toArray ++ evs.map { e =>
+  /** The pure gaps-and-islands fold shared by BOTH stateful APIs
+    * (flatMapGroupsWithState here, transformWithState in TwsSessions):
+    * merge the open session (if any) with this batch's events as interval
+    * atoms, emit every closed session, return the still-open one. */
+  private[streaming] def foldAtoms(user: Long, open: Option[SessionState],
+      evs: Array[SEvent]): (Vector[Session], Option[SessionState]) = {
+    val atoms = (open.toArray ++ evs.sortBy(e => (micros(e.ts), e.event_id)).map { e =>
         val t = micros(e.ts); SessionState(t, t, 1, e.value)
       }).sortBy(a => (a.startUs, a.lastUs)) // stable: keeps event_id order on ties
-    if (atoms.isEmpty) return Iterator.empty
+    if (atoms.isEmpty) return (Vector.empty, None)
     val out = Vector.newBuilder[Session]
     var cur = atoms.head
     atoms.iterator.drop(1).foreach { a =>
@@ -77,8 +63,34 @@ object StatefulSessions {
           cur.n + a.n, cur.sum + a.sum)
       }
     }
-    state.update(cur)
-    out.result().iterator
+    (out.result(), Some(cur))
+  }
+
+  /** The state-transition function: fold this batch's (sorted) events into
+    * the open session, emitting every session an event closes. */
+  def sessionize(user: Long, rows: Iterator[SEvent],
+                 state: GroupState[SessionState]): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      // flush the open session when the watermark passes it
+      val s = state.get
+      state.remove()
+      return Iterator.single(Session(user, s.startUs, s.lastUs, s.n, s.sum))
+    }
+    // Gaps-and-islands over interval ATOMS (foldAtoms) — the open session
+    // (if any) plus this batch's events — rather than a one-sided fold onto
+    // the open session. This handles in-watermark stragglers on BOTH sides
+    // of the open session: an event within the gap extends it (min/max
+    // boundary), and an event more than GapUs BEFORE its start forms its
+    // own earlier session (emitted immediately) instead of being silently
+    // merged (round-2 advice). Known limit of eager emission: an emitted
+    // session is final, so a LATER batch's straggler adjacent to an
+    // already-emitted session stays split where the batch oracle would merge.
+    val (closed, stillOpen) = foldAtoms(user, state.getOption, rows.toArray)
+    stillOpen match {
+      case Some(cur) => state.update(cur)
+      case None      => if (state.exists) state.remove()
+    }
+    closed.iterator
   }
 
   /** Apply on a batch OR streaming Dataset — identical logical semantics
