@@ -172,6 +172,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chained stateful operators: interval join feeding a windowed agg, one query") {
+    // the composition a 24/7 pipeline actually deploys: stream-stream join
+    // THEN tumbling aggregation in a single streaming query (multiple
+    // stateful operators in append mode — Spark 4 propagates the join's
+    // watermark to the downstream window)
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = batchEvents.filter(col("event_type") === "click")
+    val purchases = batchEvents.filter(col("event_type") === "purchase")
+    val memC = MemoryStream[Ev]
+    val memP = MemoryStream[Ev]
+    memC.addData(clicks.as[Ev].collect().toSeq)
+    memP.addData(purchases.as[Ev].collect().toSeq)
+    val joined = Streams.clickPurchaseJoin(memC.toDF(), memP.toDF())
+    val agged = joined
+      .groupBy(window(col("click_ts"), "1 hour").as("win"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("win.start").as("hour_start"), col("n_pairs"))
+    val q = agged.writeStream.format("memory").queryName("t_chained")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("t_chained").collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    // batch oracle: same join + agg over the same rows. The final windows
+    // (within 2h of max event time: join delay 1h + window watermark 1h)
+    // stay open in state at stream end, so compare only the closed ones.
+    val maxTs = batchEvents.agg(max(col("ts"))).first().getTimestamp(0)
+    val want = clicks.as("c").join(purchases.as("p"),
+        col("c.user_id") === col("p.user_id") &&
+          col("p.ts") >= col("c.ts") - expr("INTERVAL 1 HOUR") &&
+          col("p.ts") <= col("c.ts"))
+      .groupBy(date_trunc("hour", col("c.ts")).as("hour_start"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .filter(col("hour_start") < lit(maxTs) - expr("INTERVAL 2 HOURS"))
+      .collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(want.nonEmpty, "batch oracle empty — test data assumption broken")
+    want.foreach { case (h, n) =>
+      assert(got.get(h).contains(n), s"window $h: stream=${got.get(h)} batch=$n")
+    }
+  }
+
   test("watermark drops late data: closed windows ignore stragglers") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
