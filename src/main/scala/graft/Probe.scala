@@ -63,7 +63,10 @@ object Probe {
         "simhash hamming" -> (p => operators.Dedup.simhashHamming(spark, p).count()),
         "embedding lsh" -> (p => operators.Dedup.embeddingLsh(spark, p).count()),
         "knn lsh" -> (p => operators.Similarity.knnLsh(spark, p).count()),
-        "corpus clean" -> (p => operators.TextAnalysis.corpusClean(spark, p).count())
+        "corpus clean" -> (p => operators.TextAnalysis.corpusClean(spark, p).count()),
+        "chunking" -> (p => operators.TextAnalysis.chunkDocuments(spark, p).count()),
+        "trigram score" -> (p => operators.TextAnalysis.trigramScore(spark, p).count()),
+        "centroids" -> (p => operators.Similarity.labelCentroids(spark, p).count())
       ).foreach { case (name, f) =>
         f(dir) // untimed: compile this pipeline's codegen once
         time(s"$name 1x warm")(f(dir))
