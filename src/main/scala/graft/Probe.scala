@@ -69,8 +69,14 @@ object Probe {
         "centroids" -> (p => operators.Similarity.labelCentroids(spark, p).count())
       ).foreach { case (name, f) =>
         f(dir) // untimed: compile this pipeline's codegen once
+        // clearCache between measurements: pipelines with internal .cache()
+        // (trigramScore) would otherwise serve the timed 1x run from the
+        // warm-up's InMemoryRelation and inflate the 1x-vs-Nx ratio
+        spark.catalog.clearCache()
         time(s"$name 1x warm")(f(dir))
+        spark.catalog.clearCache()
         time(s"$name ${n}x")(f(amp))
+        spark.catalog.clearCache()
       }
     } else if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
       // plan audit of the round-2 rewrites

@@ -52,18 +52,30 @@ object Multimodal {
   private def decode(r: MediaRecord): MediaFeatures =
     (if (r.kind == "image") decodeImage(r) else None).getOrElse(decodeStub(r))
 
+  /** Deterministic payload fingerprint shared by every kernel (decode,
+    * stub, resize-verify, frame-sample) — one definition so the formula
+    * can't silently diverge between paths. */
+  private def byteChecksum(bytes: Array[Byte]): Long =
+    bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+
   /** Real image decode via the JDK's built-in ImageIO: actual pixel
     * dimensions and color-component count from the container header.
     * Returns None when the payload isn't a supported image, so callers
-    * can fall back without exception control flow on the hot path. */
+    * can fall back without exception control flow on the hot path.
+    * The payload is already in memory, so it's wrapped in a
+    * MemoryCacheImageInputStream — `ImageIO.read(InputStream)` would
+    * default to a FileCacheImageInputStream and pay a per-record temp-file
+    * round-trip on the executor. */
   private[operators] def decodeImage(r: MediaRecord): Option[MediaFeatures] =
     try {
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload)))
+      Option(javax.imageio.ImageIO.read(
+          new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(r.payload))))
         .map { img =>
-          val checksum = r.payload.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
           MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
             width = img.getWidth, height = img.getHeight,
-            channels = img.getColorModel.getNumComponents, checksum = checksum)
+            channels = img.getColorModel.getNumComponents,
+            checksum = byteChecksum(r.payload))
         }
     } catch { case _: Exception => None } // corrupt container → stub path
 
@@ -72,7 +84,7 @@ object Multimodal {
     * in here without any change to the surrounding plan. */
   private def decodeStub(r: MediaRecord): MediaFeatures = {
     val bytes = r.payload
-    val checksum = bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+    val checksum = byteChecksum(bytes)
     val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
     MediaFeatures(r.media_id, r.kind, bytes.length.toLong,
       width = 32 + b0 % 64, height = 32 + (b0 * 7) % 64,
@@ -125,8 +137,7 @@ object Multimodal {
         val nFrames = math.max(1, r.payload.length / frameBytes)
         (0 until nFrames by stride).iterator.map { i =>
           val chunk = r.payload.slice(i * frameBytes, math.min((i + 1) * frameBytes, r.payload.length))
-          val checksum = chunk.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
-          Frame(r.media_id, i, chunk.length.toLong, checksum)
+          Frame(r.media_id, i, chunk.length.toLong, byteChecksum(chunk))
         }
       }
     }

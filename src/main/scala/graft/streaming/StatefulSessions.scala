@@ -113,8 +113,8 @@ object StatefulSessions {
   def sessionizeFlushing(user: Long, rows: Iterator[SEvent],
                          state: GroupState[SessionState]): Iterator[Session] = {
     val out = sessionize(user, rows, state)
-    if (state.exists)
-      state.setTimeoutTimestamp(state.get.lastUs / 1000 + GapUs / 1000)
+    if (state.exists) // close boundary ceiled to ms (cf. TwsSessions timer)
+      state.setTimeoutTimestamp((state.get.lastUs + GapUs + 999) / 1000)
     out
   }
 

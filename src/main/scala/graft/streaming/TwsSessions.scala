@@ -54,10 +54,12 @@ object TwsSessions {
         case Some(cur) =>
           open.update(cur)
           // single-flush-timer contract: drop the stale timer, arm at the
-          // session's close boundary (ms). Fresh updates carry ts ≥
+          // session's close boundary CEILED to ms — flooring could fire up
+          // to 999 µs early and flush a session an exactly-on-boundary
+          // event would still merge into. Fresh updates carry ts ≥
           // watermark, so the new expiry is ahead of it as required.
           if (armed.exists()) getHandle.deleteTimer(armed.get())
-          val at = cur.lastUs / 1000 + GapUs / 1000
+          val at = (cur.lastUs + GapUs + 999) / 1000
           getHandle.registerTimer(at)
           armed.update(at)
         case None =>

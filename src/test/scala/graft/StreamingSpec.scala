@@ -195,9 +195,10 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination(120000)
     val got = spark.table("t_chained").collect()
       .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
-    // batch oracle: same join + agg over the same rows. The final windows
-    // (within 2h of max event time: join delay 1h + window watermark 1h)
-    // stay open in state at stream end, so compare only the closed ones.
+    // batch oracle: same join + agg over the same rows. A window is only
+    // closed once its END ≤ the join-delayed watermark (maxTs − 2h: 1h join
+    // delay + 1h window watermark), i.e. its START is strictly before
+    // maxTs − 3h; later windows may still be open in state at stream end.
     val maxTs = batchEvents.agg(max(col("ts"))).first().getTimestamp(0)
     val want = clicks.as("c").join(purchases.as("p"),
         col("c.user_id") === col("p.user_id") &&
@@ -205,7 +206,7 @@ class StreamingSpec extends SparkSpec {
           col("p.ts") <= col("c.ts"))
       .groupBy(date_trunc("hour", col("c.ts")).as("hour_start"))
       .agg(count(lit(1)).as("n_pairs"))
-      .filter(col("hour_start") < lit(maxTs) - expr("INTERVAL 2 HOURS"))
+      .filter(col("hour_start") < lit(maxTs) - expr("INTERVAL 3 HOURS"))
       .collect()
       .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
     assert(want.nonEmpty, "batch oracle empty — test data assumption broken")
