@@ -239,7 +239,9 @@ object TextAnalysis {
     * joined window (the key a downstream chunk-level dedup would use).
     * The fan-out factor is ~n/S per doc — bounded, and AQE splits any
     * oversized post-explode partitions. */
-  def chunkDocuments(spark: SparkSession, dir: String): DataFrame = {
+  /** Unsorted chunk stream shared by `text_chunking` and
+    * `pipe_chunk_dedup`: (doc_id, chunk_id, start_tok, chunk tokens). */
+  private def chunkStream(spark: SparkSession, dir: String): DataFrame = {
     val (w, s) = (32, 24)
     val d = Tables.documents(spark, dir)
     val toksC = filter(tokens(col("text")), t => length(t) > 0)
@@ -249,6 +251,10 @@ object TextAnalysis {
       .select(col("doc_id"), col("toks"), col("n"),
         posexplode(sequence(lit(1L), col("n"), lit(s.toLong))))
       .withColumn("chunk", slice(col("toks"), col("col").cast("int"), lit(w)))
+  }
+
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    chunkStream(spark, dir)
       .select(
         col("doc_id"),
         col("pos").cast("long").as("chunk_id"),
@@ -256,7 +262,29 @@ object TextAnalysis {
         size(col("chunk")).cast("long").as("n_tokens"),
         md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
       .orderBy(col("doc_id"), col("chunk_id"))
-  }
+
+  /** Chunk-level dedup — the cross-document boilerplate detector a crawl
+    * pipeline runs AFTER chunking: identical 32-token windows appearing in
+    * more than one document (shared headers, license blocks, templated
+    * intros) surface as duplicate-fingerprint clusters, with the minimum
+    * doc_id as the deterministic survivor. Two-stage aggregation —
+    * (fp, doc) partials, then per-fp rollup — instead of countDistinct:
+    * the Expand would double the chunk stream through the shuffle, while
+    * the partial collapses same-doc repeats map-side (same rationale as
+    * tfidf's df). Output is cluster-level: bounded by the number of
+    * DUPLICATED chunks, tiny relative to the corpus at any scale. */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    chunkStream(spark, dir)
+      .select(col("doc_id"), md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
+      .groupBy(col("chunk_fp"), col("doc_id"))
+      .agg(count(lit(1)).as("n_in_doc"))
+      .groupBy(col("chunk_fp"))
+      .agg(
+        sum(col("n_in_doc")).as("n_occurrences"),
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("survivor_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("chunk_fp"))
 
   /** Corpus-frequency trigram scoring — model-based quality filtering done
     * relationally: a "language model" of word-trigram counts is trained on
@@ -334,7 +362,8 @@ object TextAnalysis {
     "text_fingerprint" -> (fingerprint _),
     "text_tfidf"       -> (tfidfTopTerms _),
     "text_chunking"    -> (chunkDocuments _),
-    "text_trigram_score" -> (trigramScore _)
+    "text_trigram_score" -> (trigramScore _),
+    "pipe_chunk_dedup" -> (chunkDedup _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -358,6 +387,32 @@ object TextAnalysis {
         |  md5(array_to_string(list_slice(toks, start_tok, least(start_tok + 31, n)), ' ')) AS chunk_fp
         |FROM c
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "pipe_chunk_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
+        |c0 AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(generate_series(1, n, 24)) AS start_tok
+        |  FROM s),
+        |ch AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_slice(toks, start_tok, least(start_tok + 31, n)), ' ')) AS chunk_fp
+        |  FROM c0),
+        |pd AS (
+        |  SELECT chunk_fp, doc_id, COUNT(*) AS n_in_doc
+        |  FROM ch GROUP BY chunk_fp, doc_id)
+        |SELECT chunk_fp,
+        |  CAST(SUM(n_in_doc) AS BIGINT) AS n_occurrences,
+        |  COUNT(*) AS n_docs,
+        |  MIN(doc_id) AS survivor_doc
+        |FROM pd
+        |GROUP BY chunk_fp
+        |HAVING COUNT(*) > 1
+        |ORDER BY chunk_fp""".stripMargin,
     "text_trigram_score" ->
       """WITH t AS (
         |  SELECT doc_id,
