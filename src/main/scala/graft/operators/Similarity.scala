@@ -170,11 +170,55 @@ object Similarity {
       .orderBy(col("label"), col("dim"))
   }
 
+  /** Nearest-centroid assignment — prototype classification over the
+    * centroid matrix: every vector is scored against each label's centroid
+    * by cosine and assigned to the best one; output is the label-vs-
+    * assigned confusion matrix (the quality/consistency report a labeling
+    * pipeline reads). Work is n·dims·|labels| — linear in the corpus with
+    * a constant |labels| factor; the centroid relation (|labels|·dims
+    * rows) is the broadcast side.
+    *
+    * Determinism: element and centroid values are round-6 doubles (the
+    * proven cross-engine rule) lifted to decimal(18,6), so every dot
+    * product and squared norm is an EXACT decimal sum; the final cosine is
+    * double arithmetic on identical operands — bit-exact in both engines —
+    * and the argmax tiebreak is (cos desc, label asc). */
+  def centroidAssign(spark: SparkSession, dir: String): DataFrame = {
+    val xs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding").cast("array<double>")))
+      .select(col("vec_id"), col("label"), (col("pos") + 1).cast("long").as("dim"),
+        round(col("col"), 6).cast("decimal(18,6)").as("x"))
+      .cache() // feeds centroids, vector norms, and the scoring join
+    val cent = xs.groupBy(col("label").as("c_label"), col("dim"))
+      .agg((sum(col("x")).cast("double") / count(lit(1))).as("c_dbl"))
+      .select(col("c_label"), col("dim"),
+        round(col("c_dbl"), 6).cast("decimal(18,6)").as("c"))
+    val cnorm = cent.groupBy(col("c_label"))
+      .agg(sum(col("c") * col("c")).cast("double").as("c_sq"))
+    val vnorm = xs.groupBy(col("vec_id"))
+      .agg(sum(col("x") * col("x")).cast("double").as("v_sq"))
+    val dots = xs.join(broadcast(cent), "dim") // |labels|-way fan-out, constant
+      .groupBy(col("vec_id"), col("label"), col("c_label"))
+      .agg(sum(col("x") * col("c")).cast("double").as("dot"))
+    val scored = dots
+      .join(vnorm, "vec_id")
+      .join(broadcast(cnorm), "c_label")
+      .withColumn("cos", col("dot") / sqrt(col("v_sq") * col("c_sq")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("c_label"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("label"), col("c_label").as("assigned_label"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("label"), col("assigned_label"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_brute" -> (knnBrute _),
     "sim_knn_lsh"   -> (knnLsh _),
     "sim_knn_ivf"   -> (knnIvf _),
-    "sim_label_centroids" -> (labelCentroids _)
+    "sim_label_centroids" -> (labelCentroids _),
+    "sim_centroid_assign" -> (centroidAssign _)
   )
 
   private val dotSql =
@@ -185,6 +229,44 @@ object Similarity {
     .mkString("CAST(", " + ", " AS BIGINT)")
 
   val oracle: Map[String, String] = Map(
+    "sim_centroid_assign" ->
+      """WITH x0 AS (
+        |  SELECT vec_id, label, embedding,
+        |    unnest(generate_series(1, len(embedding))) AS dim
+        |  FROM embeddings),
+        |xs AS (
+        |  SELECT vec_id, label, dim,
+        |    CAST(ROUND(embedding[dim]::DOUBLE, 6) AS DECIMAL(18,6)) AS x
+        |  FROM x0),
+        |cent AS (
+        |  SELECT label AS c_label, dim,
+        |    CAST(ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS c
+        |  FROM xs GROUP BY label, dim),
+        |cnorm AS (
+        |  SELECT c_label, CAST(SUM(c * c) AS DOUBLE) AS c_sq
+        |  FROM cent GROUP BY c_label),
+        |vnorm AS (
+        |  SELECT vec_id, CAST(SUM(x * x) AS DOUBLE) AS v_sq
+        |  FROM xs GROUP BY vec_id),
+        |dots AS (
+        |  SELECT xs.vec_id, xs.label, cent.c_label,
+        |    CAST(SUM(xs.x * cent.c) AS DOUBLE) AS dot
+        |  FROM xs JOIN cent ON xs.dim = cent.dim
+        |  GROUP BY xs.vec_id, xs.label, cent.c_label),
+        |scored AS (
+        |  SELECT d.vec_id, d.label, d.c_label,
+        |    d.dot / sqrt(v.v_sq * n.c_sq) AS cos
+        |  FROM dots d
+        |  JOIN vnorm v ON d.vec_id = v.vec_id
+        |  JOIN cnorm n ON d.c_label = n.c_label),
+        |best AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY vec_id ORDER BY cos DESC, c_label) AS rn
+        |  FROM scored)
+        |SELECT label, c_label AS assigned_label, COUNT(*) AS n_vecs
+        |FROM best WHERE rn = 1
+        |GROUP BY label, c_label
+        |ORDER BY label, assigned_label""".stripMargin,
     "sim_label_centroids" ->
       """WITH x0 AS (
         |  SELECT label, embedding,
