@@ -167,6 +167,16 @@ class PlanSpec extends SparkSpec {
     }))
     assert(hasBudgetFilter(bruteHints.head.child),
       s"sim_knn_brute broadcast side is not budget-bounded:\n${bruteHints.head.child}")
+    // centroid assignment: hints only on aggregated subtrees (centroids /
+    // centroid norms — |labels|·dims rows no matter the corpus size), never
+    // on a raw corpus relation
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val assignHints = hints(Similarity.centroidAssign(spark, sf0001))
+    assert(assignHints.nonEmpty)
+    assignHints.foreach { h =>
+      assert(h.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"sim_centroid_assign hints an unaggregated (corpus-sized) side:\n${h.child}")
+    }
   }
 
   test("FoldGraftExpressions folds literal-input custom expressions at optimization time") {
