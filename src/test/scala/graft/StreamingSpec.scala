@@ -215,6 +215,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("parquet sink + checkpoint: restart resumes exactly-once, no duplicate windows") {
+    // production lifecycle: stop a streaming query and restart it from its
+    // checkpoint — the file-sink commit log plus the offset log must hand
+    // the new incarnation the old state (watermark, window contents) and
+    // never double-write a finalized window
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import java.nio.file.Files
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val out = Files.createTempDirectory("graft_sink").toString
+    def ev(id: Long, t: String, v: Double) =
+      Ev(id, Timestamp.valueOf(t), user_id = 1L, event_type = "click", value = v)
+    val mem = MemoryStream[Ev]
+    def start() = Streams.tumblingCounts(mem.toDF())
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    // hour 10 gets 2 events; the 13:00 event pushes the watermark to 12:00,
+    // finalizing hour 10 into the sink
+    mem.addData(Seq(ev(1, "2024-01-01 10:15:00", 1.0),
+                    ev(2, "2024-01-01 10:45:00", 2.0),
+                    ev(3, "2024-01-01 13:00:00", 4.0)))
+    q1.processAllAvailable()
+    q1.stop()
+    // restart from the checkpoint; a far-future event closes hour 13
+    val q2 = start()
+    mem.addData(Seq(ev(4, "2024-01-02 10:00:00", 8.0)))
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(out)
+      .select(col("hour_start"), col("n_events"), col("sum_value")).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSeq
+    // each finalized window appears EXACTLY once across both incarnations
+    assert(rows.size == rows.distinct.size, s"duplicate windows after restart: $rows")
+    val byHour = rows.map { case (h, n, s) => h -> ((n, s)) }.toMap
+    assert(byHour(Timestamp.valueOf("2024-01-01 10:00:00")) == ((2L, 3.0)), byHour)
+    assert(byHour(Timestamp.valueOf("2024-01-01 13:00:00")) == ((1L, 4.0)), byHour)
+  }
+
   test("watermark drops late data: closed windows ignore stragglers") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
