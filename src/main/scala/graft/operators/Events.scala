@@ -57,6 +57,32 @@ object Events {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** Resample + gap-fill — the calendar-spine operator time-series
+    * reporting needs and plain groupBy can't produce: hours with NO events
+    * must still appear (count 0), or downstream rates/averages silently
+    * skip gaps. The spine is `sequence(min_hour, max_hour, 1h)` exploded
+    * from a 1-row span aggregate — time-bounded, NOT data-bounded, so the
+    * grid (spine × event types) stays a few thousand rows at any corpus
+    * size; observed counts left-join onto it. The spine×types cross join
+    * is two bounded relations (documented in PlanSpec's nested-loop
+    * allowlist). */
+  def resampleGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("hour_start", date_trunc("hour", col("ts")))
+    val span = e.agg(min(col("hour_start")).as("lo"), max(col("hour_start")).as("hi"))
+    val spine = span.select(
+      explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hour_start"))
+    val types = e.select(col("event_type")).distinct()
+    val agg = e.groupBy(col("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    spine.crossJoin(types)
+      .join(agg, Seq("hour_start", "event_type"), "left")
+      .select(col("hour_start"), col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
   /** Per-row ML feature derivation (X11/X12): log1p/expm1 round-trip,
     * engagement score — the reference's feature-prep surface on orders.
     * ln() is libm-dependent → rounded to 6; the round-trip flag is exact.
@@ -185,6 +211,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_tumbling_hour" -> (tumblingHour _),
+    "events_resample_gapfill" -> (resampleGapfill _),
     "events_sessionization" -> (sessionization _),
     "ml_feature_prep"      -> (featurePrep _),
     "join_asof_clicks"     -> (asofClicks _),
@@ -246,6 +273,26 @@ object Events {
         |FROM c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND c.ts_us >= p.p_ts_us
         |ORDER BY c.event_id""".stripMargin,
+    "events_resample_gapfill" ->
+      """WITH e AS (
+        |  SELECT date_trunc('hour', ts) AS hour_start, event_type, value
+        |  FROM events),
+        |span AS (SELECT min(hour_start) AS lo, max(hour_start) AS hi FROM e),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+        |  FROM span),
+        |types AS (SELECT DISTINCT event_type FROM e),
+        |agg AS (
+        |  SELECT hour_start, event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s
+        |  FROM e GROUP BY 1, 2)
+        |SELECT sp.hour_start, t.event_type,
+        |  CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events,
+        |  COALESCE(a.s, 0.0) AS sum_value
+        |FROM spine sp
+        |CROSS JOIN types t
+        |LEFT JOIN agg a ON sp.hour_start = a.hour_start AND t.event_type = a.event_type
+        |ORDER BY 1, 2""".stripMargin,
     "events_tumbling_hour" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  COUNT(*) AS n_events,

@@ -90,8 +90,11 @@ class PlanSpec extends SparkSpec {
     // sim_knn_ivf crossJoins the |Q|-row query set against the broadcast
     // k-row centroid relation (both constant-size) to derive multi-probe
     // cells — legal at any corpus size
+    // events_resample_gapfill crossJoins the hour spine (time-bounded)
+    // against the distinct event types (small) — a bounded×bounded grid
     val allowedNestedLoop =
-      Set("sim_knn_brute", "sim_knn_lsh", "sim_knn_ivf", "text_tfidf", "win_ntile_tiers")
+      Set("sim_knn_brute", "sim_knn_lsh", "sim_knn_ivf", "text_tfidf", "win_ntile_tiers",
+        "events_resample_gapfill")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
