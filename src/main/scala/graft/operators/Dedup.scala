@@ -253,7 +253,57 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  private val MaxCcIters = 20
+
+  /** Near-dup CLUSTERS from verified pairs — the step real dedup pipelines
+    * run after pair generation: pairs only say "a~b"; keeping one doc per
+    * GROUP needs the transitive closure (a~b, b~c ⇒ {a,b,c} is one
+    * cluster, survivor = min doc_id). Computed by iterative min-label
+    * propagation — each round every node takes the min label among itself
+    * and its neighbors; converges in O(component diameter) rounds, each a
+    * bounded equi-join + hash-agg (the standard distributed CC shape;
+    * large-star/small-star is the same loop with faster contraction). The
+    * driver only checks the convergence FLAG per round (as an iterative
+    * fit must — cf. KMeans); no row data crosses the driver.
+    *
+    * Oracle: DuckDB WITH RECURSIVE reachability over the same verified
+    * pairs — a second, independent formulation of the transitive closure. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .cache()
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .cache()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < MaxCcIters) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("doc_a"), col("cluster_id").as("nl")),
+          Seq("doc_a"))
+        .select(col("doc_b").as("doc_id"), col("nl"))
+      val next = labels.select(col("doc_id"), col("cluster_id").as("nl"))
+        .unionByName(neighborMin)
+        .groupBy(col("doc_id"))
+        .agg(min(col("nl")).as("cluster_id"))
+        .cache()
+      converged = next
+        .join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("old"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
+    labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("n_docs"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cc_clusters"     -> (dedupClusters _),
     "dedup_minhash_lsh"     -> (minhashLsh _),
     "dedup_ngram_jaccard"   -> (ngramJaccard _),
     "dedup_simhash"         -> (simhashClusters _),
@@ -284,31 +334,54 @@ object Dedup {
     .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
     .mkString(" + ")
 
+  /** The minhash pair-generation CTE chain (through verified-jaccard `j`),
+    * shared by the pair entry's oracle and the clusters entry's recursive
+    * closure on top of it. */
+  private lazy val minhashPairCtes: String =
+    s"""sh AS ($shingledSql),
+      |ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+      |sig AS (SELECT doc_id,
+      |    $sigSelect
+      |  FROM ex GROUP BY doc_id),
+      |bands AS (
+      |  $bandUnion),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |   AND a.doc_id < b.doc_id),
+      |j AS (
+      |  SELECT doc_a, doc_b,
+      |    len(list_intersect(sa.shingles, sb.shingles))::BIGINT AS n_inter,
+      |    len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+      |      / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+      |  FROM cand
+      |  JOIN sh sa ON sa.doc_id = doc_a
+      |  JOIN sh sb ON sb.doc_id = doc_b)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_minhash_lsh" ->
-      s"""WITH sh AS ($shingledSql),
-        |ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
-        |sig AS (SELECT doc_id,
-        |    $sigSelect
-        |  FROM ex GROUP BY doc_id),
-        |bands AS (
-        |  $bandUnion),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-        |   AND a.doc_id < b.doc_id),
-        |j AS (
-        |  SELECT doc_a, doc_b,
-        |    len(list_intersect(sa.shingles, sb.shingles))::BIGINT AS n_inter,
-        |    len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-        |      / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
-        |  FROM cand
-        |  JOIN sh sa ON sa.doc_id = doc_a
-        |  JOIN sh sb ON sb.doc_id = doc_b)
+      s"""WITH $minhashPairCtes
         |SELECT doc_a, doc_b, n_inter, jaccard FROM j
         |WHERE jaccard >= 0.7
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_cc_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+        |pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.7),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+        |reach(doc_id, label) AS (
+        |  SELECT doc_id, doc_id FROM nodes
+        |  UNION
+        |  SELECT e.b, r.label FROM reach r JOIN edges e ON r.doc_id = e.a),
+        |lab AS (SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id),
+        |cs AS (SELECT cluster_id, COUNT(*) AS n_docs FROM lab GROUP BY cluster_id)
+        |SELECT l.doc_id, l.cluster_id, cs.n_docs
+        |FROM lab l JOIN cs USING (cluster_id)
+        |ORDER BY l.doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH sh AS ($shingledSql),
         |ex_all AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
