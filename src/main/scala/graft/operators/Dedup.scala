@@ -268,39 +268,55 @@ object Dedup {
     *
     * Oracle: DuckDB WITH RECURSIVE reachability over the same verified
     * pairs — a second, independent formulation of the transitive closure. */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
-    val edges = pairs.unionByName(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .cache()
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .cache()
-    var iter = 0
-    var converged = false
-    while (!converged && iter < MaxCcIters) {
-      val neighborMin = edges
-        .join(labels.select(col("doc_id").as("doc_a"), col("cluster_id").as("nl")),
-          Seq("doc_a"))
-        .select(col("doc_b").as("doc_id"), col("nl"))
-      val next = labels.select(col("doc_id"), col("cluster_id").as("nl"))
-        .unionByName(neighborMin)
-        .groupBy(col("doc_id"))
-        .agg(min(col("nl")).as("cluster_id"))
+  /** The iterative fit runs EAGERLY at construction (like a model.fit), so
+    * the result is memoized per (session, dir): catalog-wide plan sweeps
+    * construct every entry repeatedly and must not re-run the loop. The
+    * memo holds the converged LINEAGE (a fixed number of join/agg rounds),
+    * so it stays valid even after a clearCache() — recomputation replays
+    * the rounds without the driver loop. */
+  private val ccMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    ccMemo.getOrElseUpdate((spark, dir), {
+      val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+      val edges = pairs.unionByName(
+          pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .cache()
-      converged = next
-        .join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("old"))
-        .isEmpty
-      labels.unpersist()
-      labels = next
-      iter += 1
-    }
-    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
-    labels.join(sizes, "cluster_id")
-      .select(col("doc_id"), col("cluster_id"), col("n_docs"))
-      .orderBy(col("doc_id"))
-  }
+      var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id"))
+        .cache()
+      var iter = 0
+      var converged = false
+      while (!converged && iter < MaxCcIters) {
+        val neighborMin = edges
+          .join(labels.select(col("doc_id").as("doc_a"), col("cluster_id").as("nl")),
+            Seq("doc_a"))
+          .select(col("doc_b").as("doc_id"), col("nl"))
+        val next = labels.select(col("doc_id"), col("cluster_id").as("nl"))
+          .unionByName(neighborMin)
+          .groupBy(col("doc_id"))
+          .agg(min(col("nl")).as("cluster_id"))
+          .cache()
+        converged = next
+          .join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
+          .filter(col("cluster_id") =!= col("old"))
+          .isEmpty
+        labels.unpersist()
+        labels = next
+        iter += 1
+      }
+      // wrong-but-plausible clusters are worse than an error: a component
+      // with diameter > MaxCcIters would exit with intermediate labels
+      require(converged,
+        s"connected components did not converge in $MaxCcIters rounds — " +
+          "raise MaxCcIters (component diameter exceeds it)")
+      edges.unpersist() // final labels stay cached: one bounded entry per dir
+      val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
+      labels.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("n_docs"))
+        .orderBy(col("doc_id"))
+    })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cc_clusters"     -> (dedupClusters _),

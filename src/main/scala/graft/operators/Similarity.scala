@@ -158,17 +158,28 @@ object Similarity {
     * round-6 of identical doubles is the catalog's proven cross-engine
     * rule) then summed exactly in decimal; the mean is one final IEEE
     * division — so the full centroid matrix sits under the hash gate. */
-  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+  /** The catalog's exact-vector-math lift, defined ONCE: long-format
+    * (vec_id, label, dim, x) rows with each element round-6'd (identical
+    * doubles in both engines) and raised to decimal(18,6) so cross-row
+    * sums are exact. Both centroid entries build on this. */
+  private def explodedDecimal(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      .select(col("label"), posexplode(col("embedding").cast("array<double>")))
-      .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
-        round(col("col"), 6).cast("decimal(18,6)").as("xr"))
-      .groupBy(col("label"), col("dim"))
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding").cast("array<double>")))
+      .select(col("vec_id"), col("label"), (col("pos") + 1).cast("long").as("dim"),
+        round(col("col"), 6).cast("decimal(18,6)").as("x"))
+
+  /** Per-(label, dim) centroid cells from the lifted rows: exact decimal
+    * sum, one IEEE division. */
+  private def centroidCells(xs: DataFrame): DataFrame =
+    xs.groupBy(col("label"), col("dim"))
       .agg(
         count(lit(1)).as("n_vecs"),
-        (sum(col("xr")).cast("double") / count(lit(1))).as("centroid"))
+        (sum(col("x")).cast("double") / count(lit(1))).as("centroid"))
+
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    centroidCells(explodedDecimal(spark, dir))
       .orderBy(col("label"), col("dim"))
-  }
 
   /** Nearest-centroid assignment — prototype classification over the
     * centroid matrix: every vector is scored against each label's centroid
@@ -184,16 +195,11 @@ object Similarity {
     * double arithmetic on identical operands — bit-exact in both engines —
     * and the argmax tiebreak is (cos desc, label asc). */
   def centroidAssign(spark: SparkSession, dir: String): DataFrame = {
-    val xs = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"),
-        posexplode(col("embedding").cast("array<double>")))
-      .select(col("vec_id"), col("label"), (col("pos") + 1).cast("long").as("dim"),
-        round(col("col"), 6).cast("decimal(18,6)").as("x"))
+    val xs = explodedDecimal(spark, dir)
       .cache() // feeds centroids, vector norms, and the scoring join
-    val cent = xs.groupBy(col("label").as("c_label"), col("dim"))
-      .agg((sum(col("x")).cast("double") / count(lit(1))).as("c_dbl"))
-      .select(col("c_label"), col("dim"),
-        round(col("c_dbl"), 6).cast("decimal(18,6)").as("c"))
+    val cent = centroidCells(xs) // same cells the sim_label_centroids entry emits
+      .select(col("label").as("c_label"), col("dim"),
+        round(col("centroid"), 6).cast("decimal(18,6)").as("c"))
     val cnorm = cent.groupBy(col("c_label"))
       .agg(sum(col("c") * col("c")).cast("double").as("c_sq"))
     val vnorm = xs.groupBy(col("vec_id"))

@@ -118,7 +118,15 @@ object Sources {
     // so an existing complete write is always current
     val outPath = new org.apache.hadoop.fs.Path(out)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(outPath, "_SUCCESS")))
+    val marker = new org.apache.hadoop.fs.Path(outPath, "_SUCCESS")
+    val src = new org.apache.hadoop.fs.Path(s"$dir/orders.parquet")
+    // stale-proof gate: rewrite when the marker is missing OR the source
+    // table is newer than the last successful write (testdata regeneration
+    // must not keep serving an old layout)
+    val fresh = fs.exists(marker) &&
+      fs.getFileStatus(marker).getModificationTime >
+        fs.getFileStatus(src).getModificationTime
+    if (!fresh)
       Tables.orders(spark, dir)
         .withColumn("o_year", year(col("o_orderdate")))
         .write.mode("overwrite").partitionBy("o_year").parquet(out)

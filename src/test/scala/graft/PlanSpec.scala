@@ -170,15 +170,23 @@ class PlanSpec extends SparkSpec {
     }))
     assert(hasBudgetFilter(bruteHints.head.child),
       s"sim_knn_brute broadcast side is not budget-bounded:\n${bruteHints.head.child}")
-    // centroid assignment: hints only on aggregated subtrees (centroids /
-    // centroid norms — |labels|·dims rows no matter the corpus size), never
-    // on a raw corpus relation
-    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    // centroid assignment: hints only on AGGREGATE-TOPPED subtrees
+    // (centroids / centroid norms — |labels|·dims rows no matter the
+    // corpus size). "Contains an aggregate somewhere" is not enough: a
+    // corpus-sized join ABOVE an aggregate would also contain one, so the
+    // pin requires the aggregate at the top (modulo projections/aliases)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project, SubqueryAlias}
+    def aggTopped(p: LogicalPlan): Boolean = p match {
+      case pr: Project       => aggTopped(pr.child)
+      case s: SubqueryAlias  => aggTopped(s.child)
+      case _: Aggregate      => true
+      case _                 => false
+    }
     val assignHints = hints(Similarity.centroidAssign(spark, sf0001))
     assert(assignHints.nonEmpty)
     assignHints.foreach { h =>
-      assert(h.child.collectFirst { case a: Aggregate => a }.isDefined,
-        s"sim_centroid_assign hints an unaggregated (corpus-sized) side:\n${h.child}")
+      assert(aggTopped(h.child),
+        s"sim_centroid_assign hints a side not bounded by an aggregate:\n${h.child}")
     }
   }
 
