@@ -165,6 +165,59 @@ object Events {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** FORWARD as-of join — the time-reversed variant (pandas
+    * merge_asof(direction='forward')): each click matched to the same
+    * user's EARLIEST purchase at-or-after its timestamp ("time to next
+    * conversion"). Same one-shuffle union+window shape as asofClicks, with
+    * the carry reversed: the window ranges over FOLLOWING rows and takes
+    * the first non-null purchase. Purchases sort after clicks at the same
+    * instant (side ordering), so `>=` semantics hold. Oracle: DuckDB's
+    * native ASOF LEFT JOIN with a `<=` condition (direction inferred). */
+  def asofForward(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("event_id")).as("p_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val u = clicks
+      .select(col("user_id"), col("ts_us"), lit(0).as("side"),
+        col("event_id"), lit(null).cast("long").as("p_id"),
+        lit(null).cast("long").as("p_ts_us"))
+      .unionByName(purchases
+        .select(col("user_id"), col("ts_us"), lit(1).as("side"),
+          lit(null).cast("long").as("event_id"), col("p_id"),
+          col("ts_us").as("p_ts_us")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("side"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    u.withColumn("next_p_id", first(col("p_id"), ignoreNulls = true).over(w))
+      .withColumn("next_p_ts_us", first(col("p_ts_us"), ignoreNulls = true).over(w))
+      .filter(col("side") === 0)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("next_p_id"), col("next_p_ts_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** As-of with TOLERANCE (pandas merge_asof(tolerance=...)): the backward
+    * match is kept only when the matched purchase is within 1 hour of the
+    * click — staler matches are nulled out, which is how feature pipelines
+    * avoid attributing conversions to ancient events. Composition over
+    * asofClicks: the tolerance is a projection on the matched columns, so
+    * the join cost is identical and the oracle wraps the same native ASOF
+    * with one CASE. */
+  def asofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ToleranceUs = 3600L * 1000000L
+    val within = col("asof_p_ts_us").isNotNull &&
+      col("ts_us") - col("asof_p_ts_us") <= ToleranceUs
+    asofClicks(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        when(within, col("asof_p_id")).as("tol_p_id"),
+        when(within, col("asof_p_ts_us")).as("tol_p_ts_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** LEFT-OUTER interval join — batch twin of Streams.clickPurchaseLeftJoin:
     * every click survives; clicks with no same-user purchase in the
     * preceding hour carry null purchase columns. In streaming those null
@@ -215,6 +268,8 @@ object Events {
     "events_sessionization" -> (sessionization _),
     "ml_feature_prep"      -> (featurePrep _),
     "join_asof_clicks"     -> (asofClicks _),
+    "join_asof_forward"    -> (asofForward _),
+    "join_asof_tolerance"  -> (asofTolerance _),
     "join_asof_custom"     -> (asofClicksCustom _),
     "join_interval_clicks" -> (intervalClicks _),
     "join_interval_left"   -> (intervalClicksLeft _)
@@ -260,6 +315,38 @@ object Events {
         | AND p.purchase_us <= c.click_us
         |ORDER BY c.click_id, p.purchase_id""".stripMargin,
     "join_asof_custom" -> asofOracleSql,
+    "join_asof_forward" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS p_ts_us, MAX(event_id) AS p_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, epoch_us(ts)),
+        |c AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts_us,
+        |  p.p_id AS next_p_id, p.p_ts_us AS next_p_ts_us
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts_us <= p.p_ts_us
+        |ORDER BY c.event_id""".stripMargin,
+    "join_asof_tolerance" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS p_ts_us, MAX(event_id) AS p_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, epoch_us(ts)),
+        |c AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT c.event_id, c.user_id, c.ts_us, p.p_id, p.p_ts_us
+        |  FROM c ASOF LEFT JOIN p
+        |    ON c.user_id = p.user_id AND c.ts_us >= p.p_ts_us)
+        |SELECT event_id, user_id, ts_us,
+        |  CASE WHEN p_ts_us IS NOT NULL AND ts_us - p_ts_us <= 3600000000
+        |       THEN p_id END AS tol_p_id,
+        |  CASE WHEN p_ts_us IS NOT NULL AND ts_us - p_ts_us <= 3600000000
+        |       THEN p_ts_us END AS tol_p_ts_us
+        |FROM m
+        |ORDER BY event_id""".stripMargin,
     "join_asof_clicks" ->
       """WITH p AS (
         |  SELECT user_id, epoch_us(ts) AS p_ts_us, MAX(event_id) AS p_id
