@@ -30,8 +30,11 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * null contract is
   * enforced per row in doExecute (a clear error instead of Scala's silent
   * null→0L unboxing, which would quietly join null keys as key 0). Left
-  * as-of semantics — for each left row, the right row with the greatest
-  * ts ≤ left ts for the same key, nulls when none.
+  * as-of semantics, both directions: BACKWARD (default) — for each left
+  * row, the right row with the greatest ts ≤ left ts for the same key;
+  * FORWARD (`forward = true`) — the smallest ts ≥ left ts. Nulls when
+  * none; both are single-pass O(1)-state merges over the same co-clustered
+  * (key, ts) sort.
   *
   * Scale shape: requiredChildDistribution co-clusters both children on the
   * join key (EnsureRequirements inserts the exchanges), requiredChildOrdering
@@ -41,7 +44,8 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, leftTs: Expression,
-    rightKey: Expression, rightTs: Expression) extends BinaryNode {
+    rightKey: Expression, rightTs: Expression,
+    forward: Boolean) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -52,7 +56,8 @@ case class AsOfJoin(
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, leftTs: Expression,
-    rightKey: Expression, rightTs: Expression) extends BinaryExecNode {
+    rightKey: Expression, rightTs: Expression,
+    forward: Boolean) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -82,28 +87,52 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
       val project = UnsafeProjection.create(outAttrs, outAttrs)
       var rLookahead: InternalRow = null   // fetched but not yet consumed
-      var lastMatch: InternalRow = null    // greatest rTs ≤ lTs for lastMatchKey
-      var lastMatchKey = 0L
 
-      lIter.map { lRow =>
-        val k = evalLong(lKey, lRow, "left key")
-        val t = evalLong(lTs, lRow, "left ts")
-        if (lastMatch != null && lastMatchKey != k) lastMatch = null
-        var advance = true
-        while (advance && (rLookahead != null || rIter.hasNext)) {
-          if (rLookahead == null) rLookahead = rIter.next().copy() // rows are reused buffers
-          val rk = evalLong(rKey, rLookahead, "right key")
-          if (rk < k) {
-            rLookahead = null // earlier key, no longer relevant
-          } else if (rk == k && evalLong(rTs, rLookahead, "right ts") <= t) {
-            lastMatch = rLookahead; lastMatchKey = rk
-            rLookahead = null
-          } else {
-            advance = false // right pointer is ahead of this left row
+      if (forward) {
+        // FORWARD merge: for each left row, the first right row with
+        // rTs ≥ lTs for the same key. Left ts is ascending per key, so the
+        // right pointer only ever advances — rows with rk < k, or same key
+        // but rTs < t, can never match a later left row; a matched
+        // lookahead is NOT consumed (the same right row may also be the
+        // answer for the next left row). O(1) state, single pass.
+        lIter.map { lRow =>
+          val k = evalLong(lKey, lRow, "left key")
+          val t = evalLong(lTs, lRow, "left ts")
+          var advance = true
+          while (advance && (rLookahead != null || rIter.hasNext)) {
+            if (rLookahead == null) rLookahead = rIter.next().copy()
+            val rk = evalLong(rKey, rLookahead, "right key")
+            if (rk < k || (rk == k && evalLong(rTs, rLookahead, "right ts") < t))
+              rLookahead = null // permanently behind this (and any later) left row
+            else advance = false
           }
+          val matched = rLookahead != null &&
+            evalLong(rKey, rLookahead, "right key") == k
+          project(joined(lRow, if (matched) rLookahead else nullRight))
         }
-        val r = if (lastMatch != null) lastMatch else nullRight
-        project(joined(lRow, r))
+      } else {
+        var lastMatch: InternalRow = null  // greatest rTs ≤ lTs for lastMatchKey
+        var lastMatchKey = 0L
+        lIter.map { lRow =>
+          val k = evalLong(lKey, lRow, "left key")
+          val t = evalLong(lTs, lRow, "left ts")
+          if (lastMatch != null && lastMatchKey != k) lastMatch = null
+          var advance = true
+          while (advance && (rLookahead != null || rIter.hasNext)) {
+            if (rLookahead == null) rLookahead = rIter.next().copy() // rows are reused buffers
+            val rk = evalLong(rKey, rLookahead, "right key")
+            if (rk < k) {
+              rLookahead = null // earlier key, no longer relevant
+            } else if (rk == k && evalLong(rTs, rLookahead, "right ts") <= t) {
+              lastMatch = rLookahead; lastMatchKey = rk
+              rLookahead = null
+            } else {
+              advance = false // right pointer is ahead of this left row
+            }
+          }
+          val r = if (lastMatch != null) lastMatch else nullRight
+          project(joined(lRow, r))
+        }
       }
     }
   }
@@ -124,8 +153,8 @@ case class AsOfJoinExec(
 
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, lts, rk, rts) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lts, rk, rts) :: Nil
+    case AsOfJoin(l, r, lk, lts, rk, rts, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lts, rk, rts, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -143,7 +172,8 @@ object AsOfJoinPlan {
     * BIGINT *seconds* would not). */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: Column, leftTs: Column,
-               rightKey: Column, rightTs: Column): DataFrame = {
+               rightKey: Column, rightTs: Column,
+               forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     val plan = AsOfJoin(
@@ -151,7 +181,8 @@ object AsOfJoinPlan {
       toBigint(left, leftKey, "left key"),
       toBigint(left, leftTs, "left ts"),
       toBigint(right, rightKey, "right key"),
-      toBigint(right, rightTs, "right ts"))
+      toBigint(right, rightTs, "right ts"),
+      forward)
     val out = ColumnBridge.ofRows(spark, plan)
     // type contract, checked once the analyzer has resolved the expressions
     out.queryExecution.analyzed.collectFirst { case a: AsOfJoin => a }.foreach { a =>

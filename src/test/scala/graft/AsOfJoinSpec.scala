@@ -90,6 +90,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == viaCustomExec(sf0001).map(t => (t._1, t._4)))
   }
 
+  test("forward direction: custom exec == composed FOLLOWING-window formulation") {
+    val e = Tables.events(spark, sf0001).withColumn("ts_us", unix_micros(col("ts")))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user_id"), col("ts_us").as("p_ts_us"))
+      .agg(max(col("event_id")).as("next_p_id"))
+      .select(col("next_p_id"), col("p_user_id"), col("p_ts_us"))
+    val joined = AsOfJoinPlan.asofJoin(clicks, purchases,
+      clicks("user_id"), clicks("ts_us"),
+      purchases("p_user_id"), purchases("p_ts_us"),
+      forward = true)
+    val got = joined.collect().map { r =>
+      (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    }.toSet
+    val want = Events.asofForward(spark, sf0001).collect().map { r =>
+      (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    }.toSet
+    assert(got.nonEmpty && got.exists(_._2.isDefined), "no forward matches — data assumption broken")
+    assert(got == want,
+      s"diff: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+  }
+
   test("asofJoin rejects non-normalizable key/ts types at call time") {
     val e = Tables.events(spark, sf0001)
     val clicks = e.filter(col("event_type") === "click")
