@@ -152,6 +152,23 @@ object Aggregates {
       .orderBy(col("g_region"), col("g_nation"), col("r_name"), col("n_name"))
   }
 
+  /** Full CUBE lattice (status × priority) with GROUPING() flags — the
+    * other half of the grouping-sets surface next to `rollupRegionNation`:
+    * all 2^k dimension combinations in ONE Expand + one hash-agg pass (vs
+    * 2^k separate scans of a 100 TB fact table). Output is bounded by the
+    * key-cardinality product, tiny at any scale. */
+  def cubeStatusPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_value"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_priority"))
+      .orderBy(col("g_status"), col("g_priority"),
+        col("o_orderstatus"), col("o_orderpriority"))
+  }
+
   /** Custom typed Aggregator (SURVEY.md §2.12 surface): bounded-state exact
     * top-3 order keys by price per priority — O(k) aggregation state per
     * group vs collect_list's O(group size) (see graft.functions.TopKKeys).
@@ -193,7 +210,8 @@ object Aggregates {
     "agg_global_stats"    -> (globalStats _),
     "agg_approx_distinct" -> (approxDistinct _),
     "agg_hll_partial"     -> (hllPartialUnion _),
-    "agg_rollup_region"   -> (rollupRegionNation _)
+    "agg_rollup_region"   -> (rollupRegionNation _),
+    "agg_cube_matrix"     -> (cubeStatusPriority _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -257,6 +275,15 @@ object Aggregates {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY g_region, g_nation, r_name, n_name""".stripMargin,
+    "agg_cube_matrix" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""".stripMargin,
     "agg_approx_distinct" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_partkey) AS n_parts,

@@ -34,6 +34,25 @@ object Events {
       .orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** Sliding (hopping) window aggregation — 3-hour windows advancing every
+    * hour, so each event contributes to 3 overlapping windows (batch twin
+    * of Streams.slidingCounts; StreamingSpec proves batch ≡ stream). In
+    * batch this is one Expand (×3 rows, the width/slide ratio) + a hash
+    * agg; the Expand is map-side, BEFORE the shuffle, so partial
+    * aggregation still collapses each task's output to |windows|·|types|
+    * rows — the amplification never crosses the wire. Oracle: each event's
+    * member windows enumerated with a 3-value offset cross join. */
+  def slidingThreeHour(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(window(col("ts"), "3 hours", "1 hour").as("win"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .select(col("win").getField("start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   /** Sessionization with a 30-minute inactivity gap (batch twin of
     * Streams.sessionWindows): lag → gap flag → running sum = session id. */
   def sessionization(spark: SparkSession, dir: String): DataFrame = {
@@ -264,6 +283,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_tumbling_hour" -> (tumblingHour _),
+    "events_sliding_3h"    -> (slidingThreeHour _),
     "events_resample_gapfill" -> (resampleGapfill _),
     "events_sessionization" -> (sessionization _),
     "ml_feature_prep"      -> (featurePrep _),
@@ -379,6 +399,18 @@ object Events {
         |FROM spine sp
         |CROSS JOIN types t
         |LEFT JOIN agg a ON sp.hour_start = a.hour_start AND t.event_type = a.event_type
+        |ORDER BY 1, 2""".stripMargin,
+    "events_sliding_3h" ->
+      """WITH g AS (SELECT unnest([0, 1, 2]) AS k),
+        |w AS (
+        |  SELECT date_trunc('hour', e.ts) - g.k * INTERVAL 1 HOUR AS window_start,
+        |    e.event_type, e.value
+        |  FROM events e CROSS JOIN g)
+        |SELECT window_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w
+        |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
     "events_tumbling_hour" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,

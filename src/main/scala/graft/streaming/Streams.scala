@@ -30,6 +30,20 @@ object Streams {
       .select(col("win.start").as("hour_start"), col("event_type"),
               col("n_events"), col("sum_value"))
 
+  /** Sliding (hopping) 3-hour windows advancing every hour — each event
+    * lands in width/slide = 3 overlapping windows (streaming twin of
+    * Events.slidingThreeHour). Watermark + window width bound open state
+    * to ~(3h + 1h lateness) of windows per event_type key. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "3 hours", "1 hour").as("win"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+              col("n_events"), col("sum_value"))
+
   /** Session windows with a 30-minute inactivity gap
     * (streaming twin of Events.sessionization). */
   def sessionWindows(events: DataFrame): DataFrame =

@@ -61,6 +61,23 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("sliding 3h/1h counts: stream == batch window()") {
+    val got = runStream("t_sliding", "complete")(Streams.slidingCounts)
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val want = batchEvents
+      .groupBy(window(col("ts"), "3 hours", "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("win.start"), col("event_type"), col("n_events"), col("sum_value"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == want)
+    // each event lands in exactly width/slide = 3 overlapping windows
+    assert(got.values.map(_._1).sum == 3 * batchEvents.count())
+  }
+
   test("session windows (30m gap): stream == batch gaps-and-islands") {
     val got = runStream("t_session", "complete")(Streams.sessionWindows)
       .map(r => (r.getLong(0), r.getTimestamp(1)) -> (r.getLong(2), r.getDouble(3)))
