@@ -258,7 +258,33 @@ object Etl {
       .orderBy(col("event_type"))
   }
 
+  /** Array higher-order functions (X-surface breadth): transform / filter /
+    * exists / aggregate / zip_with over the embedding vectors — the
+    * codegen'd per-row array algebra a feature pipeline runs before any
+    * shuffle. All folds are sequential left-to-right over array<double>
+    * (cast FIRST, see VectorOps scaladoc), so every double is bit-exact
+    * reproducible by DuckDB's list_reduce/list_transform twins — no
+    * rounding anywhere. Embarrassingly parallel: one projection, no
+    * shuffle before the output sort. */
+  def arrayHof(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    Tables.embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        size(v).cast("long").as("n_dims"),
+        size(filter(v, x => x > 0.0)).cast("long").as("n_pos"),
+        exists(v, x => abs(x) > lit(2.0)).as("any_big"),
+        aggregate(v, lit(0.0), (acc, x) => acc + x).as("sum_all"),
+        aggregate(zip_with(v, v, (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+          .as("sum_sq"),
+        aggregate(
+          transform(v, x => when(x > 1.0, 1.0).when(x < -1.0, -1.0).otherwise(x)),
+          lit(0.0), (acc, x) => acc + x).as("clip_sum"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_array_hof"      -> (arrayHof _),
     "etl_dedup_first_order" -> (dedupFirstOrder _),
     "etl_dedup_dropdup"     -> (dedupDropDuplicates _),
     "etl_validity_filter"   -> (validityFilter _),
@@ -274,6 +300,23 @@ object Etl {
   )
 
   val oracle: Map[String, String] = Map(
+    "etl_array_hof" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS n_dims,
+        |  CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0.0)) AS BIGINT) AS n_pos,
+        |  len(list_filter(embedding::DOUBLE[], x -> abs(x) > 2.0)) > 0 AS any_big,
+        |  list_reduce(list_prepend(0.0::DOUBLE, embedding::DOUBLE[]),
+        |    (x, y) -> x + y) AS sum_all,
+        |  list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(list_zip(embedding::DOUBLE[], embedding::DOUBLE[]),
+        |        z -> z[1] * z[2])),
+        |    (x, y) -> x + y) AS sum_sq,
+        |  list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(embedding::DOUBLE[],
+        |        x -> CASE WHEN x > 1.0 THEN 1.0 WHEN x < -1.0 THEN -1.0 ELSE x END)),
+        |    (x, y) -> x + y) AS clip_sum
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
     "etl_dedup_first_order" ->
       """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
         |FROM (SELECT *, ROW_NUMBER() OVER (
