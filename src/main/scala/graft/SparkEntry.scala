@@ -32,6 +32,7 @@ object SparkEntry {
       (Dedup.queries, Dedup.oracle),
       (Similarity.queries, Similarity.oracle),
       (Events.queries, Events.oracle),
+      (Behavior.queries, Behavior.oracle),
       (Graph.queries, Graph.oracle),
       (Multimodal.queries, Multimodal.oracle),
       (Sql.queries, Sql.oracle),

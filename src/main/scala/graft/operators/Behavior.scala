@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Behavioral / warehouse analytics: conversion funnel, cohort retention,
+  * and SCD-2 interval compaction — the reporting layer a user of the
+  * reference's job-analytics scripts would build next (SURVEY.md §7.5
+  * extension). All outputs are integer counts or timestamps, so the DuckDB
+  * hash gate applies with no float-determinism caveats.
+  *
+  * Scale notes: every operator here is one-or-two hash-partitioned passes
+  * keyed on the entity id (user_id / o_custkey) — shuffle joins and window
+  * functions co-partition on the same key, no broadcast of anything
+  * corpus-proportional, output bounded by |entities| (SCD-2) or a few
+  * dozen rows (funnel, cohort grid).
+  */
+object Behavior {
+
+  /** Ordered conversion funnel view → click → purchase: a user counts for
+    * stage k only with an event STRICTLY after their stage-(k-1) entry
+    * time (min-ts semantics, the standard "ordered funnel"). Three
+    * hash-aggs chained by two equi-joins on user_id — each stage's
+    * relation shrinks, and every pass is key-partitioned; no windows, no
+    * cross products. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).withColumn("ts_us", unix_micros(col("ts")))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("s1_us"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, "user_id").where(col("ts_us") > col("s1_us"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("s2_us"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").where(col("ts_us") > col("s2_us"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("s3_us"))
+    def stageCount(df: DataFrame, no: Long, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(no).as("stage_no"), lit(name).as("stage"), col("n_users"))
+    stageCount(s1, 1L, "view")
+      .unionByName(stageCount(s2, 2L, "click"))
+      .unionByName(stageCount(s3, 3L, "purchase"))
+      .orderBy(col("stage_no"))
+  }
+
+  /** Cohort retention: customers grouped by first-order month; for each
+    * (cohort month, months-since-first) cell, the count of distinct
+    * customers who ordered. The month arithmetic is pure integer
+    * (year·12+month), exact in both engines. One groupBy(custkey) for the
+    * cohort assignment, one shuffle join back on custkey, one grid
+    * hash-agg — the grid is |months|² ≈ 6 400 cells at any corpus size. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderdate"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("m_idx"))
+    val first = o.groupBy(col("o_custkey")).agg(
+      min(col("m_idx")).as("cohort_idx"),
+      date_trunc("month", min(col("o_orderdate"))).as("cohort_month"))
+    o.join(first, "o_custkey")
+      .groupBy(col("cohort_month"),
+        (col("m_idx") - col("cohort_idx")).as("month_offset"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"))
+      .orderBy(col("cohort_month"), col("month_offset"))
+  }
+
+  /** SCD-2 compaction of the per-customer order-status history: collapse
+    * consecutive same-status orders into validity intervals
+    * [valid_from, valid_to) with NULL valid_to on the open (current) run —
+    * the slowly-changing-dimension build ETL pipelines run on change
+    * feeds. Gaps-and-islands (lag → change flag → running sum) then one
+    * hash-agg per run and a lead() for the interval close; both window
+    * passes and the agg share the o_custkey partitioning, so the whole
+    * operator is ONE shuffle. Ties broken by o_orderkey for deterministic
+    * run boundaries. */
+  def scd2StatusHistory(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val runs = o
+      .withColumn("prev_status", lag(col("o_orderstatus"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev_status").isNull ||
+          col("prev_status") =!= col("o_orderstatus"), 1L).otherwise(0L))
+      .withColumn("version_seq",
+        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("o_custkey"), col("version_seq"), col("o_orderstatus"))
+      .agg(min(col("o_orderdate")).as("valid_from"),
+        count(lit(1)).as("n_orders"))
+    runs
+      .withColumn("valid_to",
+        lead(col("valid_from"), 1).over(
+          Window.partitionBy(col("o_custkey")).orderBy(col("version_seq"))))
+      .select(col("o_custkey"), col("version_seq"), col("o_orderstatus"),
+        col("valid_from"), col("valid_to"), col("n_orders"))
+      .orderBy(col("o_custkey"), col("version_seq"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel"       -> (funnel _),
+    "cohort_retention"    -> (cohortRetention _),
+    "scd2_status_history" -> (scd2StatusHistory _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "events_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (
+        |  SELECT user_id, MIN(ts_us) AS s1_us FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts_us) AS s2_us
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts_us > s1.s1_us
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ts_us) AS s3_us
+        |  FROM e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > s2.s2_us
+        |  GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS stage_no, 'view' AS stage,
+        |       COUNT(*) AS n_users FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'click', COUNT(*) FROM s2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'purchase', COUNT(*) FROM s3
+        |ORDER BY stage_no""".stripMargin,
+    "cohort_retention" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate,
+        |    year(o_orderdate) * 12 + month(o_orderdate) AS m_idx
+        |  FROM orders),
+        |f AS (
+        |  SELECT o_custkey, MIN(m_idx) AS cohort_idx,
+        |    date_trunc('month', MIN(o_orderdate)) AS cohort_month
+        |  FROM o GROUP BY o_custkey)
+        |SELECT f.cohort_month,
+        |  CAST(o.m_idx - f.cohort_idx AS BIGINT) AS month_offset,
+        |  COUNT(DISTINCT o.o_custkey) AS n_active
+        |FROM o JOIN f ON o.o_custkey = f.o_custkey
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "scd2_status_history" ->
+      """WITH flagged AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+        |    LAG(o_orderstatus, 1) OVER w AS prev_status
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |runs0 AS (
+        |  SELECT *, CASE WHEN prev_status IS NULL
+        |                   OR prev_status <> o_orderstatus
+        |                 THEN 1 ELSE 0 END AS chg
+        |  FROM flagged),
+        |runs1 AS (
+        |  SELECT *, CAST(SUM(chg) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS version_seq
+        |  FROM runs0),
+        |runs AS (
+        |  SELECT o_custkey, version_seq, o_orderstatus,
+        |    MIN(o_orderdate) AS valid_from, COUNT(*) AS n_orders
+        |  FROM runs1 GROUP BY 1, 2, 3)
+        |SELECT o_custkey, version_seq, o_orderstatus, valid_from,
+        |  LEAD(valid_from, 1) OVER (
+        |    PARTITION BY o_custkey ORDER BY version_seq) AS valid_to,
+        |  n_orders
+        |FROM runs
+        |ORDER BY o_custkey, version_seq""".stripMargin
+  )
+}
