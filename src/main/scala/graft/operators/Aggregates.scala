@@ -169,6 +169,27 @@ object Aggregates {
         col("o_orderstatus"), col("o_orderpriority"))
   }
 
+  /** Explicit GROUPING SETS — the third grouping-lattice variant next to
+    * rollup (prefix hierarchy) and cube (full 2^k lattice): ONLY the
+    * status-marginal, priority-marginal, and grand-total sets, skipping
+    * the (status × priority) cross cells a cube would also compute. At
+    * 100 TB the difference is real: Expand emits 3 rows per input instead
+    * of 4, and the hash-agg state is the SUM of marginal cardinalities,
+    * not their product. */
+  def groupingSetsMarginals(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_value"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_priority"))
+      .orderBy(col("g_status"), col("g_priority"),
+        col("o_orderstatus"), col("o_orderpriority"))
+  }
+
   /** Custom typed Aggregator (SURVEY.md §2.12 surface): bounded-state exact
     * top-3 order keys by price per priority — O(k) aggregation state per
     * group vs collect_list's O(group size) (see graft.functions.TopKKeys).
@@ -211,7 +232,8 @@ object Aggregates {
     "agg_approx_distinct" -> (approxDistinct _),
     "agg_hll_partial"     -> (hllPartialUnion _),
     "agg_rollup_region"   -> (rollupRegionNation _),
-    "agg_cube_matrix"     -> (cubeStatusPriority _)
+    "agg_cube_matrix"     -> (cubeStatusPriority _),
+    "agg_grouping_sets"   -> (groupingSetsMarginals _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -283,6 +305,15 @@ object Aggregates {
         |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""".stripMargin,
     "agg_approx_distinct" ->
       """SELECT l_returnflag,

@@ -283,8 +283,35 @@ object Etl {
       .orderBy(col("vec_id"))
   }
 
+  /** MERGE-style upsert without a table format: apply a changeset (updates
+    * + inserts) onto a base relation — matched keys take the update row,
+    * unmatched base rows survive, new keys append. The merge core is
+    * base LEFT-ANTI changeset ∪ changeset: one shuffle join on the key,
+    * no window, no driver state — the shape a 100 TB nightly merge needs
+    * when Delta/Iceberg isn't available. The changeset here is derived
+    * deterministically from the base (keys ≡0 mod 10 get status 'U' and a
+    * +1.0 price adjustment; keys ≡0 mod 1000 also spawn an insert under a
+    * disjoint key range) so the result is oracle-checkable. */
+  def upsertMerge(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    val updates = base.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + lit(1.0)).as("o_totalprice"))
+    val inserts = base.filter(col("o_orderkey") % 1000 === 0)
+      .select((col("o_orderkey") + lit(5000000000L)).as("o_orderkey"),
+        col("o_custkey"), lit("N").as("o_orderstatus"), col("o_totalprice"))
+    val changes = updates.unionByName(inserts)
+    base.join(changes.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+      .unionByName(changes)
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_array_hof"      -> (arrayHof _),
+    "etl_upsert_merge"   -> (upsertMerge _),
     "etl_dedup_first_order" -> (dedupFirstOrder _),
     "etl_dedup_dropdup"     -> (dedupDropDuplicates _),
     "etl_validity_filter"   -> (validityFilter _),
@@ -300,6 +327,26 @@ object Etl {
   )
 
   val oracle: Map[String, String] = Map(
+    "etl_upsert_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |updates AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice + 1.0 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 0),
+        |inserts AS (
+        |  SELECT o_orderkey + 5000000000 AS o_orderkey, o_custkey,
+        |    'N' AS o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 1000 = 0),
+        |changes AS (
+        |  SELECT * FROM updates UNION ALL SELECT * FROM inserts)
+        |SELECT * FROM (
+        |  SELECT b.* FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM changes c
+        |                    WHERE c.o_orderkey = b.o_orderkey)
+        |  UNION ALL
+        |  SELECT * FROM changes)
+        |ORDER BY o_orderkey""".stripMargin,
     "etl_array_hof" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS n_dims,

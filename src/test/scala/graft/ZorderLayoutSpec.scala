@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+
+/** The measurable claim behind layout_zorder_buckets: files written in
+  * Z-order carry tight min/max envelopes on BOTH interleaved columns, so
+  * footer stats prune scans filtered on EITHER — while a single-column
+  * sort leaves the second column's per-file ranges table-wide (no pruning
+  * possible). Asserted on real parquet writes of the same data.
+  */
+class ZorderLayoutSpec extends SparkSpec {
+
+  // mean per-file range width of both dims for a given layout
+  private def meanWidths(path: String): (Double, Double) = {
+    val rows = spark.read.parquet(path)
+      .groupBy(input_file_name())
+      .agg(
+        (max(col("px")) - min(col("px"))).as("wp"),
+        (max(col("sx")) - min(col("sx"))).as("ws"))
+      .collect()
+    assert(rows.length > 1, "layout write produced a single file")
+    (rows.map(_.getAs[Long]("wp")).sum.toDouble / rows.length,
+      rows.map(_.getAs[Long]("ws")).sum.toDouble / rows.length)
+  }
+
+  test("z-order write bounds per-file ranges on both dims; 1-col sort does not") {
+    // two high-cardinality dims (suppkey spans only 1..10 at sf0.001 — its
+    // whole domain fits in one Z-tile, so it can't demonstrate bounding);
+    // 16 files ≈ one 64×64 sub-quadrant of the 256×256 domain each
+    val base = Tables.lineitem(spark, sf0001)
+      .select((col("l_partkey") % 256).as("px"),
+              (col("l_orderkey") % 256).as("sx"))
+      .withColumn("z", Layout.zkey(col("px"), col("sx")))
+
+    val tmp = sys.props("java.io.tmpdir")
+    val zPath = s"$tmp/graft_layout_zorder"
+    val pPath = s"$tmp/graft_layout_partsort"
+    base.repartitionByRange(16, col("z")).sortWithinPartitions(col("z"))
+      .drop(col("z")).write.mode("overwrite").parquet(zPath)
+    base.repartitionByRange(16, col("px")).sortWithinPartitions(col("px"))
+      .drop(col("z")).write.mode("overwrite").parquet(pPath)
+
+    val (zwPart, zwSupp) = meanWidths(zPath)
+    val (pwPart, pwSupp) = meanWidths(pPath)
+
+    val globalSupp = base.agg(max(col("sx")) - min(col("sx"))).head().getLong(0)
+
+    // partkey-sorted layout: partkey tightly bounded, suppkey ~ global width
+    assert(pwPart < zwPart, s"1-col sort should win on its own key: $pwPart vs $zwPart")
+    assert(pwSupp > 0.8 * globalSupp,
+      s"1-col sort unexpectedly bounds the other dim: $pwSupp vs global $globalSupp")
+    // z-order: BOTH dims bounded well below global width
+    assert(zwSupp < 0.5 * globalSupp,
+      s"z-order did not bound suppkey: $zwSupp vs global $globalSupp")
+    val globalPart = base.agg(max(col("px")) - min(col("px"))).head().getLong(0)
+    assert(zwPart < 0.5 * globalPart,
+      s"z-order did not bound partkey: $zwPart vs global $globalPart")
+  }
+}
