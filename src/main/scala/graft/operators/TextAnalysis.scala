@@ -349,7 +349,36 @@ object TextAnalysis {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** PII redaction — the scrub pass every training-data pipeline runs
+    * before anything leaves the raw zone: regex-replace emails and phone
+    * numbers with typed placeholders and count what was removed (the
+    * audit metric). The synthetic corpus contains no PII, so the entry
+    * deterministically INJECTS doc_id-derived contact strings first —
+    * the oracle then verifies the actual match/replace behavior on text
+    * that genuinely contains matches, not a vacuous no-op. Patterns stay
+    * in the Java∩RE2 common subset so Spark and DuckDB agree. Pure
+    * projection: codegen'd, shuffle-free, embarrassingly parallel. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val emailPat = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+"
+    val phonePat = "[0-9]{3}-[0-9]{4}"
+    val injected = concat(
+      substring(col("text"), 1, 40),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or "),
+      lit("555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), injected.as("raw"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("raw"), lit(emailPat)).cast("long").as("n_emails"),
+        regexp_count(col("raw"), lit(phonePat)).cast("long").as("n_phones"),
+        regexp_replace(regexp_replace(col("raw"), emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>").as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_redact"  -> (piiRedact _),
     "text_rolling_hash" -> (rollingHash _),
     "text_pivot_langs" -> (pivotLangs _),
     "text_unpivot_langs" -> (unpivotLangs _),
@@ -367,6 +396,23 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_pii_redact" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 40) || ' contact user' || doc_id ||
+        |    '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+'))
+        |    AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{4}')) AS BIGINT)
+        |    AS n_phones,
+        |  regexp_replace(
+        |    regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM raw
+        |ORDER BY doc_id""".stripMargin,
     "text_chunking" ->
       """WITH t AS (
         |  SELECT doc_id,

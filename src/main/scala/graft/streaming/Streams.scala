@@ -83,6 +83,18 @@ object Streams {
   def clickPurchaseLeftJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
     clickPurchaseJoin(clicks, purchases, "left_outer")
 
+  /** Stream-static enrichment join — the remaining join shape a 24/7
+    * pipeline needs next to stream-stream: each event decorated with a
+    * dimension row from a STATIC (batch) relation. No watermark and no
+    * join state: Spark re-plans the static side per micro-batch (picking
+    * broadcast when the dim is small), so dim updates between batches are
+    * picked up and state never grows. Left-outer keeps unmatched events
+    * with a null tier — the enrichment contract. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(dim, Seq("user_id"), "left_outer")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("tier"))
+
   private def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
                                 joinType: String): DataFrame = {
     val c = clicks.select(col("event_id").as("click_id"), col("user_id"),

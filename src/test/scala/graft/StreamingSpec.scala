@@ -109,6 +109,24 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSet == batchEvents.select("event_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("stream-static enrichment join == batch left join, nulls preserved") {
+    val dim = Tables.customer(spark, sf0001)
+      .select(col("c_custkey").as("user_id"),
+        when(col("c_acctbal") >= 5000, "gold")
+          .when(col("c_acctbal") >= 0, "std").otherwise("debt").as("tier"))
+    val got = runStream("t_enrich", "append")(Streams.enrichWithDim(_, dim))
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("tier")))
+      .toSet
+    val want = batchEvents.join(dim, Seq("user_id"), "left_outer")
+      .select(col("event_id"), col("tier")).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("tier")))
+      .toSet
+    assert(got == want)
+    // user_id ⊆ custkey in the harness data → every event must enrich
+    assert(got.nonEmpty && got.forall(_._2 != null), "expected full dim match")
+    assert(got.size == batchEvents.count(), "enrichment dropped or duplicated events")
+  }
+
   test("stream-stream interval join == batch join on the same rows") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
