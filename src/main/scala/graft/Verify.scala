@@ -10,7 +10,15 @@ object Verify {
     // convenience for re-verifying just-changed entries.
     val (sfDir, outDir) = (args(0), args(1))
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2) {
+        val names = args(2).split(",").toSet
+        val unknown = names -- SparkEntry.queries.keySet
+        // fail fast: a typo'd filter name would otherwise skip that entry
+        // silently, indistinguishable from a green partial run
+        require(unknown.isEmpty,
+          s"unknown query name(s) in filter: ${unknown.toSeq.sorted.mkString(", ")}")
+        Some(names)
+      } else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

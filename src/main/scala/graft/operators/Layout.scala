@@ -52,7 +52,7 @@ object Layout {
     val l = Tables.lineitem(spark, dir)
       .select((col("l_partkey") % 65536).as("px"),
               (col("l_suppkey") % 65536).as("sx"))
-    l.withColumn("z", spreadBits(col("px")) + spreadBits(col("sx")) * lit(2L))
+    l.withColumn("z", zkey(col("px"), col("sx")))
       .withColumn("z_bucket",
         ((col("z") - col("z") % 4096) / 4096).cast("long"))
       .groupBy(col("z_bucket"))

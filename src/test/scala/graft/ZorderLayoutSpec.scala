@@ -42,20 +42,20 @@ class ZorderLayoutSpec extends SparkSpec {
     base.repartitionByRange(16, col("px")).sortWithinPartitions(col("px"))
       .drop(col("z")).write.mode("overwrite").parquet(pPath)
 
-    val (zwPart, zwSupp) = meanWidths(zPath)
-    val (pwPart, pwSupp) = meanWidths(pPath)
+    val (zwPx, zwSx) = meanWidths(zPath)
+    val (pwPx, pwSx) = meanWidths(pPath)
 
-    val globalSupp = base.agg(max(col("sx")) - min(col("sx"))).head().getLong(0)
+    val globalSx = base.agg(max(col("sx")) - min(col("sx"))).head().getLong(0)
 
-    // partkey-sorted layout: partkey tightly bounded, suppkey ~ global width
-    assert(pwPart < zwPart, s"1-col sort should win on its own key: $pwPart vs $zwPart")
-    assert(pwSupp > 0.8 * globalSupp,
-      s"1-col sort unexpectedly bounds the other dim: $pwSupp vs global $globalSupp")
+    // px-sorted layout: px tightly bounded, sx (= orderkey%256) ~ global width
+    assert(pwPx < zwPx, s"1-col sort should win on its own key: $pwPx vs $zwPx")
+    assert(pwSx > 0.8 * globalSx,
+      s"1-col sort unexpectedly bounds the other dim sx: $pwSx vs global $globalSx")
     // z-order: BOTH dims bounded well below global width
-    assert(zwSupp < 0.5 * globalSupp,
-      s"z-order did not bound suppkey: $zwSupp vs global $globalSupp")
-    val globalPart = base.agg(max(col("px")) - min(col("px"))).head().getLong(0)
-    assert(zwPart < 0.5 * globalPart,
-      s"z-order did not bound partkey: $zwPart vs global $globalPart")
+    assert(zwSx < 0.5 * globalSx,
+      s"z-order did not bound sx (orderkey%256): $zwSx vs global $globalSx")
+    val globalPx = base.agg(max(col("px")) - min(col("px"))).head().getLong(0)
+    assert(zwPx < 0.5 * globalPx,
+      s"z-order did not bound px (partkey%256): $zwPx vs global $globalPx")
   }
 }
