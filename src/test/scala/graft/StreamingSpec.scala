@@ -14,6 +14,9 @@ import graft.streaming.Streams
 final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
                     event_type: String, value: Double)
 
+/** Change row for the MergeSink CDC test. */
+final case class Chg(k: Long, v: String, seq: Long)
+
 /** Batch ≡ stream equivalence (SURVEY.md §7.5): the streaming shapes in
   * graft.streaming.Streams must produce the same aggregates as batch
   * formulations over the same rows. Streaming can't be DuckDB-hash-checked,
@@ -125,6 +128,34 @@ class StreamingSpec extends SparkSpec {
     // user_id ⊆ custkey in the harness data → every event must enrich
     assert(got.nonEmpty && got.forall(_._2 != null), "expected full dim match")
     assert(got.size == batchEvents.count(), "enrichment dropped or duplicated events")
+  }
+
+  test("foreachBatch merge sink: parquet base == last-write-wins over all batches") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = sys.props("java.io.tmpdir")
+    val basePath = s"$tmp/graft_merge_sink_base"
+    val cp = s"$tmp/graft_merge_sink_cp"
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    Seq(basePath, cp).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+
+    val mem = MemoryStream[Chg]
+    val q = graft.streaming.MergeSink.start(mem.toDF(), basePath, cp)
+    try {
+      mem.addData(Chg(1, "a", 1), Chg(2, "b", 2))
+      q.processAllAvailable()   // batch 1: creates the base
+      mem.addData(Chg(1, "a2", 3), Chg(3, "c", 4))
+      q.processAllAvailable()   // batch 2: update + insert
+      // same key TWICE within one batch: in-batch compaction must pick seq 6
+      mem.addData(Chg(2, "b2", 5), Chg(2, "b3", 6), Chg(4, "d", 7))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(basePath).as[Chg].collect().toSet
+    assert(got == Set(Chg(1, "a2", 3), Chg(2, "b3", 6), Chg(3, "c", 4),
+      Chg(4, "d", 7)))
   }
 
   test("stream-stream interval join == batch join on the same rows") {
