@@ -377,7 +377,35 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Heavy hitters — every token above 3% of the corpus — via a
+    * Misra–Gries sketch (graft.functions.MisraGries, capacity 64: O(64)
+    * state per partition, mergeable) followed by an exact verification
+    * pass. The sketch guarantees candidates ⊇ {true count > n/65}, a
+    * superset of the n/33 output threshold, so
+    * candidates ∩ {exact count·33 > n} IS the exact heavy-hitter set —
+    * the hash gate therefore tests the sketch's superset guarantee, not
+    * just the plumbing. Scale shape: one O(state-64) sketch pass, a ≤64-row
+    * broadcast semi-join to restrict the exact count to candidates (the
+    * full-vocabulary shuffle never happens), and a 1-row broadcast total. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .cache() // real 3× reuse: sketch pass, total, exact verification
+    val mg = udaf(new graft.functions.MisraGries(64))
+    val cands = toks.agg(mg(col("token")).as("cands"))
+      .select(explode(col("cands")).as("token"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(broadcast(cands), Seq("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .where(col("cnt") * lit(33L) > col("total"))
+      .select(col("token"), col("cnt"))
+      .orderBy(desc("cnt"), col("token"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_heavy_hitters" -> (heavyHitters _),
     "text_pii_redact"  -> (piiRedact _),
     "text_rolling_hash" -> (rollingHash _),
     "text_pivot_langs" -> (pivotLangs _),
@@ -396,6 +424,16 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_heavy_hitters" ->
+      """WITH f AS (
+        |  SELECT word AS token, COUNT(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) > 0
+        |  GROUP BY 1)
+        |SELECT token, cnt
+        |FROM f
+        |WHERE cnt * 33 > (SELECT CAST(SUM(cnt) AS BIGINT) FROM f)
+        |ORDER BY cnt DESC, token""".stripMargin,
     "text_pii_redact" ->
       """WITH raw AS (
         |  SELECT doc_id,

@@ -92,9 +92,11 @@ class PlanSpec extends SparkSpec {
     // cells — legal at any corpus size
     // events_resample_gapfill crossJoins the hour spine (time-bounded)
     // against the distinct event types (small) — a bounded×bounded grid
+    // text_heavy_hitters crossJoins the broadcast 1-row token total (the
+    // same in-plan scalar pattern as text_tfidf)
     val allowedNestedLoop =
       Set("sim_knn_brute", "sim_knn_lsh", "sim_knn_ivf", "text_tfidf", "win_ntile_tiers",
-        "events_resample_gapfill")
+        "events_resample_gapfill", "text_heavy_hitters")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)

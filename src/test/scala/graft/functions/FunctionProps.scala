@@ -70,4 +70,26 @@ object FunctionProps extends Properties("graft.functions") {
       val expected = rows.sortBy { case (v, key) => (-v, key) }.take(k).map(_._2)
       l2r == expected && r2l == expected
     }
+
+  // ---- MisraGries: the superset guarantee under arbitrary splits/merges
+
+  private val genTok: Gen[String] = Gen.frequency(
+    6 -> Gen.const("hot"), 3 -> Gen.const("warm"),
+    1 -> Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h"))
+
+  property("MisraGries: candidates ⊇ {count > n/(c+1)} and ≤ c, any split") =
+    forAll(Gen.listOf(genTok), Gen.choose(1, 6)) { (xs, nSplits) =>
+      val c = 4
+      val mg = new MisraGries(c)
+      val parts =
+        if (xs.isEmpty) List(List.empty[String])
+        else xs.grouped(math.max(1, xs.size / nSplits)).toList
+      val partials = parts.map(_.foldLeft(mg.zero)(mg.reduce))
+      val l2r = mg.finish(partials.foldLeft(mg.zero)(mg.merge)).toSet
+      val r2l = mg.finish(partials.foldRight(mg.zero)((p, acc) => mg.merge(acc, p))).toSet
+      val n = xs.size
+      val hh = xs.groupBy(identity)
+        .collect { case (k, v) if v.size.toLong * (c + 1) > n => k }.toSet
+      hh.subsetOf(l2r) && hh.subsetOf(r2l) && l2r.size <= c && r2l.size <= c
+    }
 }
