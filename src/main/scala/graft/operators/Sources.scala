@@ -109,7 +109,15 @@ object Sources {
     * can assert directory pruning on the exact plan the entry runs.
     * Partition values come back as inferred INT32 → cast to long so the
     * output schema matches the oracle's BIGINT `year()`. */
-  private[graft] def partitionedOrdersScan(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def partitionedOrdersScan(spark: SparkSession, dir: String): DataFrame =
+    partitionedOrdersTable(spark, dir)
+      .filter(col("o_year") === 1997) // prunes to one directory
+      .withColumn("o_year", col("o_year").cast("long"))
+
+  /** The year-partitioned orders scratch table itself (written once per
+    * (scratch, sf dir), `_SUCCESS`+mtime gated), UNfiltered — also the
+    * fixture for the dynamic-partition-pruning pin in RuntimeFilterSpec. */
+  private[graft] def partitionedOrdersTable(spark: SparkSession, dir: String): DataFrame = {
     val out = Tables.scratchPath("partby_year", dir)
     // write once per (scratch, sf dir): catalog-wide plan sweeps construct
     // every entry repeatedly, and the layout write is eager at construction
@@ -131,8 +139,6 @@ object Sources {
         .withColumn("o_year", year(col("o_orderdate")))
         .write.mode("overwrite").partitionBy("o_year").parquet(out)
     spark.read.parquet(out)
-      .filter(col("o_year") === 1997) // prunes to one directory
-      .withColumn("o_year", col("o_year").cast("long"))
   }
 
   /** U2: seeded stratified sample by order status; per-stratum achieved

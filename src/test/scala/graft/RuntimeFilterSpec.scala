@@ -40,4 +40,29 @@ class RuntimeFilterSpec extends SparkSpec {
       vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
+
+  test("join to a filtered dim prunes the partitioned fact scan dynamically (DPP)") {
+    // the runtime half of src_partitioned_prune's static directory pruning:
+    // the year values come from the DIM side at execution time, so the fact
+    // scan must carry a dynamicpruning PartitionFilter, not a literal one
+    val fact = graft.operators.Sources.partitionedOrdersTable(spark, sf0001)
+    // a file-backed dim (a LocalRelation's filter would be constant-folded
+    // away, and DPP requires a selective predicate on the dim side):
+    // region keys 0..4 → years 1992..1996, filtered to one region = one year
+    val dim = Tables.region(spark, sf0001)
+      .select((col("r_regionkey") + 1992).cast("int").as("d_year"), col("r_name"))
+      .filter(col("r_name") === "EUROPE")
+    val joined = fact.join(dim, fact("o_year") === dim("d_year"))
+      .groupBy(col("d_year")).agg(count(lit(1)).as("n"))
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(physical.contains("dynamicpruning"),
+      s"no dynamic partition pruning in the plan:\n$physical")
+    // and the pruned result equals the statically-filtered count
+    val targetYear = dim.collect().map(_.getInt(0)).toSeq match {
+      case Seq(y) => y
+      case other => fail(s"expected one dim year, got $other")
+    }
+    val expected = fact.filter(col("o_year") === targetYear).count()
+    assert(joined.collect().map(_.getLong(1)).sum == expected)
+  }
 }
