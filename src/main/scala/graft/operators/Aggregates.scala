@@ -69,6 +69,29 @@ object Aggregates {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Mergeable quantile summaries (the GK-style sketch behind Spark's
+    * `approx_percentile`) — the percentile path that survives 100 TB:
+    * bounded per-group summary state, partial-mergeable across
+    * partitions, where exact `percentile` buffers every group value.
+    * Oracled on its guarantee, like agg_approx_distinct: accuracy 10000
+    * bounds rank error at 1e-4, and the flag pins the approx median
+    * inside the EXACT (0.49, 0.51) quantile band — 100× the guaranteed
+    * bound, so it asserts "summary sane", not "summary lucky", and a
+    * dataset regeneration cannot flip it. The band itself is exact
+    * round-4 (the agg_percentiles determinism rule) under the hash gate. */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.49)"), 4).as("p49"),
+        round(expr("percentile(o_totalprice, 0.51)"), 4).as("p51"),
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("ap"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_orderpriority"), col("p49"), col("p51"), col("n_orders"),
+        (col("ap") >= col("p49") && col("ap") <= col("p51")).as("median_ok"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** A4 global aggregate — stays a 1-row relation (no `.first()` driver
     * scalar). Ref: /root/reference/code/04_MachineLearning.scala:186. */
   def globalStats(spark: SparkSession, dir: String): DataFrame = {
@@ -230,6 +253,7 @@ object Aggregates {
     "agg_percentiles"     -> (percentiles _),
     "agg_global_stats"    -> (globalStats _),
     "agg_approx_distinct" -> (approxDistinct _),
+    "agg_quantile_sketch" -> (quantileSketch _),
     "agg_hll_partial"     -> (hllPartialUnion _),
     "agg_rollup_region"   -> (rollupRegionNation _),
     "agg_cube_matrix"     -> (cubeStatusPriority _),
@@ -283,6 +307,15 @@ object Aggregates {
         |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
         |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
         |  COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "agg_quantile_sketch" ->
+      """SELECT o_orderpriority,
+        |  ROUND(quantile_cont(o_totalprice, 0.49), 4) AS p49,
+        |  ROUND(quantile_cont(o_totalprice, 0.51), 4) AS p51,
+        |  COUNT(*) AS n_orders,
+        |  TRUE AS median_ok
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
