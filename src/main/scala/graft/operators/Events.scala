@@ -281,7 +281,36 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Rate-anomaly detection — the monitoring query every 24/7 pipeline
+    * runs over its own event volumes: per (event_type, hour) counts
+    * flagged where the count sits more than 3σ from that type's mean
+    * hourly rate. The whole 3σ test runs in EXACT integer arithmetic —
+    * z² > 9 rewritten as (n·cnt − total)² > 9·(n·sumsq − total²) over
+    * BIGINT sums — so there is no float anywhere and the flag is
+    * bit-identical in any engine at any partitioning (magnitudes: cnt ≤
+    * 1e6, hours n ≤ 1e5 ⇒ every product < 2^63 up to sf ~1e3).
+    * Scale shape: one hash-agg to hourly counts, one |types|-row stats
+    * agg broadcast back, one projection — the raw stream is aggregated
+    * before anything joins. */
+  def rateAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .withColumn("hour_start", date_trunc("hour", col("ts")))
+      .groupBy(col("event_type"), col("hour_start"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("cnt")).as("total"),
+        sum(col("cnt") * col("cnt")).as("sumsq"))
+    val dev = col("n_hours") * col("cnt") - col("total")
+    val nvar = col("n_hours") * col("sumsq") - col("total") * col("total")
+    hourly.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("hour_start"), col("cnt"),
+        (dev * dev > lit(9L) * nvar).as("is_anomaly"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_rate_anomaly"  -> (rateAnomaly _),
     "events_tumbling_hour" -> (tumblingHour _),
     "events_sliding_3h"    -> (slidingThreeHour _),
     "events_resample_gapfill" -> (resampleGapfill _),
@@ -412,6 +441,21 @@ object Events {
         |FROM w
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    "events_rate_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour_start,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type, COUNT(*) AS n_hours,
+        |    CAST(SUM(cnt) AS BIGINT) AS total,
+        |    CAST(SUM(cnt * cnt) AS BIGINT) AS sumsq
+        |  FROM hourly GROUP BY 1)
+        |SELECT h.event_type, h.hour_start, h.cnt,
+        |  (s.n_hours * h.cnt - s.total) * (s.n_hours * h.cnt - s.total)
+        |    > 9 * (s.n_hours * s.sumsq - s.total * s.total) AS is_anomaly
+        |FROM hourly h JOIN stats s USING (event_type)
+        |ORDER BY h.event_type, h.hour_start""".stripMargin,
     "events_tumbling_hour" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  COUNT(*) AS n_events,
