@@ -155,6 +155,26 @@ object Sources {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Content-hash split — the REPRODUCIBLE train/valid/test split a
+    * training pipeline should prefer over `randomSplit` (U3): the split
+    * is a pure function of the document text (first hex digit of md5:
+    * 0-b → train, c-d → valid, e-f → test ⇒ 75/12.5/12.5), so it is
+    * independent of partitioning, cluster size, and run order, stable
+    * under re-ingestion, and — unlike the seeded-but-partition-order-
+    * sensitive randomSplit — fully under the DuckDB hash gate. One
+    * projection + one 3-row hash-agg. */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(col("text")), 1, 1)
+    Tables.documents(spark, dir)
+      .select(
+        when(h.isin("c", "d"), "valid")
+          .when(h.isin("e", "f"), "test")
+          .otherwise("train").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("split"))
+  }
+
   /** U3: seeded 70/30 random split; returns the split sizes (the ML
     * pipeline's split, surfaced as a relation). Rows-only check. */
   def randomSplitSizes(spark: SparkSession, dir: String): DataFrame = {
@@ -202,11 +222,21 @@ object Sources {
     "src_partitioned_prune" -> (partitionedPrune _),
     "etl_stratified_sample" -> (stratifiedSample _),
     "etl_random_split"     -> (randomSplitSizes _),
+    "etl_hash_split"       -> (hashSplit _),
     "agg_summary_stats"    -> (summaryStats _),
     "agg_summary_exact"    -> (summaryExact _)
   )
 
   val oracle: Map[String, String] = Map(
+    "etl_hash_split" ->
+      """SELECT CASE
+        |    WHEN substr(md5(text), 1, 1) IN ('c', 'd') THEN 'valid'
+        |    WHEN substr(md5(text), 1, 1) IN ('e', 'f') THEN 'test'
+        |    ELSE 'train' END AS split,
+        |  COUNT(*) AS n_docs
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "src_csv_roundtrip" ->
       """SELECT s_nationkey,
         |  COUNT(*) AS n_suppliers,

@@ -404,7 +404,28 @@ object TextAnalysis {
       .orderBy(desc("cnt"), col("token"))
   }
 
+  /** Adjacent-pair counting — the inner step of BPE/WordPiece tokenizer
+    * training (count all adjacent symbol pairs, merge the most frequent,
+    * repeat): top-25 adjacent token pairs across the corpus. Pairs are
+    * built per-row from the token array (zip_with of the two shifted
+    * slices — generator + projection, codegen'd, no window over raw
+    * input), then one hash-agg and a TakeOrderedAndProject. At 100 TB
+    * this is exactly the shuffle a tokenizer-training job runs per merge
+    * round: map-side pair expansion, partial-agg collapse, k-row result. */
+  def bigramPairs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(tokens(col("text")), t => length(t) > 0)
+    val n1 = greatest(size(toks) - 1, lit(0))
+    Tables.documents(spark, dir)
+      .select(explode(zip_with(
+        slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+        (a, b) => concat_ws(" ", a, b))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("pair"))
+      .limit(25)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bigram_pairs"  -> (bigramPairs _),
     "text_heavy_hitters" -> (heavyHitters _),
     "text_pii_redact"  -> (piiRedact _),
     "text_rolling_hash" -> (rollingHash _),
@@ -424,6 +445,18 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_bigram_pairs" ->
+      """WITH l AS (
+        |  SELECT list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |i AS (
+        |  SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM l),
+        |p AS (SELECT ws[i] || ' ' || ws[i + 1] AS pair FROM i)
+        |SELECT pair, COUNT(*) AS n
+        |FROM p
+        |GROUP BY pair
+        |ORDER BY n DESC, pair
+        |LIMIT 25""".stripMargin,
     "text_heavy_hitters" ->
       """WITH f AS (
         |  SELECT word AS token, COUNT(*) AS cnt
