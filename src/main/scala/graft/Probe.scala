@@ -66,7 +66,9 @@ object Probe {
         "corpus clean" -> (p => operators.TextAnalysis.corpusClean(spark, p).count()),
         "chunking" -> (p => operators.TextAnalysis.chunkDocuments(spark, p).count()),
         "trigram score" -> (p => operators.TextAnalysis.trigramScore(spark, p).count()),
-        "centroids" -> (p => operators.Similarity.labelCentroids(spark, p).count())
+        "centroids" -> (p => operators.Similarity.labelCentroids(spark, p).count()),
+        "heavy hitters" -> (p => operators.TextAnalysis.heavyHitters(spark, p).count()),
+        "bigram pairs" -> (p => operators.TextAnalysis.bigramPairs(spark, p).count())
       ).foreach { case (name, f) =>
         f(dir) // untimed: compile this pipeline's codegen once
         // clearCache between measurements: pipelines with internal .cache()

@@ -424,7 +424,33 @@ object TextAnalysis {
       .limit(25)
   }
 
+  /** Incremental-ingest dedup — the daily shape of exact dedup: a NEW
+    * batch is accepted only where its content digest is absent from the
+    * HISTORICAL corpus. Historical = even doc_ids; the new batch = odd
+    * doc_ids plus a deterministic re-delivery of 20% of the historical
+    * docs (doc_id ≡ 0 mod 10) — the duplicate-delivery case this gate
+    * exists for. One digest-keyed left join against the distinct
+    * historical digests, then a per-source accept/reject rollup. At
+    * 100 TB only the day's batch shuffles in full; the historical side
+    * is a digest projection (in practice a bucketed digest index or
+    * bloom pre-filter — the RuntimeFilterSpec lever). */
+  def incrementalIngest(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).withColumn("digest", md5(col("text")))
+    val hist = d.filter(col("doc_id") % 2 === 0)
+    val fresh = d.filter(col("doc_id") % 2 === 1)
+      .unionByName(hist.filter(col("doc_id") % 10 === 0))
+    val seen = hist.select(col("digest")).distinct().withColumn("seen", lit(1))
+    fresh.join(seen, Seq("digest"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_new"),
+        count(when(col("seen").isNull, 1)).as("n_accepted"),
+        count(col("seen")).as("n_rejected"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_incremental_ingest" -> (incrementalIngest _),
     "text_bigram_pairs"  -> (bigramPairs _),
     "text_heavy_hitters" -> (heavyHitters _),
     "text_pii_redact"  -> (piiRedact _),
@@ -445,6 +471,21 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "pipe_incremental_ingest" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, md5(text) AS digest FROM documents),
+        |fresh AS (
+        |  SELECT source, digest FROM d WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT source, digest FROM d WHERE doc_id % 2 = 0 AND doc_id % 10 = 0),
+        |hist AS (SELECT DISTINCT digest FROM d WHERE doc_id % 2 = 0)
+        |SELECT f.source,
+        |  COUNT(*) AS n_new,
+        |  COUNT(*) FILTER (WHERE h.digest IS NULL) AS n_accepted,
+        |  COUNT(*) FILTER (WHERE h.digest IS NOT NULL) AS n_rejected
+        |FROM fresh f LEFT JOIN hist h ON f.digest = h.digest
+        |GROUP BY f.source
+        |ORDER BY f.source""".stripMargin,
     "text_bigram_pairs" ->
       """WITH l AS (
         |  SELECT list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
