@@ -436,6 +436,7 @@ object TextAnalysis {
     * bloom pre-filter — the RuntimeFilterSpec lever). */
   def incrementalIngest(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).withColumn("digest", md5(col("text")))
+      .cache() // real 3× reuse: fresh-odd, re-delivered, and seen branches
     val hist = d.filter(col("doc_id") % 2 === 0)
     val fresh = d.filter(col("doc_id") % 2 === 1)
       .unionByName(hist.filter(col("doc_id") % 10 === 0))

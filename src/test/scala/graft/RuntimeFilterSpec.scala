@@ -22,19 +22,22 @@ class RuntimeFilterSpec extends SparkSpec {
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
       // force the shuffle join: broadcast would leave nothing to prune
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val dim = Tables.part(spark, sf0001).filter(col("p_size") === 1)
+    val fact = Tables.lineitem(spark, sf0001)
+    // baseline BEFORE enabling the rewrite — computed under the same confs
+    // it could not catch a row-dropping bloom filter (both sides would
+    // drop the same rows)
+    val expected = fact.join(dim, fact("l_partkey") === dim("p_partkey"))
+      .count()
     val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
-      val dim = Tables.part(spark, sf0001).filter(col("p_size") === 1)
-      val fact = Tables.lineitem(spark, sf0001)
       val joined = fact.join(dim, fact("l_partkey") === dim("p_partkey"))
         .groupBy(col("p_size")).agg(count(lit(1)).as("n"))
       val optimized = joined.queryExecution.optimizedPlan.toString
       assert(optimized.contains("might_contain"),
         s"no bloom runtime filter in the optimized plan:\n$optimized")
       // and the rewrite must not change the answer
-      val expected = fact.join(dim, fact("l_partkey") === dim("p_partkey"))
-        .count()
       assert(joined.collect().map(_.getLong(1)).sum == expected)
     } finally saved.foreach { case (k, vOpt) =>
       vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _))
