@@ -309,7 +309,27 @@ object Events {
       .orderBy(col("event_type"), col("hour_start"))
   }
 
+  /** Running distinct-user counts per event type — "cumulative uniques
+    * over time", the growth metric Spark has no native windowed
+    * COUNT(DISTINCT) for. The standard re-expression: distinct collapses
+    * to each user's FIRST day (one hash-agg — the only pass over raw
+    * events), daily new-user counts (second agg, |types|·|days| rows),
+    * then a running sum via a window over that tiny aggregated relation,
+    * partitioned by type (the catalog's no-window-over-raw-input rule
+    * holds). Exact integers throughout — fully oracled. */
+  def cumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val firstDay = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_day"))
+    firstDay.groupBy(col("event_type"), col("first_day"))
+      .agg(count(lit(1)).as("n_new_users"))
+      .withColumn("cum_users", sum(col("n_new_users"))
+        .over(Window.partitionBy(col("event_type")).orderBy(col("first_day"))))
+      .orderBy(col("event_type"), col("first_day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_cumulative_users" -> (cumulativeUsers _),
     "events_rate_anomaly"  -> (rateAnomaly _),
     "events_tumbling_hour" -> (tumblingHour _),
     "events_sliding_3h"    -> (slidingThreeHour _),
@@ -441,6 +461,18 @@ object Events {
         |FROM w
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    "events_cumulative_users" ->
+      """WITH fd AS (
+        |  SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS first_day
+        |  FROM events GROUP BY 1, 2),
+        |daily AS (
+        |  SELECT event_type, first_day, COUNT(*) AS n_new_users
+        |  FROM fd GROUP BY 1, 2)
+        |SELECT event_type, first_day, n_new_users,
+        |  CAST(SUM(n_new_users) OVER (
+        |    PARTITION BY event_type ORDER BY first_day) AS BIGINT) AS cum_users
+        |FROM daily
+        |ORDER BY event_type, first_day""".stripMargin,
     "events_rate_anomaly" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour_start,

@@ -165,6 +165,29 @@ object Joins {
       .orderBy(col("nationkey"))
   }
 
+  /** Skew-safe salted dim join — the JOIN half of the salting lever
+    * (text_word_count_salted is the agg half; SkewSpec proves both on a
+    * planted 99%-hot key). A hot fact key concentrates one shuffle
+    * partition; salting spreads it: the dim is replicated NSalt× map-side
+    * (explode of a literal range — a generator, NO crossJoin/shuffle) and
+    * the fact side joins on (key, salt) with salt = pmod(hash(row id),
+    * NSalt), splitting every hot key across NSalt reducers at the cost of
+    * an NSalt× dim. The oracle is the UNSALTED SQL join — salting must
+    * never change the answer. */
+  def saltedSupplierRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val NSalt = 8
+    val sup = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      .withColumn("salt", explode(sequence(lit(0), lit(NSalt - 1))))
+    Tables.lineitem(spark, dir)
+      .withColumn("salt", pmod(hash(col("l_orderkey")), lit(NSalt)))
+      .join(sup, Seq("l_suppkey", "salt"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("s_nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_inner_revenue"      -> (innerRevenue _),
     "join_left_nation"        -> (leftNationCustomers _),
@@ -172,10 +195,20 @@ object Joins {
     "join_anti_unsold_parts"  -> (antiUnsoldParts _),
     "join_range_price_bands"  -> (rangePriceBands _),
     "join_full_outer_nation"  -> (fullOuterNation _),
-    "join_bucketed_revenue"   -> (bucketedRevenue _)
+    "join_bucketed_revenue"   -> (bucketedRevenue _),
+    "join_salted_revenue"     -> (saltedSupplierRevenue _)
   )
 
   val oracle: Map[String, String] = Map(
+    // deliberately the UNSALTED join: salting must never change the answer
+    "join_salted_revenue" ->
+      """SELECT s_nationkey,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin,
     "join_inner_revenue" ->
       """SELECT r_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
