@@ -69,6 +69,28 @@ object Aggregates {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Incremental re-aggregation — the EXACT sibling of the sketch
+    * entries' persist-partials pattern: two disjoint slices of orders
+    * (a stand-in for two daily batches) are aggregated separately and the
+    * PARTIALS re-aggregated, oracled against one direct aggregation of
+    * the whole table. count/decimal-sum are commutative monoids, so the
+    * rollup is lossless — the algebra every incremental pipeline (and
+    * Spark's own partial-agg step) relies on; here the hash gate proves
+    * it end-to-end. Sums stay decimal through BOTH levels, cast to
+    * double once at the end (Det rule). */
+  def incrementalRollup(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def slice(p: Int): DataFrame = o.filter(col("o_orderkey") % 2 === p)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("s"))
+    slice(0).unionByName(slice(1))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("n")).as("n_orders"),
+        sum(col("s")).cast("double").as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Mergeable quantile summaries (the GK-style sketch behind Spark's
     * `approx_percentile`) — the percentile path that survives 100 TB:
     * bounded per-group summary state, partial-mergeable across
@@ -254,6 +276,7 @@ object Aggregates {
     "agg_global_stats"    -> (globalStats _),
     "agg_approx_distinct" -> (approxDistinct _),
     "agg_quantile_sketch" -> (quantileSketch _),
+    "agg_incremental_rollup" -> (incrementalRollup _),
     "agg_hll_partial"     -> (hllPartialUnion _),
     "agg_rollup_region"   -> (rollupRegionNation _),
     "agg_cube_matrix"     -> (cubeStatusPriority _),
@@ -307,6 +330,15 @@ object Aggregates {
         |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
         |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
         |  COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // deliberately the DIRECT aggregation: re-aggregating partials must
+    // be lossless
+    "agg_incremental_rollup" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
