@@ -148,6 +148,55 @@ object Similarity {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Int8 scalar quantization + integer-dot KNN — the memory lever every
+    * 100 TB vector store pulls: symmetric per-vector quantization
+    * (`q_i = floor(x_i * 127 / max|x| + 0.5)`) shrinks a float32 corpus 4×
+    * (and the double-widened scoring payload 8×), and the scoring inner
+    * loop becomes pure BIGINT multiply-add — no float until the final
+    * normalize. Cosine is scale-invariant, so the per-vector scale factor
+    * cancels and never needs to be stored for ranking.
+    *
+    * Fully oracled (unlike most ANN variants): quantized dots and squared
+    * norms are EXACT integer sums (64 dims · 127² ⇒ |dot| ≤ ~1.03e6, far
+    * under BIGINT), and the final `qdot / sqrt(qn2·rn2)` is one identical
+    * IEEE expression in both engines — so even the rank order sits under
+    * the driver's hash gate. SimilaritySpec additionally gates rank
+    * fidelity against the exact `sim_knn_brute` baseline.
+    *
+    * Zero-vectors (maxabs = 0) quantize to all-zero and are excluded from
+    * scoring on BOTH sides (cosine is undefined); the guard is mirrored in
+    * the oracle so the plans stay identical if one ever appears. */
+  def knnQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val quant = base
+      .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("qv",
+        when(col("maxabs") === 0.0, transform(col("v"), _ => lit(0L)))
+          .otherwise(transform(col("v"),
+            x => floor(x * lit(127.0) / col("maxabs") + lit(0.5)))))
+      .withColumn("qn2",
+        aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x))
+      .filter(col("qn2") > 0L)
+      .select(col("vec_id"), col("qv"), col("qn2"))
+      .cache() // query side and corpus side both derive from it
+    val q = quant.filter(col("vec_id") < QueryBudget)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("qn2").as("q_qn2"))
+    // |Q| constant ⇒ broadcast side bounded at any corpus size (same
+    // contract as knnBrute); scoring is O(|Q|·n) integer math.
+    val scored = broadcast(q).join(quant, col("q_id") =!= col("vec_id"))
+      .withColumn("qdot",
+        aggregate(zip_with(col("q_qv"), col("qv"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+      .select(col("q_id"), col("vec_id"),
+        (col("qdot").cast("double")
+          / sqrt((col("q_qn2") * col("qn2")).cast("double"))).as("qcos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** Per-label centroid vectors — the reduction every embedding pipeline
     * needs (class prototypes, cluster seeds, IVF retraining). Computed in
     * LONG format: posexplode to (label, dim, x) rows, then ONE hash-agg —
@@ -223,6 +272,7 @@ object Similarity {
     "sim_knn_brute" -> (knnBrute _),
     "sim_knn_lsh"   -> (knnLsh _),
     "sim_knn_ivf"   -> (knnIvf _),
+    "sim_knn_quantized" -> (knnQuantized _),
     "sim_label_centroids" -> (labelCentroids _),
     "sim_centroid_assign" -> (centroidAssign _)
   )
@@ -304,6 +354,39 @@ object Similarity {
         |  FROM scored)
         |SELECT q_id, vec_id, label, cos, rn FROM r
         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+    "sim_knn_quantized" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS maxabs
+        |  FROM e),
+        |qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN maxabs = 0
+        |      THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(v,
+        |        x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT)) END AS qv
+        |  FROM m),
+        |n AS (
+        |  SELECT vec_id, qv,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(qv, x -> x * x)), (a, b) -> a + b) AS qn2
+        |  FROM qz),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, a.vec_id,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(list_zip(q.qv, a.qv), z -> z[1] * z[2])),
+        |        (x, y) -> x + y) AS DOUBLE)
+        |      / sqrt(CAST(q.qn2 * a.qn2 AS DOUBLE)) AS qcos
+        |  FROM n q JOIN n a
+        |    ON q.vec_id < $QueryBudget AND q.vec_id <> a.vec_id
+        |   AND q.qn2 > 0 AND a.qn2 > 0),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY qcos DESC, vec_id) AS rn
+        |  FROM scored)
+        |SELECT q_id, vec_id, qcos, rn FROM r
+        |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
     "sim_knn_lsh" ->
       s"""WITH e AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -450,7 +450,68 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Per-domain document cap — the corpus-balancing op every web-scale
+    * training pipeline runs (don't let one crawl domain dominate the
+    * mixture): keep at most 5 documents per source, chosen by a
+    * DETERMINISTIC uniform hash (`md5(doc_id)`) so the "sample" is a pure
+    * function of the data — rerun-stable, partitioning-invariant, and
+    * fully hash-oracleable where a seeded `sample()` could only be
+    * spec-gated (same stance as `etl_hash_split`).
+    *
+    * Scale: one per-key window (PARTITION BY source) — the partitioned-sort
+    * shape every catalog survivor-dedup already uses; no global sort, no
+    * driver state. A pathologically hot domain pays a spill-backed sort of
+    * its own group only; the md5 pick order means the cap could also ride
+    * the bounded-state TopKKeys aggregator unchanged if group sorts ever
+    * dominated. */
+  def domainCap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val w = Window.partitionBy(col("source")).orderBy(col("pick"), col("doc_id"))
+    d.withColumn("pick", md5(col("doc_id").cast("string")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("source"), col("rn"), col("doc_id"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  /** Normalization-aware dedup audit: how many duplicate documents does
+    * aggressive text normalization (casefold + collapse every non-
+    * alphanumeric run to one space + trim) surface that raw byte-hashing
+    * misses? Reports, per source, the raw-distinct vs normalized-distinct
+    * fingerprint counts; the difference is the near-dup mass recoverable by
+    * normalization alone — the cheapest rung of the dedup ladder, below
+    * MinHash/SimHash.
+    *
+    * Both distinct counts are two-stage hash-aggs ((source, fp) partials →
+    * per-source rollup), not countDistinct — no Expand, shuffle bounded by
+    * |distinct fingerprints|. Regex is in the Java∩RE2 common subset with
+    * DuckDB's 'g' flag mirroring Java's replace-all (the text_pii_redact
+    * precedent). */
+  def normalizeDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"),
+        md5(col("text")).as("fr"),
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("fn"))
+      .cache() // feeds both distinct chains
+    val raw = d.groupBy(col("source"), col("fr"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_raw_fp"))
+    val norm = d.groupBy(col("source"), col("fn"))
+      .agg(count(lit(1)).as("nn"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_norm_fp"))
+    raw.join(norm, Seq("source"))
+      .withColumn("n_norm_only_dups", col("n_raw_fp") - col("n_norm_fp"))
+      .select(col("source"), col("n_docs"), col("n_raw_fp"),
+        col("n_norm_fp"), col("n_norm_only_dups"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_domain_cap" -> (domainCap _),
+    "text_normalize_dedup" -> (normalizeDedup _),
     "pipe_incremental_ingest" -> (incrementalIngest _),
     "text_bigram_pairs"  -> (bigramPairs _),
     "text_heavy_hitters" -> (heavyHitters _),
@@ -472,6 +533,27 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "pipe_domain_cap" ->
+      """WITH p AS (
+        |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS pick
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY source ORDER BY pick, doc_id) AS rn
+        |  FROM p)
+        |SELECT source, rn, doc_id FROM r
+        |WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
+    "text_normalize_dedup" ->
+      """WITH d AS (
+        |  SELECT source, md5(text) AS fr,
+        |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fn
+        |  FROM documents)
+        |SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT fr) AS n_raw_fp,
+        |  COUNT(DISTINCT fn) AS n_norm_fp,
+        |  COUNT(DISTINCT fr) - COUNT(DISTINCT fn) AS n_norm_only_dups
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "pipe_incremental_ingest" ->
       """WITH d AS (
         |  SELECT doc_id, source, md5(text) AS digest FROM documents),

@@ -55,6 +55,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"banded LSH recall $recall below floor (${lsh.size}/${brute.size})")
   }
 
+  test("int8-quantized KNN preserves exact-cosine neighbor rank fidelity") {
+    val sf001 = "/root/testdata/sf0.01"
+    val brute = neighbors(Similarity.knnBrute(spark, sf001), 3)
+    val quant = neighbors(Similarity.knnQuantized(spark, sf001), 3)
+    assert(quant.nonEmpty)
+    assert(quant.keySet == brute.keySet,
+      "quantized and brute paths disagree on the query set")
+    val recalls = brute.keys.toSeq.map { q =>
+      (quant(q) intersect brute(q)).size.toDouble / brute(q).size
+    }
+    val recall = recalls.sum / recalls.size
+    info(s"int8 quantized recall@3 vs exact = $recall")
+    // int8 on 64 dims loses ~7 bits of mantissa per element; measured
+    // recall ~0.9+ on this corpus — gate at 0.7, far above the LSH/IVF
+    // floors: quantization approximates VALUES, not candidate sets.
+    assert(recall >= 0.7, s"quantized recall@3 $recall below floor")
+  }
+
   test("IVF emits at most 3 ranked neighbors per query, no self-matches") {
     val rows = Similarity.knnIvf(spark, sf0001).collect()
     assert(rows.nonEmpty)
