@@ -141,6 +141,64 @@ object Sources {
     spark.read.parquet(out)
   }
 
+  /** Schema evolution across parquet batches — the 100 TB reality that a
+    * table's files were written over years by different pipeline versions:
+    * epoch-1 files carry the original 4-column orders schema; epoch-2
+    * files (1995+) add an `o_channel` column. The read unifies them with
+    * `mergeSchema` — Spark reconciles footers by NAME, so old files
+    * surface the new column as null — and the per-year report proves both
+    * halves: pre-1995 years count 0 non-null channels, later years carry
+    * the derived values through. Oracle recomputes the same report from
+    * the unevolved table, putting the whole write→merge→read roundtrip
+    * under the hash gate.
+    *
+    * Scale note: mergeSchema footer reconciliation reads every file's
+    * footer at planning time — the entry documents the production stance
+    * (declare the union schema once in a catalog/metastore and let per-file
+    * name-matching fill nulls) while exercising the reconciliation path
+    * itself. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame =
+    evolvedOrdersTable(spark, dir)
+      .groupBy(col("o_year").cast("long").as("o_year"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count(col("o_channel")).as("n_with_channel"),
+        count(when(col("o_channel") === "web", 1)).as("n_web"))
+      .orderBy(col("o_year"))
+
+  /** The two-epoch scratch table behind `src_schema_evolution` (written
+    * once per (scratch, sf dir), root-marker + mtime gated like
+    * `partitionedOrdersTable`). */
+  private[graft] def evolvedOrdersTable(spark: SparkSession, dir: String): DataFrame = {
+    val out = Tables.scratchPath("schema_evo", dir)
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(outPath, "_GRAFT_EVO_DONE")
+    val src = new org.apache.hadoop.fs.Path(s"$dir/orders.parquet")
+    val fresh = fs.exists(marker) &&
+      fs.getFileStatus(marker).getModificationTime >
+        fs.getFileStatus(src).getModificationTime
+    if (!fresh) {
+      val o = Tables.orders(spark, dir)
+        .withColumn("o_year", year(col("o_orderdate")))
+      o.filter(col("o_year") < 1995)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"), col("o_year"))
+        .write.mode("overwrite").parquet(s"$out/epoch1")
+      o.filter(col("o_year") >= 1995)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"), col("o_year"),
+          when(col("o_orderkey") % 3 === 0, lit("web"))
+            .otherwise(lit("store")).as("o_channel"))
+        .write.mode("overwrite").parquet(s"$out/epoch2")
+      // root marker only after BOTH epochs landed: a crash between the
+      // writes leaves no marker, so the next construction rewrites cleanly
+      fs.create(marker, true).close()
+    }
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$out/epoch1", s"$out/epoch2")
+  }
+
   /** U2: seeded stratified sample by order status; per-stratum achieved
     * counts. Sampling is partition-order-sensitive → no SQL oracle; the
     * driver records rows>0 and SamplingSpec asserts the rate. */
@@ -220,6 +278,7 @@ object Sources {
     "src_json_roundtrip"   -> (jsonRoundtrip _),
     "src_orc_roundtrip"    -> (orcRoundtrip _),
     "src_partitioned_prune" -> (partitionedPrune _),
+    "src_schema_evolution" -> (schemaEvolution _),
     "etl_stratified_sample" -> (stratifiedSample _),
     "etl_random_split"     -> (randomSplitSizes _),
     "etl_hash_split"       -> (hashSplit _),
@@ -228,6 +287,17 @@ object Sources {
   )
 
   val oracle: Map[String, String] = Map(
+    "src_schema_evolution" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, year(o_orderdate) AS o_year,
+        |    CASE WHEN year(o_orderdate) >= 1995 THEN
+        |      CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END
+        |    END AS o_channel
+        |  FROM orders)
+        |SELECT o_year, COUNT(*) AS n_orders,
+        |  COUNT(o_channel) AS n_with_channel,
+        |  COUNT(CASE WHEN o_channel = 'web' THEN 1 END) AS n_web
+        |FROM o GROUP BY o_year ORDER BY o_year""".stripMargin,
     "etl_hash_split" ->
       """SELECT CASE
         |    WHEN substr(md5(text), 1, 1) IN ('c', 'd') THEN 'valid'
