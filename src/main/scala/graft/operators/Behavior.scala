@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Det._
 
 /** Behavioral / warehouse analytics: conversion funnel, cohort retention,
   * and SCD-2 interval compaction — the reporting layer a user of the
@@ -75,7 +76,13 @@ object Behavior {
     * passes and the agg share the o_custkey partitioning, so the whole
     * operator is ONE shuffle. Ties broken by o_orderkey for deterministic
     * run boundaries. */
-  def scd2StatusHistory(spark: SparkSession, dir: String): DataFrame = {
+  def scd2StatusHistory(spark: SparkSession, dir: String): DataFrame =
+    statusHistory(spark, dir)
+      .orderBy(col("o_custkey"), col("version_seq"))
+
+  /** The unordered SCD-2 history relation — shared by the catalog entry
+    * (which adds the output ordering) and the point-in-time join below. */
+  private def statusHistory(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -95,13 +102,49 @@ object Behavior {
           Window.partitionBy(col("o_custkey")).orderBy(col("version_seq"))))
       .select(col("o_custkey"), col("version_seq"), col("o_orderstatus"),
         col("valid_from"), col("valid_to"), col("n_orders"))
-      .orderBy(col("o_custkey"), col("version_seq"))
+  }
+
+  /** SCD-2 point-in-time lookup — the consuming half of the pattern:
+    * attribute every lineitem to the customer-status version in effect at
+    * its SHIP date (`valid_from <= d < valid_to`, open-ended current
+    * version), then roll revenue up by (status-at-ship, ship year). The
+    * classic warehouse question "what did we ship to customers while they
+    * were in state X" — answerable only with effective-dated history, not
+    * the current snapshot.
+    *
+    * Plan shape: the version join is an EQUI-join on o_custkey with the
+    * interval predicate as a residual filter — co-partitioned SMJ/hash, no
+    * non-equi explosion; fan-out before the residual is |versions per
+    * customer| (bounded by the handful of status flips a key can have),
+    * so the operator stays linear in the fact table. Every lineitem lands
+    * in exactly one version interval (ship date >= order date >= first
+    * valid_from, and versions tile the timeline). */
+  def scd2PointInTime(spark: SparkSession, dir: String): DataFrame = {
+    val hist = statusHistory(spark, dir)
+      .select(col("o_custkey").as("h_custkey"),
+        col("o_orderstatus").as("status_at_ship"),
+        col("valid_from"), col("valid_to"))
+    val fact = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+    fact.join(hist,
+        col("o_custkey") === col("h_custkey") &&
+        col("valid_from") <= col("l_shipdate") &&
+        (col("valid_to").isNull || col("l_shipdate") < col("valid_to")))
+      .groupBy(col("status_at_ship"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("status_at_ship"), col("ship_year"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel"       -> (funnel _),
     "cohort_retention"    -> (cohortRetention _),
-    "scd2_status_history" -> (scd2StatusHistory _)
+    "scd2_status_history" -> (scd2StatusHistory _),
+    "join_scd2_pointintime" -> (scd2PointInTime _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -169,6 +212,42 @@ object Behavior {
         |    PARTITION BY o_custkey ORDER BY version_seq) AS valid_to,
         |  n_orders
         |FROM runs
-        |ORDER BY o_custkey, version_seq""".stripMargin
+        |ORDER BY o_custkey, version_seq""".stripMargin,
+    "join_scd2_pointintime" ->
+      """WITH flagged AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+        |    LAG(o_orderstatus, 1) OVER w AS prev_status
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |runs0 AS (
+        |  SELECT *, CASE WHEN prev_status IS NULL
+        |                   OR prev_status <> o_orderstatus
+        |                 THEN 1 ELSE 0 END AS chg
+        |  FROM flagged),
+        |runs1 AS (
+        |  SELECT *, SUM(chg) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version_seq
+        |  FROM runs0),
+        |runs AS (
+        |  SELECT o_custkey, version_seq, o_orderstatus,
+        |    MIN(o_orderdate) AS valid_from
+        |  FROM runs1 GROUP BY 1, 2, 3),
+        |hist AS (
+        |  SELECT o_custkey, o_orderstatus, valid_from,
+        |    LEAD(valid_from, 1) OVER (
+        |      PARTITION BY o_custkey ORDER BY version_seq) AS valid_to
+        |  FROM runs)
+        |SELECT h.o_orderstatus AS status_at_ship,
+        |  CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN hist h ON o.o_custkey = h.o_custkey
+        |  AND h.valid_from <= l.l_shipdate
+        |  AND (h.valid_to IS NULL OR l.l_shipdate < h.valid_to)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin
   )
 }

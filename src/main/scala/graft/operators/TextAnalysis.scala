@@ -509,7 +509,43 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Deterministic mixture sampling — the data-mixing step of a training
+    * pipeline: rebalance the corpus toward a TARGET mixture (uniform across
+    * sources here) by sampling each over-represented source down at rate
+    * `min(1, target_share·N / n_s)`. The accept test is a pure integer
+    * hash threshold (Knuth multiplicative hash of doc_id vs
+    * `floor(rate · 2^32)`), so unlike seeded `sample()` the kept set is a
+    * function of the DATA — rerun/partitioning-invariant and fully
+    * hash-oracleable (the `etl_hash_split` stance, extended to per-group
+    * rates). Reports per source the target rate and the achieved rate.
+    *
+    * Scale: sizes are one hash-agg; the rate relation is |sources| rows —
+    * legitimately broadcast at any corpus size; the accept test is a pure
+    * projection. No shuffle of the corpus at all. */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val sizes = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val tot = sizes.agg(
+      sum(col("n_docs")).as("n_total"), count(lit(1)).as("n_sources"))
+    val rates = sizes.crossJoin(broadcast(tot))
+      .withColumn("rate",
+        least(lit(1.0),
+          (col("n_total").cast("double") / col("n_sources")) / col("n_docs")))
+      .withColumn("thresh", floor(col("rate") * lit(4294967296.0)))
+      .select(col("source"), col("n_docs"), col("rate"), col("thresh"))
+    val kept = d.join(broadcast(rates.select(col("source"), col("thresh"))), "source")
+      .withColumn("h", (col("doc_id") * lit(2654435761L)) % lit(4294967296L))
+      .groupBy(col("source"))
+      .agg(count(when(col("h") < col("thresh"), 1)).as("n_kept"))
+    rates.join(kept, Seq("source"))
+      .select(col("source"), col("n_docs"), col("rate").as("target_rate"),
+        col("n_kept"),
+        (col("n_kept").cast("double") / col("n_docs")).as("achieved_rate"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_mixture_sample" -> (mixtureSample _),
     "pipe_domain_cap" -> (domainCap _),
     "text_normalize_dedup" -> (normalizeDedup _),
     "pipe_incremental_ingest" -> (incrementalIngest _),
@@ -533,6 +569,27 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "pipe_mixture_sample" ->
+      """WITH d AS (SELECT doc_id, source FROM documents),
+        |sizes AS (SELECT source, COUNT(*) AS n_docs FROM d GROUP BY source),
+        |tot AS (SELECT SUM(n_docs) AS n_total, COUNT(*) AS n_sources FROM sizes),
+        |rates AS (
+        |  SELECT source, n_docs,
+        |    least(CAST(1.0 AS DOUBLE),
+        |      (CAST(n_total AS DOUBLE) / n_sources) / n_docs) AS rate
+        |  FROM sizes, tot),
+        |rt AS (
+        |  SELECT *, CAST(floor(rate * 4294967296.0) AS BIGINT) AS thresh
+        |  FROM rates),
+        |kept AS (
+        |  SELECT d.source,
+        |    COUNT(CASE WHEN (d.doc_id * 2654435761) % 4294967296 < r.thresh
+        |          THEN 1 END) AS n_kept
+        |  FROM d JOIN rt r ON d.source = r.source GROUP BY d.source)
+        |SELECT r.source, r.n_docs, r.rate AS target_rate, k.n_kept,
+        |  CAST(k.n_kept AS DOUBLE) / r.n_docs AS achieved_rate
+        |FROM rt r JOIN kept k ON r.source = k.source
+        |ORDER BY r.source""".stripMargin,
     "pipe_domain_cap" ->
       """WITH p AS (
         |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS pick
