@@ -4,9 +4,11 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing — SURVEY.md §7.5. The IMAGE decode path is
-  * real (JDK built-in `javax.imageio`: PNG/JPEG/BMP/GIF); audio/video
-  * decode remains a clearly-marked deterministic stub (no codec libraries
-  * in this container). Everything around the kernels — binary columns with
+  * real (JDK built-in `javax.imageio`: PNG/JPEG/BMP/GIF) and so is the
+  * AUDIO path for WAV/PCM (pure byte parsing + PCM16 RMS — WAV is a
+  * container, not a codec); compressed audio and video decode remain
+  * clearly-marked deterministic stubs (no codec libraries in this
+  * container). Everything around the kernels — binary columns with
   * typed metadata, batched per-partition decode, explicit output schema,
   * partition-count preservation — is real Spark plumbing; OperatorSpec
   * exercises the plumbing and decodes actual in-test-generated PNGs
@@ -116,6 +118,76 @@ object Multimodal {
         f.copy(width = targetW, height = targetH,
           // checksum re-derived so downstream can verify the resize ran
           checksum = (f.checksum * 31 + targetW * 1000003L + targetH) % 1000000007L)
+      }
+    }
+  }
+
+  /** Decoded audio features: container header fields + a signal statistic
+    * computed over the actual PCM samples. */
+  final case class AudioFeatures(media_id: Long, sample_rate: Int,
+                                 n_channels: Int, bits_per_sample: Int,
+                                 n_frames: Long, duration_ms: Long, rms: Double)
+
+  /** REAL audio decode for WAV/PCM with pure JDK byte parsing — WAV is a
+    * container, not a codec, so no codec library is needed: walk the RIFF
+    * chunk list for `fmt ` (rate/channels/bits) and `data` (sample bytes),
+    * then compute the signal RMS over the PCM16 samples — actual DSP on
+    * actual audio, the audio analogue of the ImageIO upgrade. Compressed
+    * formats (mp3/aac) would still need an external codec and keep the
+    * stub contract. Returns None for payloads that aren't PCM16 WAV.
+    * All arithmetic is integer accumulation + one final sqrt —
+    * deterministic at any partitioning. */
+  private[operators] def decodeWav(r: MediaRecord): Option[AudioFeatures] = {
+    val b = r.payload
+    def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12L
+    var rate = 0; var ch = 0; var bits = 0
+    var dataOff = -1L; var dataLen = 0L
+    // chunk walk; `len` comes from untrusted bytes, so every step is
+    // bounds-checked and monotone (word-aligned) to rule out loops
+    while (pos + 8 <= b.length) {
+      val id = tag(pos.toInt); val len = u32(pos.toInt + 4)
+      if (id == "fmt " && pos + 24 <= b.length) {
+        ch = u16(pos.toInt + 10); rate = u32(pos.toInt + 12).toInt
+        bits = u16(pos.toInt + 22)
+      } else if (id == "data" && dataOff < 0) {
+        dataOff = pos + 8
+        dataLen = math.min(len, b.length - dataOff)
+      }
+      pos += 8 + len + (len & 1L)
+    }
+    if (rate <= 0 || ch <= 0 || bits != 16 || dataOff < 0) return None
+    val nFrames = dataLen / (ch * 2)
+    var i = dataOff.toInt; var acc = 0L; var n = 0L
+    val end = (dataOff + dataLen).toInt
+    while (i + 1 < end) {
+      val s = (u16(i) << 16) >> 16 // sign-extend PCM16
+      acc += s.toLong * s; n += 1; i += 2
+    }
+    val rms = if (n == 0) 0.0 else math.sqrt(acc.toDouble / n)
+    Some(AudioFeatures(r.media_id, rate, ch, bits, nFrames,
+      nFrames * 1000L / rate, rms))
+  }
+
+  /** Batched per-partition audio feature extraction: the REAL WAV path
+    * with the deterministic stub as fallback for payloads that aren't WAV
+    * containers (the harness media table carries text bytes). Same operator
+    * shape as decodeFeatures: typed narrow output, partition-preserving. */
+  def audioFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions { rows =>
+      rows.map { r =>
+        decodeWav(r).getOrElse {
+          // STUB fallback — deterministic envelope derived from bytes only
+          val cs = byteChecksum(r.payload)
+          AudioFeatures(r.media_id, 16000, 1, 16, r.payload.length.toLong,
+            r.payload.length.toLong * 1000L / 16000L, (cs % 1000L).toDouble)
+        }
       }
     }
   }

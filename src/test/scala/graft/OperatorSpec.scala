@@ -160,6 +160,41 @@ class OperatorSpec extends SparkSpec {
     assert(stub.n_bytes == "not an image".getBytes("UTF-8").length.toLong)
   }
 
+  test("real audio decode: actual WAV/PCM bytes yield true rate/frames/RMS") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import spark.implicits._
+    // generate a real WAV container in-test (JDK writer, no new deps):
+    // amplitude-1000 square wave → RMS is exactly 1000.0
+    def wav(rateHz: Int, frames: Int): Array[Byte] = {
+      val pcm = new Array[Byte](frames * 2)
+      for (i <- 0 until frames) {
+        val s = if (i % 2 == 0) 1000 else -1000
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(rateHz.toFloat, 16, 1, true, false)
+      val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio", wav(8000, 800)),
+      Multimodal.MediaRecord(2L, "audio", wav(44100, 4410)),
+      Multimodal.MediaRecord(3L, "audio", "not a wav".getBytes("UTF-8"))
+    ).toDS()
+    val feats = Multimodal.audioFeatures(media).collect().map(f => f.media_id -> f).toMap
+    // real container headers + real PCM math — not the stub arithmetic
+    assert(feats(1L).sample_rate == 8000 && feats(1L).n_frames == 800L, feats(1L))
+    assert(feats(1L).duration_ms == 100L && feats(1L).rms == 1000.0, feats(1L))
+    assert(feats(2L).sample_rate == 44100 && feats(2L).n_frames == 4410L, feats(2L))
+    assert(feats(2L).duration_ms == 100L && feats(2L).rms == 1000.0, feats(2L))
+    assert(feats(1L).n_channels == 1 && feats(1L).bits_per_sample == 16)
+    // non-WAV payload falls back to the deterministic stub, no failure
+    assert(feats(3L).sample_rate == 16000, feats(3L))
+  }
+
   test("image kind gets 3 channels, audio/video 1 (stub decode contract)") {
     val feats = Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sf0001)).toDF()
     assert(feats.filter(col("kind") === "image" && col("channels") =!= 3).count() == 0)

@@ -94,9 +94,14 @@ class PlanSpec extends SparkSpec {
     // against the distinct event types (small) — a bounded×bounded grid
     // text_heavy_hitters crossJoins the broadcast 1-row token total (the
     // same in-plan scalar pattern as text_tfidf)
+    // sim_knn_quantized broadcasts the fixed-budget |Q|-row query set for
+    // O(|Q|·n) integer scoring — the same documented shape as sim_knn_brute
+    // pipe_mixture_sample crossJoins the |sources|-row size relation with
+    // the broadcast 1-row corpus total (in-plan scalar pattern)
     val allowedNestedLoop =
       Set("sim_knn_brute", "sim_knn_lsh", "sim_knn_ivf", "text_tfidf", "win_ntile_tiers",
-        "events_resample_gapfill", "text_heavy_hitters")
+        "events_resample_gapfill", "text_heavy_hitters",
+        "sim_knn_quantized", "pipe_mixture_sample")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
