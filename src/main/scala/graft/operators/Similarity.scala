@@ -197,6 +197,74 @@ object Similarity {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Product-quantization ANN with asymmetric distance (ADC) — the other
+    * standard 100 TB compression lever next to int8 (`sim_knn_quantized`):
+    * vectors are L2-normalized, split into `PqM` subvectors, and each
+    * subvector is replaced by the id of its nearest codeword from a
+    * SHARED KMeans codebook (PqM · log2(PqK) bits per vector ≈ 8 bytes
+    * here vs 256 for float32). Queries stay full precision: per query a
+    * (subspace, code) → partial-L2² distance table is computed against the
+    * codebook (|Q|·PqM·PqK rows, all constant), and a candidate's
+    * approximate distance is the SUM of its codes' table entries — one
+    * equi-join on (m, code) + hash-agg, no per-pair float vectors anywhere.
+    * Normalizing first makes L2² = 2 − 2·cos, so the ADC ranking is
+    * monotone in cosine and directly comparable to the exact baseline.
+    *
+    * Scale: encode is linear in the corpus; the ADC scan is |Q|·n summed
+    * rows collapsed map-side by partial aggregation — the exhaustive-PQ
+    * scan (FAISS IndexPQ); composing it under the IVF cell join
+    * (`sim_knn_ivf`) is the documented IVF-PQ path when even one linear
+    * scan is too much. NOT oracle-able (trained codebook, float-order
+    * dependent): rows-only driver check + SimilaritySpec recall gate vs
+    * the exact brute-force baseline. */
+  def knnPq(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import spark.implicits._
+    val all = vectors(spark, dir)
+      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+      .select(col("vec_id"), col("vn"))
+    // pooled subvectors: (vec_id, m, sv) — PqM rows per vector
+    val subs = all
+      .select(col("vec_id"), explode(lit((0 until PqM).toArray)).as("m"), col("vn"))
+      .withColumn("sv", slice(col("vn"), col("m") * lit(PqSub) + 1, lit(PqSub)))
+      .drop("vn")
+      .withColumn("fv", array_to_vector(col("sv")))
+      .cache() // feeds fit, encode, and the query-side tables
+    val model = new KMeans().setK(PqK).setSeed(42).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("code")
+      .fit(subs) // shared codebook: one fit over all subspaces pooled
+    val encoded = model.transform(subs)
+      .select(col("vec_id"), col("m"), col("code"))
+    val codebook = model.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+      .toDF("code", "centroid")
+    // per-query (m, code) → partial L2² table; every dimension constant
+    val q = subs.filter(col("vec_id") < QueryBudget)
+      .select(col("vec_id").as("q_id"), col("m"), col("sv"))
+    val dt = q.crossJoin(broadcast(codebook))
+      .withColumn("d2",
+        aggregate(zip_with(col("sv"), col("centroid"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+      .select(col("q_id"), col("m"), col("code"), col("d2"))
+    // ADC scan: codes ⋈ table on (m, code), partial-agg collapses the PqM
+    // rows per (q, candidate) map-side; broadcast side is |Q|·PqM·PqK rows
+    val scored = encoded.join(broadcast(dt), Seq("m", "code"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adist"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** PQ geometry: PqM subspaces of PqSub dims (PqM·PqSub = 64), PqK
+    * codewords each → PqM·log2(PqK) = 64-bit codes. */
+  private[graft] val PqM = 16
+  private[graft] val PqSub = 4
+  private[graft] val PqK = 16
+
   /** Per-label centroid vectors — the reduction every embedding pipeline
     * needs (class prototypes, cluster seeds, IVF retraining). Computed in
     * LONG format: posexplode to (label, dim, x) rows, then ONE hash-agg —
@@ -273,6 +341,7 @@ object Similarity {
     "sim_knn_lsh"   -> (knnLsh _),
     "sim_knn_ivf"   -> (knnIvf _),
     "sim_knn_quantized" -> (knnQuantized _),
+    "sim_knn_pq" -> (knnPq _),
     "sim_label_centroids" -> (labelCentroids _),
     "sim_centroid_assign" -> (centroidAssign _)
   )

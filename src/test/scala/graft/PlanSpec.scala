@@ -98,10 +98,12 @@ class PlanSpec extends SparkSpec {
     // O(|Q|·n) integer scoring — the same documented shape as sim_knn_brute
     // pipe_mixture_sample crossJoins the |sources|-row size relation with
     // the broadcast 1-row corpus total (in-plan scalar pattern)
+    // sim_knn_pq crossJoins the |Q|·PqM-row query subvectors against the
+    // broadcast PqK-row codebook (both constant) to build the ADC tables
     val allowedNestedLoop =
       Set("sim_knn_brute", "sim_knn_lsh", "sim_knn_ivf", "text_tfidf", "win_ntile_tiers",
         "events_resample_gapfill", "text_heavy_hitters",
-        "sim_knn_quantized", "pipe_mixture_sample")
+        "sim_knn_quantized", "pipe_mixture_sample", "sim_knn_pq")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)

@@ -73,6 +73,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"quantized recall@3 $recall below floor")
   }
 
+  test("PQ-ADC recall@3 vs brute force is well above the random floor") {
+    val sf001 = "/root/testdata/sf0.01"
+    val brute = neighbors(Similarity.knnBrute(spark, sf001), 3)
+    val pq = neighbors(Similarity.knnPq(spark, sf001), 3)
+    assert(pq.nonEmpty)
+    val recalls = brute.keys.toSeq.map { q =>
+      (pq.getOrElse(q, Set.empty) intersect brute(q)).size.toDouble / brute(q).size
+    }
+    val recall = recalls.sum / recalls.size
+    info(s"PQ ${Similarity.PqM}x${Similarity.PqK} ADC recall@3 = $recall")
+    // uniform random embeddings are the worst case for PQ (no cluster
+    // structure for the codebook to exploit); the random floor for top-3
+    // of ~n candidates is ~0. Gate conservatively under the measured value.
+    assert(recall >= 0.2, s"PQ ADC recall@3 $recall below floor")
+  }
+
   test("IVF emits at most 3 ranked neighbors per query, no self-matches") {
     val rows = Similarity.knnIvf(spark, sf0001).collect()
     assert(rows.nonEmpty)
