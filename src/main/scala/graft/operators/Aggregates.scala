@@ -267,7 +267,46 @@ object Aggregates {
       .orderBy(col("r_name"))
   }
 
+  /** Exact-arithmetic correlation/covariance — the statistical aggregates
+    * (`corr`, `covar_pop`) that are normally UN-oracleable: engines sum
+    * doubles in different orders and use different one-pass update
+    * formulas (Welford vs textbook), so the last ulps never match. Here
+    * the five moments (Σx, Σy, Σx², Σy², Σxy) are EXACT decimal sums over
+    * 2-decimal inputs — associative, engine- and partition-order-
+    * independent — and the closed-form corr/covar is one identical chain
+    * of IEEE ops on those exact moments, so even these land under the
+    * byte-exact hash gate. One hash-agg, map-side partials; the moment
+    * pattern is also what an incremental/streaming correlation would
+    * persist per partition and merge. AggSanitySpec-style check: the spec
+    * asserts agreement with Spark's built-in corr to float tolerance. */
+  def corrManual(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val l = Tables.lineitem(spark, dir).select(col("l_returnflag"),
+      col("l_quantity").cast(DecimalType(12, 2)).as("x"),
+      col("l_extendedprice").cast(DecimalType(12, 2)).as("y"))
+    l.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        // round-6 (the module's libm/ulp rule): the moment VALUES are
+        // exact, but decimal→double conversion of >2^53 magnitudes is
+        // single-rounded by the JVM and double-rounded by DuckDB — a
+        // 1-ulp input wobble round-6 absorbs, as for ln() outputs
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("n")), 6).as("covar_pop"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            * (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_xy"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_corr_manual" -> (corrManual _),
     "agg_collect_roster" -> (collectRoster _),
     "agg_topk_aggregator" -> (topkPerGroup _),
     "agg_pricing_summary" -> (pricingSummary _),
@@ -284,6 +323,24 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_corr_manual" ->
+      """WITH l AS (
+        |  SELECT l_returnflag,
+        |    CAST(l_quantity AS DECIMAL(12,2)) AS x,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS y
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(y * y) AS DOUBLE) AS syy,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy
+        |  FROM l GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  ROUND((n * sxy - sx * sy) / (n * n), 6) AS covar_pop,
+        |  ROUND((n * sxy - sx * sy)
+        |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_xy
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     "agg_collect_roster" ->
       """SELECT r_name,
         |  array_to_string(list_sort(array_agg(n_name)), ',') AS nations,

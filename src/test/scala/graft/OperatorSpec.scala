@@ -213,6 +213,49 @@ class OperatorSpec extends SparkSpec {
     assert(changed == 0, "resize left checksums untouched")
   }
 
+  test("exact-moment correlation agrees with Spark's built-in corr/covar_pop") {
+    // the catalog entry exists because the BUILT-IN cannot be oracled
+    // (one-pass float update formulas differ between engines); this pins
+    // that the exact-moment closed form is the same statistic
+    val manual = Aggregates.corrManual(spark, sf0001).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("corr_xy"), r.getAs[Double]("covar_pop"))).toMap
+    val builtin = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_returnflag"))
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        covar_pop(col("l_quantity"), col("l_extendedprice")).as("cv"))
+      .collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("c"), r.getAs[Double]("cv"))).toMap
+    assert(manual.keySet == builtin.keySet)
+    // entry outputs are round-6 (cross-engine decimal→double rule), so
+    // agreement is to rounding resolution, not ulps
+    manual.foreach { case (k, (c, cv)) =>
+      assert(math.abs(c - builtin(k)._1) < 1e-5, s"corr mismatch for $k")
+      assert(math.abs(cv - builtin(k)._2) <= math.abs(builtin(k)._2) * 1e-6 + 1e-6,
+        s"covar mismatch for $k")
+    }
+  }
+
+  test("observe() collects data-quality metrics in the same pass as the query") {
+    // production stance: pipeline health counters (row counts, null rates,
+    // bounds violations) ride the existing action via CollectMetrics —
+    // no second scan of a 100 TB input
+    import org.apache.spark.sql.Observation
+    val obs = Observation()
+    val l = Tables.lineitem(spark, sf0001)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("null_qty"),
+        max(col("l_extendedprice")).as("max_price"))
+      .filter(col("l_quantity") > 0)
+    val kept = l.count()
+    val m = obs.get
+    assert(m("n_rows").asInstanceOf[Long] >= kept, m.toString)
+    assert(m("null_qty").asInstanceOf[Long] == 0L, m.toString)
+    assert(m("max_price").asInstanceOf[Double] > 0.0, m.toString)
+  }
+
   test("frame sampling: only video rows, stride respected, deterministic") {
     val media = Multimodal.mediaTable(spark, sf0001)
     val frames = Multimodal.sampleFrames(media, stride = 2).toDF().cache()
