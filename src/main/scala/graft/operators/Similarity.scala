@@ -265,6 +265,83 @@ object Similarity {
   private[graft] val PqSub = 4
   private[graft] val PqK = 16
 
+  /** IVF-PQ — the composition both building blocks document as the
+    * billion-scale rung (FAISS IVFPQ): the coarse quantizer prunes the
+    * CANDIDATE SET (only the query's `NProbe` nearest cells are scanned,
+    * ~NProbe/K of the corpus) while PQ compresses the RESIDENT DATA
+    * (candidates are scored from 64-bit codes via the broadcast ADC
+    * tables, never touching a float vector). Work per query:
+    * NProbe·(n/K) candidates × PqM table lookups — linear in the corpus
+    * with constant factor NProbe/K, memory per candidate 8 bytes.
+    * Everything is normalized up front so ADC-L2 ranks by cosine, like
+    * `sim_knn_pq`. NOT oracle-able (two trained quantizers): rows-only
+    * driver check + SimilaritySpec recall gate. */
+  def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import spark.implicits._
+    val all = vectors(spark, dir)
+      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+      .select(col("vec_id"), col("vn"))
+      .withColumn("fv", array_to_vector(col("vn")))
+      .cache()
+    // coarse quantizer: K cells over the normalized vectors
+    val coarse = new KMeans().setK(K).setSeed(42).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(all)
+    val assigned = coarse.transform(all).select(col("vec_id"), col("cell"))
+    val centroids = coarse.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+      .toDF("cell", "centroid")
+      .withColumn("c_sq", VectorOps.dot(col("centroid"), col("centroid")))
+    // PQ codebook: shared codebook over pooled subvectors (as sim_knn_pq)
+    val subs = all
+      .select(col("vec_id"), explode(lit((0 until PqM).toArray)).as("m"), col("vn"))
+      .withColumn("sv", slice(col("vn"), col("m") * lit(PqSub) + 1, lit(PqSub)))
+      .drop("vn")
+      .withColumn("sfv", array_to_vector(col("sv")))
+      .cache()
+    val book = new KMeans().setK(PqK).setSeed(43).setMaxIter(5)
+      .setFeaturesCol("sfv").setPredictionCol("code")
+      .fit(subs)
+    val encoded = book.transform(subs).select(col("vec_id"), col("m"), col("code"))
+    val codebook = book.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+      .toDF("code", "pq_centroid")
+    // query side: NProbe nearest cells (constant |Q|·K rows) ...
+    val q = all.filter(col("vec_id") < QueryBudget)
+      .select(col("vec_id").as("q_id"), col("vn").as("qv"))
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("dist2"), col("cell"))
+    val qCells = q.crossJoin(broadcast(centroids))
+      .withColumn("dist2",
+        lit(1.0) + col("c_sq")
+          - lit(2.0) * VectorOps.dot(col("qv"), col("centroid")))
+      .withColumn("cr", row_number().over(probeW))
+      .filter(col("cr") <= NProbe)
+      .select(col("q_id"), col("cell"))
+    // ... and the per-query ADC tables (|Q|·PqM·PqK rows, constant)
+    val qSubs = subs.filter(col("vec_id") < QueryBudget)
+      .select(col("vec_id").as("q_id"), col("m"), col("sv"))
+    val dt = qSubs.crossJoin(broadcast(codebook))
+      .withColumn("d2",
+        aggregate(zip_with(col("sv"), col("pq_centroid"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+      .select(col("q_id"), col("m"), col("code"), col("d2"))
+    // candidate generation (cell equi-join, NO broadcast hint on the
+    // corpus-proportional side) → code expansion → ADC table lookup
+    val cands = qCells.join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"))
+    val scored = cands.join(encoded, Seq("vec_id"))
+      .join(broadcast(dt), Seq("q_id", "m", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adist"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** Per-label centroid vectors — the reduction every embedding pipeline
     * needs (class prototypes, cluster seeds, IVF retraining). Computed in
     * LONG format: posexplode to (label, dim, x) rows, then ONE hash-agg —
@@ -342,6 +419,7 @@ object Similarity {
     "sim_knn_ivf"   -> (knnIvf _),
     "sim_knn_quantized" -> (knnQuantized _),
     "sim_knn_pq" -> (knnPq _),
+    "sim_knn_ivfpq" -> (knnIvfPq _),
     "sim_label_centroids" -> (labelCentroids _),
     "sim_centroid_assign" -> (centroidAssign _)
   )

@@ -89,6 +89,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"PQ ADC recall@3 $recall below floor")
   }
 
+  test("IVF-PQ composition still finds true neighbors above the random floor") {
+    val sf001 = "/root/testdata/sf0.01"
+    val brute = neighbors(Similarity.knnBrute(spark, sf001), 3)
+    val ivfpq = neighbors(Similarity.knnIvfPq(spark, sf001), 3)
+    assert(ivfpq.nonEmpty)
+    val recalls = brute.keys.toSeq.map { q =>
+      (ivfpq.getOrElse(q, Set.empty) intersect brute(q)).size.toDouble / brute(q).size
+    }
+    val recall = recalls.sum / recalls.size
+    info(s"IVF-PQ (nprobe=${Similarity.NProbe}, ${Similarity.PqM}x${Similarity.PqK}) recall@3 = $recall")
+    // both stages lose recall independently on uniform-random data
+    // (cell pruning ~0.6, PQ distortion ~0.35); the composition's floor
+    // sits under their product but far above the ~0 random floor
+    assert(recall >= 0.1, s"IVF-PQ recall@3 $recall below floor")
+  }
+
   test("IVF emits at most 3 ranked neighbors per query, no self-matches") {
     val rows = Similarity.knnIvf(spark, sf0001).collect()
     assert(rows.nonEmpty)
