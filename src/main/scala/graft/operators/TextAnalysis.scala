@@ -544,7 +544,48 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Eval decontamination — the check every training pipeline must run
+    * before trusting a benchmark: does any held-out document share a long
+    * n-gram with the training set? Splits follow `etl_hash_split`'s
+    * content-hash rule (md5 first hex e/f = held-out test, everything else
+    * trains), shingles are guarded 5-word windows hashed with md5
+    * (the `Dedup.shingled` construction, longer n for specificity), and a
+    * held-out doc is contaminated if ANY of its shingles appears anywhere
+    * in the training side. Reported per source with the eval denominator.
+    *
+    * Scale: train shingles collapse to a DISTINCT hash set (hash-agg);
+    * detection is one semi-join of exploded eval shingles against it —
+    * the standard industrial decontamination shape, linear in corpus size
+    * with shuffle bounded by |distinct shingles|. The injected exact dups
+    * make cross-split contamination non-empty by construction. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        substring(md5(col("text")), 1, 1).as("hx"),
+        when(size(toks) >= 5,
+          array_distinct(transform(sequence(lit(1), size(toks) - 4),
+            i => md5(array_join(slice(toks, i, lit(5)), " ")))))
+          .otherwise(array().cast("array<string>")).as("sh"))
+      .cache() // feeds both split sides and the denominator
+    val isEval = col("hx").isin("e", "f")
+    val train = sh.filter(!isEval)
+      .select(explode(col("sh")).as("g")).distinct()
+    val eval_ = sh.filter(isEval)
+      .select(col("doc_id"), col("source"), explode(col("sh")).as("g"))
+    val contaminated = eval_.join(train, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("source")).distinct()
+    val evalDocs = sh.filter(isEval)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_eval_docs"))
+    val cont = contaminated
+      .groupBy(col("source")).agg(count(lit(1)).as("n_contaminated"))
+    evalDocs.join(cont, Seq("source"), "left")
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_contamination" -> (contamination _),
     "pipe_mixture_sample" -> (mixtureSample _),
     "pipe_domain_cap" -> (domainCap _),
     "text_normalize_dedup" -> (normalizeDedup _),
@@ -569,6 +610,32 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "pipe_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, substr(md5(text), 1, 1) AS hx,
+        |    CASE WHEN len(string_split(text, ' ')) >= 5
+        |      THEN list_distinct(list_transform(
+        |        generate_series(1, len(string_split(text, ' ')) - 4),
+        |        i -> md5(array_to_string(
+        |          list_slice(string_split(text, ' '), i, i + 4), ' '))))
+        |      ELSE [] END AS sh
+        |  FROM documents),
+        |tr AS (
+        |  SELECT DISTINCT unnest(sh) AS g FROM t WHERE hx NOT IN ('e', 'f')),
+        |ev AS (
+        |  SELECT doc_id, source, unnest(sh) AS g FROM t WHERE hx IN ('e', 'f')),
+        |cont AS (
+        |  SELECT DISTINCT ev.doc_id, ev.source
+        |  FROM ev JOIN tr ON ev.g = tr.g),
+        |evd AS (
+        |  SELECT source, COUNT(*) AS n_eval_docs FROM t
+        |  WHERE hx IN ('e', 'f') GROUP BY source),
+        |cnt AS (
+        |  SELECT source, COUNT(*) AS n_contaminated FROM cont GROUP BY source)
+        |SELECT evd.source, evd.n_eval_docs,
+        |  COALESCE(cnt.n_contaminated, 0) AS n_contaminated
+        |FROM evd LEFT JOIN cnt ON evd.source = cnt.source
+        |ORDER BY evd.source""".stripMargin,
     "pipe_mixture_sample" ->
       """WITH d AS (SELECT doc_id, source FROM documents),
         |sizes AS (SELECT source, COUNT(*) AS n_docs FROM d GROUP BY source),
