@@ -140,7 +140,45 @@ object Behavior {
       .orderBy(col("status_at_ship"), col("ship_year"))
   }
 
+  /** Typed `KeyValueGroupedDataset.mapGroups` — the batch face of the
+    * typed-state surface the streaming sessionizers use
+    * (flatMapGroupsWithState / transformWithState): per customer, the
+    * longest streak of CONSECUTIVE active months, computed imperatively
+    * over the group's sorted distinct months. Exactly the kind of run
+    * logic that is natural as ~6 lines of Scala and contorted as SQL —
+    * and the DuckDB gaps-and-islands oracle (m − row_number() run keys)
+    * proves the imperative fold and the relational form are the same
+    * function, the AsOfJoinSpec stance applied to typed groups.
+    *
+    * Scale: state per group = that customer's distinct months (bounded by
+    * the calendar, ~80 here), shuffle = one groupByKey on o_custkey —
+    * exactly a hash-agg's distribution with per-group imperative freedom. */
+  def longestStreak(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val months = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+      .distinct()
+    months.as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (cust, rows) =>
+        val ms = rows.map(_._2).toArray.sorted
+        var best = 1L; var cur = 1L
+        var i = 1
+        while (i < ms.length) {
+          if (ms(i) == ms(i - 1) + 1) { cur += 1; if (cur > best) best = cur }
+          else cur = 1
+          i += 1
+        }
+        (cust, ms.length.toLong, best)
+      }
+      .toDF("o_custkey", "n_active_months", "longest_streak")
+      .orderBy(col("o_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "typed_longest_streak" -> (longestStreak _),
     "events_funnel"       -> (funnel _),
     "cohort_retention"    -> (cohortRetention _),
     "scd2_status_history" -> (scd2StatusHistory _),
@@ -148,6 +186,25 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    "typed_longest_streak" ->
+      """WITH m AS (
+        |  SELECT DISTINCT o_custkey,
+        |    year(o_orderdate) * 12 + month(o_orderdate) AS m
+        |  FROM orders),
+        |g AS (
+        |  SELECT o_custkey, m,
+        |    m - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY m) AS grp
+        |  FROM m),
+        |runs AS (
+        |  SELECT o_custkey, COUNT(*) AS len FROM g GROUP BY o_custkey, grp),
+        |agg AS (
+        |  SELECT o_custkey, MAX(len) AS longest_streak
+        |  FROM runs GROUP BY o_custkey),
+        |cnt AS (
+        |  SELECT o_custkey, COUNT(*) AS n_active_months FROM m GROUP BY o_custkey)
+        |SELECT c.o_custkey, c.n_active_months, a.longest_streak
+        |FROM cnt c JOIN agg a ON c.o_custkey = a.o_custkey
+        |ORDER BY c.o_custkey""".stripMargin,
     "events_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),

@@ -110,6 +110,32 @@ object Windows {
       .orderBy(col("l_suppkey"), col("rn"))
   }
 
+  /** Explicit RANGE frame — the VALUE-based sibling of `movingSum`'s
+    * ROWS frame: per-user trailing-1-hour event sum/count ordered by epoch
+    * seconds (`RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW`). A RANGE
+    * frame is what time-decayed features actually need: ROWS frames count
+    * physical neighbors, RANGE frames select by timestamp distance, and
+    * peers (same-second events) enter the frame together regardless of
+    * tie order — which also makes the aggregate deterministic without a
+    * peer tiebreak. Money stays exact: the summed metric is
+    * `floor(value·100)` cents (floor of identical doubles — exact in both
+    * engines), so the trailing sums are pure BIGINT. */
+  def timeRangeSum(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("long").as("ts_s"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val wr = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+      .rangeBetween(-3599, 0)
+    val wn = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+    e.withColumn("hr_cents", sum(col("cents")).over(wr))
+      .withColumn("hr_events", count(lit(1)).over(wr))
+      .withColumn("rn", row_number().over(wn).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("user_id"), col("rn"))
+  }
+
   /** Ranking-function breadth: row_number / dense_rank / percent_rank /
     * cume_dist / lead in one partitioned window (per-priority top-3 by
     * price). percent_rank and cume_dist are exact rationals — identical
@@ -134,6 +160,7 @@ object Windows {
     "win_ntile_tiers"    -> (ntileTiers _),
     "win_lag_delta"      -> (lagDelta _),
     "win_moving_sum"     -> (movingSum _),
+    "win_time_range_sum" -> (timeRangeSum _),
     "win_rank_kinds"     -> (rankKinds _)
   )
 
@@ -202,6 +229,23 @@ object Windows {
         |               ORDER BY o_totalprice DESC, o_orderkey))
         |WHERE rn <= 3
         |ORDER BY o_orderpriority, rn""".stripMargin,
+    "win_time_range_sum" ->
+      """SELECT * FROM (
+        |  SELECT event_id, user_id,
+        |    epoch_us(ts) // 1000000 AS ts_s,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents,
+        |    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+        |      RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS BIGINT) AS hr_cents,
+        |    COUNT(*) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+        |      RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS hr_events,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) // 1000000, event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 3
+        |ORDER BY user_id, rn""".stripMargin,
     "win_moving_sum" ->
       """SELECT * FROM (
         |  SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,

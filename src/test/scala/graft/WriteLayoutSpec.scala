@@ -53,4 +53,27 @@ class WriteLayoutSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: ["), plan)
     assert(plan.matches("(?s).*PushedFilters: \\[[^\\]].*"), s"no pushed filters:\n$plan")
   }
+
+  test("nested-struct schema pruning: selecting one field reads only that field") {
+    // wide structs are how multimodal/feature tables nest metadata; at
+    // 100 TB reading the whole struct for one field multiplies scan IO —
+    // Catalyst's nested-schema pruning must reach the parquet ReadSchema
+    val out = s"${sys.props("java.io.tmpdir")}/graft_nested_orders"
+    Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"),
+        struct(
+          col("o_totalprice").as("price"),
+          col("o_orderpriority").as("prio"),
+          col("o_orderstatus").as("note")).as("info"))
+      .write.mode("overwrite").parquet(out)
+    val q = spark.read.parquet(out)
+      .select(col("o_orderkey"), col("info.price"))
+      .filter(col("o_orderkey") > 0)
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("price"), s"pruned away the needed field: $readSchema")
+    assert(!readSchema.contains("note") && !readSchema.contains("prio"),
+      s"scan reads unneeded struct fields: $readSchema")
+  }
 }
