@@ -305,7 +305,25 @@ object Aggregates {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Ordered string aggregation (LISTAGG) — the report-building agg:
+    * per-region roster of nation names as one delimited string. Expressed
+    * as `concat_ws` over a SORTED collect_list so the result is a unique
+    * string (DuckDB `string_agg(... ORDER BY ...)` mirrors it exactly);
+    * group state is bounded by |nations per region|, the same contract as
+    * `agg_collect_roster`. */
+  def stringAgg(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_nations"),
+        concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"))
+      .orderBy(col("r_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_string_agg" -> (stringAgg _),
     "agg_corr_manual" -> (corrManual _),
     "agg_collect_roster" -> (collectRoster _),
     "agg_topk_aggregator" -> (topkPerGroup _),
@@ -323,6 +341,13 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_string_agg" ->
+      """SELECT r_name,
+        |  COUNT(*) AS n_nations,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin,
     "agg_corr_manual" ->
       """WITH l AS (
         |  SELECT l_returnflag,

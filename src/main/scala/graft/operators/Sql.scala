@@ -75,7 +75,29 @@ object Sql {
         |ORDER BY vec_id""".stripMargin)
   }
 
+  /** LATERAL correlated subquery (Spark 3.2+/ANSI) — top-2 orders PER
+    * customer written the way an analyst writes it: an ordered, limited
+    * subquery referencing the outer row. The SAME text runs in DuckDB
+    * (both implement ANSI lateral derived tables), so the oracle is the
+    * query itself — and Catalyst's decorrelation rewrites the per-row
+    * subquery into a set-based plan (no N one-row queries at scale).
+    * Customer set is capped so the output stays review-sized; the rewrite
+    * shape, not the cap, is what scales. */
+  private val lateralSql =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |LATERAL (
+      |  SELECT o_orderkey, o_totalprice
+      |  FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey
+      |  LIMIT 2) t
+      |WHERE c.c_custkey <= 100
+      |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_lateral_topk" ->
+      ((s, dir) => run(s, dir, lateralSql, Seq("orders", "customer"))),
     "sql_cte_rank_topk" ->
       ((s, dir) => run(s, dir, rankSql, Seq("orders", "customer"))),
     "sql_rate_nullif" ->
@@ -84,6 +106,7 @@ object Sql {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_lateral_topk"  -> lateralSql,
     "sql_cte_rank_topk" -> rankSql,
     "sql_rate_nullif"   -> rateSql,
     "sql_graft_dot" ->
