@@ -584,7 +584,28 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** The custom GENERATOR from SQL text (`graft.expressions.NGrams` via
+    * LATERAL VIEW — the table-function face of the extension ladder, as
+    * `sql_graft_dot` is for the scalar Expression): top-20 corpus bigrams
+    * produced by the native 1→N generator, oracled against the same
+    * bigrams built relationally in DuckDB. GenerateExec streams the
+    * windows straight into the hash-agg; no per-doc array is ever
+    * materialized. */
+  def ngramGenerator(spark: SparkSession, dir: String): DataFrame = {
+    org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
+      spark, "graft_ngrams",
+      exprs => graft.expressions.NGrams(exprs(0), exprs(1)))
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    spark.sql(
+      """SELECT ngram, COUNT(*) AS n
+        |FROM documents LATERAL VIEW graft_ngrams(text, 2) t AS ngram
+        |GROUP BY ngram
+        |ORDER BY n DESC, ngram
+        |LIMIT 20""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_generator" -> (ngramGenerator _),
     "pipe_contamination" -> (contamination _),
     "pipe_mixture_sample" -> (mixtureSample _),
     "pipe_domain_cap" -> (domainCap _),
@@ -610,6 +631,21 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_ngram_generator" ->
+      """WITH w AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT CASE WHEN len(ws) >= 2
+        |    THEN list_transform(generate_series(1, len(ws) - 1),
+        |      i -> array_to_string(list_slice(ws, i, i + 1), ' '))
+        |    ELSE [] END AS gs
+        |  FROM w)
+        |SELECT ngram, COUNT(*) AS n
+        |FROM (SELECT unnest(gs) AS ngram FROM g)
+        |GROUP BY ngram
+        |ORDER BY n DESC, ngram
+        |LIMIT 20""".stripMargin,
     "pipe_contamination" ->
       """WITH t AS (
         |  SELECT doc_id, source, substr(md5(text), 1, 1) AS hx,

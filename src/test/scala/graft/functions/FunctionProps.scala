@@ -77,6 +77,24 @@ object FunctionProps extends Properties("graft.functions") {
     6 -> Gen.const("hot"), 3 -> Gen.const("warm"),
     1 -> Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h"))
 
+  // ---- NGrams generator: eval vs the scala-collections sliding window
+
+  private val genText: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.oneOf("alpha", "beta", "gamma", "x"),
+    1 -> Gen.const(""))) // empty tokens model repeated spaces
+    .map(_.mkString(" "))
+
+  property("NGrams.eval == words.sliding(n) for any text and n") =
+    forAll(genText, Gen.choose(-1, 5)) { (s, n) =>
+      val got = graft.expressions.NGrams(Literal.create(s), Literal(n))
+        .eval(null).iterator.map(_.getUTF8String(0).toString).toList
+      val words = s.split(" ").filter(_.nonEmpty).toList
+      val expected =
+        if (n <= 0 || words.length < n) Nil
+        else words.sliding(n).map(_.mkString(" ")).toList
+      got == expected
+    }
+
   property("MisraGries: candidates ⊇ {count > n/(c+1)} and ≤ c, any split") =
     forAll(Gen.listOf(genTok), Gen.choose(1, 6)) { (xs, nSplits) =>
       val c = 4
