@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{DotProduct, PolyHash}
+import graft.expressions.{DotProduct, NGrams, PolyHash}
 
 /** Session-extension entry point: makes the library's codegen'd expressions
   * available to pure-SQL users at session build time —
@@ -36,6 +36,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_polyhash"),
       new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
       (exprs: Seq[Expression]) => PolyHash(exprs.head)))
+    // table-function tier: the n-gram Generator, usable from LATERAL VIEW
+    e.injectFunction((
+      FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[NGrams].getName, "graft_ngrams"),
+      (exprs: Seq[Expression]) => NGrams(exprs(0), exprs(1))))
     // rule tier: constant-fold literal-input graft expressions so they
     // compute once at optimization time and comparisons against them
     // become pushdown-eligible literals (see FoldGraftExpressions)

@@ -12,8 +12,14 @@ import org.apache.spark.sql.catalyst.expressions.Literal
   * functionRegistry path — same builder.) */
 class ExtensionsSpec extends AnyFunSuite {
 
-  test("injects both functions into a fresh SparkSessionExtensions") {
+  test("injects all functions into a fresh SparkSessionExtensions") {
     new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
+  }
+
+  test("generator builder constructs a working NGrams from the injected shape") {
+    val g = graft.expressions.NGrams(Literal.create("a b c"), Literal(2))
+    val rows = g.eval(null).iterator.map(_.getUTF8String(0).toString).toList
+    assert(rows == List("a b", "b c"))
   }
 
   test("config-path session: folded custom-expression comparison pushes into the scan") {

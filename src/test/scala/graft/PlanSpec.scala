@@ -81,6 +81,24 @@ class PlanSpec extends SparkSpec {
       s"scan reads unneeded columns: $readSchema")
   }
 
+  test("SCD-2 point-in-time lookup plans as an equi-join, interval as residual") {
+    // the interval predicate must ride a custkey equi-join (bounded
+    // per-key fan-out), never a non-equi nested loop over the fact table
+    val p = plan(Behavior.scd2PointInTime(spark, sf0001))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"point-in-time join fell back to a nested loop:\n$p")
+  }
+
+  test("contamination detection plans the train side as a semi-join probe") {
+    // eval shingles semi-join the distinct train set: no train payload
+    // survives the join, only the existence bit
+    val p = plan(TextAnalysis.contamination(spark, sf0001))
+    assert(p.contains("LeftSemi"), s"no semi-join in contamination plan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("no accidental cartesian products anywhere in the catalog") {
     // the all-pairs similarity shapes are *documented* nested-loop joins
     // (brute-force scoring); everything else must be hash/broadcast/sort-merge
