@@ -45,7 +45,8 @@ case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, leftTs: Expression,
     rightKey: Expression, rightTs: Expression,
-    forward: Boolean) extends BinaryNode {
+    forward: Boolean,
+    tolerance: Option[Long]) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -57,7 +58,8 @@ case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, leftTs: Expression,
     rightKey: Expression, rightTs: Expression,
-    forward: Boolean) extends BinaryExecNode {
+    forward: Boolean,
+    tolerance: Option[Long]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -81,6 +83,10 @@ case class AsOfJoinExec(
     val rTs  = BindReferences.bindReference(rightTs, right.output)
     val rightWidth = right.output.size
     val outAttrs = output
+    // tolerance in the NORMALIZED ts unit (micros/days/raw); Long.MaxValue
+    // sentinel keeps the hot loop branch-simple (t - ts can't overflow:
+    // both come from the same normalized domain)
+    val tol = tolerance.getOrElse(Long.MaxValue)
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val nullRight = new GenericInternalRow(rightWidth)
@@ -107,7 +113,8 @@ case class AsOfJoinExec(
             else advance = false
           }
           val matched = rLookahead != null &&
-            evalLong(rKey, rLookahead, "right key") == k
+            evalLong(rKey, rLookahead, "right key") == k &&
+            evalLong(rTs, rLookahead, "right ts") - t <= tol
           project(joined(lRow, if (matched) rLookahead else nullRight))
         }
       } else {
@@ -130,7 +137,13 @@ case class AsOfJoinExec(
               advance = false // right pointer is ahead of this left row
             }
           }
-          val r = if (lastMatch != null) lastMatch else nullRight
+          // tolerance: the retained match is the greatest rTs <= t; it
+          // only drifts FURTHER from later (larger) left ts values, so an
+          // out-of-tolerance match stays retained (a newer in-window right
+          // row replaces it via the merge above) but emits null here
+          val r = if (lastMatch != null &&
+              t - evalLong(rTs, lastMatch, "right ts") <= tol) lastMatch
+            else nullRight
           project(joined(lRow, r))
         }
       }
@@ -153,8 +166,8 @@ case class AsOfJoinExec(
 
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, lts, rk, rts, fwd) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lts, rk, rts, fwd) :: Nil
+    case AsOfJoin(l, r, lk, lts, rk, rts, fwd, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lts, rk, rts, fwd, tol) :: Nil
     case _ => Nil
   }
 }
@@ -173,7 +186,12 @@ object AsOfJoinPlan {
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: Column, leftTs: Column,
                rightKey: Column, rightTs: Column,
-               forward: Boolean = false): DataFrame = {
+               forward: Boolean = false,
+               tolerance: Option[Long] = None): DataFrame = {
+    // tolerance is in the NORMALIZED ts unit (pandas merge_asof contract):
+    // micros for timestamp inputs, days for dates, raw for BIGINT. A match
+    // farther than `tolerance` from the left ts emits the null row instead.
+    tolerance.foreach(t => require(t >= 0, s"as-of tolerance must be >= 0, got $t"))
     val spark = left.sparkSession
     register(spark)
     val plan = AsOfJoin(
@@ -182,7 +200,7 @@ object AsOfJoinPlan {
       toBigint(left, leftTs, "left ts"),
       toBigint(right, rightKey, "right key"),
       toBigint(right, rightTs, "right ts"),
-      forward)
+      forward, tolerance)
     val out = ColumnBridge.ofRows(spark, plan)
     // type contract, checked once the analyzer has resolved the expressions
     out.queryExecution.analyzed.collectFirst { case a: AsOfJoin => a }.foreach { a =>

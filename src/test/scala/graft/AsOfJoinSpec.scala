@@ -113,6 +113,35 @@ class AsOfJoinSpec extends SparkSpec {
       s"diff: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
   }
 
+  test("tolerance: custom exec nulls stale matches == composed tolerance projection") {
+    // same 1-hour window as Events.asofTolerance (pandas merge_asof
+    // contract: a backward match farther than tolerance emits nulls, the
+    // left row survives)
+    val e = Tables.events(spark, sf0001).withColumn("ts_us", unix_micros(col("ts")))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user_id"), col("ts_us").as("p_ts_us"))
+      .agg(max(col("event_id")).as("p_id"))
+      .select(col("p_id"), col("p_user_id"), col("p_ts_us"))
+    val joined = AsOfJoinPlan.asofJoin(clicks, purchases,
+      clicks("user_id"), clicks("ts_us"),
+      purchases("p_user_id"), purchases("p_ts_us"),
+      tolerance = Some(3600L * 1000000L))
+    val got = joined.collect().map { r =>
+      (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    }.toSet
+    val want = Events.asofTolerance(spark, sf0001).collect().map { r =>
+      (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    }.toSet
+    assert(got.nonEmpty)
+    // the tolerance must actually bite somewhere AND leave matches somewhere
+    assert(got.exists(_._2.isEmpty) && got.exists(_._2.isDefined),
+      "tolerance test is degenerate on this data")
+    assert(got == want,
+      s"diff: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+  }
+
   test("asofJoin rejects non-normalizable key/ts types at call time") {
     val e = Tables.events(spark, sf0001)
     val clicks = e.filter(col("event_type") === "click")
