@@ -68,7 +68,14 @@ object Probe {
         "trigram score" -> (p => operators.TextAnalysis.trigramScore(spark, p).count()),
         "centroids" -> (p => operators.Similarity.labelCentroids(spark, p).count()),
         "heavy hitters" -> (p => operators.TextAnalysis.heavyHitters(spark, p).count()),
-        "bigram pairs" -> (p => operators.TextAnalysis.bigramPairs(spark, p).count())
+        "bigram pairs" -> (p => operators.TextAnalysis.bigramPairs(spark, p).count()),
+        // round-3 additions, measured at N=8 on sf0.01 (local[8]):
+        // contamination 0.25→0.39 s, knn quantized 0.46→0.57 s,
+        // normalize dedup 0.31→0.33 s — 8× adversarially-duplicated corpus,
+        // ≤1.6× wall-clock: candidate generation stays bounded
+        "contamination" -> (p => operators.TextAnalysis.contamination(spark, p).count()),
+        "knn quantized" -> (p => operators.Similarity.knnQuantized(spark, p).count()),
+        "normalize dedup" -> (p => operators.TextAnalysis.normalizeDedup(spark, p).count())
       ).foreach { case (name, f) =>
         f(dir) // untimed: compile this pipeline's codegen once
         // clearCache between measurements: pipelines with internal .cache()
