@@ -136,6 +136,29 @@ object Windows {
       .orderBy(col("user_id"), col("rn"))
   }
 
+  /** Forward-fill (last observation carried forward) — the imputation
+    * every feature/time-series pipeline needs for sparse signals: per
+    * user, a deterministically-nulled metric (every 5th event reads as
+    * missing) is filled with `last(..., ignoreNulls)` over a growing ROWS
+    * frame — IGNORE NULLS window semantics, exercised nowhere else in the
+    * catalog. Leading nulls (no prior observation) stay null, which the
+    * oracle must reproduce exactly. Metric is floor-cents (exact BIGINT,
+    * the win_time_range_sum rule); per-key window, scales by user. */
+  def forwardFill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("long").as("ts_s"),
+        when(col("event_id") % 5 =!= 0,
+          floor(col("value") * 100).cast("long")).as("cents_obs"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+    e.withColumn("cents_filled",
+        last(col("cents_obs"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 4)
+      .orderBy(col("user_id"), col("rn"))
+  }
+
   /** Ranking-function breadth: row_number / dense_rank / percent_rank /
     * cume_dist / lead in one partitioned window (per-priority top-3 by
     * price). percent_rank and cume_dist are exact rationals — identical
@@ -161,6 +184,7 @@ object Windows {
     "win_lag_delta"      -> (lagDelta _),
     "win_moving_sum"     -> (movingSum _),
     "win_time_range_sum" -> (timeRangeSum _),
+    "win_forward_fill"   -> (forwardFill _),
     "win_rank_kinds"     -> (rankKinds _)
   )
 
@@ -245,6 +269,23 @@ object Windows {
         |      ORDER BY epoch_us(ts) // 1000000, event_id) AS rn
         |  FROM events)
         |WHERE rn <= 3
+        |ORDER BY user_id, rn""".stripMargin,
+    "win_forward_fill" ->
+      """SELECT * FROM (
+        |  SELECT event_id, user_id,
+        |    epoch_us(ts) // 1000000 AS ts_s,
+        |    CASE WHEN event_id % 5 <> 0
+        |      THEN CAST(floor(value * 100) AS BIGINT) END AS cents_obs,
+        |    LAST_VALUE(CASE WHEN event_id % 5 <> 0
+        |        THEN CAST(floor(value * 100) AS BIGINT) END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) // 1000000, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_filled,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) // 1000000, event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 4
         |ORDER BY user_id, rn""".stripMargin,
     "win_moving_sum" ->
       """SELECT * FROM (
