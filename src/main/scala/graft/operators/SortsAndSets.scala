@@ -59,7 +59,37 @@ object SortsAndSets {
     urgent.intersect(high).orderBy(col("o_custkey"))
   }
 
+  /** EXCEPT ALL — the MULTISET difference the distinct variant silently
+    * loses: each occurrence cancels one matching occurrence, so a customer
+    * with 5 orders and 2 urgent ones keeps 3 rows (bag semantics; Spark
+    * plans a count-and-replicate aggregate, not a distinct). Aggregated to
+    * per-customer surviving multiplicities so the output is compact and
+    * the bag arithmetic is what the hash gate checks. */
+  def exceptAllOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val all = o.select(col("o_custkey"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    all.exceptAll(urgent)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_surviving"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** INTERSECT ALL twin: per-customer min(multiplicity) across the two
+    * priority classes, kept as rows. */
+  def intersectAllOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val high   = o.filter(col("o_orderpriority") === "2-HIGH").select(col("o_custkey"))
+    urgent.intersectAll(high)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_common"))
+      .orderBy(col("o_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "set_except_all"      -> (exceptAllOrders _),
+    "set_intersect_all"   -> (intersectAllOrders _),
     "sort_topk_orders"    -> (topkOrders _),
     "sort_bottomk_orders" -> (bottomkOrders _),
     "set_union_buckets"   -> (unionHighValue _),
@@ -68,6 +98,20 @@ object SortsAndSets {
   )
 
   val oracle: Map[String, String] = Map(
+    "set_except_all" ->
+      """WITH s AS (
+        |  SELECT o_custkey FROM orders
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT o_custkey, COUNT(*) AS n_surviving
+        |FROM s GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "set_intersect_all" ->
+      """WITH s AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+        |SELECT o_custkey, COUNT(*) AS n_common
+        |FROM s GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "sort_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,

@@ -95,7 +95,31 @@ object Sql {
       |WHERE c.c_custkey <= 100
       |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
 
+  /** The three correlated-subquery forms in one query — EXISTS (→ semi
+    * join), NOT EXISTS (→ anti join), and a correlated scalar aggregate
+    * (→ aggregate + left join) — written the way an analyst writes them
+    * and decorrelated by Catalyst into set-based joins (RewriteSubquery /
+    * DecorrelateInnerQuery; per-row execution never happens). Same ANSI
+    * text is the DuckDB oracle. Complements the API-level semi/anti
+    * entries (`join_semi_active_cust`, `join_anti_unsold_parts`): this is
+    * the SQL-text path onto the same plans. */
+  private val subqSql =
+    """SELECT c.c_custkey,
+      |  (SELECT COUNT(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+      |FROM customer c
+      |WHERE EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1997)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1998)
+      |ORDER BY c.c_custkey
+      |LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_subquery_forms" ->
+      ((s, dir) => run(s, dir, subqSql, Seq("orders", "customer"))),
     "sql_lateral_topk" ->
       ((s, dir) => run(s, dir, lateralSql, Seq("orders", "customer"))),
     "sql_cte_rank_topk" ->
@@ -106,6 +130,7 @@ object Sql {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_subquery_forms" -> subqSql,
     "sql_lateral_topk"  -> lateralSql,
     "sql_cte_rank_topk" -> rankSql,
     "sql_rate_nullif"   -> rateSql,
