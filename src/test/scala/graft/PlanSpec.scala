@@ -217,6 +217,27 @@ class PlanSpec extends SparkSpec {
       assert(aggTopped(h.child),
         s"sim_centroid_assign hints a side not bounded by an aggregate:\n${h.child}")
     }
+    // quantized/PQ/IVF-PQ (round-3): every hinted subtree must be constant-
+    // size — either codebook/centroid LocalRelations (k rows) or a relation
+    // filtered to the fixed query budget; a hint on the encoded corpus or
+    // candidate set would be the round-2 scale-killer reborn
+    def constantSide(p: LogicalPlan): Boolean =
+      (p.collectFirst { case l: LocalRelation => l }.isDefined &&
+        p.collectFirst {
+          case r if r.nodeName.contains("Relation") && !r.isInstanceOf[LocalRelation] => r
+        }.isEmpty) || hasBudgetFilter(p)
+    Seq(
+      "sim_knn_quantized" -> Similarity.knnQuantized(spark, sf0001),
+      "sim_knn_pq"        -> Similarity.knnPq(spark, sf0001),
+      "sim_knn_ivfpq"     -> Similarity.knnIvfPq(spark, sf0001)
+    ).foreach { case (name, df) =>
+      val hs = hints(df)
+      assert(hs.nonEmpty, s"$name lost its bounded broadcast hints")
+      hs.foreach { h =>
+        assert(constantSide(h.child),
+          s"$name hints a corpus-proportional side:\n${h.child}")
+      }
+    }
   }
 
   test("FoldGraftExpressions folds literal-input custom expressions at optimization time") {
