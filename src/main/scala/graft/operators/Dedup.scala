@@ -318,7 +318,23 @@ object Dedup {
         .orderBy(col("doc_id"))
     })
 
+  /** The dedup pipeline's ENDING: the survivor report a corpus job
+    * actually emits. Min-label propagation converges to the minimum
+    * doc_id per component, so the cluster label IS the survivor; per
+    * cluster the report carries the survivor, the sorted member roster,
+    * and how many near-dup docs get dropped. Pure aggregation over the
+    * memoized cluster labels — no new iteration. */
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(spark, dir)
+      .groupBy(col("cluster_id").as("survivor_doc"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        (count(lit(1)) - 1).as("n_removed"),
+        concat_ws(",", sort_array(collect_list(col("doc_id")))).as("members"))
+      .orderBy(col("survivor_doc"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cc_survivors"    -> (dedupSurvivors _),
     "dedup_cc_clusters"     -> (dedupClusters _),
     "dedup_minhash_lsh"     -> (minhashLsh _),
     "dedup_ngram_jaccard"   -> (ngramJaccard _),
@@ -381,6 +397,25 @@ object Dedup {
         |SELECT doc_a, doc_b, n_inter, jaccard FROM j
         |WHERE jaccard >= 0.7
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_cc_survivors" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+        |pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.7),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+        |reach(doc_id, label) AS (
+        |  SELECT doc_id, doc_id FROM nodes
+        |  UNION
+        |  SELECT e.b, r.label FROM reach r JOIN edges e ON r.doc_id = e.a),
+        |lab AS (SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id)
+        |SELECT cluster_id AS survivor_doc,
+        |  COUNT(*) AS n_members,
+        |  COUNT(*) - 1 AS n_removed,
+        |  string_agg(doc_id, ',' ORDER BY doc_id) AS members
+        |FROM lab GROUP BY cluster_id
+        |ORDER BY survivor_doc""".stripMargin,
     "dedup_cc_clusters" ->
       s"""WITH RECURSIVE $minhashPairCtes,
         |pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.7),
