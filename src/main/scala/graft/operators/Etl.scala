@@ -309,7 +309,27 @@ object Etl {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Calendar arithmetic breadth (the X-series' date half): day diffs,
+    * interval adds, month ends, and month truncation — each mirrored by
+    * the DuckDB calendar functions over DATE values, so the whole
+    * arithmetic (leap years, month-length variation) sits under the hash
+    * gate as exact dates/ints. A fixed epoch anchor keeps datediff
+    * deterministic. */
+  def dateArithmetic(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("d"))
+      .filter(col("o_orderkey") % 97 === 0) // review-sized deterministic slice
+    o.select(col("o_orderkey"), col("d"),
+        datediff(col("d"), lit("1992-01-01").cast("date")).cast("long").as("days_since_epoch"),
+        date_add(col("d"), 30).as("due_date"),
+        last_day(col("d")).as("month_end"),
+        trunc(col("d"), "month").as("month_start"),
+        (year(col("d")) * 4 + quarter(col("d"))).cast("long").as("quarter_idx"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_date_arithmetic" -> (dateArithmetic _),
     "etl_array_hof"      -> (arrayHof _),
     "etl_upsert_merge"   -> (upsertMerge _),
     "etl_dedup_first_order" -> (dedupFirstOrder _),
@@ -327,6 +347,17 @@ object Etl {
   )
 
   val oracle: Map[String, String] = Map(
+    "etl_date_arithmetic" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS d,
+        |  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch,
+        |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+        |  year(CAST(o_orderdate AS DATE)) * 4 + quarter(CAST(o_orderdate AS DATE)) AS quarter_idx
+        |FROM orders
+        |WHERE o_orderkey % 97 = 0
+        |ORDER BY o_orderkey""".stripMargin,
     "etl_upsert_merge" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),

@@ -67,6 +67,43 @@ object Sources {
       .orderBy(col("n_regionkey"))
   }
 
+  /** PERMISSIVE corrupt-record handling — the half of S1's read contract
+    * the clean roundtrips can't show: a JSON-lines source where every
+    * third record is deterministically truncated mid-object. PERMISSIVE
+    * mode (the mode the reference's ingest declares) yields null fields
+    * for the broken rows and captures the raw line in
+    * `_corrupt_record` instead of failing the batch — exactly what a
+    * 100 TB ingest needs (one bad crawl shard must not kill the job).
+    * Reported as good/corrupt counts + a checksum of surviving keys;
+    * the oracle derives the same split from the corruption rule. */
+  def jsonCorrupt(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val out = Tables.scratchPath("json_corrupt", dir)
+    val lines = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .select(
+        // every 3rd record: drop the closing brace region — broken JSON
+        when(col("n_nationkey") % 3 === 0,
+          concat(lit("{\"n_nationkey\": "), col("n_nationkey"),
+            lit(", \"n_name\": \""), col("n_name"))) // truncated mid-string
+          .otherwise(to_json(struct(col("n_nationkey"), col("n_name"),
+            col("n_regionkey")))).as("value"))
+    lines.coalesce(1).write.mode("overwrite").text(out)
+    val schema = new StructType()
+      .add("n_nationkey", LongType).add("n_name", StringType)
+      .add("n_regionkey", LongType).add("_corrupt_record", StringType)
+    spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(out)
+      .agg(
+        count(col("n_regionkey")).as("n_good"),
+        count(col("_corrupt_record")).as("n_corrupt"),
+        // corrupt rows carry null data fields, so this sums good keys only
+        sum(col("n_nationkey")).as("key_sum_good"))
+  }
+
   /** S1 breadth: ORC roundtrip — the columnar alternative to parquet.
     * ORC carries its own schema+stats like parquet (no explicit schema
     * needed), so the roundtrip also proves the second columnar format
@@ -276,6 +313,7 @@ object Sources {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_csv_roundtrip"    -> (csvRoundtrip _),
     "src_json_roundtrip"   -> (jsonRoundtrip _),
+    "src_json_corrupt"     -> (jsonCorrupt _),
     "src_orc_roundtrip"    -> (orcRoundtrip _),
     "src_partitioned_prune" -> (partitionedPrune _),
     "src_schema_evolution" -> (schemaEvolution _),
@@ -287,6 +325,12 @@ object Sources {
   )
 
   val oracle: Map[String, String] = Map(
+    "src_json_corrupt" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN n_nationkey % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+        |  CAST(SUM(CASE WHEN n_nationkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+        |  CAST(SUM(CASE WHEN n_nationkey % 3 <> 0 THEN n_nationkey END) AS BIGINT) AS key_sum_good
+        |FROM nation""".stripMargin,
     "src_schema_evolution" ->
       """WITH o AS (
         |  SELECT o_orderkey, year(o_orderdate) AS o_year,
