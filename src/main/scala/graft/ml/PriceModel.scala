@@ -116,6 +116,40 @@ object PriceModel {
     baseline +: fitted
   }
 
+  /** Seeded k-fold cross-validated model selection — the production step
+    * between "train once" and "ship": a small LR regularization grid
+    * scored by RMSE over seeded folds, returning the winning param and
+    * both the CV estimate and the held-out test RMSE. Folds and split are
+    * seeded so the selection is reproducible; the grid is deliberately
+    * tiny (2×2 on a 2-fold CV) because the SHAPE is the surface under
+    * test — a real run widens the grid, not the code. CV fit cost is
+    * grid×folds pipeline fits, all data-parallel per fit. */
+  def crossValidated(spark: SparkSession, dir: String): (Double, Double, Double) = {
+    import org.apache.spark.ml.regression.LinearRegression
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    val data = trainingFrame(spark, dir).cache()
+    val Array(train, test) = data.randomSplit(Array(0.7, 0.3), seed = 42)
+    val pipe = pipeline("lr")
+    val lr = pipe.getStages.last.asInstanceOf[LinearRegression]
+    val grid = new ParamGridBuilder()
+      .addGrid(lr.regParam, Array(0.01, 0.5))
+      .addGrid(lr.elasticNetParam, Array(0.0, 1.0))
+      .build()
+    val cv = new CrossValidator()
+      .setEstimator(pipe)
+      .setEvaluator(new RegressionEvaluator()
+        .setLabelCol("label").setPredictionCol("prediction").setMetricName("rmse"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(2)
+      .setSeed(42)
+      .setParallelism(2)
+    val model = cv.fit(train)
+    val bestIdx = model.avgMetrics.zipWithIndex.minBy(_._1)._2
+    val bestReg = grid(bestIdx).get(lr.regParam).get
+    val testRmse = evalRegression("cv_lr", model.transform(test)).rmse
+    (bestReg, model.avgMetrics(bestIdx), testRmse)
+  }
+
   /** M14 introspection (ref 04:302-314): top-k tree-ensemble feature
     * importances as (feature_index, importance), descending — RF or GBT
     * (the reference inspects both). Importances live on the fitted model

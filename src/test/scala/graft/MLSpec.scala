@@ -43,4 +43,18 @@ class MLSpec extends SparkSpec {
   test("GBT feature importances: top-k non-negative, sorted, sums <= 1 (M14)") {
     assertImportancesSane(PriceModel.treeFeatureImportances(spark, sf0001, "gbt", k = 15))
   }
+
+  test("cross-validated selection: picks a grid point, CV and test RMSE coherent") {
+    val (bestReg, cvRmse, testRmse) = PriceModel.crossValidated(spark, sf0001)
+    assert(Set(0.01, 0.5).contains(bestReg), s"best regParam $bestReg not in grid")
+    assert(cvRmse > 0 && cvRmse.isFinite, s"degenerate CV rmse $cvRmse")
+    assert(testRmse > 0 && testRmse.isFinite, s"degenerate test rmse $testRmse")
+    // the CV estimate must be in the same regime as held-out truth: a 3x
+    // divergence would mean the folds are broken (leakage or tiny folds)
+    assert(testRmse < cvRmse * 3 && cvRmse < testRmse * 3,
+      s"CV estimate $cvRmse vs test $testRmse diverge")
+    // selection is seeded end-to-end: a second run must agree
+    val (bestReg2, cvRmse2, _) = PriceModel.crossValidated(spark, sf0001)
+    assert(bestReg2 == bestReg && cvRmse2 == cvRmse, "CV selection not reproducible")
+  }
 }
