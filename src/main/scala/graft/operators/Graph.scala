@@ -76,9 +76,65 @@ object Graph {
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("degree"))
 
+  /** Per-supplier triangle participation in the co-supply graph
+    * (suppliers are adjacent when they both ship some part at full
+    * quantity 50 — the sparsifying slice; the unfiltered projection is a
+    * near-clique and tells nothing). Triangle counting is the standard
+    * graph-cohesion metric (clustering coefficient numerator).
+    *
+    * Scale: the Spark plan uses DEGREE ORDERING (Ortmann–Brandes /
+    * "forward" algorithm): every edge is oriented from its lower-(degree,
+    * id) endpoint to the higher one, wedges are enumerated only at each
+    * edge's low-degree end, and a final equi-join closes them. Wedge count
+    * drops from Σ deg² (hub-quadratic — a single hot vertex explodes it)
+    * to O(m^1.5) regardless of skew; every step is an equi-join or
+    * hash-agg, no driver state. The triangle SET is orientation-invariant,
+    * so the DuckDB oracle can use the plain id-ordered closure
+    * (a<b<c) — same triangles, same per-node counts.
+    *
+    * Encoding: one BIGINT order key `deg·2^20 + id` replaces the
+    * (degree, id) lexicographic pair — scalar comparisons and narrow
+    * shuffle rows (suppkey < 2^20 at any SF this runs at; at true 100 TB
+    * widen the shift — documented, not load-bearing for correctness). */
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 49)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    // undirected edge list, one row per pair (u < v by id)
+    val e = ps.as("a").join(ps.as("b"),
+        col("a.p") === col("b.p") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("u"), col("b.s").as("v"))
+      .distinct()
+    val deg = e.select(col("u").as("n"))
+      .unionByName(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val zkey = (col("d") * lit(1048576L) + col("n")).as("z")
+    val dz = deg.select(col("n"), zkey)
+    // orient each edge from min-zkey endpoint to max-zkey endpoint
+    val withZ = e
+      .join(dz.select(col("n").as("u"), col("z").as("zu")), "u")
+      .join(dz.select(col("n").as("v"), col("z").as("zv")), "v")
+    val oriented = withZ.select(
+      when(col("zu") < col("zv"), col("u")).otherwise(col("v")).as("src"),
+      when(col("zu") < col("zv"), col("v")).otherwise(col("u")).as("dst"),
+      greatest(col("zu"), col("zv")).as("zdst"))
+    // wedges at the low end, ordered by the dst zkey; close with an edge
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.zdst") < col("e2.zdst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+      .join(oriented.as("e3"),
+        col("b") === col("e3.src") && col("c") === col("e3.dst"), "leftsemi")
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("s_suppkey"))
+      .groupBy(col("s_suppkey")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(desc("n_triangles"), col("s_suppkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank"   -> (pagerank _),
-    "graph_degree_hist" -> (degreeHistogram _)
+    "graph_degree_hist" -> (degreeHistogram _),
+    "graph_triangles"  -> (triangleCounts _)
   )
 
   private val edgeCtes =
@@ -113,6 +169,25 @@ object Graph {
          |SELECT d AS degree, COUNT(*) AS n_nodes
          |FROM deg
          |GROUP BY d
-         |ORDER BY degree""".stripMargin
+         |ORDER BY degree""".stripMargin,
+    "graph_triangles" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+        |  FROM lineitem WHERE l_quantity > 49),
+        |e AS (
+        |  SELECT DISTINCT a.s AS u, b.s AS v
+        |  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+        |t AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |m AS (
+        |  SELECT a AS s_suppkey FROM t
+        |  UNION ALL SELECT b FROM t
+        |  UNION ALL SELECT c FROM t)
+        |SELECT s_suppkey, COUNT(*) AS n_triangles
+        |FROM m GROUP BY s_suppkey
+        |ORDER BY n_triangles DESC, s_suppkey""".stripMargin
   )
 }

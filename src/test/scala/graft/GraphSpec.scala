@@ -37,4 +37,29 @@ class GraphSpec extends SparkSpec {
     val b = Graph.pagerank(spark, sf0001).collect().toSeq
     assert(a == b)
   }
+
+  test("degree-ordered triangle count equals the naive id-ordered closure") {
+    // the oracle uses the plain a<b<c enumeration; this pins the Spark-side
+    // equivalence too (triangle SET is orientation-invariant), on Spark
+    // semantics alone so a dialect quirk can't mask an algorithm bug
+    val ps = Tables.lineitem(spark, sf0001)
+      .filter(col("l_quantity") > 49)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    val e = ps.as("a").join(ps.as("b"),
+        col("a.p") === col("b.p") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("u"), col("b.s").as("v"))
+      .distinct()
+    val naive = e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"), "leftsemi")
+      .select(explode(array(col("e1.u"), col("e1.v"), col("e2.v"))).as("s_suppkey"))
+      .groupBy(col("s_suppkey")).agg(count(lit(1)).as("n_triangles"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val fast = Graph.triangleCounts(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fast == naive, s"degree-ordered=$fast naive=$naive")
+    assert(fast.nonEmpty, "fixture produced no triangles at sf0.001")
+  }
 }
