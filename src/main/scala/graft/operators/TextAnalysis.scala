@@ -604,7 +604,55 @@ object TextAnalysis {
         |LIMIT 20""".stripMargin)
   }
 
+  /** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1:
+    * "repetitious documents are low quality"): per document, the
+    * duplicate-word fraction and the fraction of words covered by the
+    * single most frequent 2-gram, plus the resulting filter flag. These
+    * are the two repetition rules that apply to single-line text (the
+    * duplicate-LINE rules need newline structure this corpus lacks).
+    *
+    * Plan: n_words / n_distinct are pure projections over the token array
+    * (no explode, no shuffle); only the bigram histogram shuffles, keyed
+    * by (doc_id, pair) — map-side partials collapse each document's
+    * repeats before the wire, then a second hash-agg reduces to the
+    * per-doc max. Tie-break: max(struct(count, pair)) = highest count,
+    * lexicographically largest pair — mirrored in the oracle's
+    * ORDER BY c DESC, pair DESC. The fractions are ONE IEEE division of
+    * exactly-representable integers (and one exact ×2.0) — bit-identical
+    * across engines, so the boolean flag threshold is hash-safe. */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(tokens(col("text")), t => length(t) > 0)
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
+        col("ws"))
+    val n1 = greatest(size(col("ws")) - 1, lit(0))
+    val top = base
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("ws"), lit(1), n1), slice(col("ws"), lit(2), n1),
+        (a, b) => concat_ws(" ", a, b))).as("pair"))
+      .groupBy(col("doc_id"), col("pair")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("c"), col("pair"))).as("t"))
+      .select(col("doc_id"),
+        col("t.pair").as("top_bigram"), col("t.c").as("top_bigram_n"))
+    base.select(col("doc_id"), col("n_words"), col("n_distinct"))
+      .join(top, Seq("doc_id"))
+      .select(
+        col("doc_id"), col("n_words"), col("n_distinct"),
+        ((col("n_words") - col("n_distinct")).cast("double") / col("n_words"))
+          .as("dup_word_frac"),
+        col("top_bigram"), col("top_bigram_n"),
+        (lit(2.0) * col("top_bigram_n") / col("n_words")).as("top_bigram_frac"),
+        (lit(2.0) * col("top_bigram_n") / col("n_words") > lit(0.2))
+          .as("flag_repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> (repetitionSignals _),
     "text_ngram_generator" -> (ngramGenerator _),
     "pipe_contamination" -> (contamination _),
     "pipe_mixture_sample" -> (mixtureSample _),
@@ -631,6 +679,33 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(ws) AS n_words,
+        |    len(list_distinct(ws)) AS n_distinct
+        |  FROM w),
+        |big AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 1),
+        |      i -> array_to_string(list_slice(ws, i, i + 1), ' '))) AS pair
+        |  FROM w WHERE len(ws) >= 2),
+        |cnt AS (SELECT doc_id, pair, COUNT(*) AS c FROM big GROUP BY 1, 2),
+        |top AS (
+        |  SELECT doc_id, pair AS top_bigram, c AS top_bigram_n,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY doc_id ORDER BY c DESC, pair DESC) AS rn
+        |  FROM cnt)
+        |SELECT b.doc_id, b.n_words, b.n_distinct,
+        |  CAST(b.n_words - b.n_distinct AS DOUBLE) / b.n_words AS dup_word_frac,
+        |  t.top_bigram, t.top_bigram_n,
+        |  2.0 * t.top_bigram_n / b.n_words AS top_bigram_frac,
+        |  (2.0 * t.top_bigram_n / b.n_words) > 0.2 AS flag_repetitive
+        |FROM base b JOIN top t ON b.doc_id = t.doc_id AND t.rn = 1
+        |ORDER BY b.doc_id""".stripMargin,
     "text_ngram_generator" ->
       """WITH w AS (
         |  SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
