@@ -236,6 +236,70 @@ object Sources {
       .parquet(s"$out/epoch1", s"$out/epoch2")
   }
 
+  /** `binaryFile` source — the multimodal ingest path (SURVEY.md §7.5):
+    * a corpus of opaque per-document files (here one .bin per doc_id<120,
+    * written by the executors) read back as (path, length, content) rows,
+    * keyed by filename and fingerprinted. This is step 0 of every
+    * image/audio pipeline: millions of small objects → one binary-column
+    * relation (which `mm_binary_meta` then carries forward as parquet).
+    *
+    * Scale: Spark's FileSourceScan bin-packs small files into partitions
+    * (`spark.sql.files.openCostInBytes` charges ~4 MB per file, so a task
+    * reads many files, not one) and `pathGlobFilter` prunes non-matching
+    * objects at listing time. `modificationTime` is deliberately NOT
+    * selected — it is run-dependent, everything else is pure content.
+    * Oracle recomputes length+md5 from the source table's text, putting
+    * the write→list→read→fingerprint roundtrip under the hash gate. */
+  def binaryFiles(spark: SparkSession, dir: String): DataFrame = {
+    val filesDir = binaryFilesFixture(spark, dir)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(filesDir)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+          .cast("long").as("doc_id"),
+        col("length"),
+        md5(col("content")).as("digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Executor-side fixture writer behind `src_binary_files`: each task
+    * writes its partition's documents as individual .bin files through the
+    * Hadoop FS API — no driver collect; the driver only places the marker
+    * after every partition committed (crash ⇒ no marker ⇒ clean rewrite).
+    * Same once-per-(scratch, sf) mtime gate as `partitionedOrdersTable`. */
+  private def binaryFilesFixture(spark: SparkSession, dir: String): String = {
+    val out = Tables.scratchPath("binfiles", dir)
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(outPath, "_GRAFT_BIN_DONE")
+    val src = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fresh = fs.exists(marker) &&
+      fs.getFileStatus(marker).getModificationTime >
+        fs.getFileStatus(src).getModificationTime
+    val filesDir = s"$out/files"
+    if (!fresh) {
+      fs.delete(outPath, true)
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") < 120) // fixed budget: file count is sf-invariant
+        .select(col("doc_id"), col("text"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          // task-local FS handle; Configuration is not serializable
+          val tfs = new org.apache.hadoop.fs.Path(filesDir)
+            .getFileSystem(new org.apache.hadoop.conf.Configuration())
+          rows.foreach { r =>
+            val p = new org.apache.hadoop.fs.Path(
+              filesDir, s"doc_${r.getLong(0)}.bin")
+            val os = tfs.create(p, true)
+            os.write(r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            os.close()
+          }
+        }
+      fs.create(marker, true).close()
+    }
+    filesDir
+  }
+
   /** U2: seeded stratified sample by order status; per-stratum achieved
     * counts. Sampling is partition-order-sensitive → no SQL oracle; the
     * driver records rows>0 and SamplingSpec asserts the rate. */
@@ -317,6 +381,7 @@ object Sources {
     "src_orc_roundtrip"    -> (orcRoundtrip _),
     "src_partitioned_prune" -> (partitionedPrune _),
     "src_schema_evolution" -> (schemaEvolution _),
+    "src_binary_files"     -> (binaryFiles _),
     "etl_stratified_sample" -> (stratifiedSample _),
     "etl_random_split"     -> (randomSplitSizes _),
     "etl_hash_split"       -> (hashSplit _),
@@ -342,6 +407,13 @@ object Sources {
         |  COUNT(o_channel) AS n_with_channel,
         |  COUNT(CASE WHEN o_channel = 'web' THEN 1 END) AS n_web
         |FROM o GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "src_binary_files" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) AS BIGINT) AS length,
+        |  md5(text) AS digest
+        |FROM documents
+        |WHERE doc_id < 120
+        |ORDER BY doc_id""".stripMargin,
     "etl_hash_split" ->
       """SELECT CASE
         |    WHEN substr(md5(text), 1, 1) IN ('c', 'd') THEN 'valid'
