@@ -280,22 +280,36 @@ object Dedup {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     ccMemo.getOrElseUpdate((spark, dir), {
       val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
-      val edges = pairs.unionByName(
-          pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .cache()
+      // Both directions PLUS self-loops: with (x, x) in the edge set,
+      // "min over self and neighbors" is ONE join + agg per round — the
+      // labels relation appears exactly once, so the converged lineage is
+      // LINEAR in rounds. (The earlier self-union formulation referenced
+      // labels twice per round; replaying that lineage after a cache drop
+      // re-evaluated the pair-generation subtree 2^rounds times.)
+      // localCheckpoint (eager) truncates lineage below the loop — the
+      // mandatory move for ANY iterative Spark job (unbounded plan depth
+      // OOMs the planner long before 100 TB) — and materializes pair
+      // generation once; checkpoint blocks survive catalog.clearCache(),
+      // so every downstream read pays the closure rounds over the
+      // materialized pair input, not a pair-gen replay per round. In
+      // cluster production this is checkpoint() to reliable storage; the
+      // blocks stay alive for the session (bounded: one edge relation per
+      // sf dir, |verified pairs|·2+|nodes| rows).
+      val fwd = pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      val edges = fwd
+        .unionByName(fwd.select(col("doc_a"), col("doc_a").as("doc_b")).distinct())
+        .localCheckpoint(true)
       var labels = edges.select(col("doc_a").as("doc_id")).distinct()
         .withColumn("cluster_id", col("doc_id"))
         .cache()
       var iter = 0
       var converged = false
       while (!converged && iter < MaxCcIters) {
-        val neighborMin = edges
+        val next = edges
           .join(labels.select(col("doc_id").as("doc_a"), col("cluster_id").as("nl")),
             Seq("doc_a"))
-          .select(col("doc_b").as("doc_id"), col("nl"))
-        val next = labels.select(col("doc_id"), col("cluster_id").as("nl"))
-          .unionByName(neighborMin)
-          .groupBy(col("doc_id"))
+          .groupBy(col("doc_b").as("doc_id"))
           .agg(min(col("nl")).as("cluster_id"))
           .cache()
         converged = next
@@ -311,7 +325,6 @@ object Dedup {
       require(converged,
         s"connected components did not converge in $MaxCcIters rounds — " +
           "raise MaxCcIters (component diameter exceeds it)")
-      edges.unpersist() // final labels stay cached: one bounded entry per dir
       val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
       labels.join(sizes, "cluster_id")
         .select(col("doc_id"), col("cluster_id"), col("n_docs"))
