@@ -328,7 +328,36 @@ object Etl {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Per-bucket table checksum — how two copies of a 100 TB table are
+    * reconciled WITHOUT moving data (cross-region replication audit,
+    * post-migration validation, CDC drift detection): every row folds to
+    * a 60-bit content digest, digests XOR per key bucket, and the two
+    * sides compare |buckets| tiny rows; a mismatched bucket localizes the
+    * drill-down to 1/|buckets| of the table. XOR is commutative and
+    * associative, so the aggregate is partitioning/order-invariant and
+    * map-side partials collapse it — one scan, no shuffle beyond the
+    * 32-row rollup.
+    *
+    * Portability (hash gate): the digest is the first 15 hex chars of
+    * md5 (60 bits — fits BIGINT exactly in both engines); doubles enter
+    * the digest as DECIMAL(18,2) strings and timestamps via an explicit
+    * format, because raw double/timestamp→string rendering is
+    * engine-specific. */
+  def tableChecksum(spark: SparkSession, dir: String): DataFrame = {
+    val digest = conv(substring(md5(concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+        col("o_orderpriority"))), 1, 15), 16, 10).cast("long")
+    Tables.orders(spark, dir)
+      .select((col("o_orderkey") % 32).as("bucket"), digest.as("d"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(d)").as("xor_digest"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_table_checksum" -> (tableChecksum _),
     "etl_date_arithmetic" -> (dateArithmetic _),
     "etl_array_hof"      -> (arrayHof _),
     "etl_upsert_merge"   -> (upsertMerge _),
@@ -347,6 +376,17 @@ object Etl {
   )
 
   val oracle: Map[String, String] = Map(
+    "etl_table_checksum" ->
+      """WITH d AS (
+        |  SELECT o_orderkey % 32 AS bucket,
+        |    CAST(('0x' || substr(md5(concat_ws('|',
+        |      o_orderkey, o_custkey, o_orderstatus,
+        |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+        |      strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+        |      o_orderpriority)), 1, 15)) AS BIGINT) AS dg
+        |  FROM orders)
+        |SELECT bucket, COUNT(*) AS n_rows, bit_xor(dg) AS xor_digest
+        |FROM d GROUP BY bucket ORDER BY bucket""".stripMargin,
     "etl_date_arithmetic" ->
       """SELECT o_orderkey,
         |  CAST(o_orderdate AS DATE) AS d,
