@@ -93,6 +93,50 @@ object Similarity {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Sign bits a multiprobe query flips (probes = 1 + MultiProbeFlips). */
+  private[graft] val MultiProbeFlips = 2
+
+  /** MULTI-PROBE sign-LSH top-3 — the standard recall lever for bucketed
+    * LSH (Lv et al., VLDB'07): beyond its own bucket, each query probes
+    * the buckets reached by flipping its `MultiProbeFlips` LOWEST-MARGIN
+    * sign bits (the dimensions where the vector sits closest to the
+    * bucketing hyperplane — exactly where true neighbors fall across the
+    * boundary). Probe buckets differ by construction (1-bit flips), so
+    * candidate sets are disjoint and need no dedup.
+    *
+    * Scale: probe derivation is a |Q|·bits window (both constant); the
+    * candidate join stays a plain bucket equi-join with NO broadcast hint
+    * and 3× the single-probe probe rows — still constant per query.
+    * Unlike trained ANN (IVF/PQ), everything here is a pure function of
+    * the data, so the WHOLE multiprobe path sits under the DuckDB hash
+    * gate — rank order included. */
+  def knnLshMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val all = vectors(spark, dir)
+      .withColumn("bucket", signBucket(col("v"), 6))
+      .cache() // query and corpus sides both derive from it
+    val q0 = all.filter(col("vec_id") < QueryBudget)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    val mw = Window.partitionBy(col("q_id")).orderBy(col("margin"), col("pos"))
+    val flips = q0
+      .select(col("q_id"), col("qv"), col("qn"), col("bucket"),
+        posexplode(slice(col("qv"), 1, 6)))
+      .withColumn("margin", abs(col("col")))
+      .withColumn("mr", row_number().over(mw))
+      .filter(col("mr") <= MultiProbeFlips)
+      .select(col("q_id"), col("qv"), col("qn"),
+        expr("bucket ^ shiftleft(CAST(1 AS BIGINT), pos)").as("bucket"))
+    val probes = q0.unionByName(flips)
+    val scored = probes.join(all, Seq("bucket")) // no hint: AQE's choice
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosine(VectorOps.dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** Multi-probe IVF ANN: a KMeans coarse quantizer (k = 16, seeded)
     * partitions the corpus into cells; each query probes its `NProbe`
     * NEAREST cells by centroid distance (not just its own cell — round 2
@@ -416,6 +460,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_brute" -> (knnBrute _),
     "sim_knn_lsh"   -> (knnLsh _),
+    "sim_knn_lsh_multiprobe" -> (knnLshMultiprobe _),
     "sim_knn_ivf"   -> (knnIvf _),
     "sim_knn_quantized" -> (knnQuantized _),
     "sim_knn_pq" -> (knnPq _),
@@ -533,6 +578,41 @@ object Similarity {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY qcos DESC, vec_id) AS rn
         |  FROM scored)
         |SELECT q_id, vec_id, qcos, rn FROM r
+        |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    "sim_knn_lsh_multiprobe" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, v,
+        |    sqrt(${dotSql.format("v", "v")}) AS nrm,
+        |    $bucketSql AS bucket
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id AS q_id, v, nrm, bucket FROM n
+        |  WHERE vec_id < $QueryBudget),
+        |mx AS (
+        |  SELECT q_id, v, nrm, bucket,
+        |    unnest(generate_series(0, 5)) AS j
+        |  FROM q),
+        |fl AS (
+        |  SELECT q_id, v, nrm,
+        |    xor(bucket, CAST(1 << j AS BIGINT)) AS bucket,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY q_id ORDER BY abs(v[j + 1]), j) AS mr
+        |  FROM mx),
+        |probes AS (
+        |  SELECT q_id, v, nrm, bucket FROM q
+        |  UNION ALL
+        |  SELECT q_id, v, nrm, bucket FROM fl WHERE mr <= $MultiProbeFlips),
+        |scored AS (
+        |  SELECT p.q_id, a.vec_id,
+        |    ${dotSql.format("p.v", "a.v")} / (p.nrm * a.nrm) AS cos
+        |  FROM probes p JOIN n a ON p.bucket = a.bucket
+        |   AND p.q_id <> a.vec_id),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+        |  FROM scored)
+        |SELECT q_id, vec_id, cos, rn FROM r
         |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
     "sim_knn_lsh" ->
       s"""WITH e AS (

@@ -36,6 +36,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.35, s"IVF multi-probe recall@3 $recall below floor")
   }
 
+  test("multiprobe LSH recall@3 is at least single-probe recall@3") {
+    val sf001 = "/root/testdata/sf0.01"
+    val brute = neighbors(Similarity.knnBrute(spark, sf001), 3)
+    def recall(m: Map[Long, Set[Long]]): Double = {
+      val rs = brute.keys.toSeq.map { q =>
+        (m.getOrElse(q, Set.empty) intersect brute(q)).size.toDouble / brute(q).size
+      }
+      rs.sum / rs.size
+    }
+    val single = recall(neighbors(Similarity.knnLsh(spark, sf001), 3))
+    val multi = recall(neighbors(Similarity.knnLshMultiprobe(spark, sf001), 3))
+    info(s"sign-LSH recall@3: single-probe $single, multiprobe(+${Similarity.MultiProbeFlips} flips) $multi")
+    // probing a superset of buckets can only add candidates, and every
+    // candidate is scored exactly — so multiprobe recall dominates
+    assert(multi >= single, s"multiprobe $multi < single-probe $single")
+    assert(multi > 0.0, "multiprobe found no true neighbors at all")
+  }
+
   test("banded embedding LSH: subset of brute pairs, identical cosines, recall above floor") {
     val sf001 = "/root/testdata/sf0.01"
     def pairs(df: DataFrame): Map[(Long, Long), Double] =
