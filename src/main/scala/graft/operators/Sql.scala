@@ -117,7 +117,34 @@ object Sql {
       |ORDER BY c.c_custkey
       |LIMIT 50""".stripMargin
 
+  /** WITH RECURSIVE (new SQL surface in Spark 4.x, SPARK-24497): per-level
+    * node counts of the implicit binary tree over customer keys (parent of
+    * k = floor(k/2) — heap encoding, root 1). The recursion is a bounded
+    * top-down closure: each round joins the frontier against customer once,
+    * so the plan is O(tree depth ≈ log₂ n) self-join rounds — the same
+    * bounded-rounds contract as `dedup_cc_clusters`, but driven by the
+    * engine's recursion operator instead of a driver loop. The SAME text
+    * runs in DuckDB, so the oracle is the query itself.
+    * Portability note: integer halving is written CAST(FLOOR(k/2) AS
+    * BIGINT) — bare `k/2` is integer division in Spark but float division
+    * in DuckDB. */
+  private val recursiveSql =
+    """WITH RECURSIVE walk(custkey, depth) AS (
+      |  SELECT CAST(c_custkey AS BIGINT), 1 FROM customer WHERE c_custkey = 1
+      |  UNION ALL
+      |  SELECT CAST(c.c_custkey AS BIGINT), w.depth + 1
+      |  FROM customer c JOIN walk w
+      |    ON CAST(FLOOR(c.c_custkey / 2) AS BIGINT) = w.custkey)
+      |SELECT depth, COUNT(*) AS n_nodes,
+      |  CAST(MIN(custkey) AS BIGINT) AS min_key,
+      |  CAST(MAX(custkey) AS BIGINT) AS max_key
+      |FROM walk
+      |GROUP BY depth
+      |ORDER BY depth""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_recursive_cte" ->
+      ((s, dir) => run(s, dir, recursiveSql, Seq("customer"))),
     "sql_subquery_forms" ->
       ((s, dir) => run(s, dir, subqSql, Seq("orders", "customer"))),
     "sql_lateral_topk" ->
@@ -130,6 +157,7 @@ object Sql {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_recursive_cte" -> recursiveSql,
     "sql_subquery_forms" -> subqSql,
     "sql_lateral_topk"  -> lateralSql,
     "sql_cte_rank_topk" -> rankSql,
