@@ -651,7 +651,35 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-gate REASON CODES — the diagnosable half of corpus cleaning
+    * (`pipe_corpus_clean` reports yields; this reports WHY docs die):
+    * every document gets the first failing rule of an ordered decision
+    * list (too_short → no_stopwords → repetitive → pass), and the report
+    * rolls up (source, reason) counts — the table a data-quality triage
+    * meeting actually looks at ("src3 loses 40% to repetition — crawler
+    * bug?"). One pure projection (token counts are array ops, no explode)
+    * + one hash-agg; output bounded by |sources|·|reasons|. The
+    * repetition fraction is one IEEE division of exact ints, so the
+    * threshold compare is engine-identical. */
+  def reasonCodes(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(tokens(col("text")), t => length(t) > 0)
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"),
+        size(toks).cast("long").as("n"),
+        size(array_distinct(toks)).cast("long").as("nd"),
+        size(filter(toks, t => t.isin("the", "a"))).cast("long").as("n_stop"))
+    d.select(col("source"),
+        when(col("n_chars") < 150, "too_short")
+          .when(col("n_stop") === 0, "no_stopwords")
+          .when((col("n") - col("nd")).cast("double") / col("n") > 0.7, "repetitive")
+          .otherwise("pass").as("reason"))
+      .groupBy(col("source"), col("reason"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("reason"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_reason_codes" -> (reasonCodes _),
     "text_repetition" -> (repetitionSignals _),
     "text_ngram_generator" -> (ngramGenerator _),
     "pipe_contamination" -> (contamination _),
@@ -679,6 +707,25 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "pipe_reason_codes" ->
+      """WITH t AS (
+        |  SELECT source, n_chars,
+        |    len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n,
+        |    len(list_distinct(
+        |      list_filter(string_split(text, ' '), x -> len(x) > 0))) AS nd,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the', 'a'))) AS n_stop
+        |  FROM documents),
+        |r AS (
+        |  SELECT source,
+        |    CASE WHEN n_chars < 150 THEN 'too_short'
+        |         WHEN n_stop = 0 THEN 'no_stopwords'
+        |         WHEN CAST(n - nd AS DOUBLE) / n > 0.7 THEN 'repetitive'
+        |         ELSE 'pass' END AS reason
+        |  FROM t)
+        |SELECT source, reason, COUNT(*) AS n_docs
+        |FROM r GROUP BY source, reason
+        |ORDER BY source, reason""".stripMargin,
     "text_repetition" ->
       """WITH w AS (
         |  SELECT doc_id,
