@@ -75,7 +75,17 @@ object Probe {
         // ≤1.6× wall-clock: candidate generation stays bounded
         "contamination" -> (p => operators.TextAnalysis.contamination(spark, p).count()),
         "knn quantized" -> (p => operators.Similarity.knnQuantized(spark, p).count()),
-        "normalize dedup" -> (p => operators.TextAnalysis.normalizeDedup(spark, p).count())
+        "normalize dedup" -> (p => operators.TextAnalysis.normalizeDedup(spark, p).count()),
+        // round-3 batch 2, measured at N=8 on sf0.01 (local[8]):
+        // knn lsh multiprobe 0.41→0.56 s, repetition 0.22→0.32 s (8×
+        // corpus, ≤1.5× wall — linear pipelines); cc clusters 0.62→4.79 s
+        // with output 47→4000 rows: every doc gains an 8-member near-dup
+        // cluster, so the verified-pair INPUT itself grows ~N²·|docs| —
+        // 7.7× wall for 85× output is the closure scaling with its edge
+        // set, not a hidden all-pairs
+        "knn lsh multiprobe" -> (p => operators.Similarity.knnLshMultiprobe(spark, p).count()),
+        "cc clusters" -> (p => operators.Dedup.dedupClusters(spark, p).count()),
+        "repetition" -> (p => operators.TextAnalysis.repetitionSignals(spark, p).count())
       ).foreach { case (name, f) =>
         f(dir) // untimed: compile this pipeline's codegen once
         // clearCache between measurements: pipelines with internal .cache()
@@ -88,12 +98,17 @@ object Probe {
         spark.catalog.clearCache()
       }
     } else if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
-      // plan audit of the round-2 rewrites
+      // plan audit of the round-2 rewrites + round-3 additions
       Seq(
         "win_ntile_tiers" -> operators.Windows.ntileTiers(spark, dir),
         "join_inner_revenue" -> operators.Joins.innerRevenue(spark, dir),
         "dedup_embedding_lsh" -> operators.Dedup.embeddingLsh(spark, dir),
-        "pipe_corpus_clean" -> operators.TextAnalysis.corpusClean(spark, dir)
+        "pipe_corpus_clean" -> operators.TextAnalysis.corpusClean(spark, dir),
+        "graph_triangles" -> operators.Graph.triangleCounts(spark, dir),
+        "sim_knn_lsh_multiprobe" -> operators.Similarity.knnLshMultiprobe(spark, dir),
+        "text_repetition" -> operators.TextAnalysis.repetitionSignals(spark, dir),
+        "etl_table_checksum" -> operators.Etl.tableChecksum(spark, dir),
+        "sql_recursive_cte" -> operators.Sql.queries("sql_recursive_cte")(spark, dir)
       ).foreach { case (n, df) =>
         println(s"===== $n =====")
         println(df.queryExecution.explainString(

@@ -116,9 +116,10 @@ object Graph {
       .join(dz.select(col("n").as("u"), col("z").as("zu")), "u")
       .join(dz.select(col("n").as("v"), col("z").as("zv")), "v")
     val oriented = withZ.select(
-      when(col("zu") < col("zv"), col("u")).otherwise(col("v")).as("src"),
-      when(col("zu") < col("zv"), col("v")).otherwise(col("u")).as("dst"),
-      greatest(col("zu"), col("zv")).as("zdst"))
+        when(col("zu") < col("zv"), col("u")).otherwise(col("v")).as("src"),
+        when(col("zu") < col("zv"), col("v")).otherwise(col("u")).as("dst"),
+        greatest(col("zu"), col("zv")).as("zdst"))
+      .cache() // real 3× reuse: both wedge legs + the closing semi-join
     // wedges at the low end, ordered by the dst zkey; close with an edge
     val tri = oriented.as("e1")
       .join(oriented.as("e2"),
