@@ -250,6 +250,28 @@ object Aggregates {
       .orderBy(col("o_orderpriority"), col("pos"))
   }
 
+  /** Native-Catalyst twin of `agg_topk_aggregator`: the same bounded-state
+    * top-3, but as a TypedImperativeAggregate registered in the session
+    * functionRegistry and invoked from SQL TEXT — the engine-native
+    * aggregate tier (ObjectHashAggregateExec, binary-serialized O(k)
+    * partials; see graft.expressions.TopKKeysAgg). Proves the ladder's
+    * aggregate rung end to end: FunctionRegistry resolution → analyzer
+    * wraps the AggregateFunction → partial/merge across shuffles → LATERAL
+    * VIEW posexplode back to oracle-comparable rows. */
+  def topkNative(spark: SparkSession, dir: String): DataFrame = {
+    org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
+      spark, "graft_topk_keys",
+      exprs => graft.expressions.TopKKeysAgg(exprs(0), exprs(1), exprs(2)))
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderpriority, CAST(pos AS BIGINT) AS pos, o_orderkey
+        |FROM (SELECT o_orderpriority,
+        |        graft_topk_keys(o_totalprice, o_orderkey, 3) AS ks
+        |      FROM orders GROUP BY o_orderpriority)
+        |LATERAL VIEW posexplode(ks) t AS pos, o_orderkey
+        |ORDER BY o_orderpriority, pos""".stripMargin)
+  }
+
   /** collect_list / collect_set surface: per-region nation rosters.
     * Serialized as sorted joined strings — deterministic (collect order is
     * partition-dependent, sort fixes it) and scalar (the oracle comparator
@@ -327,6 +349,7 @@ object Aggregates {
     "agg_corr_manual" -> (corrManual _),
     "agg_collect_roster" -> (collectRoster _),
     "agg_topk_aggregator" -> (topkPerGroup _),
+    "agg_topk_native" -> (topkNative _),
     "agg_pricing_summary" -> (pricingSummary _),
     "agg_nation_revenue"  -> (nationRevenue _),
     "agg_percentiles"     -> (percentiles _),
@@ -374,6 +397,16 @@ object Aggregates {
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name
         |ORDER BY r_name""".stripMargin,
+    "agg_topk_native" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority,
+        |    (array_agg(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3] AS keys
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority,
+        |  CAST(unnest(generate_series(0, len(keys) - 1)) AS BIGINT) AS pos,
+        |  unnest(keys) AS o_orderkey
+        |FROM t
+        |ORDER BY o_orderpriority, pos""".stripMargin,
     "agg_topk_aggregator" ->
       """WITH t AS (
         |  SELECT o_orderpriority,
