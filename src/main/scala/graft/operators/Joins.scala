@@ -188,7 +188,36 @@ object Joins {
       .orderBy(col("s_nationkey"))
   }
 
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM) — the semantic
+    * corner plain `=` silently drops: rows whose join key is NULL. A
+    * deterministic slice of both sides (key ≡ 0 mod 97) gets a NULL key;
+    * under `<=>` the NULL group MATCHES (null-key orders × null-key
+    * customers), where `=` would discard every one of them. The report
+    * counts matched rows per segment split by null-key vs real-key so the
+    * oracle pins both populations.
+    *
+    * Scale: EqualNullSafe is still a hash-partitionable join key (Spark
+    * plans the same shuffle equi-join; no BNLJ) — with the caveat that
+    * ALL null keys co-locate in one partition, so a null-heavy fact table
+    * makes NULL the hot key: the salting lever (`join_salted_revenue`)
+    * applies to it like any other skew. */
+  def nullsafeSegments(spark: SparkSession, dir: String): DataFrame = {
+    val nullify = (c: org.apache.spark.sql.Column) =>
+      when(c % 97 === 0, lit(null)).otherwise(c)
+    val o = Tables.orders(spark, dir)
+      .select(nullify(col("o_custkey")).as("ok"), col("o_totalprice"))
+    val c = Tables.customer(spark, dir)
+      .select(nullify(col("c_custkey")).as("ck"), col("c_mktsegment"))
+    o.join(c, col("ok") <=> col("ck"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_matched"),
+        count(when(col("ck").isNull, 1)).as("n_null_key"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_nullsafe_segments"  -> (nullsafeSegments _),
     "join_inner_revenue"      -> (innerRevenue _),
     "join_left_nation"        -> (leftNationCustomers _),
     "join_semi_active_cust"   -> (semiActiveCustomers _),
@@ -200,6 +229,20 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_nullsafe_segments" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN o_custkey % 97 = 0 THEN NULL ELSE o_custkey END AS ok
+        |  FROM orders),
+        |c AS (
+        |  SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_custkey END AS ck,
+        |    c_mktsegment
+        |  FROM customer)
+        |SELECT c_mktsegment,
+        |  COUNT(*) AS n_matched,
+        |  COUNT(CASE WHEN ck IS NULL THEN 1 END) AS n_null_key
+        |FROM o JOIN c ON o.ok IS NOT DISTINCT FROM c.ck
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     // deliberately the UNSALTED join: salting must never change the answer
     "join_salted_revenue" ->
       """SELECT s_nationkey,
