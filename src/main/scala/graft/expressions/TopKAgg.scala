@@ -14,21 +14,35 @@ import org.apache.spark.sql.types._
   * key would silently lose precision above 2^53). */
 final class TopKEntry(val v: Double, val key: Long)
 
-/** Bounded top-k buffer: a min-heap ordered weakest-first by
-  * (value ASC, key DESC), capped at k elements — so a billion-row group
-  * holds exactly k entries on the map side, the merge side, and the wire.
-  * A unique key makes the retained set (and its order) deterministic. */
+object TopKBuffer {
+  /** THE total order, used by the heap, the insert guard, and eval alike:
+    * <0 ⇒ a strictly stronger than b. Strength = (-v ASC, key ASC) via
+    * java.lang.Double.compare on the NEGATED values — the exact order the
+    * udaf twin's `Ordering.by { case (v, k) => (-v, k) }` induces, so the
+    * two implementations agree even on NaN (weakest — compare(-a, -b)
+    * puts NaN last, where compare(b, a) would put it first) and on
+    * -0.0 < 0.0. Primitive ==/> here would make the retained set
+    * arrival-order dependent for those values. */
+  def stronger(av: Double, ak: Long, bv: Double, bk: Long): Int = {
+    val c = java.lang.Double.compare(-av, -bv)
+    if (c != 0) c else java.lang.Long.compare(ak, bk)
+  }
+}
+
+/** Bounded top-k buffer: a min-heap ordered weakest-first, capped at k
+  * elements — so a billion-row group holds exactly k entries on the map
+  * side, the merge side, and the wire. A unique key makes the retained
+  * set (and its order) deterministic. */
 final class TopKBuffer(val k: Int) {
   val heap = new JPriorityQueue[TopKEntry](math.max(k, 1),
     (a: TopKEntry, b: TopKEntry) =>
-      if (a.v != b.v) java.lang.Double.compare(a.v, b.v)
-      else java.lang.Long.compare(b.key, a.key))
+      TopKBuffer.stronger(b.v, b.key, a.v, a.key)) // weakest first
 
   def insert(v: Double, key: Long): Unit = {
     if (heap.size < k) heap.offer(new TopKEntry(v, key))
     else {
       val w = heap.peek()
-      if (v > w.v || (v == w.v && key < w.key)) {
+      if (TopKBuffer.stronger(v, key, w.v, w.key) < 0) {
         heap.poll(); heap.offer(new TopKEntry(v, key))
       }
     }
@@ -77,9 +91,13 @@ case class TopKKeysAgg(
   override def checkInputDataTypes(): TypeCheckResult = {
     val want = Seq(DoubleType, LongType, IntegerType)
     val got = children.map(_.dataType)
-    if (got == want && kExpr.foldable) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"graft_topk_keys expects (DOUBLE value, BIGINT key, literal INT k), got (${got.mkString(", ")})")
+    if (got != want)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_topk_keys expects (DOUBLE value, BIGINT key, INT k), got (${got.mkString(", ")})")
+    else if (!kExpr.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_topk_keys: k must be a literal (foldable), got a non-constant expression")
+    else TypeCheckResult.TypeCheckSuccess
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
@@ -104,10 +122,9 @@ case class TopKKeysAgg(
 
   override def eval(buf: TopKBuffer): Any = {
     val arr = buf.heap.toArray(Array.empty[TopKEntry])
-    // strongest first: value DESC, key ASC
+    // strongest first — the same total order the buffer retains by
     java.util.Arrays.sort(arr, (a: TopKEntry, b: TopKEntry) =>
-      if (a.v != b.v) java.lang.Double.compare(b.v, a.v)
-      else java.lang.Long.compare(a.key, b.key))
+      TopKBuffer.stronger(a.v, a.key, b.v, b.key))
     new GenericArrayData(arr.map(_.key))
   }
 

@@ -205,7 +205,7 @@ object Joins {
     val nullify = (c: org.apache.spark.sql.Column) =>
       when(c % 97 === 0, lit(null)).otherwise(c)
     val o = Tables.orders(spark, dir)
-      .select(nullify(col("o_custkey")).as("ok"), col("o_totalprice"))
+      .select(nullify(col("o_custkey")).as("ok"))
     val c = Tables.customer(spark, dir)
       .select(nullify(col("c_custkey")).as("ck"), col("c_mktsegment"))
     o.join(c, col("ok") <=> col("ck"))

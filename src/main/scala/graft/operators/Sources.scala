@@ -280,13 +280,17 @@ object Sources {
     val filesDir = s"$out/files"
     if (!fresh) {
       fs.delete(outPath, true)
+      // ship the REAL hadoop conf to the tasks (fs.defaultFS, credentials —
+      // a bare `new Configuration()` would resolve the executor's local FS
+      // on a real cluster and scatter the files across nodes)
+      val serConf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
       Tables.documents(spark, dir)
         .filter(col("doc_id") < 120) // fixed budget: file count is sf-invariant
         .select(col("doc_id"), col("text"))
         .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-          // task-local FS handle; Configuration is not serializable
           val tfs = new org.apache.hadoop.fs.Path(filesDir)
-            .getFileSystem(new org.apache.hadoop.conf.Configuration())
+            .getFileSystem(serConf.value)
           rows.foreach { r =>
             val p = new org.apache.hadoop.fs.Path(
               filesDir, s"doc_${r.getLong(0)}.bin")

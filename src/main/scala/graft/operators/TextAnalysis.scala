@@ -628,6 +628,7 @@ object TextAnalysis {
         size(col("ws")).cast("long").as("n_words"),
         size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
         col("ws"))
+      .cache() // real 2× reuse: bigram-histogram branch + the final join side
     val n1 = greatest(size(col("ws")) - 1, lit(0))
     val top = base
       .select(col("doc_id"), explode(zip_with(

@@ -46,6 +46,21 @@ class TopKAggSpec extends AnyFunSuite {
     assert(keys(agg.deserialize(agg.serialize(new TopKBuffer(3)))).isEmpty)
   }
 
+  test("NaN and -0.0 order identically regardless of arrival order") {
+    // NaN is WEAKEST and -0.0 < 0.0 (the udaf twin's total order by
+    // (-v, key)); primitive ==/> would make retention arrival-dependent
+    val vals = Seq((Double.NaN, 1L), (5.0, 2L), (0.0, 3L), (-0.0, 4L), (5.0, 5L))
+    val expected = keys(fill(vals))
+    vals.permutations.take(60).foreach { p =>
+      assert(keys(fill(p)) == expected, s"order-dependent for $p")
+    }
+    assert(expected == Seq(5.0 -> 2L, 5.0 -> 5L, 0.0 -> 3L).map(_._2))
+    // the udaf twin agrees on the same pathological input
+    val twin = new graft.functions.TopKKeys(3)
+    val viaTwin = twin.finish(vals.foldLeft(twin.zero)(twin.reduce))
+    assert(viaTwin == expected, s"twin=$viaTwin native=$expected")
+  }
+
   test("exact-Long keys survive beyond 2^53 (no double packing)") {
     val big = (1L << 60) + 1
     val b = new TopKBuffer(2)
