@@ -213,6 +213,35 @@ class OperatorSpec extends SparkSpec {
     assert(changed == 0, "resize left checksums untouched")
   }
 
+  test("real image resize: bilinear scaling of a solid color keeps the color") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    import spark.implicits._
+    def png(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb(x, y))
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", png(20, 12, (_, _) => 0x336699)),
+      Multimodal.MediaRecord(2L, "image", png(20, 12, (x, y) => (x * 31 + y) & 0xffffff))
+    ).toDS()
+    val feats = Multimodal.resizeFeatures(media, 8, 6)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).width == 8 && feats(1L).height == 6 && feats(1L).channels == 3)
+    // analytic expectation: a bilinear resample of a constant image is the
+    // same constant, so the pixel-fold checksum is computable in closed form
+    var acc = 0L
+    for (_ <- 0 until 8 * 6) acc = (acc * 31 + 0x336699) % 1000000007L
+    assert(feats(1L).checksum == acc,
+      s"resized raster is not uniformly the source color: ${feats(1L)}")
+    // a patterned source must NOT collapse to the solid checksum
+    assert(feats(2L).checksum != acc, "pattern resized to a constant raster")
+  }
+
   test("exact-moment correlation agrees with Spark's built-in corr/covar_pop") {
     // the catalog entry exists because the BUILT-IN cannot be oracled
     // (one-pass float update formulas differ between engines); this pins

@@ -240,6 +240,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("recursive CTE runs through the engine's recursion operator (UnionLoop)") {
+    // pins that WITH RECURSIVE is planned as the native bounded-rounds
+    // UnionLoop/UnionLoopRef pair — not silently rewritten to something
+    // unbounded or rejected by the parser in a future Spark upgrade
+    val df = Sql.queries("sql_recursive_cte")(spark, sf0001)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("UnionLoop"), s"no UnionLoop in:\n$plan")
+  }
+
   test("FoldGraftExpressions folds literal-input custom expressions at optimization time") {
     import org.apache.spark.sql.functions.{col, lit}
     import org.apache.spark.sql.graftbridge.ColumnBridge
