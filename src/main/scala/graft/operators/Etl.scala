@@ -356,7 +356,31 @@ object Etl {
       .orderBy(col("bucket"))
   }
 
+  /** URL decomposition — the first projection over any web corpus
+    * (per-domain mixture, path dedup, tracking-param scrubs all start
+    * here): documents get deterministic synthetic URLs, `parse_url`
+    * splits HOST / PATH / one QUERY key, and the report rolls up per
+    * (host, lang). Pure codegen-adjacent projection + one hash-agg.
+    * Oracle mirrors the split with anchored regexes (DuckDB has no URL
+    * parser) — equal on well-formed URLs, which the builder guarantees. */
+  def parseUrl(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+      col("doc_id"), lit("?lang="), col("lang"), lit("&len="), col("n_chars"))
+    Tables.documents(spark, dir)
+      .select(url.as("url"))
+      .select(
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY', 'lang')").as("lang"))
+      .groupBy(col("host"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_urls"),
+        countDistinct(col("path")).as("n_paths"))
+      .orderBy(col("host"), col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_parse_url" -> (parseUrl _),
     "etl_table_checksum" -> (tableChecksum _),
     "etl_date_arithmetic" -> (dateArithmetic _),
     "etl_array_hof"      -> (arrayHof _),
@@ -376,6 +400,21 @@ object Etl {
   )
 
   val oracle: Map[String, String] = Map(
+    "etl_parse_url" ->
+      """WITH u AS (
+        |  SELECT 'https://' || source || '.example.com/docs/' || doc_id
+        |    || '?lang=' || lang || '&len=' || n_chars AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT
+        |    regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        |    regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        |    regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang
+        |  FROM u)
+        |SELECT host, lang, COUNT(*) AS n_urls,
+        |  COUNT(DISTINCT path) AS n_paths
+        |FROM p GROUP BY host, lang
+        |ORDER BY host, lang""".stripMargin,
     "etl_table_checksum" ->
       """WITH d AS (
         |  SELECT o_orderkey % 32 AS bucket,
