@@ -679,7 +679,36 @@ object TextAnalysis {
       .orderBy(col("source"), col("reason"))
   }
 
+  /** Token-budget batch packing — the step between a cleaned corpus and a
+    * training run: documents are packed into fixed-token-budget batches.
+    * The packing rule is deterministic and relational: within each SOURCE
+    * shard (real pipelines pack per shard — a single global sequence would
+    * serialize the corpus through one partition), docs are taken in doc_id
+    * order, and a doc belongs to batch floor((running_total − 1) / budget)
+    * — i.e. the batch its last token lands in. One per-shard window
+    * cumulative sum + one hash-agg; every number is an exact integer.
+    * Report: per (source, batch) doc count and token sum — the manifest a
+    * data-loader consumes. */
+  def tokenPacking(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val Budget = 500L
+    val toks = size(filter(tokens(col("text")), t => length(t) > 0)).cast("long")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), toks.as("n_tok"))
+      .withColumn("running", sum(col("n_tok")).over(w))
+      .select(col("source"),
+        // `div`, not `/`: Column `/` on longs is true (double) division
+        expr(s"(running - 1L) div $Budget").as("batch_id"),
+        col("n_tok"))
+      .groupBy(col("source"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("source"), col("batch_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_token_packing" -> (tokenPacking _),
     "pipe_reason_codes" -> (reasonCodes _),
     "text_repetition" -> (repetitionSignals _),
     "text_ngram_generator" -> (ngramGenerator _),
@@ -708,6 +737,21 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "pipe_token_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> len(x) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |  FROM t)
+        |SELECT source, CAST((running - 1) // 500 AS BIGINT) AS batch_id,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |FROM r GROUP BY source, (running - 1) // 500
+        |ORDER BY source, batch_id""".stripMargin,
     "pipe_reason_codes" ->
       """WITH t AS (
         |  SELECT source, n_chars,
