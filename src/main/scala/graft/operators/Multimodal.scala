@@ -60,26 +60,28 @@ object Multimodal {
   private def byteChecksum(bytes: Array[Byte]): Long =
     bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
 
+  /** The ONE ImageIO read wrapper both image kernels share. The payload is
+    * already in memory, so it's wrapped in a MemoryCacheImageInputStream —
+    * `ImageIO.read(InputStream)` would default to a
+    * FileCacheImageInputStream and pay a per-record temp-file round-trip
+    * on the executor. Returns None (not an exception) for unparseable
+    * payloads so callers fall back without control-flow cost on the hot
+    * path; the catch is the corrupt-container policy, defined once. */
+  private def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))))
+    catch { case _: Exception => None } // corrupt container → stub path
+
   /** Real image decode via the JDK's built-in ImageIO: actual pixel
-    * dimensions and color-component count from the container header.
-    * Returns None when the payload isn't a supported image, so callers
-    * can fall back without exception control flow on the hot path.
-    * The payload is already in memory, so it's wrapped in a
-    * MemoryCacheImageInputStream — `ImageIO.read(InputStream)` would
-    * default to a FileCacheImageInputStream and pay a per-record temp-file
-    * round-trip on the executor. */
+    * dimensions and color-component count from the container header. */
   private[operators] def decodeImage(r: MediaRecord): Option[MediaFeatures] =
-    try {
-      Option(javax.imageio.ImageIO.read(
-          new javax.imageio.stream.MemoryCacheImageInputStream(
-            new java.io.ByteArrayInputStream(r.payload))))
-        .map { img =>
-          MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
-            width = img.getWidth, height = img.getHeight,
-            channels = img.getColorModel.getNumComponents,
-            checksum = byteChecksum(r.payload))
-        }
-    } catch { case _: Exception => None } // corrupt container → stub path
+    readImage(r.payload).map { img =>
+      MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
+        width = img.getWidth, height = img.getHeight,
+        channels = img.getColorModel.getNumComponents,
+        checksum = byteChecksum(r.payload))
+    }
 
   /** STUB DECODER — deterministic fake standing in for codecs the JDK
     * lacks (audio/video). Reads only payload bytes; a real decoder swaps
@@ -113,34 +115,29 @@ object Multimodal {
     * back to the stub, same contract as `decodeImage`. */
   private[operators] def resizeImage(r: MediaRecord,
                                      w: Int, h: Int): Option[MediaFeatures] =
-    try {
-      Option(javax.imageio.ImageIO.read(
-          new javax.imageio.stream.MemoryCacheImageInputStream(
-            new java.io.ByteArrayInputStream(r.payload))))
-        .map { img =>
-          val dst = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val g = dst.createGraphics()
-          try {
-            g.setRenderingHint(
-              java.awt.RenderingHints.KEY_INTERPOLATION,
-              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-            g.drawImage(img, 0, 0, w, h, null)
-          } finally g.dispose()
-          var acc = 0L; var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              acc = (acc * 31 + (dst.getRGB(x, y) & 0xffffff)) % 1000000007L
-              x += 1
-            }
-            y += 1
-          }
-          MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
-            width = w, height = h,
-            channels = dst.getColorModel.getNumComponents, checksum = acc)
+    readImage(r.payload).map { img =>
+      val dst = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      var acc = 0L; var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          acc = (acc * 31 + (dst.getRGB(x, y) & 0xffffff)) % 1000000007L
+          x += 1
         }
-    } catch { case _: Exception => None } // corrupt container → stub path
+        y += 1
+      }
+      MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
+        width = w, height = h,
+        channels = dst.getColorModel.getNumComponents, checksum = acc)
+    }
 
   /** Resized features: REAL Graphics2D kernel for decodable images, the
     * deterministic stub for everything else. The operator contract —
@@ -152,7 +149,11 @@ object Multimodal {
     media.mapPartitions { rows =>
       // real impl note: a native scaler would init once per partition here
       rows.map { r =>
-        resizeImage(r, targetW, targetH).getOrElse {
+        // kind-gated like decode(): a video/audio record whose bytes happen
+        // to parse as an image must NOT get image features (and non-image
+        // kinds skip the ImageIO parse attempt entirely)
+        (if (r.kind == "image") resizeImage(r, targetW, targetH) else None)
+          .getOrElse {
           val f = decodeStub(r)
           f.copy(width = targetW, height = targetH,
             // checksum re-derived so downstream can verify the resize ran
