@@ -41,9 +41,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_ngrams"),
       new ExpressionInfo(classOf[NGrams].getName, "graft_ngrams"),
       (exprs: Seq[Expression]) => NGrams(exprs(0), exprs(1))))
+    // native-aggregate tier: bounded-state exact top-k
+    // (TypedImperativeAggregate — ObjectHashAggregateExec path); the
+    // analyzer wraps the returned AggregateFunction in AggregateExpression
+    e.injectFunction((
+      FunctionIdentifier("graft_topk_keys"),
+      new ExpressionInfo(classOf[graft.expressions.TopKKeysAgg].getName, "graft_topk_keys"),
+      (exprs: Seq[Expression]) =>
+        graft.expressions.TopKKeysAgg(exprs(0), exprs(1), exprs(2))))
     // rule tier: constant-fold literal-input graft expressions so they
     // compute once at optimization time and comparisons against them
     // become pushdown-eligible literals (see FoldGraftExpressions)
     e.injectOptimizerRule(_ => graft.plans.FoldGraftExpressions)
+    // strategy tier: the as-of join physical operator — config-path users
+    // get the whole ladder, not just the scalar functions
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -55,6 +55,14 @@ class ExtensionsSpec extends AnyFunSuite {
       val pushed = formatted.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
       assert(pushed.contains(s"LessThanOrEqual(doc_id,$expected)"),
         s"folded comparison not pushed into the scan: $pushed\n$formatted")
+      // the native aggregate resolves BY NAME on the config path — no
+      // registerFunction call anywhere in this session
+      s2.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .createOrReplaceTempView("docs_ext")
+      val ks = s2.sql(
+        "SELECT graft_topk_keys(CAST(n_chars AS DOUBLE), doc_id, 3) AS ks FROM docs_ext")
+        .collect().head.getSeq[Long](0)
+      assert(ks.length == 3, s"config-path graft_topk_keys returned $ks")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
