@@ -379,7 +379,38 @@ object Etl {
       .orderBy(col("host"), col("lang"))
   }
 
+  /** Winsorization — the robust-preprocessing clip every feature pipeline
+    * runs before scaling (outliers squash a StandardScaler's variance):
+    * values are clipped to the exact [p5, p95] band. The band is a 1-row
+    * aggregate broadcast back over the fact scan (the A9 no-driver-scalar
+    * pattern — no collect, no second pass), and the report carries raw vs
+    * clipped sums + the clip count per priority. Cutoffs are round-6'd on
+    * both sides (the `win_ntile_tiers` determinism rule: 2-decimal prices
+    * can't sit within 1e-6 of a cutoff, so the comparison is engine-safe);
+    * sums run in decimal(18,6) because clipped values inherit the
+    * 6-decimal bound. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val o = Tables.orders(spark, dir)
+    val band = o.agg(
+      round(percentile(col("o_totalprice"), lit(0.05)), 6).as("lo"),
+      round(percentile(col("o_totalprice"), lit(0.95)), 6).as("hi"))
+    def d6sum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
+    o.crossJoin(broadcast(band))
+      .select(col("o_orderpriority"), col("o_totalprice").as("raw"),
+        greatest(col("lo"), least(col("hi"), col("o_totalprice"))).as("clipped"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        d6sum(col("raw")).as("sum_raw"),
+        d6sum(col("clipped")).as("sum_clipped"),
+        count(when(col("clipped") =!= col("raw"), 1)).as("n_clipped"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_winsorize" -> (winsorize _),
     "etl_parse_url" -> (parseUrl _),
     "etl_table_checksum" -> (tableChecksum _),
     "etl_date_arithmetic" -> (dateArithmetic _),
@@ -400,6 +431,22 @@ object Etl {
   )
 
   val oracle: Map[String, String] = Map(
+    "etl_winsorize" ->
+      """WITH band AS (
+        |  SELECT ROUND(quantile_cont(o_totalprice, 0.05), 6) AS lo,
+        |    ROUND(quantile_cont(o_totalprice, 0.95), 6) AS hi
+        |  FROM orders),
+        |c AS (
+        |  SELECT o_orderpriority, o_totalprice AS raw,
+        |    GREATEST(lo, LEAST(hi, o_totalprice)) AS clipped
+        |  FROM orders, band)
+        |SELECT o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(raw AS DECIMAL(18,6))) AS DOUBLE) AS sum_raw,
+        |  CAST(SUM(CAST(clipped AS DECIMAL(18,6))) AS DOUBLE) AS sum_clipped,
+        |  COUNT(CASE WHEN clipped <> raw THEN 1 END) AS n_clipped
+        |FROM c GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "etl_parse_url" ->
       """WITH u AS (
         |  SELECT 'https://' || source || '.example.com/docs/' || doc_id
