@@ -328,7 +328,26 @@ object Events {
       .orderBy(col("event_type"), col("first_day"))
   }
 
+  /** Event-type transition matrix — the Markov-chain summary behavior
+    * models start from (next-event features, funnel leak detection):
+    * per-user event streams in (ts, event_id) order yield (prev → next)
+    * pairs via one per-user lag window, collapsed into a |types|²-bounded
+    * count matrix by hash-agg. The window partitions by user_id — per-user
+    * streams are short, no global sort — and event_id breaks timestamp
+    * ties so the sequence (and thus the matrix) is deterministic. */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_transition_matrix" -> (transitionMatrix _),
     "events_cumulative_users" -> (cumulativeUsers _),
     "events_rate_anomaly"  -> (rateAnomaly _),
     "events_tumbling_hour" -> (tumblingHour _),
@@ -359,6 +378,16 @@ object Events {
       |ORDER BY c.event_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "events_transition_matrix" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+        |FROM s WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type
+        |ORDER BY prev_type, next_type""".stripMargin,
     "join_interval_clicks" ->
       """WITH c AS (
         |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
