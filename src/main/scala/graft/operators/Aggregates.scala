@@ -250,6 +250,30 @@ object Aggregates {
       .orderBy(col("o_orderpriority"), col("pos"))
   }
 
+  /** Equal-width histogram — the distribution profile a feature-QA pass
+    * draws before choosing transforms (is o_totalprice skewed? bimodal?):
+    * 20 equal-width buckets over the exact [min, max] range. The range is
+    * a 1-row aggregate broadcast back over the scan (A9 pattern); the
+    * bucket index is floor((x − min) / width) clamped to 19 so x = max
+    * lands in the last bucket. All inputs to the floor are identical
+    * doubles in both engines (min/max are exact, width is one IEEE
+    * divide), so bucketing is engine-deterministic. Output bounded at 20
+    * rows; empty buckets are reported too (the shape matters) via a
+    * sequence spine left-join, zero-filled. */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val band = o.agg(
+      min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+    val counts = o.crossJoin(broadcast(band))
+      .select(least(lit(19L), floor((col("o_totalprice") - col("lo"))
+        / ((col("hi") - col("lo")) / lit(20.0)))).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_orders"))
+    spark.range(0, 20).select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy(col("bucket"))
+  }
+
   /** Native-Catalyst twin of `agg_topk_aggregator`: the same bounded-state
     * top-3, but as a TypedImperativeAggregate registered in the session
     * functionRegistry and invoked from SQL TEXT — the engine-native
@@ -350,6 +374,7 @@ object Aggregates {
     "agg_collect_roster" -> (collectRoster _),
     "agg_topk_aggregator" -> (topkPerGroup _),
     "agg_topk_native" -> (topkNative _),
+    "agg_histogram" -> (histogram _),
     "agg_pricing_summary" -> (pricingSummary _),
     "agg_nation_revenue"  -> (nationRevenue _),
     "agg_percentiles"     -> (percentiles _),
@@ -397,6 +422,19 @@ object Aggregates {
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name
         |ORDER BY r_name""".stripMargin,
+    "agg_histogram" ->
+      """WITH band AS (
+        |  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders),
+        |c AS (
+        |  SELECT LEAST(19, CAST(FLOOR((o_totalprice - lo)
+        |    / ((hi - lo) / 20.0)) AS BIGINT)) AS bucket,
+        |    COUNT(*) AS n_orders
+        |  FROM orders, band GROUP BY 1),
+        |spine AS (SELECT unnest(generate_series(0, 19)) AS bucket)
+        |SELECT CAST(spine.bucket AS BIGINT) AS bucket,
+        |  COALESCE(c.n_orders, 0) AS n_orders
+        |FROM spine LEFT JOIN c ON spine.bucket = c.bucket
+        |ORDER BY bucket""".stripMargin,
     "agg_topk_native" ->
       """WITH t AS (
         |  SELECT o_orderpriority,
