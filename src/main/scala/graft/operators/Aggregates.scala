@@ -250,6 +250,35 @@ object Aggregates {
       .orderBy(col("o_orderpriority"), col("pos"))
   }
 
+  /** Median/MAD outlier detection — the ROBUST twin of the 3σ rule
+    * (`events_rate_anomaly`): mean/stddev are dragged by the very outliers
+    * they're meant to catch; median and MAD (median absolute deviation)
+    * have a 50% breakdown point. Two grouped exact-percentile aggregates
+    * (per-priority median, then median of |x − med|), one join back, and
+    * a conditional count of rows beyond 3·1.4826·MAD ≈ robust 3σ (the
+    * 1.4826 factor makes MAD consistent with σ under normality; written
+    * as the single literal 4.4478 so both engines do ONE multiply).
+    * Medians are round-6'd (ntile determinism rule); deviations and the
+    * threshold compare are then identical IEEE ops in both engines. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"))
+    val med = o.groupBy(col("o_orderpriority"))
+      .agg(round(percentile(col("o_totalprice"), lit(0.5)), 6).as("med"))
+    val dev = o.join(broadcast(med), "o_orderpriority")
+      .withColumn("adev", abs(col("o_totalprice") - col("med")))
+    val mad = dev.groupBy(col("o_orderpriority"))
+      .agg(round(percentile(col("adev"), lit(0.5)), 6).as("mad"))
+    dev.join(broadcast(mad), "o_orderpriority")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
+        count(when(col("adev") > lit(4.4478) * col("mad"), 1)).as("n_outliers"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Equal-width histogram — the distribution profile a feature-QA pass
     * draws before choosing transforms (is o_totalprice skewed? bimodal?):
     * 20 equal-width buckets over the exact [min, max] range. The range is
@@ -375,6 +404,7 @@ object Aggregates {
     "agg_topk_aggregator" -> (topkPerGroup _),
     "agg_topk_native" -> (topkNative _),
     "agg_histogram" -> (histogram _),
+    "agg_mad_outliers" -> (madOutliers _),
     "agg_pricing_summary" -> (pricingSummary _),
     "agg_nation_revenue"  -> (nationRevenue _),
     "agg_percentiles"     -> (percentiles _),
@@ -422,6 +452,25 @@ object Aggregates {
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name
         |ORDER BY r_name""".stripMargin,
+    "agg_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT o_orderpriority,
+        |    ROUND(quantile_cont(o_totalprice, 0.5), 6) AS med
+        |  FROM orders GROUP BY o_orderpriority),
+        |dev AS (
+        |  SELECT o.o_orderpriority, ABS(o.o_totalprice - m.med) AS adev, m.med
+        |  FROM orders o JOIN med m ON o.o_orderpriority = m.o_orderpriority),
+        |mad AS (
+        |  SELECT o_orderpriority, ROUND(quantile_cont(adev, 0.5), 6) AS mad
+        |  FROM dev GROUP BY o_orderpriority)
+        |SELECT d.o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  MIN(d.med) AS med,
+        |  MIN(a.mad) AS mad,
+        |  COUNT(CASE WHEN d.adev > 4.4478 * a.mad THEN 1 END) AS n_outliers
+        |FROM dev d JOIN mad a ON d.o_orderpriority = a.o_orderpriority
+        |GROUP BY d.o_orderpriority
+        |ORDER BY d.o_orderpriority""".stripMargin,
     "agg_histogram" ->
       """WITH band AS (
         |  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders),

@@ -6,9 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.expressions.{DotProduct, PolyHash}
 import org.apache.spark.sql.catalyst.expressions.Literal
 
-/** GraftExtensions wiring: injection applies cleanly and the injected
-  * builders construct working expressions. (Runtime SQL resolution of
-  * graft_dot is covered end-to-end in DotProductSpec via the
+/** GraftExtensions wiring (pure, no session): injection applies cleanly and
+  * the injected builders construct working expressions. (Runtime SQL
+  * resolution of graft_dot is covered end-to-end in DotProductSpec via the
   * functionRegistry path — same builder.) */
 class ExtensionsSpec extends AnyFunSuite {
 
@@ -22,60 +22,54 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows == List("a b", "b c"))
   }
 
-  test("config-path session: folded custom-expression comparison pushes into the scan") {
-    // The extraOptimizations fallback only guarantees folding (it runs after
-    // the pushdown fixed point — see FoldGraftExpressions.register scaladoc);
-    // THIS is the path the scaladoc's pushdown claim rests on, so it gets the
-    // assertion: a session built with the extensions config must fold
-    // PolyHash(literal) AND push the resulting comparison into the parquet scan.
-    import org.apache.spark.sql.SparkSession
-    import org.apache.spark.sql.functions.{col, lit}
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    val prevDefault = SparkSession.getDefaultSession
-    val prevActive = SparkSession.getActiveSession
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val s2 = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-extensions-spec")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", 4)
-      .getOrCreate()
-    try {
-      val hashCol = ColumnBridge.column(PolyHash(ColumnBridge.expression(lit("spark"))))
-      val df = s2.read.parquet("/root/testdata/sf0.001/documents.parquet")
-        .filter(col("doc_id") <= hashCol % 1000)
-      val optimized = df.queryExecution.optimizedPlan
-      assert(!optimized.exists(p => p.expressions.exists(_.exists(_.isInstanceOf[PolyHash]))),
-        s"PolyHash survived optimization on the config path:\n$optimized")
-      val expected = PolyHash.compute(
-        org.apache.spark.unsafe.types.UTF8String.fromString("spark")) % 1000
-      val formatted = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      val pushed = formatted.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
-      assert(pushed.contains(s"LessThanOrEqual(doc_id,$expected)"),
-        s"folded comparison not pushed into the scan: $pushed\n$formatted")
-      // the native aggregate resolves BY NAME on the config path — no
-      // registerFunction call anywhere in this session
-      s2.read.parquet("/root/testdata/sf0.001/documents.parquet")
-        .createOrReplaceTempView("docs_ext")
-      val ks = s2.sql(
-        "SELECT graft_topk_keys(CAST(n_chars AS DOUBLE), doc_id, 3) AS ks FROM docs_ext")
-        .collect().head.getSeq[Long](0)
-      assert(ks.length == 3, s"config-path graft_topk_keys returned $ks")
-    } finally {
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-      prevDefault.foreach(SparkSession.setDefaultSession)
-      prevActive.foreach(SparkSession.setActiveSession)
-    }
-  }
-
   test("builders construct evaluable expressions") {
     val dot = DotProduct(
       Literal.create(Seq(1.0, 2.0)), Literal.create(Seq(3.0, 4.0)))
     assert(dot.eval(null) == 11.0)
     val ph = PolyHash(Literal.create("ab"))
     assert(ph.eval(null) == (('a'.toLong * 31 + 'b') % PolyHash.Prime))
+  }
+}
+
+/** The CONFIG PATH end to end, on the shared session — which SparkSpec
+  * builds with `spark.sql.extensions=graft.GraftExtensions` (the realistic
+  * library-user setup; session extensions resolve from the SparkContext
+  * conf, so the setting lives on the context-creating builder — a
+  * per-test clear/getOrCreate dance was order-dependent under parallel
+  * suites and is gone). */
+class ExtensionsConfigPathSpec extends SparkSpec {
+
+  test("config-path session: folded custom-expression comparison pushes into the scan") {
+    // The extraOptimizations fallback only guarantees folding (it runs after
+    // the pushdown fixed point — see FoldGraftExpressions.register scaladoc);
+    // THIS is the path the scaladoc's pushdown claim rests on, so it gets the
+    // assertion: a session built with the extensions config must fold
+    // PolyHash(literal) AND push the resulting comparison into the parquet scan.
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val hashCol = ColumnBridge.column(PolyHash(ColumnBridge.expression(lit("spark"))))
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") <= hashCol % 1000)
+    val optimized = df.queryExecution.optimizedPlan
+    assert(!optimized.exists(p => p.expressions.exists(_.exists(_.isInstanceOf[PolyHash]))),
+      s"PolyHash survived optimization on the config path:\n$optimized")
+    val expected = PolyHash.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("spark")) % 1000
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = formatted.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains(s"LessThanOrEqual(doc_id,$expected)"),
+      s"folded comparison not pushed into the scan: $pushed\n$formatted")
+  }
+
+  test("config-path session: the native aggregate resolves by name from SQL") {
+    // no registerFunction call anywhere — injection via the extensions
+    // config is the only registration in play
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("docs_ext")
+    val ks = spark.sql(
+      "SELECT graft_topk_keys(CAST(n_chars AS DOUBLE), doc_id, 3) AS ks FROM docs_ext")
+      .collect().head.getSeq[Long](0)
+    assert(ks.length == 3, s"config-path graft_topk_keys returned $ks")
   }
 }

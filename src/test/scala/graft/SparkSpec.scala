@@ -15,6 +15,13 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // the realistic library-user setup: every test session carries the
+    // full extension ladder via the config path. Session extensions are
+    // read from the SparkContext conf, so this must be on the FIRST
+    // builder that creates the context — suites run in parallel and any
+    // of them may win that race (ExtensionsSpec asserts the config path
+    // end to end and was order-dependent before this was hoisted here).
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .getOrCreate()
 
   override protected def afterAll(): Unit = {
