@@ -346,7 +346,32 @@ object Dedup {
         concat_ws(",", sort_array(collect_list(col("doc_id")))).as("members"))
       .orderBy(col("survivor_doc"))
 
+  /** Blocked fuzzy-name matching — entity resolution's other half next to
+    * the token/shingle dedups: catalog strings that differ by a typo-scale
+    * edit ("hot bolt" / "hot belt") are exact-dedup-invisible and
+    * shingle-weak (short strings), so the standard tool is edit distance
+    * under a BLOCKING key. Resolution runs on the DISTINCT-name relation
+    * (≪ row count), blocks on the first token (classic blocking — work is
+    * Σ block², never |names|²), and verifies candidates with
+    * `levenshtein ≤ 3` — identical unit-cost edit distance in both
+    * engines, so the whole match set sits under the hash gate. */
+  def fuzzyNames(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .withColumn("blk", split(col("p_name"), " ").getItem(0))
+    names.as("a").join(names.as("b"),
+        col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
+      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
+      .filter(col("dist") <= 3)
+      .select(
+        col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+        col("dist").cast("long").as("dist"),
+        (col("a.n_parts") + col("b.n_parts")).as("n_parts_affected"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_fuzzy_names"     -> (fuzzyNames _),
     "dedup_cc_survivors"    -> (dedupSurvivors _),
     "dedup_cc_clusters"     -> (dedupClusters _),
     "dedup_minhash_lsh"     -> (minhashLsh _),
@@ -405,6 +430,19 @@ object Dedup {
       |  JOIN sh sb ON sb.doc_id = doc_b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_fuzzy_names" ->
+      """WITH names AS (
+        |  SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY p_name),
+        |b AS (
+        |  SELECT p_name, n_parts,
+        |    string_split(p_name, ' ')[1] AS blk
+        |  FROM names)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+        |  a.n_parts + b.n_parts AS n_parts_affected
+        |FROM b a JOIN b b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $minhashPairCtes
         |SELECT doc_a, doc_b, n_inter, jaccard FROM j
