@@ -707,7 +707,33 @@ object TextAnalysis {
       .orderBy(col("source"), col("batch_id"))
   }
 
+  /** Corpus concentration (Herfindahl–Hirschman index) per language — the
+    * diversity metric a mixture designer reads before weighting sources
+    * (HHI → 1: one source dominates; → 1/n: balanced). Σ(shareᵢ²) as
+    * floats is summation-order-sensitive; rewritten EXACTLY as
+    * Σnᵢ² / (Σnᵢ)² — two integer aggregates and ONE IEEE division — so the
+    * index is bit-identical at any partitioning and under the hash gate.
+    * Two chained hash-aggs, output bounded by |langs|. */
+  def concentration(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_sources"),
+        sum(col("n")).as("n_docs"),
+        // cast each sum to double BEFORE the divide/multiply: both sums are
+        // < 2^53 (exactly representable), so numerator, denominator, and
+        // quotient are each ONE IEEE op on identical operands in both
+        // engines. (At per-source counts beyond ~3e9 the n·n products
+        // would need a decimal lift — same stance as Det.)
+        (sum(col("n") * col("n")).cast("double")
+          / (sum(col("n")).cast("double") * sum(col("n")).cast("double"))).as("hhi"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_mixture_hhi" -> (concentration _),
     "pipe_token_packing" -> (tokenPacking _),
     "pipe_reason_codes" -> (reasonCodes _),
     "text_repetition" -> (repetitionSignals _),
@@ -737,6 +763,17 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "pipe_mixture_hhi" ->
+      """WITH s AS (
+        |  SELECT lang, source, COUNT(*) AS n
+        |  FROM documents GROUP BY lang, source)
+        |SELECT lang,
+        |  COUNT(*) AS n_sources,
+        |  CAST(SUM(n) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n * n) AS DOUBLE)
+        |    / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)) AS hhi
+        |FROM s GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     "pipe_token_packing" ->
       """WITH t AS (
         |  SELECT doc_id, source,
