@@ -732,7 +732,33 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** Cross-source duplication matrix — mirror/syndication detection (the
+    * within-source dedups can't see a doc that also lives on another
+    * crawl source): for every source pair, how many LEAD-WINDOW
+    * fingerprints (md5 of the first 5 tokens — the "same opening
+    * paragraph" syndication signal; whole-text digests cross sources only
+    * for verbatim mirrors) they share. Per fingerprint the DISTINCT
+    * source set is collected (bounded by |sources|, sorted for
+    * determinism), pairs are expanded from that tiny array — Σ|set|² per
+    * fingerprint, never |docs|² — and one hash-agg builds the matrix.
+    * Output bounded by |sources|². */
+  def crossSourceDupes(spark: SparkSession, dir: String): DataFrame = {
+    val lead = concat_ws(" ", slice(split(col("text"), " "), 1, 5))
+    val perDigest = Tables.documents(spark, dir)
+      .groupBy(md5(lead).as("digest"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+    perDigest
+      .select(explode(col("srcs")).as("src_a"), col("srcs"))
+      .select(col("src_a"), explode(col("srcs")).as("src_b"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared_digests"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_cross_source_dupes" -> (crossSourceDupes _),
     "pipe_mixture_hhi" -> (concentration _),
     "pipe_token_packing" -> (tokenPacking _),
     "pipe_reason_codes" -> (reasonCodes _),
@@ -763,6 +789,21 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "pipe_cross_source_dupes" ->
+      """WITH d AS (
+        |  SELECT md5(array_to_string(
+        |    list_slice(string_split(text, ' '), 1, 5), ' ')) AS digest,
+        |    source
+        |  FROM documents),
+        |ds AS (
+        |  SELECT DISTINCT digest, source FROM d),
+        |p AS (
+        |  SELECT a.digest, a.source AS src_a, b.source AS src_b
+        |  FROM ds a JOIN ds b
+        |    ON a.digest = b.digest AND a.source < b.source)
+        |SELECT src_a, src_b, COUNT(*) AS n_shared_digests
+        |FROM p GROUP BY src_a, src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     "pipe_mixture_hhi" ->
       """WITH s AS (
         |  SELECT lang, source, COUNT(*) AS n
