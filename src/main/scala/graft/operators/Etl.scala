@@ -409,7 +409,37 @@ object Etl {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** ANSI-safe casting (`try_cast`) — the Spark 4 ingest-robustness
+    * surface (SURVEY §7.6: ANSI mode is on by default in 4.x, so the
+    * reference's permissive `.toDouble`-style casts need explicit
+    * try_cast): a deterministically dirty string column (every 7th key
+    * gets a trailing letter, every 11th an out-of-range month) is parsed
+    * with try_cast to BIGINT and DATE — bad rows become NULL instead of
+    * failing the job — and the report counts parse outcomes. DuckDB's
+    * TRY_CAST has the same contract, so the whole null-on-bad-input
+    * behavior sits under the hash gate. */
+  def tryCasts(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"))
+      .withColumn("key_str",
+        when(col("o_orderkey") % 7 === 0, concat(col("o_orderkey"), lit("x")))
+          .otherwise(col("o_orderkey").cast("string")))
+      .withColumn("date_str",
+        when(col("o_orderkey") % 11 === 0, lit("1997-13-01"))
+          .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")))
+    o.select(
+        expr("try_cast(key_str AS BIGINT)").as("k"),
+        expr("try_cast(date_str AS DATE)").as("d"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("k")).as("n_key_ok"),
+        count(col("d")).as("n_date_ok"),
+        sum(col("k")).as("key_sum"),
+        max(col("d")).as("max_date"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_try_cast" -> (tryCasts _),
     "etl_winsorize" -> (winsorize _),
     "etl_parse_url" -> (parseUrl _),
     "etl_table_checksum" -> (tableChecksum _),
@@ -431,6 +461,24 @@ object Etl {
   )
 
   val oracle: Map[String, String] = Map(
+    "etl_try_cast" ->
+      """WITH s AS (
+        |  SELECT
+        |    CASE WHEN o_orderkey % 7 = 0
+        |      THEN o_orderkey || 'x' ELSE CAST(o_orderkey AS VARCHAR) END AS key_str,
+        |    CASE WHEN o_orderkey % 11 = 0
+        |      THEN '1997-13-01' ELSE strftime(o_orderdate, '%Y-%m-%d') END AS date_str
+        |  FROM orders),
+        |p AS (
+        |  SELECT TRY_CAST(key_str AS BIGINT) AS k,
+        |    TRY_CAST(date_str AS DATE) AS d
+        |  FROM s)
+        |SELECT COUNT(*) AS n_rows,
+        |  COUNT(k) AS n_key_ok,
+        |  COUNT(d) AS n_date_ok,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum,
+        |  MAX(d) AS max_date
+        |FROM p""".stripMargin,
     "etl_winsorize" ->
       """WITH band AS (
         |  SELECT ROUND(quantile_cont(o_totalprice, 0.05), 6) AS lo,
