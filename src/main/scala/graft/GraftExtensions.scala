@@ -17,13 +17,15 @@ import graft.expressions.{DotProduct, NGrams, PolyHash}
   *
   * (Per-session registration without the config is
   * `graft.functions.VectorOps.registerSql(spark)` /
-  * `graft.plans.FoldGraftExpressions.register(spark)`.) Two extension
-  * tiers are injected here: the codegen'd functions and an optimizer
-  * `Rule[LogicalPlan]` that constant-folds them over literal inputs
-  * (SURVEY.md §4: built-ins first, custom Catalyst with a measured
-  * reason — the rule exists because custom expressions are not foldable
-  * by default, which blocks literal pushdown). The SparkStrategy tier
-  * lives in `graft.plans.AsOfJoinPlan`.
+  * `graft.plans.FoldGraftExpressions.register(spark)` /
+  * `graft.plans.AsOfJoinPlan.register(spark)` — none of which a
+  * config-path session needs to call.) EVERY extension tier is injected
+  * here: the codegen'd scalar functions, the n-gram Generator, the
+  * native TypedImperativeAggregate (`graft_topk_keys`), an optimizer
+  * `Rule[LogicalPlan]` that constant-folds graft expressions over
+  * literal inputs (SURVEY.md §4: the rule exists because custom
+  * expressions are not foldable by default, which blocks literal
+  * pushdown), and the as-of join planner strategy.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 

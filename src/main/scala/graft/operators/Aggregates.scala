@@ -254,29 +254,37 @@ object Aggregates {
     * (`events_rate_anomaly`): mean/stddev are dragged by the very outliers
     * they're meant to catch; median and MAD (median absolute deviation)
     * have a 50% breakdown point. Two grouped exact-percentile aggregates
-    * (per-priority median, then median of |x − med|), one join back, and
-    * a conditional count of rows beyond 3·1.4826·MAD ≈ robust 3σ (the
-    * 1.4826 factor makes MAD consistent with σ under normality; written
-    * as the single literal 4.4478 so both engines do ONE multiply).
-    * Medians are round-6'd (ntile determinism rule); deviations and the
-    * threshold compare are then identical IEEE ops in both engines. */
+    * (per-event-type median of `value`, then median of |x − med|), one
+    * join back, and a conditional count of rows beyond 3·1.4826·MAD ≈
+    * robust 3σ (the 1.4826 factor makes MAD consistent with σ under
+    * normality; written as the single literal 4.4478 so both engines do
+    * ONE multiply). events.value is the long-tailed column, so the flag
+    * genuinely BITES (~5% flagged at every SF) while leaving matches —
+    * the oracle gate tests the threshold comparison, not a constant-zero
+    * column. Medians are round-6'd (ntile determinism rule); deviations
+    * and the threshold compare are then identical IEEE ops in both
+    * engines. */
   def madOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
-      .select(col("o_orderpriority"), col("o_totalprice"))
-    val med = o.groupBy(col("o_orderpriority"))
-      .agg(round(percentile(col("o_totalprice"), lit(0.5)), 6).as("med"))
-    val dev = o.join(broadcast(med), "o_orderpriority")
-      .withColumn("adev", abs(col("o_totalprice") - col("med")))
-    val mad = dev.groupBy(col("o_orderpriority"))
+    val e = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val med = e.groupBy(col("event_type"))
+      .agg(round(percentile(col("value"), lit(0.5)), 6).as("med"))
+    // dev feeds both the MAD percentile and the final rollup — cache it
+    // (the codebase's convention for reused intermediates)
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+      .cache()
+    val mad = dev.groupBy(col("event_type"))
       .agg(round(percentile(col("adev"), lit(0.5)), 6).as("mad"))
-    dev.join(broadcast(mad), "o_orderpriority")
-      .groupBy(col("o_orderpriority"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
       .agg(
-        count(lit(1)).as("n_orders"),
+        count(lit(1)).as("n_events"),
         min(col("med")).as("med"),
         min(col("mad")).as("mad"),
         count(when(col("adev") > lit(4.4478) * col("mad"), 1)).as("n_outliers"))
-      .orderBy(col("o_orderpriority"))
+      .orderBy(col("event_type"))
   }
 
   /** Equal-width histogram — the distribution profile a feature-QA pass
@@ -293,9 +301,13 @@ object Aggregates {
     val o = Tables.orders(spark, dir)
     val band = o.agg(
       min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+    // degenerate-range guard: hi == lo makes width 0 and 0.0/0.0 diverges
+    // across engines (Spark floor(NaN) → 0, DuckDB → NULL) — pin every
+    // row to bucket 0 explicitly in BOTH plans
     val counts = o.crossJoin(broadcast(band))
-      .select(least(lit(19L), floor((col("o_totalprice") - col("lo"))
-        / ((col("hi") - col("lo")) / lit(20.0)))).as("bucket"))
+      .select(when(col("hi") === col("lo"), lit(0L))
+        .otherwise(least(lit(19L), floor((col("o_totalprice") - col("lo"))
+          / ((col("hi") - col("lo")) / lit(20.0))))).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_orders"))
     spark.range(0, 20).select(col("id").as("bucket"))
       .join(counts, Seq("bucket"), "left")
@@ -453,30 +465,33 @@ object Aggregates {
         |GROUP BY r_name
         |ORDER BY r_name""".stripMargin,
     "agg_mad_outliers" ->
-      """WITH med AS (
-        |  SELECT o_orderpriority,
-        |    ROUND(quantile_cont(o_totalprice, 0.5), 6) AS med
-        |  FROM orders GROUP BY o_orderpriority),
+      """WITH e AS (
+        |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |med AS (
+        |  SELECT event_type,
+        |    ROUND(quantile_cont(value, 0.5), 6) AS med
+        |  FROM e GROUP BY event_type),
         |dev AS (
-        |  SELECT o.o_orderpriority, ABS(o.o_totalprice - m.med) AS adev, m.med
-        |  FROM orders o JOIN med m ON o.o_orderpriority = m.o_orderpriority),
+        |  SELECT e.event_type, ABS(e.value - m.med) AS adev, m.med
+        |  FROM e JOIN med m ON e.event_type = m.event_type),
         |mad AS (
-        |  SELECT o_orderpriority, ROUND(quantile_cont(adev, 0.5), 6) AS mad
-        |  FROM dev GROUP BY o_orderpriority)
-        |SELECT d.o_orderpriority,
-        |  COUNT(*) AS n_orders,
+        |  SELECT event_type, ROUND(quantile_cont(adev, 0.5), 6) AS mad
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type,
+        |  COUNT(*) AS n_events,
         |  MIN(d.med) AS med,
         |  MIN(a.mad) AS mad,
         |  COUNT(CASE WHEN d.adev > 4.4478 * a.mad THEN 1 END) AS n_outliers
-        |FROM dev d JOIN mad a ON d.o_orderpriority = a.o_orderpriority
-        |GROUP BY d.o_orderpriority
-        |ORDER BY d.o_orderpriority""".stripMargin,
+        |FROM dev d JOIN mad a ON d.event_type = a.event_type
+        |GROUP BY d.event_type
+        |ORDER BY d.event_type""".stripMargin,
     "agg_histogram" ->
       """WITH band AS (
         |  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders),
         |c AS (
-        |  SELECT LEAST(19, CAST(FLOOR((o_totalprice - lo)
-        |    / ((hi - lo) / 20.0)) AS BIGINT)) AS bucket,
+        |  SELECT CASE WHEN hi = lo THEN 0
+        |    ELSE LEAST(19, CAST(FLOOR((o_totalprice - lo)
+        |      / ((hi - lo) / 20.0)) AS BIGINT)) END AS bucket,
         |    COUNT(*) AS n_orders
         |  FROM orders, band GROUP BY 1),
         |spine AS (SELECT unnest(generate_series(0, 19)) AS bucket)

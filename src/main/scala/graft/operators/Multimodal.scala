@@ -115,6 +115,13 @@ object Multimodal {
     * back to the stub, same contract as `decodeImage`. */
   private[operators] def resizeImage(r: MediaRecord,
                                      w: Int, h: Int): Option[MediaFeatures] =
+    try resizeImageUnsafe(r, w, h)
+    catch { case _: Exception => None } // e.g. CMMException from a broken
+    // ICC profile: decodable container, unconvertible pixels — same
+    // corrupt-media policy as readImage, the stub path takes over
+
+  private def resizeImageUnsafe(r: MediaRecord,
+                                w: Int, h: Int): Option[MediaFeatures] =
     readImage(r.payload).map { img =>
       val dst = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -254,25 +254,37 @@ class PlanSpec extends SparkSpec {
   }
 
   test("FoldGraftExpressions folds literal-input custom expressions at optimization time") {
+    // the shared test session now carries the extensions config, which
+    // injects this same rule — so exercising it through
+    // extraOptimizations would be tautological. Instead: (a) apply the
+    // RULE directly to an analyzed plan (mechanism, no session wiring),
+    // (b) pin that register() wires the fallback path up.
     import org.apache.spark.sql.functions.{col, lit}
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import graft.expressions.PolyHash
     import graft.plans.FoldGraftExpressions
+    val hashOfSpark = ColumnBridge.column(
+      PolyHash(ColumnBridge.expression(lit("spark"))))
+    val analyzed = ColumnBridge.logicalPlan(
+      Tables.documents(spark, sf0001)
+        .filter(col("doc_id") % PolyHash.Prime === hashOfSpark).toDF())
+    assert(analyzed.exists(p =>
+      p.expressions.exists(_.exists(_.isInstanceOf[PolyHash]))),
+      s"fixture lost its PolyHash before the rule ran:\n$analyzed")
+    val folded = FoldGraftExpressions(analyzed)
+    assert(!folded.exists(p =>
+      p.expressions.exists(_.exists(_.isInstanceOf[PolyHash]))),
+      s"PolyHash survived the rule:\n$folded")
+    val expected = PolyHash.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("spark"))
+    assert(folded.toString.contains(expected.toString),
+      s"folded literal $expected missing from plan:\n$folded")
+    // the fallback registration path: register() must append the rule
     val prev = spark.experimental.extraOptimizations
-    spark.experimental.extraOptimizations = prev :+ FoldGraftExpressions
     try {
-      val hashOfSpark = ColumnBridge.column(
-        PolyHash(ColumnBridge.expression(lit("spark"))))
-      val df = Tables.documents(spark, sf0001)
-        .filter(col("doc_id") % PolyHash.Prime === hashOfSpark)
-      val optimized = df.queryExecution.optimizedPlan
-      val unfolded = optimized.exists(p =>
-        p.expressions.exists(_.exists(_.isInstanceOf[PolyHash])))
-      assert(!unfolded, s"PolyHash survived optimization:\n$optimized")
-      val expected = PolyHash.compute(
-        org.apache.spark.unsafe.types.UTF8String.fromString("spark"))
-      assert(optimized.toString.contains(expected.toString),
-        s"folded literal $expected missing from plan:\n$optimized")
+      FoldGraftExpressions.register(spark)
+      assert(spark.experimental.extraOptimizations.contains(FoldGraftExpressions),
+        "register() did not add the rule to extraOptimizations")
     } finally spark.experimental.extraOptimizations = prev
   }
 
