@@ -71,6 +71,42 @@ object FunctionProps extends Properties("graft.functions") {
       l2r == expected && r2l == expected
     }
 
+  // ---- TopKKeysAgg (the native TypedImperativeAggregate): any split +
+  // serialize roundtrip between every merge == global sort-take-k, with
+  // value specials (NaN, ±0.0) in the pool — the total order must match
+  // the Aggregator twin's Ordering.by((-v, key)) exactly
+
+  private val genSpecialRows: Gen[List[(Double, Long)]] = for {
+    n <- Gen.choose(0, 60)
+    vs <- Gen.listOfN(n, Gen.frequency(
+      6 -> Gen.choose(0, 9).map(_.toDouble),
+      1 -> Gen.const(Double.NaN),
+      1 -> Gen.const(0.0),
+      1 -> Gen.const(-0.0)))
+  } yield vs.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+
+  property("TopKKeysAgg: split + serialize-roundtrip merges == Aggregator twin") =
+    forAll(genSpecialRows, Gen.choose(1, 8), Gen.choose(1, 5)) { (rows, k, parts) =>
+      import graft.expressions.{TopKBuffer, TopKKeysAgg}
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      val agg = TopKKeysAgg(Literal(0.0), Literal(0L), Literal(k))
+      def fill(xs: List[(Double, Long)]): TopKBuffer = {
+        val b = new TopKBuffer(k)
+        xs.foreach { case (v, key) => b.insert(v, key) }
+        b
+      }
+      val partitions =
+        if (rows.isEmpty) List(List.empty[(Double, Long)])
+        else rows.grouped(math.max(1, rows.size / parts)).toList
+      // every partial crosses a serialize/deserialize boundary (the wire)
+      val partials = partitions.map(p => agg.deserialize(agg.serialize(fill(p))))
+      val merged = partials.reduceLeft { (a, b) => agg.merge(a, b) }
+      val got = agg.eval(merged).asInstanceOf[GenericArrayData].toLongArray().toSeq
+      val twin = new TopKKeys(k)
+      val expected = twin.finish(rows.foldLeft(twin.zero)(twin.reduce))
+      got == expected
+    }
+
   // ---- MisraGries: the superset guarantee under arbitrary splits/merges
 
   private val genTok: Gen[String] = Gen.frequency(
