@@ -85,7 +85,16 @@ object Probe {
         // set, not a hidden all-pairs
         "knn lsh multiprobe" -> (p => operators.Similarity.knnLshMultiprobe(spark, p).count()),
         "cc clusters" -> (p => operators.Dedup.dedupClusters(spark, p).count()),
-        "repetition" -> (p => operators.TextAnalysis.repetitionSignals(spark, p).count())
+        "repetition" -> (p => operators.TextAnalysis.repetitionSignals(spark, p).count()),
+        // round-3 batch 3, measured at N=8 on sf0.01 (local[8]): all flat
+        // (cross source 0.20→0.21 s, token packing 0.18→0.18 s, hhi
+        // 0.13→0.14 s). Amplified copies share their lead window with the
+        // original (salt is appended), so cross-source fingerprint sets
+        // grow toward |sources| — the adversarial pair-expansion case
+        // stays bounded by |sources|² regardless of corpus size
+        "cross source" -> (p => operators.TextAnalysis.crossSourceDupes(spark, p).count()),
+        "token packing" -> (p => operators.TextAnalysis.tokenPacking(spark, p).count()),
+        "mixture hhi" -> (p => operators.TextAnalysis.concentration(spark, p).count())
       ).foreach { case (name, f) =>
         f(dir) // untimed: compile this pipeline's codegen once
         // clearCache between measurements: pipelines with internal .cache()
