@@ -254,35 +254,41 @@ object Aggregates {
     * (`events_rate_anomaly`): mean/stddev are dragged by the very outliers
     * they're meant to catch; median and MAD (median absolute deviation)
     * have a 50% breakdown point. Two grouped exact-percentile aggregates
-    * (per-event-type median of `value`, then median of |x − med|), one
-    * join back, and a conditional count of rows beyond 3·1.4826·MAD ≈
-    * robust 3σ (the 1.4826 factor makes MAD consistent with σ under
-    * normality; written as the single literal 4.4478 so both engines do
-    * ONE multiply). events.value is the long-tailed column, so the flag
-    * genuinely BITES (~5% flagged at every SF) while leaving matches —
-    * the oracle gate tests the threshold comparison, not a constant-zero
-    * column. Medians are round-6'd (ntile determinism rule); deviations
-    * and the threshold compare are then identical IEEE ops in both
-    * engines. */
+    * (per-event-type median, then median of |x − med|), one join back,
+    * and a conditional count of rows beyond 3·1.4826·MAD ≈ robust 3σ
+    * (the 1.4826 factor makes MAD consistent with σ under normality;
+    * written as the single literal 4.4478 so both engines do ONE
+    * multiply). events.value is the long-tailed column, so the flag
+    * genuinely BITES (~5% flagged at every SF) while leaving matches.
+    *
+    * Determinism — EXACT INTEGER lattice, no round(), no interpolation
+    * hazard: values enter as floor-cents BIGINTs (floor of one identical
+    * IEEE product has no midpoint rule, unlike round), so every
+    * percentile is computed over integers ≤ 1e9 whose midpoint averages
+    * are .5/.25-granular doubles — EXACTLY representable, hence
+    * bit-identical under ANY interpolation formula either engine uses
+    * (the round-6 rule needs 2-decimal inputs; raw arbitrary-precision
+    * doubles get the stronger treatment). */
   def madOutliers(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .filter(col("value").isNotNull)
-      .select(col("event_type"), col("value"))
+      .select(col("event_type"),
+        floor(col("value") * lit(100.0)).as("cents"))
     val med = e.groupBy(col("event_type"))
-      .agg(round(percentile(col("value"), lit(0.5)), 6).as("med"))
+      .agg(percentile(col("cents"), lit(0.5)).as("med"))
     // dev feeds both the MAD percentile and the final rollup — cache it
     // (the codebase's convention for reused intermediates)
     val dev = e.join(broadcast(med), "event_type")
-      .withColumn("adev", abs(col("value") - col("med")))
+      .withColumn("adev", abs(col("cents") - col("med")))
       .cache()
     val mad = dev.groupBy(col("event_type"))
-      .agg(round(percentile(col("adev"), lit(0.5)), 6).as("mad"))
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
     dev.join(broadcast(mad), "event_type")
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        min(col("med")).as("med"),
-        min(col("mad")).as("mad"),
+        min(col("med")).as("med_cents"),
+        min(col("mad")).as("mad_cents"),
         count(when(col("adev") > lit(4.4478) * col("mad"), 1)).as("n_outliers"))
       .orderBy(col("event_type"))
   }
@@ -466,21 +472,22 @@ object Aggregates {
         |ORDER BY r_name""".stripMargin,
     "agg_mad_outliers" ->
       """WITH e AS (
-        |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
-        |med AS (
         |  SELECT event_type,
-        |    ROUND(quantile_cont(value, 0.5), 6) AS med
+        |    CAST(FLOOR(value * 100.0) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |med AS (
+        |  SELECT event_type, quantile_cont(cents, 0.5) AS med
         |  FROM e GROUP BY event_type),
         |dev AS (
-        |  SELECT e.event_type, ABS(e.value - m.med) AS adev, m.med
+        |  SELECT e.event_type, ABS(e.cents - m.med) AS adev, m.med
         |  FROM e JOIN med m ON e.event_type = m.event_type),
         |mad AS (
-        |  SELECT event_type, ROUND(quantile_cont(adev, 0.5), 6) AS mad
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
         |  FROM dev GROUP BY event_type)
         |SELECT d.event_type,
         |  COUNT(*) AS n_events,
-        |  MIN(d.med) AS med,
-        |  MIN(a.mad) AS mad,
+        |  MIN(d.med) AS med_cents,
+        |  MIN(a.mad) AS mad_cents,
         |  COUNT(CASE WHEN d.adev > 4.4478 * a.mad THEN 1 END) AS n_outliers
         |FROM dev d JOIN mad a ON d.event_type = a.event_type
         |GROUP BY d.event_type

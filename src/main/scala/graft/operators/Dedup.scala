@@ -359,6 +359,7 @@ object Dedup {
     val names = Tables.part(spark, dir)
       .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
       .withColumn("blk", split(col("p_name"), " ").getItem(0))
+      .cache() // real 2× reuse: both sides of the blocked self-join
     names.as("a").join(names.as("b"),
         col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
       .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))

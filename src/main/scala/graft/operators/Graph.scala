@@ -92,10 +92,14 @@ object Graph {
     * so the DuckDB oracle can use the plain id-ordered closure
     * (a<b<c) — same triangles, same per-node counts.
     *
-    * Encoding: one BIGINT order key `deg·2^20 + id` replaces the
+    * Encoding: one BIGINT order key `deg·2^40 + id` replaces the
     * (degree, id) lexicographic pair — scalar comparisons and narrow
-    * shuffle rows (suppkey < 2^20 at any SF this runs at; at true 100 TB
-    * widen the shift — documented, not load-bearing for correctness). */
+    * shuffle rows. The key MUST be a total order (a collision would
+    * silently DROP triangles whose two outgoing edges tie, not just
+    * reorder them), so the packing bounds are load-bearing: ids < 2^40
+    * (≈10^12 suppliers — far past 100 TB-class SFs) and degrees < 2^23
+    * (no packing overflow). Beyond either bound, switch to a struct
+    * (deg, id) comparison key. */
   def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
     val ps = Tables.lineitem(spark, dir)
       .filter(col("l_quantity") > 49)
@@ -109,7 +113,7 @@ object Graph {
     val deg = e.select(col("u").as("n"))
       .unionByName(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    val zkey = (col("d") * lit(1048576L) + col("n")).as("z")
+    val zkey = (col("d") * lit(1L << 40) + col("n")).as("z")
     val dz = deg.select(col("n"), zkey)
     // orient each edge from min-zkey endpoint to max-zkey endpoint
     val withZ = e

@@ -126,8 +126,10 @@ object Sql {
     * engine's recursion operator instead of a driver loop. The SAME text
     * runs in DuckDB, so the oracle is the query itself.
     * Portability note: integer halving is written CAST(FLOOR(k/2) AS
-    * BIGINT) — bare `k/2` is integer division in Spark but float division
-    * in DuckDB. */
+    * BIGINT) — both engines evaluate bare `k/2` on integers as DOUBLE
+    * division (integer division is spelled `div` in Spark and `//` in
+    * DuckDB, i.e. NOT common syntax), so the explicit floor+cast is the
+    * one spelling with identical semantics in both. */
   private val recursiveSql =
     """WITH RECURSIVE walk(custkey, depth) AS (
       |  SELECT CAST(c_custkey AS BIGINT), 1 FROM customer WHERE c_custkey = 1
