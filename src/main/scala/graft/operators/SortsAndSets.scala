@@ -30,6 +30,31 @@ object SortsAndSets {
       .orderBy(col("o_totalprice").asc, col("o_orderkey"))
       .limit(10)
 
+  /** EXPLICIT null ordering — the classic silent dialect divergence:
+    * Spark orders NULLS FIRST on ASC / LAST on DESC by default, while
+    * DuckDB defaults to NULLS LAST everywhere (and makes it configurable)
+    * — so any rank/window over a NULLABLE key with implicit null order
+    * can produce different row numbers per engine. This entry pins the
+    * policy explicitly on BOTH sides (`desc_nulls_last` ↔ `DESC NULLS
+    * LAST`): top-3 events per type by the nullable `value`, with the
+    * per-type null count carried so the data genuinely contains the
+    * hazard the entry is about. */
+  def nullsExplicit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc_nulls_last, col("event_id"))
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val nulls = e.groupBy(col("event_type"))
+      .agg(count(when(col("value").isNull, 1)).as("n_null_values"))
+    e.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .join(nulls, "event_type")
+      .select(col("event_type"), col("rn"), col("event_id"),
+        col("value"), col("n_null_values"))
+      .orderBy(col("event_type"), col("rn"))
+  }
+
   /** UNION ALL of two filtered projections + re-aggregation. */
   def unionHighValue(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
@@ -88,6 +113,7 @@ object SortsAndSets {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sort_nulls_explicit" -> (nullsExplicit _),
     "set_except_all"      -> (exceptAllOrders _),
     "set_intersect_all"   -> (intersectAllOrders _),
     "sort_topk_orders"    -> (topkOrders _),
@@ -98,6 +124,20 @@ object SortsAndSets {
   )
 
   val oracle: Map[String, String] = Map(
+    "sort_nulls_explicit" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC NULLS LAST, event_id) AS rn
+        |  FROM events),
+        |n AS (
+        |  SELECT event_type,
+        |    COUNT(CASE WHEN value IS NULL THEN 1 END) AS n_null_values
+        |  FROM events GROUP BY event_type)
+        |SELECT r.event_type, r.rn, r.event_id, r.value, n.n_null_values
+        |FROM r JOIN n ON r.event_type = n.event_type
+        |WHERE r.rn <= 3
+        |ORDER BY r.event_type, r.rn""".stripMargin,
     "set_except_all" ->
       """WITH s AS (
         |  SELECT o_custkey FROM orders
