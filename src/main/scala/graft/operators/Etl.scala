@@ -438,7 +438,30 @@ object Etl {
         max(col("d")).as("max_date"))
   }
 
+  /** Null-preserving generator (`explode_outer`) — the generator twin of
+    * the X8 null-preservation stance: plain `explode` silently DROPS every
+    * row whose array is empty, so "explode the matches" loses exactly the
+    * documents that matched nothing — usually the rows a report must still
+    * count. Each doc's matches of one vocabulary token become an array
+    * (empty for most docs); explode_outer keeps matchless docs as one
+    * NULL row, and the per-source rollup proves both populations survive
+    * (n_docs equals the table's count, docless rows are the complement).
+    * Oracle emulates outer-unnest with a UNION ALL of the two branches. */
+  def explodeOuter(spark: SparkSession, dir: String): DataFrame = {
+    val arr = filter(split(col("text"), " "), t => t === "vector")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), explode_outer(arr).as("tok"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("tok")).as("n_token_rows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(when(col("tok").isNull, 1)).as("n_docless_rows"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_explode_outer" -> (explodeOuter _),
     "etl_try_cast" -> (tryCasts _),
     "etl_winsorize" -> (winsorize _),
     "etl_parse_url" -> (parseUrl _),
@@ -461,6 +484,24 @@ object Etl {
   )
 
   val oracle: Map[String, String] = Map(
+    "etl_explode_outer" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x = 'vector') AS arr
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, unnest(arr) AS tok
+        |  FROM t WHERE len(arr) > 0
+        |  UNION ALL
+        |  SELECT doc_id, source, NULL AS tok
+        |  FROM t WHERE len(arr) = 0)
+        |SELECT source,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(tok) AS n_token_rows,
+        |  COUNT(DISTINCT doc_id) AS n_docs,
+        |  COUNT(CASE WHEN tok IS NULL THEN 1 END) AS n_docless_rows
+        |FROM r GROUP BY source
+        |ORDER BY source""".stripMargin,
     "etl_try_cast" ->
       """WITH s AS (
         |  SELECT
