@@ -253,78 +253,98 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  private val MaxCcIters = 20
+  private val MaxCcRounds = 25
+
+  /** Distributed connected components by LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — converges in O(log² n) rounds on ANY topology
+    * (a handful in practice), vs the O(component diameter) of plain
+    * min-label propagation. The distinction is load-bearing at 100 TB:
+    * a pathological near-dup CHAIN of d docs (serial re-edits, boilerplate
+    * drift) needs d min-label rounds but only ~log d contraction rounds,
+    * so no fixed round budget is topology-fragile here.
+    *
+    * Each round is two bounded equi-join + hash-agg passes over the
+    * current edge set:
+    *  - large-star: every node u links its LARGER neighbors to
+    *    m(u) = min({u} ∪ N(u)) — halves long path distances;
+    *  - small-star: with edges oriented (larger → smaller), every node
+    *    links its smaller neighbors AND itself to its min — flattens
+    *    partial stars.
+    * The only fixed points are stars centered at component minima, so the
+    * "edge set unchanged" test certifies the labels, and the driver sees
+    * only that flag plus a round counter (as an iterative fit must —
+    * cf. KMeans); no row data crosses the driver. Per-round
+    * localCheckpoint(true) truncates lineage below the loop — mandatory
+    * for ANY iterative Spark job (unbounded plan depth OOMs the planner
+    * long before 100 TB); in cluster production this is checkpoint() to
+    * reliable storage. Returns (labels(doc_id, cluster_id), rounds);
+    * cluster_id = component-minimum doc_id. */
+  private[graft] def ccContract(pairs: DataFrame,
+                                maxRounds: Int = MaxCcRounds): (DataFrame, Int) = {
+    var edges = pairs
+      .select(col("doc_a").cast("long").as("u"), col("doc_b").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val und = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = und.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = und.join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      val oriented = ls.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val ssMin = oriented.groupBy("u").agg(min(col("v")).as("m"))
+      val next = oriented.join(ssMin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(ssMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // both sides are distinct sets, so equal counts + empty one-sided
+      // difference ⇔ set equality — an EXACT fixed-point test (a checksum
+      // compare could collide into a false "converged" with wrong labels)
+      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      edges = next
+      rounds += 1
+    }
+    // wrong-but-plausible clusters are worse than an error; with the log
+    // bound this fires only on a genuine bug, not on topology
+    require(converged,
+      s"connected components did not converge in $maxRounds contraction rounds")
+    val labels = edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .unionByName(
+        edges.select(col("v").as("doc_id"), col("v").as("cluster_id")).distinct())
+    (labels, rounds)
+  }
 
   /** Near-dup CLUSTERS from verified pairs — the step real dedup pipelines
     * run after pair generation: pairs only say "a~b"; keeping one doc per
     * GROUP needs the transitive closure (a~b, b~c ⇒ {a,b,c} is one
-    * cluster, survivor = min doc_id). Computed by iterative min-label
-    * propagation — each round every node takes the min label among itself
-    * and its neighbors; converges in O(component diameter) rounds, each a
-    * bounded equi-join + hash-agg (the standard distributed CC shape;
-    * large-star/small-star is the same loop with faster contraction). The
-    * driver only checks the convergence FLAG per round (as an iterative
-    * fit must — cf. KMeans); no row data crosses the driver.
+    * cluster, survivor = min doc_id). Computed by [[ccContract]].
     *
     * Oracle: DuckDB WITH RECURSIVE reachability over the same verified
-    * pairs — a second, independent formulation of the transitive closure. */
+    * pairs — a second, independent formulation of the transitive closure,
+    * valid for any CC algorithm. */
   /** The iterative fit runs EAGERLY at construction (like a model.fit), so
     * the result is memoized per (session, dir): catalog-wide plan sweeps
     * construct every entry repeatedly and must not re-run the loop. The
-    * memo holds the converged LINEAGE (a fixed number of join/agg rounds),
-    * so it stays valid even after a clearCache() — recomputation replays
-    * the rounds without the driver loop. */
+    * memo holds the converged LINEAGE (checkpoint-rooted, a fixed number
+    * of join/agg rounds), so it stays valid even after a clearCache() —
+    * recomputation replays the rounds without the driver loop. */
   private val ccMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     ccMemo.getOrElseUpdate((spark, dir), {
       val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
-      // Both directions PLUS self-loops: with (x, x) in the edge set,
-      // "min over self and neighbors" is ONE join + agg per round — the
-      // labels relation appears exactly once, so the converged lineage is
-      // LINEAR in rounds. (The earlier self-union formulation referenced
-      // labels twice per round; replaying that lineage after a cache drop
-      // re-evaluated the pair-generation subtree 2^rounds times.)
-      // localCheckpoint (eager) truncates lineage below the loop — the
-      // mandatory move for ANY iterative Spark job (unbounded plan depth
-      // OOMs the planner long before 100 TB) — and materializes pair
-      // generation once; checkpoint blocks survive catalog.clearCache(),
-      // so every downstream read pays the closure rounds over the
-      // materialized pair input, not a pair-gen replay per round. In
-      // cluster production this is checkpoint() to reliable storage; the
-      // blocks stay alive for the session (bounded: one edge relation per
-      // sf dir, |verified pairs|·2+|nodes| rows).
-      val fwd = pairs.unionByName(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      val edges = fwd
-        .unionByName(fwd.select(col("doc_a"), col("doc_a").as("doc_b")).distinct())
-        .localCheckpoint(true)
-      var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-        .withColumn("cluster_id", col("doc_id"))
-        .cache()
-      var iter = 0
-      var converged = false
-      while (!converged && iter < MaxCcIters) {
-        val next = edges
-          .join(labels.select(col("doc_id").as("doc_a"), col("cluster_id").as("nl")),
-            Seq("doc_a"))
-          .groupBy(col("doc_b").as("doc_id"))
-          .agg(min(col("nl")).as("cluster_id"))
-          .cache()
-        converged = next
-          .join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
-          .filter(col("cluster_id") =!= col("old"))
-          .isEmpty
-        labels.unpersist()
-        labels = next
-        iter += 1
-      }
-      // wrong-but-plausible clusters are worse than an error: a component
-      // with diameter > MaxCcIters would exit with intermediate labels
-      require(converged,
-        s"connected components did not converge in $MaxCcIters rounds — " +
-          "raise MaxCcIters (component diameter exceeds it)")
+      val (labels, _) = ccContract(pairs)
       val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
       labels.join(sizes, "cluster_id")
         .select(col("doc_id"), col("cluster_id"), col("n_docs"))
@@ -332,8 +352,8 @@ object Dedup {
     })
 
   /** The dedup pipeline's ENDING: the survivor report a corpus job
-    * actually emits. Min-label propagation converges to the minimum
-    * doc_id per component, so the cluster label IS the survivor; per
+    * actually emits. The contraction converges to stars centered at the
+    * minimum doc_id per component, so the cluster label IS the survivor; per
     * cluster the report carries the survivor, the sorted member roster,
     * and how many near-dup docs get dropped. Pure aggregation over the
     * memoized cluster labels — no new iteration. */
