@@ -3,12 +3,13 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing — SURVEY.md §7.5. The IMAGE decode path is
-  * real (JDK built-in `javax.imageio`: PNG/JPEG/BMP/GIF) and so is the
-  * AUDIO path for WAV/PCM (pure byte parsing + PCM16 RMS — WAV is a
-  * container, not a codec); compressed audio and video decode remain
-  * clearly-marked deterministic stubs (no codec libraries in this
-  * container). Everything around the kernels — binary columns with
+/** Multimodal-column plumbing — SURVEY.md §7.5. The IMAGE decode/resize
+  * paths are real (JDK built-in `javax.imageio`: PNG/JPEG/BMP/GIF), the
+  * AUDIO path is real for WAV/PCM (pure byte parsing + PCM16 RMS — WAV is
+  * a container, not a codec), and the VIDEO frame-sampler is real for
+  * multi-frame GIF (ImageIO sequence demux). Only codec-bound formats
+  * (mp3/aac, mp4/webm) keep clearly-marked deterministic stubs — no codec
+  * libraries ship in the JDK. Everything around the kernels — binary columns with
   * typed metadata, batched per-partition decode, explicit output schema,
   * partition-count preservation — is real Spark plumbing; OperatorSpec
   * exercises the plumbing and decodes actual in-test-generated PNGs
@@ -243,21 +244,70 @@ object Multimodal {
   /** Frame envelope for sampled video frames. */
   final case class Frame(media_id: Long, frame_idx: Int, n_bytes: Long, checksum: Long)
 
-  /** Frame sampling (STUB kernel, real plumbing): every `stride`-th fixed-
-    * size chunk of the payload stands in for a decoded video frame — a
-    * 1→N flatMap per video row, the real shape of frame extraction
-    * (output rows carry (media_id, frame_idx), no driver involvement,
-    * partition count preserved). */
+  /** REAL multi-frame decode for GIF containers — the one video-ish format
+    * the JDK can demux without external codecs (`ImageReader.getNumImages`
+    * walks the frame sequence; `read(i)` decodes frame i). Samples every
+    * `stride`-th frame and checksums the DECODED PIXELS (same
+    * rgb-raster fold as the resize kernel — encoder bytes are
+    * writer-version dependent; pixels are the content). `n_bytes` is the
+    * decoded RGB raster size (w·h·3), not the compressed chunk size.
+    * Returns None for payloads that aren't multi-frame ImageIO containers
+    * so the dispatcher falls back to the stub — same corrupt-media policy
+    * as `readImage`. mp4/webm stay codec-bound (out of JDK reach). */
+  private[operators] def sampleContainerFrames(r: MediaRecord,
+                                               stride: Int): Option[Vector[Frame]] =
+    try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          // seekForwardOnly=false: strided access revisits the index;
+          // ignoreMetadata: only pixels are needed
+          reader.setInput(iis, false, true)
+          val n = reader.getNumImages(true) // allowSearch: exact frame count
+          if (n <= 1) None // single-frame payloads are images, not video
+          else Some((0 until n by stride).toVector.map { i =>
+            val img = reader.read(i)
+            val (w, h) = (img.getWidth, img.getHeight)
+            var acc = 0L; var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                acc = (acc * 31 + (img.getRGB(x, y) & 0xffffff)) % 1000000007L
+                x += 1
+              }
+              y += 1
+            }
+            Frame(r.media_id, i, w.toLong * h * 3L, acc)
+          })
+        } finally reader.dispose()
+      }
+    } catch { case _: Exception => None } // corrupt container → stub path
+
+  /** Frame sampling: REAL demux kernel for multi-frame GIF payloads, the
+    * deterministic chunk stub for codec-bound formats (mp4/webm — no codec
+    * libraries in the JDK). Either way the operator is a 1→N flatMap per
+    * video row — the real shape of frame extraction (output rows carry
+    * (media_id, frame_idx), no driver involvement, partition count
+    * preserved, demuxer state per record inside a per-partition batch). */
   def sampleFrames(media: Dataset[MediaRecord], stride: Int,
                    frameBytes: Int = 64): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").mapPartitions { rows =>
-      // real impl: open demuxer once per partition
+      // real impl note: a native demuxer would open its context here,
+      // once per partition
       rows.flatMap { r =>
-        val nFrames = math.max(1, r.payload.length / frameBytes)
-        (0 until nFrames by stride).iterator.map { i =>
-          val chunk = r.payload.slice(i * frameBytes, math.min((i + 1) * frameBytes, r.payload.length))
-          Frame(r.media_id, i, chunk.length.toLong, byteChecksum(chunk))
+        sampleContainerFrames(r, stride).getOrElse {
+          // STUB fallback — every `stride`-th fixed-size chunk of the
+          // payload stands in for a decoded frame
+          val nFrames = math.max(1, r.payload.length / frameBytes)
+          (0 until nFrames by stride).toVector.map { i =>
+            val chunk = r.payload.slice(i * frameBytes, math.min((i + 1) * frameBytes, r.payload.length))
+            Frame(r.media_id, i, chunk.length.toLong, byteChecksum(chunk))
+          }
         }
       }
     }

@@ -242,6 +242,49 @@ class OperatorSpec extends SparkSpec {
     assert(feats(2L).checksum != acc, "pattern resized to a constant raster")
   }
 
+  test("real video frame-sample: animated GIF demuxed with true pixel checksums") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.{IIOImage, ImageIO}
+    import spark.implicits._
+    // generate a real multi-frame GIF in-test (JDK sequence writer, no new
+    // dependencies); solid primary colors survive GIF palettization exactly,
+    // so the decoded-pixel checksum has a closed form
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff, 0x000000)
+    val (w, h) = (11, 7)
+    def gif(cs: Seq[Int]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      cs.foreach { c =>
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, c)
+        writer.writeToSequence(new IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence(); writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "video", gif(colors)),
+      Multimodal.MediaRecord(2L, "video", "definitely not a container".getBytes("UTF-8"))
+    ).toDS()
+    val frames = Multimodal.sampleFrames(media, stride = 2).collect()
+    val byKey = frames.map(f => (f.media_id, f.frame_idx) -> f).toMap
+    // stride 2 over 5 real frames → sampled indices 0, 2, 4
+    assert(frames.filter(_.media_id == 1L).map(_.frame_idx).sorted.toSeq == Seq(0, 2, 4))
+    def solidChecksum(c: Int): Long =
+      (0 until w * h).foldLeft(0L)((acc, _) => (acc * 31 + c) % 1000000007L)
+    Seq(0, 2, 4).foreach { i =>
+      val f = byKey((1L, i))
+      assert(f.n_bytes == w.toLong * h * 3, s"frame $i: $f")
+      assert(f.checksum == solidChecksum(colors(i)), s"frame $i pixel checksum: $f")
+    }
+    // non-container payload falls back to the deterministic chunk stub
+    assert(byKey.contains((2L, 0)), "stub fallback dropped the non-GIF record")
+  }
+
   test("exact-moment correlation agrees with Spark's built-in corr/covar_pop") {
     // the catalog entry exists because the BUILT-IN cannot be oracled
     // (one-pass float update formulas differ between engines); this pins
