@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run`/`runMain` inherit the REAL stdout/stderr instead of being
+// piped through sbt's logger: without this every line the child writes —
+// even bytes written straight to FileDescriptor.out — gets an `[info] `
+// prefix, which breaks any consumer parsing Bench's JSON total line from
+// the process stdout (BENCH_r{1,2,3}.json all recorded parsed:null).
+outputStrategy := Some(StdoutOutput)
+// …and keep sbt's own `[success] Total time` summary from landing AFTER
+// the child's final line, so Bench's bare JSON total is the last stdout
+// line of the whole `sbt runMain` invocation.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -49,14 +49,19 @@ object Bench {
     catch { case _: Throwable => () } // bench must never fail on a file sink
     // The driver captures only the TAIL of stdout (~2 KB): round 1's single
     // ~3 KB line lost its head and the total was recorded as parsed:null;
-    // round 2's tail survived but still parsed null (suspected sbt [info]
-    // framing noise around it). Defense: print the full record (best
-    // effort), stop Spark so its shutdown chatter can't land after us, then
-    // emit the short guaranteed-parseable total line as the VERY LAST
-    // flushed stdout write of the process.
+    // rounds 2-3 tails survived but still parsed null — the remaining
+    // suspect is sbt's logger framing (`[info] ` prefixes) around any
+    // println, because with fork=false System.out is routed through sbt.
+    // Defense: print the full record (best effort), stop Spark so its
+    // shutdown chatter can't land after us, then write the short
+    // guaranteed-parseable total line DIRECTLY to file descriptor 1 —
+    // bypassing System.out and therefore sbt's framing — as the very last
+    // bytes the process emits. BENCH_FULL.json on disk stays the canonical
+    // complete record either way (see BASELINE.md).
     println(full)
     spark.stop()
-    println(line("{}"))
-    System.out.flush()
+    val fd = new java.io.FileOutputStream(java.io.FileDescriptor.out)
+    fd.write(("\n" + line("{}") + "\n").getBytes("UTF-8"))
+    fd.flush()
   }
 }
