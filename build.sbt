@@ -21,6 +21,7 @@ outputStrategy := Some(StdoutOutput)
 // the child's final line, so Bench's bare JSON total is the last stdout
 // line of the whole `sbt runMain` invocation.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -99,7 +99,9 @@ object Graph {
     * reorder them), so the packing bounds are load-bearing: ids < 2^40
     * (≈10^12 suppliers — far past 100 TB-class SFs) and degrees < 2^23
     * (no packing overflow). Beyond either bound, switch to a struct
-    * (deg, id) comparison key. */
+    * (deg, id) comparison key. Both bounds are runtime-enforced in the
+    * key projection (raise_error branch): an out-of-bounds graph fails
+    * loudly instead of returning a plausible undercount. */
   def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
     val ps = Tables.lineitem(spark, dir)
       .filter(col("l_quantity") > 49)
@@ -113,7 +115,16 @@ object Graph {
     val deg = e.select(col("u").as("n"))
       .unionByName(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    val zkey = (col("d") * lit(1L << 40) + col("n")).as("z")
+    // the packing bounds are enforced IN-PLAN: a violation must fail the
+    // job loudly, because an overflowed key breaks the total order and
+    // silently DROPS triangles (a plausible undercount, the worst failure
+    // mode). Two scalar compares per node row — negligible next to the
+    // joins they protect.
+    val zkey = when(col("d") >= lit(1L << 23) || col("n") >= lit(1L << 40),
+        raise_error(concat(
+          lit("triangle zkey packing out of bounds (needs struct key): n="),
+          col("n").cast("string"), lit(", d="), col("d").cast("string"))))
+      .otherwise(col("d") * lit(1L << 40) + col("n")).as("z")
     val dz = deg.select(col("n"), zkey)
     // orient each edge from min-zkey endpoint to max-zkey endpoint
     val withZ = e

@@ -697,6 +697,12 @@ object TextAnalysis {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), toks.as("n_tok"))
+      // zero-token docs pack into no batch — and excluding them BEFORE the
+      // window keeps `running` strictly positive, which is load-bearing for
+      // portability: at running = 0, `(running - 1) div B` is 0 in Spark
+      // (div truncates toward zero) but -1 under DuckDB's flooring `//` —
+      // the same `/` vs `div` vs `//` rule sql_recursive_cte documents
+      .filter(col("n_tok") > 0)
       .withColumn("running", sum(col("n_tok")).over(w))
       .select(col("source"),
         // `div`, not `/`: Column `/` on longs is true (double) division
@@ -825,7 +831,7 @@ object TextAnalysis {
         |  SELECT source, n_tok,
         |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
-        |  FROM t)
+        |  FROM t WHERE n_tok > 0)
         |SELECT source, CAST((running - 1) // 500 AS BIGINT) AS batch_id,
         |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
         |FROM r GROUP BY source, (running - 1) // 500
