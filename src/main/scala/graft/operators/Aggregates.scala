@@ -346,8 +346,17 @@ object Aggregates {
   /** collect_list / collect_set surface: per-region nation rosters.
     * Serialized as sorted joined strings — deterministic (collect order is
     * partition-dependent, sort fixes it) and scalar (the oracle comparator
-    * can't sort array cells). Bounded here by |nations|; for unbounded
-    * groups the bounded-state alternative is TopKKeys. */
+    * can't sort array cells).
+    *
+    * MEMORY CONTRACT: collect_list holds the WHOLE group in one
+    * aggregation buffer — per-group state is O(group size), not O(1),
+    * and a hot group concentrates on a single executor (spill helps the
+    * sort, not the final array). That is LISTAGG's semantics and exactly
+    * what the oracle demands; it is safe here because the group domain is
+    * |nations per region| ≤ 25 at EVERY scale factor (dimension-bounded,
+    * not data-bounded). Before reusing this shape on a data-proportional
+    * group, switch to the bounded-state alternative (TopKKeys, k-capped)
+    * or pre-aggregate. */
   def collectRoster(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir)

@@ -356,7 +356,14 @@ object Dedup {
     * minimum doc_id per component, so the cluster label IS the survivor; per
     * cluster the report carries the survivor, the sorted member roster,
     * and how many near-dup docs get dropped. Pure aggregation over the
-    * memoized cluster labels — no new iteration. */
+    * memoized cluster labels — no new iteration.
+    *
+    * MEMORY CONTRACT: the members roster is a collect_list, so per-group
+    * state is O(cluster size) on one executor. Near-dup clusters are
+    * small by construction (Jaccard ≥ 0.7 verified pairs), but a
+    * degenerate corpus (one boilerplate page mirrored millions of times)
+    * makes a cluster data-proportional — production would cap the roster
+    * (slice after sort, or TopKKeys) and keep only n_members exact. */
   def dedupSurvivors(spark: SparkSession, dir: String): DataFrame =
     dedupClusters(spark, dir)
       .groupBy(col("cluster_id").as("survivor_doc"))

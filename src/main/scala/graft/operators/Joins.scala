@@ -188,6 +188,39 @@ object Joins {
       .orderBy(col("s_nationkey"))
   }
 
+  /** The salted join under PLANTED 50% skew — `join_salted_revenue` proves
+    * the salt preserves answers on near-uniform harness keys; this twin
+    * proves it on the key distribution salting exists for. The fact key is
+    * deliberately degenerate: every even-orderkey lineitem is rerouted to
+    * supplier 1 (`hk = CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE l_suppkey
+    * END`), putting >50% of the fact table on ONE join key — the "one hot
+    * vertex" shape that concentrates a whole shuffle partition and stalls
+    * the stage on a single straggler task. Same lever as the uniform twin:
+    * dim replicated NSalt× map-side (generator, no shuffle), fact salt =
+    * pmod(hash(l_orderkey), NSalt), join on (hk, salt) — the hot key's
+    * rows split across NSalt reducers. SkewSpec quantifies the effect with
+    * HashPartitioning's own partition-id formula: the hottest shuffle
+    * partition drops from ≥50% of all rows to ~1/NSalt of that. Oracle:
+    * the UNSALTED SQL join on the same derived key — salting must never
+    * change the answer, least of all on the distribution it targets. */
+  def saltedSkewRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val NSalt = 8
+    val sup = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("hk"), col("s_nationkey"))
+      .withColumn("salt", explode(sequence(lit(0), lit(NSalt - 1))))
+    Tables.lineitem(spark, dir)
+      .select(
+        when(col("l_orderkey") % 2 === 0, lit(1L))
+          .otherwise(col("l_suppkey")).as("hk"),
+        col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .withColumn("salt", pmod(hash(col("l_orderkey")), lit(NSalt)))
+      .join(sup, Seq("hk", "salt"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("s_nationkey"))
+  }
+
   /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM) — the semantic
     * corner plain `=` silently drops: rows whose join key is NULL. A
     * deterministic slice of both sides (key ≡ 0 mod 97) gets a NULL key;
@@ -225,7 +258,8 @@ object Joins {
     "join_range_price_bands"  -> (rangePriceBands _),
     "join_full_outer_nation"  -> (fullOuterNation _),
     "join_bucketed_revenue"   -> (bucketedRevenue _),
-    "join_salted_revenue"     -> (saltedSupplierRevenue _)
+    "join_salted_revenue"     -> (saltedSupplierRevenue _),
+    "join_salted_skew"        -> (saltedSkewRevenue _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -250,6 +284,16 @@ object Joins {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin,
+    // the UNSALTED join on the same planted-hot derived key
+    "join_salted_skew" ->
+      """SELECT s_nationkey,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier
+        |  ON (CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE l_suppkey END) = s_suppkey
         |GROUP BY s_nationkey
         |ORDER BY s_nationkey""".stripMargin,
     "join_inner_revenue" ->

@@ -81,4 +81,35 @@ class SkewSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"), sum(col("payload")).as("sum_payload"))
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
+
+  test("join_salted_skew's planted hot key: salt divides the max partition load") {
+    // quantifies WHY the catalog's skew twin salts, using HashPartitioning's
+    // own partition-id formula — pmod(murmur3(join keys), N) is exactly how
+    // Spark assigns a shuffle row to a reduce task, so per-partition row
+    // counts computed relationally ARE the per-task input sizes, with no
+    // listener race. Same derived key + salt as the join_salted_skew entry.
+    val n = 32
+    val nSalt = 8
+    val rows = Tables.lineitem(spark, sf0001)
+      .select(
+        when(col("l_orderkey") % 2 === 0, lit(1L))
+          .otherwise(col("l_suppkey")).as("hk"),
+        pmod(hash(col("l_orderkey")), lit(nSalt)).as("salt"))
+      .cache()
+    try {
+      val total = rows.count()
+      def maxLoad(pid: org.apache.spark.sql.Column): Long = rows
+        .groupBy(pid.as("pid")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).head().getLong(0)
+      val unsalted = maxLoad(pmod(hash(col("hk")), lit(n)))
+      val salted = maxLoad(pmod(hash(col("hk"), col("salt")), lit(n)))
+      // the planted key really is degenerate: one task reads >=50% of rows
+      assert(unsalted >= total / 2,
+        s"fixture not skewed: max $unsalted of $total rows")
+      // and the salt really moves it: hottest task at most half the hot key
+      // (expected ~1/nSalt of it plus hash-collision noise)
+      assert(salted <= unsalted / 2,
+        s"salt did not spread the hot key: $salted vs $unsalted (total $total)")
+    } finally rows.unpersist()
+  }
 }
