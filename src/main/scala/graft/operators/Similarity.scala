@@ -304,19 +304,37 @@ object Similarity {
   }
 
   /** PQ geometry: PqM subspaces of PqSub dims (PqM·PqSub = 64), PqK
-    * codewords each → PqM·log2(PqK) = 64-bit codes. */
+    * codewords each → PqM·log2(PqK) = 64-bit codes. RefineT is the
+    * exact-re-rank shortlist depth of the IVF-PQ refine stage. */
   private[graft] val PqM = 16
   private[graft] val PqSub = 4
   private[graft] val PqK = 16
+  private[graft] val RefineT = 10
 
-  /** IVF-PQ — the composition both building blocks document as the
-    * billion-scale rung (FAISS IVFPQ): the coarse quantizer prunes the
-    * CANDIDATE SET (only the query's `NProbe` nearest cells are scanned,
-    * ~NProbe/K of the corpus) while PQ compresses the RESIDENT DATA
-    * (candidates are scored from 64-bit codes via the broadcast ADC
-    * tables, never touching a float vector). Work per query:
-    * NProbe·(n/K) candidates × PqM table lookups — linear in the corpus
-    * with constant factor NProbe/K, memory per candidate 8 bytes.
+  /** IVF-PQ with RESIDUAL encoding — the composition both building blocks
+    * document as the billion-scale rung (FAISS IVFPQ): the coarse
+    * quantizer prunes the CANDIDATE SET (only the query's `NProbe`
+    * nearest cells are scanned, ~NProbe/K of the corpus) while PQ
+    * compresses the RESIDENT DATA (candidates are scored from 64-bit
+    * codes via broadcast ADC tables, never touching a float vector).
+    *
+    * The PQ codes encode each vector's RESIDUAL to its assigned cell
+    * centroid, v − c(v), not the raw vector — FAISS's choice, and the
+    * thing that makes 64-bit codes tight at billion scale: residuals
+    * concentrate near the origin with far lower variance than the
+    * vectors, so the same codebook budget spends its codewords on a much
+    * smaller ball. Exactly: ‖q − v‖² = ‖(q − c) − (v − c)‖², so scoring
+    * uses the QUERY's residual against the SAME probed cell — the ADC
+    * table gains a cell key ((q, cell, m, code) → partial-d², still
+    * constant-size: |Q|·NProbe·PqM·PqK) and candidates join it on their
+    * own cell. Same relational shape as raw-vector IVF-PQ: one broadcast
+    * centroid subtract before slicing, one extra key column in the
+    * table join.
+    *
+    * Work per query: NProbe·(n/K) candidates × PqM table lookups —
+    * linear in the corpus with constant factor NProbe/K, 8 bytes per
+    * candidate — plus a constant |Q|·RefineT exact re-rank of the ADC
+    * shortlist (the FAISS IndexRefineFlat rung; see inline note).
     * Everything is normalized up front so ADC-L2 ranks by cosine, like
     * `sim_knn_pq`. NOT oracle-able (two trained quantizers): rows-only
     * driver check + SimilaritySpec recall gate. */
@@ -333,16 +351,24 @@ object Similarity {
     val coarse = new KMeans().setK(K).setSeed(42).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(all)
-    val assigned = coarse.transform(all).select(col("vec_id"), col("cell"))
     val centroids = coarse.clusterCenters.toSeq.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }
       .toDF("cell", "centroid")
+    val centroidsSq = centroids
       .withColumn("c_sq", VectorOps.dot(col("centroid"), col("centroid")))
-    // PQ codebook: shared codebook over pooled subvectors (as sim_knn_pq)
-    val subs = all
-      .select(col("vec_id"), explode(lit((0 until PqM).toArray)).as("m"), col("vn"))
-      .withColumn("sv", slice(col("vn"), col("m") * lit(PqSub) + 1, lit(PqSub)))
-      .drop("vn")
+    // residuals: broadcast centroid subtract on the cell equi-join —
+    // the corpus-proportional side only ever joins on its own cell key
+    val resid = coarse.transform(all)
+      .select(col("vec_id"), col("cell"), col("vn"))
+      .join(broadcast(centroids), Seq("cell"))
+      .withColumn("rv", zip_with(col("vn"), col("centroid"), (a, b) => a - b))
+      .select(col("vec_id"), col("cell"), col("rv"))
+    val assigned = resid.select(col("vec_id"), col("cell"))
+    // PQ codebook: shared codebook over pooled RESIDUAL subvectors
+    val subs = resid
+      .select(col("vec_id"), explode(lit((0 until PqM).toArray)).as("m"), col("rv"))
+      .withColumn("sv", slice(col("rv"), col("m") * lit(PqSub) + 1, lit(PqSub)))
+      .drop("rv")
       .withColumn("sfv", array_to_vector(col("sv")))
       .cache()
     val book = new KMeans().setK(PqK).setSeed(43).setMaxIter(5)
@@ -356,32 +382,55 @@ object Similarity {
     val q = all.filter(col("vec_id") < QueryBudget)
       .select(col("vec_id").as("q_id"), col("vn").as("qv"))
     val probeW = Window.partitionBy(col("q_id")).orderBy(col("dist2"), col("cell"))
-    val qCells = q.crossJoin(broadcast(centroids))
+    val qCells = q.crossJoin(broadcast(centroidsSq))
       .withColumn("dist2",
         lit(1.0) + col("c_sq")
           - lit(2.0) * VectorOps.dot(col("qv"), col("centroid")))
       .withColumn("cr", row_number().over(probeW))
       .filter(col("cr") <= NProbe)
       .select(col("q_id"), col("cell"))
-    // ... and the per-query ADC tables (|Q|·PqM·PqK rows, constant)
-    val qSubs = subs.filter(col("vec_id") < QueryBudget)
-      .select(col("vec_id").as("q_id"), col("m"), col("sv"))
+    // ... and the per-(query, probed cell) residual ADC tables
+    // (|Q|·NProbe·PqM·PqK rows, constant)
+    val qSubs = qCells.join(q, Seq("q_id"))
+      .join(broadcast(centroids), Seq("cell"))
+      .withColumn("qr", zip_with(col("qv"), col("centroid"), (a, b) => a - b))
+      .select(col("q_id"), col("cell"),
+        explode(lit((0 until PqM).toArray)).as("m"), col("qr"))
+      .withColumn("sv", slice(col("qr"), col("m") * lit(PqSub) + 1, lit(PqSub)))
+      .select(col("q_id"), col("cell"), col("m"), col("sv"))
     val dt = qSubs.crossJoin(broadcast(codebook))
       .withColumn("d2",
         aggregate(zip_with(col("sv"), col("pq_centroid"), (a, b) => (a - b) * (a - b)),
           lit(0.0), (acc, x) => acc + x))
-      .select(col("q_id"), col("m"), col("code"), col("d2"))
+      .select(col("q_id"), col("cell"), col("m"), col("code"), col("d2"))
     // candidate generation (cell equi-join, NO broadcast hint on the
-    // corpus-proportional side) → code expansion → ADC table lookup
+    // corpus-proportional side) → code expansion → ADC table lookup,
+    // keyed by the candidate's OWN cell so residual geometry lines up
     val cands = qCells.join(assigned, Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id"))
+      .select(col("q_id"), col("cell"), col("vec_id"))
     val scored = cands.join(encoded, Seq("vec_id"))
-      .join(broadcast(dt), Seq("q_id", "m", "code"))
+      .join(broadcast(dt), Seq("q_id", "cell", "m", "code"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("d2")).as("adist"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
-    scored.withColumn("rn", row_number().over(w).cast("long"))
+    // refine rung (FAISS IndexRefineFlat): the ADC order only has to get
+    // the true neighbors INTO a top-RefineT shortlist; the shortlist —
+    // |Q|·RefineT rows, constant — is re-scored with EXACT dots against
+    // the full vectors (vec_id equi-join; the corpus-proportional side is
+    // never broadcast) and the final top-3 ranks by true cosine. This is
+    // how production IVF-PQ serves: codes bound the candidate bytes, a
+    // constant-size exact pass restores the rank fidelity codes give up.
+    val preW = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+    val shortlist = scored.withColumn("pr", row_number().over(preW))
+      .filter(col("pr") <= RefineT)
+      .select(col("q_id"), col("vec_id"), col("adist"))
+    val rescored = shortlist
+      .join(all.select(col("vec_id"), col("vn")), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cos", VectorOps.dot(col("qv"), col("vn"))) // unit vectors
+      .select(col("q_id"), col("vec_id"), col("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    rescored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .orderBy(col("q_id"), col("rn"))
   }

@@ -116,11 +116,13 @@ class SimilaritySpec extends SparkSpec {
       (ivfpq.getOrElse(q, Set.empty) intersect brute(q)).size.toDouble / brute(q).size
     }
     val recall = recalls.sum / recalls.size
-    info(s"IVF-PQ (nprobe=${Similarity.NProbe}, ${Similarity.PqM}x${Similarity.PqK}) recall@3 = $recall")
-    // both stages lose recall independently on uniform-random data
-    // (cell pruning ~0.6, PQ distortion ~0.35); the composition's floor
-    // sits under their product but far above the ~0 random floor
-    assert(recall >= 0.1, s"IVF-PQ recall@3 $recall below floor")
+    info(s"IVF-PQ (nprobe=${Similarity.NProbe}, ${Similarity.PqM}x${Similarity.PqK}, refine=${Similarity.RefineT}) recall@3 = $recall")
+    // cell pruning caps the ceiling at exact-IVF's ~0.6 (nprobe=3); the
+    // residual-encode + exact-refine stack recovers most of the PQ
+    // distortion inside the probed cells — measured 0.45 (was ~0.32 raw
+    // ADC, floor 0.1). Gate at 0.3: comfortably under the measurement,
+    // 3x the old floor, robust to data regeneration.
+    assert(recall >= 0.3, s"IVF-PQ recall@3 $recall below floor")
   }
 
   test("IVF emits at most 3 ranked neighbors per query, no self-matches") {
