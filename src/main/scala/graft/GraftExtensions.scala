@@ -2,8 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, NumericType}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.expressions.{DotProduct, NGrams, PolyHash}
 
@@ -50,23 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("graft_topk_keys"),
       new ExpressionInfo(classOf[graft.expressions.TopKKeysAgg].getName, "graft_topk_keys"),
-      (exprs: Seq[Expression]) => {
-        // builtin aggregates get implicit numeric coercion from the
-        // analyzer; a raw TypedImperativeAggregate does not, so the builder
-        // inserts the casts (decimal/int value → double, int key → bigint)
-        // exactly where a SQL user would expect them. Non-numeric children
-        // pass through untouched so checkInputDataTypes names the offender.
-        def coerce(e0: Expression, to: DataType): Expression =
-          if (e0.dataType == to) e0
-          else e0.dataType match {
-            case _: NumericType => Cast(e0, to)
-            case _ => e0
-          }
-        graft.expressions.TopKKeysAgg(
-          coerce(exprs(0), DoubleType),
-          coerce(exprs(1), LongType),
-          coerce(exprs(2), IntegerType))
-      }))
+      // the ONE shared builder (numeric coercion included) — see its doc
+      // for why every registration path must use it
+      (exprs: Seq[Expression]) => graft.expressions.TopKKeysAgg.build(exprs)))
     // rule tier: constant-fold literal-input graft expressions so they
     // compute once at optimization time and comparisons against them
     // become pushdown-eligible literals (see FoldGraftExpressions)

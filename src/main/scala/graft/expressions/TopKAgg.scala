@@ -155,3 +155,33 @@ case class TopKKeysAgg(
       newChildren: IndexedSeq[Expression]): TopKKeysAgg =
     copy(valueExpr = newChildren(0), keyExpr = newChildren(1), kExpr = newChildren(2))
 }
+
+object TopKKeysAgg {
+  import org.apache.spark.sql.catalyst.expressions.Cast
+  import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, NumericType}
+
+  /** THE registration builder — used by every path that puts
+    * `graft_topk_keys` in a function registry (GraftExtensions injection,
+    * the per-session registration in Aggregates, test registries). One
+    * definition, because registries clobber: whichever registration runs
+    * last wins for the whole shared session, so a single raw builder
+    * anywhere would silently strip coercion from all of them.
+    *
+    * Builtin aggregates get implicit numeric coercion from the analyzer;
+    * a raw TypedImperativeAggregate does not, so the builder inserts the
+    * casts (decimal/int value → double, int key → bigint) exactly where a
+    * SQL user expects them. Non-numeric children pass through untouched
+    * so checkInputDataTypes names the offender. */
+  def build(exprs: Seq[Expression]): TopKKeysAgg = {
+    def coerce(e: Expression, to: DataType): Expression =
+      if (e.dataType == to) e
+      else e.dataType match {
+        case _: NumericType => Cast(e, to)
+        case _ => e
+      }
+    TopKKeysAgg(
+      coerce(exprs(0), DoubleType),
+      coerce(exprs(1), LongType),
+      coerce(exprs(2), IntegerType))
+  }
+}

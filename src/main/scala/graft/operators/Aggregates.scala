@@ -332,7 +332,10 @@ object Aggregates {
   def topkNative(spark: SparkSession, dir: String): DataFrame = {
     org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
       spark, "graft_topk_keys",
-      exprs => graft.expressions.TopKKeysAgg(exprs(0), exprs(1), exprs(2)))
+      // the shared coercing builder: this registration CLOBBERS the
+      // extensions-injected one for the whole session, so it must be the
+      // same builder (TopKKeysAgg.build doc)
+      graft.expressions.TopKKeysAgg.build)
     Tables.orders(spark, dir).createOrReplaceTempView("orders")
     spark.sql(
       """SELECT o_orderpriority, CAST(pos AS BIGINT) AS pos, o_orderkey

@@ -96,9 +96,10 @@ class TopKAggEngineSpec extends SparkSpec {
 
   test("update skips null values and keys") {
     import spark.implicits._
+    // shared coercing builder — registries clobber session-wide, so every
+    // registration path must install the same builder (TopKKeysAgg.build)
     org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
-      spark, "graft_topk_keys",
-      exprs => TopKKeysAgg(exprs(0), exprs(1), exprs(2)))
+      spark, "graft_topk_keys", TopKKeysAgg.build)
     Seq[(java.lang.Double, java.lang.Long)]((1.0, 1L), (null, 2L), (3.0, null), (2.0, 4L))
       .toDF("v", "k").createOrReplaceTempView("tk_nulls")
     val out = spark.sql(
