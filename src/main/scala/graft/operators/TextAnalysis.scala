@@ -229,6 +229,60 @@ object TextAnalysis {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** The whole training-data manifest pipeline as ONE relation — proof the
+    * catalog's stages compose without introducing nondeterminism: quality
+    * gate (the `pipe_corpus_clean` thresholds) → exact-dedup survivor
+    * (md5 fingerprint, min-doc_id picked by a min(struct) HASH-agg, no
+    * sort) → per-source domain cap (≤ 15 by the deterministic md5 pick
+    * order — the `pipe_domain_cap` stance) → content-hash
+    * train/valid/test split (the `etl_hash_split` digit rule) → one
+    * manifest row per (split, source) carrying doc/word totals plus a
+    * 60-bit XOR content digest (the `etl_table_checksum` rendering), so
+    * two independent runs of the pipeline reconcile without moving rows.
+    *
+    * Scale: pure projections until the fingerprint hash-agg (map-side
+    * partials collapse duplicate clusters before the shuffle); the cap
+    * window sorts only within each source group; the final rollup is
+    * |splits|·|sources| rows. Every stage is a pure function of the data,
+    * so the whole chain is partitioning/cluster-size invariant
+    * (PartitionInvarianceSpec sweeps it like any other entry) and fully
+    * under the DuckDB hash gate. */
+  def endToEnd(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stop = Seq("the", "a")
+    val gated = Tables.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => t.isin(stop.map(lit(_)): _*))).cast("long"))
+      .filter(col("n_words") >= 20 && col("n_words") <= 1000 &&
+        col("n_stop") * 10 < col("n_words") * 5)
+      .withColumn("fp", md5(trim(lower(col("text")))))
+      .withColumn("th", md5(col("text")))
+    val survivors = gated
+      .groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("source"), col("n_words"), col("th"))).as("s"))
+      .select(col("s.doc_id").as("doc_id"), col("s.source").as("source"),
+        col("s.n_words").as("n_words"), col("s.th").as("th"))
+    val w = Window.partitionBy(col("source")).orderBy(col("pick"), col("doc_id"))
+    val capped = survivors
+      .withColumn("pick", md5(col("doc_id").cast("string")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= 15)
+    val h1 = substring(col("th"), 1, 1)
+    capped
+      .withColumn("split",
+        when(h1.isin("c", "d"), "valid")
+          .when(h1.isin("e", "f"), "test")
+          .otherwise("train"))
+      .withColumn("dg", conv(substring(col("th"), 1, 15), 16, 10).cast("long"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        expr("bit_xor(dg)").as("xor_digest"))
+      .orderBy(col("split"), col("source"))
+  }
+
   /** Context-window chunking — the operator that turns a document corpus
     * into training examples: overlapping token windows of `ChunkW` tokens
     * at stride `ChunkS` (overlap = ChunkW − ChunkS). Chunk boundaries come
@@ -784,6 +838,7 @@ object TextAnalysis {
     "text_word_count"  -> (wordCount _),
     "text_word_count_salted" -> (saltedWordCount _),
     "pipe_corpus_clean" -> (corpusClean _),
+    "pipe_end_to_end" -> (endToEnd _),
     "text_token_stats" -> (tokenStats _),
     "text_quality"     -> (qualityScore _),
     "text_langid"      -> (langId _),
@@ -1156,6 +1211,38 @@ object TextAnalysis {
         |FROM dd WHERE rn = 1
         |GROUP BY source, lang
         |ORDER BY source, lang""".stripMargin,
+    "pipe_end_to_end" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS n_stop
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, source, text, n_words FROM d
+        |  WHERE n_words >= 20 AND n_words <= 1000 AND n_stop * 10 < n_words * 5),
+        |dd AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY md5(trim(lower(text))) ORDER BY doc_id) AS rn
+        |  FROM q),
+        |surv AS (
+        |  SELECT doc_id, source, n_words, md5(text) AS th FROM dd WHERE rn = 1),
+        |cap AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS crn
+        |  FROM surv),
+        |sp AS (
+        |  SELECT source, n_words,
+        |    CASE WHEN substr(th, 1, 1) IN ('c', 'd') THEN 'valid'
+        |         WHEN substr(th, 1, 1) IN ('e', 'f') THEN 'test'
+        |         ELSE 'train' END AS split,
+        |    CAST(('0x' || substr(th, 1, 15)) AS BIGINT) AS dg
+        |  FROM cap WHERE crn <= 15)
+        |SELECT split, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_words) AS BIGINT) AS total_words,
+        |  bit_xor(dg) AS xor_digest
+        |FROM sp
+        |GROUP BY split, source
+        |ORDER BY split, source""".stripMargin,
     "text_token_stats" ->
       """WITH d AS (
         |  SELECT source,
