@@ -249,7 +249,43 @@ object Joins {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Collation-aware equi-join (Spark 4 string collations): the fact side
+    * carries a deterministic MIXED-case rendering of the segment (even
+    * custkeys lowercased, odd kept upper) and joins a distinct-segment dim
+    * under `UNICODE_CI` — case-insensitive equality on the ORIGINAL bytes,
+    * no derived lower() column materialized on the 100 TB side. Spark
+    * hash-partitions on the collation sort key, so this stays a shuffle
+    * equi-join (PlanSpec's cartesian sweep would catch a BNLJ fallback);
+    * the output key is normalized via lower() to stay deterministic (a
+    * CI group's raw representative would be partition-order-dependent).
+    * `n_case_variants` > 1 proves the join really crossed case forms.
+    *
+    * Oracle: UNICODE_CI equality coincides with lower()-equality on
+    * ASCII data, so DuckDB joins on lower() — the semantic twin. */
+  def collatedCiSegments(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(
+        when(col("c_custkey") % 2 === 0, lower(col("c_mktsegment")))
+          .otherwise(col("c_mktsegment")).as("seg_mixed"),
+        col("c_acctbal"))
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_mktsegment").as("seg_label")).distinct()
+      .withColumn("seg_code", length(col("seg_label")).cast("long"))
+    cust
+      .join(dim,
+        collate(col("seg_mixed"), "UNICODE_CI") ===
+          collate(col("seg_label"), "UNICODE_CI"))
+      .groupBy(lower(col("seg_mixed")).as("segment"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        countDistinct(col("seg_mixed")).as("n_case_variants"),
+        max(col("seg_code")).as("seg_code"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+      .orderBy(col("segment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_collated_ci"        -> (collatedCiSegments _),
     "join_nullsafe_segments"  -> (nullsafeSegments _),
     "join_inner_revenue"      -> (innerRevenue _),
     "join_left_nation"        -> (leftNationCustomers _),
@@ -263,6 +299,23 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    // semantic twin: UNICODE_CI equality == lower()-equality on ASCII
+    "join_collated_ci" ->
+      """WITH cust AS (
+        |  SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+        |              ELSE c_mktsegment END AS seg_mixed,
+        |    c_acctbal
+        |  FROM customer),
+        |dim AS (
+        |  SELECT seg_label, CAST(length(seg_label) AS BIGINT) AS seg_code
+        |  FROM (SELECT DISTINCT c_mktsegment AS seg_label FROM customer))
+        |SELECT lower(seg_mixed) AS segment,
+        |  COUNT(*) AS n_cust,
+        |  CAST(COUNT(DISTINCT seg_mixed) AS BIGINT) AS n_case_variants,
+        |  MAX(seg_code) AS seg_code,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM cust JOIN dim ON lower(seg_mixed) = lower(seg_label)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_nullsafe_segments" ->
       """WITH o AS (
         |  SELECT CASE WHEN o_custkey % 97 = 0 THEN NULL ELSE o_custkey END AS ok
