@@ -47,6 +47,20 @@ object Similarity {
 
   private[graft] val K = 16
 
+  /** Quantizer-training sample bound: every KMeans fit sees at most
+    * TrainCap vectors, picked by deterministic hash order
+    * (TakeOrderedAndProject — no `sample()`, so no seed/partition-order
+    * sensitivity; the pick is a pure function of the data). A quantizer
+    * needs the DISTRIBUTION, not the corpus — FAISS trains on a bounded
+    * sample for the same reason — so training cost is CONSTANT in the
+    * corpus and encode stays the only corpus-linear pass. At the test SFs
+    * the cap exceeds the corpus (fits see every vector; recall gates
+    * unaffected); at 100 TB it is the difference between a constant fit
+    * and an O(corpus) shuffle per KMeans iteration. */
+  private[graft] val TrainCap = 4096
+  private def trainSample(df: DataFrame): DataFrame =
+    df.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(TrainCap)
+
   private def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
@@ -164,7 +178,9 @@ object Similarity {
       .cache()
     val model = new KMeans().setK(K).setSeed(42).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(all) // 5 iters: a coarse quantizer needs rough cells, not convergence
+      // 5 iters: a coarse quantizer needs rough cells, not convergence;
+      // bounded training sample (TrainCap doc) keeps the fit O(1) in n
+      .fit(trainSample(all))
     val assigned = model.transform(all).drop("fv").cache()
     // centroids: k rows, constant — the one legitimately-broadcast side here
     val centroids = model.clusterCenters.toSeq.zipWithIndex
@@ -277,7 +293,10 @@ object Similarity {
       .cache() // feeds fit, encode, and the query-side tables
     val model = new KMeans().setK(PqK).setSeed(42).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("code")
-      .fit(subs) // shared codebook: one fit over all subspaces pooled
+      // shared codebook: one fit over all subspaces pooled, on the
+      // bounded hash-ordered sample (TrainCap·PqM subvector rows max)
+      .fit(subs.orderBy(xxhash64(col("vec_id")), col("vec_id"), col("m"))
+        .limit(TrainCap * PqM))
     val encoded = model.transform(subs)
       .select(col("vec_id"), col("m"), col("code"))
     val codebook = model.clusterCenters.toSeq.zipWithIndex
@@ -350,7 +369,7 @@ object Similarity {
     // coarse quantizer: K cells over the normalized vectors
     val coarse = new KMeans().setK(K).setSeed(42).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(all)
+      .fit(trainSample(all)) // bounded sample: fit O(1) in n (TrainCap doc)
     val centroids = coarse.clusterCenters.toSeq.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }
       .toDF("cell", "centroid")
@@ -373,7 +392,8 @@ object Similarity {
       .cache()
     val book = new KMeans().setK(PqK).setSeed(43).setMaxIter(5)
       .setFeaturesCol("sfv").setPredictionCol("code")
-      .fit(subs)
+      .fit(subs.orderBy(xxhash64(col("vec_id")), col("vec_id"), col("m"))
+        .limit(TrainCap * PqM)) // bounded residual-subvector sample
     val encoded = book.transform(subs).select(col("vec_id"), col("m"), col("code"))
     val codebook = book.clusterCenters.toSeq.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }

@@ -15,8 +15,11 @@ import org.apache.spark.sql.functions._
   * cannot leak config into suites running in parallel (the same shared-
   * session clobbering class the graft_topk_keys builder fix closed) — at
   * deliberately co-prime shuffle-partition counts (3 vs 17, both != the
-  * suite default 4), and compare an order-invariant multiset digest
-  * computed in-plan (no driver-side row materialization):
+  * suite default 4) — the second run additionally with broadcast joins
+  * and AQE disabled, so one compare certifies partition-count,
+  * join-strategy, AND adaptive-replan independence — and compare an
+  * order-invariant multiset digest computed in-plan (no driver-side row
+  * materialization):
   *   count, sum(xxhash64(cols) mod p1), sum(xxhash64(cols) mod p2).
   * Residues are < 2^31 so the sums stay far from Long overflow under
   * ANSI mode at any realistic row count.
@@ -44,10 +47,19 @@ class PartitionInvarianceSpec extends SparkSpec {
       .head().toSeq
   }
 
-  private def runAt(partitions: Int, name: String)(
+  private def runAt(partitions: Int, name: String, hostile: Boolean = false)(
       fn: (SparkSession, String) => DataFrame): Seq[Any] = {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    if (hostile) {
+      // the "hostile deployment" run: no broadcast joins (every join
+      // becomes a shuffle join — strategy choice must never change the
+      // answer) and no adaptive re-planning (static plans only). One
+      // digest compare thus certifies partition-count, join-strategy,
+      // and AQE independence at once.
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+    }
     digest(fn(s, sf0001))
   }
 
@@ -60,8 +72,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     val failures = swept.flatMap { case (name, fn) =>
       try {
         val a = runAt(3, name)(fn)
-        val b = runAt(17, name)(fn)
-        if (a == b) None else Some(s"$name: digest@3=$a digest@17=$b")
+        val b = runAt(17, name, hostile = true)(fn)
+        if (a == b) None
+        else Some(s"$name: digest@3=$a digest@17/hostile=$b")
       } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
