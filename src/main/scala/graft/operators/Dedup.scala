@@ -136,6 +136,40 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Containment near-dup (asymmetric Jaccard): |S(a)∩S(b)| / |S(a)| —
+    * the relation symmetric Jaccard structurally misses: an excerpt or
+    * quotation `a` whose shingles are a subset of a much larger `b` has
+    * Jaccard ≈ |a|/|b| (tiny) but containment ≈ 1. Real pipelines use it
+    * for quote/boilerplate-absorption dedup where the jaccard entry finds
+    * only same-size near-dups.
+    *
+    * Same df-capped inverted index as `dedup_ngram_jaccard` (pair rows
+    * Σdf²-bounded, denominators from EXACT full set sizes); both
+    * directions are emitted since containment is not symmetric, and a
+    * min-shingle floor keeps trivially-contained tiny docs out. The score
+    * is one IEEE division of two exact integers — engine-portable, fully
+    * oracled. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).cache()
+    val exAll = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
+    val rare = exAll.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf)
+      .select(col("g"))
+    val ex = exAll.join(rare, Seq("g"), "left_semi")
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .withColumn("containment", col("n_inter").cast("double") / col("na"))
+      .filter(col("na") >= 5 && col("containment") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("na"), col("n_inter"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Per-doc 16-bit simhash signature (doc_id, simhash): portable word
     * hash (char fold: acc*31+ascii mod 1e9+7, codegen'd PolyHash —
     * identical to the ascii-per-char HOF fold, mirrored in the oracle by
@@ -404,6 +438,7 @@ object Dedup {
     "dedup_cc_clusters"     -> (dedupClusters _),
     "dedup_minhash_lsh"     -> (minhashLsh _),
     "dedup_ngram_jaccard"   -> (ngramJaccard _),
+    "dedup_containment"     -> (containmentPairs _),
     "dedup_simhash"         -> (simhashClusters _),
     "dedup_simhash_hamming" -> (simhashHamming _),
     "dedup_embedding_lsh"   -> (embeddingLsh _)
@@ -528,6 +563,22 @@ object Dedup {
         |JOIN sizes na ON na.doc_id = doc_a
         |JOIN sizes nb ON nb.doc_id = doc_b
         |WHERE n_inter::DOUBLE / (na.n + nb.n - n_inter) >= 0.7
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH sh AS ($shingledSql),
+        |ex_all AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+        |rare AS (SELECT g FROM ex_all GROUP BY g HAVING COUNT(*) <= $MaxShingleDf),
+        |ex AS (SELECT doc_id, g FROM ex_all WHERE g IN (SELECT g FROM rare)),
+        |sizes AS (SELECT doc_id, len(shingles)::BIGINT AS n FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, na.n AS na, n_inter,
+        |  n_inter::DOUBLE / na.n AS containment
+        |FROM inter
+        |JOIN sizes na ON na.doc_id = doc_a
+        |WHERE na.n >= 5 AND n_inter::DOUBLE / na.n >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash" ->
       s"""WITH words AS (
