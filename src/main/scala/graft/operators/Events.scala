@@ -76,6 +76,31 @@ object Events {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** Engine-native sessionization twin: the same 30-minute-gap sessions
+    * via Spark's built-in `session_window()` run in BATCH mode — the
+    * Structured-Streaming sessionizer's grouping expression as a plain
+    * aggregate, planned with session merging instead of a lag window.
+    * The oracle re-derives the sessions gaps-and-islands style with the
+    * boundary rule matched to session_window's documented merge
+    * semantics: windows are [ts, ts+gap) and merge only when the next
+    * event lands STRICTLY inside, so a gap of exactly 30:00 STARTS a new
+    * session (`>=` in the oracle, where `events_sessionization`'s own
+    * convention uses `>`). Session bounds are reported as min/max event
+    * time (not the padded window end) to stay engine-portable. */
+  def sessionWindowNative(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("tst", col("ts").cast("timestamp"))
+    e.groupBy(col("user_id"), session_window(col("tst"), "30 minutes").as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_micros(col("tst"))).as("start_us"),
+        max(unix_micros(col("tst"))).as("end_us"),
+        dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
   /** Resample + gap-fill — the calendar-spine operator time-series
     * reporting needs and plain groupBy can't produce: hours with NO events
     * must still appear (count 0), or downstream rates/averages silently
@@ -354,6 +379,7 @@ object Events {
     "events_sliding_3h"    -> (slidingThreeHour _),
     "events_resample_gapfill" -> (resampleGapfill _),
     "events_sessionization" -> (sessionization _),
+    "events_session_window" -> (sessionWindowNative _),
     "ml_feature_prep"      -> (featurePrep _),
     "join_asof_clicks"     -> (asofClicks _),
     "join_asof_forward"    -> (asofForward _),
@@ -548,6 +574,30 @@ object Events {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    // boundary rule matched to session_window's strict-merge semantics:
+    // a gap of exactly the window size starts a NEW session (>=)
+    "events_session_window" ->
+      """WITH f AS (
+        |  SELECT user_id, value, epoch_us(ts) AS ts_us,
+        |    LAG(epoch_us(ts), 1) OVER w AS prev_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000
+        |                 THEN 1 ELSE 0 END AS is_new
+        |  FROM f),
+        |s AS (
+        |  SELECT *, SUM(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM g)
+        |SELECT user_id,
+        |  MIN(ts_us) AS start_us,
+        |  MAX(ts_us) AS end_us,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, start_us""".stripMargin,
     "ml_feature_prep" ->
       """SELECT o_orderkey,
         |  ROUND(ln(1 + o_totalprice), 6) AS log_price,
