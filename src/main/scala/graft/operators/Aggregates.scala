@@ -427,7 +427,31 @@ object Aggregates {
       .orderBy(col("r_name"))
   }
 
+  /** Deterministic per-group MODE — the builtin `mode()` is explicitly
+    * any-of-the-ties nondeterministic (and so un-oracle-able); the
+    * portable formulation is the two-stage counts→argmax: hash-agg the
+    * (group, value) histogram, then pick the top row per group with a
+    * TOTAL order (count desc, value desc — ties broken by value). Both
+    * engines run the identical rule, so the hash gate applies. Scale:
+    * first stage collapses map-side to |group × distinct values|; the
+    * window sorts only that histogram, never the fact table. */
+  def modeDeterministic(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("n").desc, col("l_quantity").desc)
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,2)").cast("double").as("mode_qty"),
+        col("n").as("n_mode"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mode_deterministic" -> (modeDeterministic _),
     "agg_string_agg" -> (stringAgg _),
     "agg_corr_manual" -> (corrManual _),
     "agg_collect_roster" -> (collectRoster _),
@@ -449,6 +473,19 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_mode_deterministic" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY l_returnflag ORDER BY n DESC, l_quantity DESC) AS rn
+        |  FROM c)
+        |SELECT l_returnflag,
+        |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS mode_qty,
+        |  n AS n_mode
+        |FROM r WHERE rn = 1
+        |ORDER BY l_returnflag""".stripMargin,
     "agg_string_agg" ->
       """SELECT r_name,
         |  COUNT(*) AS n_nations,
