@@ -144,7 +144,32 @@ object Sql {
       |GROUP BY depth
       |ORDER BY depth""".stripMargin
 
+  /** Spark 4 SQL session variables — the multi-statement scalar-reuse
+    * surface SQL scripts and BI tools emit: DECLARE a typed variable, SET
+    * it from a one-row subquery, use it in a later statement, all in SQL
+    * text. The variable is ONE scalar of session state — constant-size,
+    * so the catalog's no-driver-round-trips stance holds (the same O(1)
+    * budget as A4's 1-row broadcast-back relation; a data-proportional
+    * collect would not). Threshold is the exact percentile ROUNDed to 4
+    * decimals on 2-decimal inputs — the `agg_percentiles` portability
+    * rule — and the oracle inlines it as a scalar subquery. */
+  private def sessionVariable(spark: SparkSession, dir: String): DataFrame = {
+    Tables.table(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_qcut DOUBLE")
+    spark.sql(
+      "SET VAR graft_qcut = (SELECT ROUND(percentile(o_totalprice, 0.9), 4) FROM orders)")
+    spark.sql(
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_top,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_top
+        |FROM orders
+        |WHERE o_totalprice > graft_qcut
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_session_variable" -> (sessionVariable _),
     "sql_recursive_cte" ->
       ((s, dir) => run(s, dir, recursiveSql, Seq("customer"))),
     "sql_subquery_forms" ->
@@ -159,6 +184,16 @@ object Sql {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_session_variable" ->
+      """WITH c AS (
+        |  SELECT ROUND(quantile_cont(o_totalprice, 0.9), 4) AS qcut FROM orders)
+        |SELECT o_orderpriority,
+        |  COUNT(*) AS n_top,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_top
+        |FROM orders, c
+        |WHERE o_totalprice > qcut
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "sql_recursive_cte" -> recursiveSql,
     "sql_subquery_forms" -> subqSql,
     "sql_lateral_topk"  -> lateralSql,
