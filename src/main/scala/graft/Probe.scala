@@ -94,7 +94,18 @@ object Probe {
         // stays bounded by |sources|² regardless of corpus size
         "cross source" -> (p => operators.TextAnalysis.crossSourceDupes(spark, p).count()),
         "token packing" -> (p => operators.TextAnalysis.tokenPacking(spark, p).count()),
-        "mixture hhi" -> (p => operators.TextAnalysis.concentration(spark, p).count())
+        "mixture hhi" -> (p => operators.TextAnalysis.concentration(spark, p).count()),
+        // round-4 additions, measured at N=8 on sf0.01 (local[8]):
+        // end to end 0.36→0.52 s (composed 4-stage manifest pipeline —
+        // flat, dedup collapses the copies map-side); containment
+        // 1.6→55.7 s with output 512→312,704 pairs: every doc gains an
+        // 8-copy cluster so the TRUE containment pair set itself grows
+        // ~N²·|docs| — proportionate to the jaccard twin on the same run
+        // (44.7 s for the 156k one-direction pairs; containment emits
+        // both directions), i.e. the Σdf² index bound holding, not a
+        // hidden all-pairs
+        "containment" -> (p => operators.Dedup.containmentPairs(spark, p).count()),
+        "end to end" -> (p => operators.TextAnalysis.endToEnd(spark, p).count())
       ).foreach { case (name, f) =>
         f(dir) // untimed: compile this pipeline's codegen once
         // clearCache between measurements: pipelines with internal .cache()
