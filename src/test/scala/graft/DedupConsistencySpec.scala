@@ -42,4 +42,28 @@ class DedupConsistencySpec extends SparkSpec {
       assert(hamming.contains(pair), s"cluster pair $pair missing from hamming set")
     }
   }
+
+  test("containment dominates Jaccard on every shared pair") {
+    // theorem: C(a→b) = |∩|/|S(a)| >= |∩|/|∪| = J(a,b). So any jaccard
+    // pair with jaccard >= 0.8 (containment's own cut) and n_inter >= 5
+    // (which forces |S(a)| >= 5, clearing the min-size floor) MUST
+    // reappear in the containment entry, scored at least as high — two
+    // independent pipelines over the same index agreeing on a strict
+    // inequality, not just set overlap
+    val jac = Dedup.ngramJaccard(spark, sf)
+      .filter("jaccard >= 0.8 AND n_inter >= 5")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    val cont = Dedup.containmentPairs(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("containment"))
+      .toMap
+    assert(jac.nonEmpty && cont.nonEmpty)
+    jac.foreach { case (pair, j) =>
+      val c = cont.get(pair)
+      assert(c.isDefined, s"jaccard pair $pair (j=$j) missing from containment set")
+      assert(c.get >= j - 1e-12, s"containment ${c.get} < jaccard $j for $pair")
+    }
+  }
 }
