@@ -69,6 +69,37 @@ object Aggregates {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Exact WEIGHTED median per group — lowest l_extendedprice whose
+    * cumulative l_quantity weight reaches half the group's total weight
+    * (the classic "median price weighted by units sold"). Spark has no
+    * weighted percentile builtin; the relational formulation is two window
+    * passes over ONE shuffle on the group key (cumulative weight + group
+    * total), then a filter and a min-agg — no per-group buffering of
+    * values, unlike exact `percentile`, so per-task memory stays O(1).
+    * Determinism: weights are whole-unit quantities summed as
+    * DECIMAL(18,2) (exact in both engines) and the half-total test is the
+    * integer-exact `2·cum >= total`, division-free; the selected price is
+    * an input passthrough. Ties in price are harmless — whichever ordering
+    * equal-price rows take, the min qualifying price is identical — but
+    * the window still orders by (price, orderkey, linenumber) so the scan
+    * itself is reproducible. */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    val cumW = byFlag
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity").cast("decimal(18,2)").as("w"))
+      .withColumn("cumw", sum(col("w")).over(cumW))
+      .withColumn("totw", sum(col("w")).over(byFlag))
+      .withColumn("price", col("l_extendedprice"))
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("price")).as("weighted_median"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Incremental re-aggregation — the EXACT sibling of the sketch
     * entries' persist-partials pattern: two disjoint slices of orders
     * (a stand-in for two daily batches) are aggregated separately and the
@@ -462,6 +493,7 @@ object Aggregates {
     "agg_pricing_summary" -> (pricingSummary _),
     "agg_nation_revenue"  -> (nationRevenue _),
     "agg_percentiles"     -> (percentiles _),
+    "agg_weighted_median" -> (weightedMedian _),
     "agg_global_stats"    -> (globalStats _),
     "agg_approx_distinct" -> (approxDistinct _),
     "agg_quantile_sketch" -> (quantileSketch _),
@@ -606,6 +638,20 @@ object Aggregates {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "agg_weighted_median" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, l_extendedprice AS price,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |      PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |      PARTITION BY l_returnflag) AS totw
+        |  FROM lineitem)
+        |SELECT l_returnflag, MIN(price) AS weighted_median
+        |FROM s WHERE 2 * cumw >= totw
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // deliberately the DIRECT aggregation: re-aggregating partials must
     // be lossless
     "agg_incremental_rollup" ->

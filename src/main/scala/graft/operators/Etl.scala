@@ -460,7 +460,60 @@ object Etl {
       .orderBy(col("source"))
   }
 
+  /** Data-quality expectation audit — the constraint gate every ingest
+    * pipeline runs before publishing a batch (Deequ/expectations-style):
+    * one row per rule with checked/violation counts and a pass flag.
+    * Rules cover the four standard families: range (lineitem quantity /
+    * discount), referential integrity (orders.custkey ⊆ customer),
+    * uniqueness (customer key), and cross-field consistency (documents
+    * n_chars vs text; events value non-null/finite).
+    *
+    * Scale shape: all same-table rules share ONE scan — conditional
+    * `count(when)` partial aggs collapse each to a 1-row relation
+    * map-side, and `stack` fans the 1-row aggregate into rule rows
+    * (driver never sees a count). The FK rule is a broadcast left join
+    * against the distinct dimension keys — the dimension is the small
+    * side, so the 100 TB fact side streams. Total wire cost: a handful of
+    * 1-row partials, regardless of input size. */
+  def dqAudit(spark: SparkSession, dir: String): DataFrame = {
+    val liRules = Tables.lineitem(spark, dir)
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)).as("qty_bad"),
+        count(when(col("l_discount") < 0 || col("l_discount") > 1, 1)).as("disc_bad"))
+      .selectExpr(
+        """stack(2,
+          |  'lineitem_qty_range', n, qty_bad,
+          |  'lineitem_discount_range', n, disc_bad)
+          |AS (rule_name, n_checked, n_violations)""".stripMargin)
+    val custKeys = Tables.customer(spark, dir).select(col("c_custkey")).distinct()
+    val fkRule = Tables.orders(spark, dir)
+      .join(broadcast(custKeys), col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("n"), count(when(col("c_custkey").isNull, 1)).as("bad"))
+      .select(lit("orders_fk_customer").as("rule_name"),
+        col("n").as("n_checked"), col("bad").as("n_violations"))
+    val uniqRule = Tables.customer(spark, dir)
+      .agg(count(lit(1)).as("n"), countDistinct(col("c_custkey")).as("nd"))
+      .select(lit("customer_key_unique").as("rule_name"),
+        col("n").as("n_checked"), (col("n") - col("nd")).as("n_violations"))
+    val docRule = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n"),
+        count(when(col("n_chars") =!= length(col("text")), 1)).as("bad"))
+      .select(lit("documents_chars_consistent").as("rule_name"),
+        col("n").as("n_checked"), col("bad").as("n_violations"))
+    val evRule = Tables.events(spark, dir)
+      .agg(count(lit(1)).as("n"),
+        count(when(col("value").isNull || isnan(col("value")), 1)).as("bad"))
+      .select(lit("events_value_finite").as("rule_name"),
+        col("n").as("n_checked"), col("bad").as("n_violations"))
+    liRules.unionByName(fkRule).unionByName(uniqRule)
+      .unionByName(docRule).unionByName(evRule)
+      .withColumn("pass", col("n_violations") === 0)
+      .orderBy(col("rule_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_dq_audit" -> (dqAudit _),
     "etl_explode_outer" -> (explodeOuter _),
     "etl_try_cast" -> (tryCasts _),
     "etl_winsorize" -> (winsorize _),
@@ -484,6 +537,37 @@ object Etl {
   )
 
   val oracle: Map[String, String] = Map(
+    "etl_dq_audit" ->
+      """WITH li AS (
+        |  SELECT COUNT(*) AS n,
+        |    COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) AS qty_bad,
+        |    COUNT(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) AS disc_bad
+        |  FROM lineitem),
+        |fk AS (
+        |  SELECT COUNT(*) AS n,
+        |    COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS bad
+        |  FROM orders o
+        |  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o.o_custkey = c.c_custkey),
+        |cu AS (SELECT COUNT(*) AS n, COUNT(DISTINCT c_custkey) AS nd FROM customer),
+        |dc AS (
+        |  SELECT COUNT(*) AS n,
+        |    COUNT(CASE WHEN n_chars <> length(text) THEN 1 END) AS bad
+        |  FROM documents),
+        |ev AS (
+        |  SELECT COUNT(*) AS n,
+        |    COUNT(CASE WHEN value IS NULL OR isnan(value) THEN 1 END) AS bad
+        |  FROM events),
+        |u AS (
+        |  SELECT 'lineitem_qty_range' AS rule_name, n AS n_checked,
+        |    qty_bad AS n_violations FROM li
+        |  UNION ALL SELECT 'lineitem_discount_range', n, disc_bad FROM li
+        |  UNION ALL SELECT 'orders_fk_customer', n, bad FROM fk
+        |  UNION ALL SELECT 'customer_key_unique', n, n - nd FROM cu
+        |  UNION ALL SELECT 'documents_chars_consistent', n, bad FROM dc
+        |  UNION ALL SELECT 'events_value_finite', n, bad FROM ev)
+        |SELECT rule_name, n_checked, n_violations, n_violations = 0 AS pass
+        |FROM u ORDER BY rule_name""".stripMargin,
     "etl_explode_outer" ->
       """WITH t AS (
         |  SELECT doc_id, source,

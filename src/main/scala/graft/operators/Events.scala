@@ -53,6 +53,33 @@ object Events {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** EXACT distinct users per sliding 3-hour window (1-hour hop) — the
+    * sliding twin of tumblingHour's `countDistinct`. Naive sliding-distinct
+    * recomputes the distinct set per overlapping window (×3 the raw data
+    * over the wire). This plan never ships a raw event: (1) dedup to
+    * (user, hour) pairs — a hash-agg with map-side partials that collapses
+    * each user's burst within an hour to one row; (2) map-side explode of
+    * the 3 covering window starts (amplification happens on the ALREADY
+    * deduped relation); (3) dedup (user, window) — a user active in 2 of a
+    * window's 3 member hours must count once; (4) count per window. At
+    * 100 TB the wire cost is bounded by |users|·|hours| per stage, not by
+    * event volume, and every stage is a partial-agg-friendly hash-agg. */
+  def slidingDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val userHours = e
+      .select(date_trunc("hour", col("ts")).as("h"), col("user_id"))
+      .distinct()
+    val userWindows = userHours
+      .select(explode(sequence(lit(0), lit(2))).as("k"), col("h"), col("user_id"))
+      .select(col("h") - expr("make_interval(0, 0, 0, 0, k, 0, 0)").as("off"),
+        col("user_id"))
+      .toDF("window_start", "user_id")
+      .distinct()
+    userWindows.groupBy(col("window_start"))
+      .agg(count(lit(1)).as("n_distinct_users"))
+      .orderBy(col("window_start"))
+  }
+
   /** Sessionization with a 30-minute inactivity gap (batch twin of
     * Streams.sessionWindows): lag → gap flag → running sum = session id. */
   def sessionization(spark: SparkSession, dir: String): DataFrame = {
@@ -377,6 +404,7 @@ object Events {
     "events_rate_anomaly"  -> (rateAnomaly _),
     "events_tumbling_hour" -> (tumblingHour _),
     "events_sliding_3h"    -> (slidingThreeHour _),
+    "events_sliding_distinct" -> (slidingDistinctUsers _),
     "events_resample_gapfill" -> (resampleGapfill _),
     "events_sessionization" -> (sessionization _),
     "events_session_window" -> (sessionWindowNative _),
@@ -516,6 +544,15 @@ object Events {
         |FROM w
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    "events_sliding_distinct" ->
+      """WITH uh AS (
+        |  SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events),
+        |uw AS (
+        |  SELECT DISTINCT h - k * INTERVAL 1 HOUR AS window_start, user_id
+        |  FROM uh CROSS JOIN (SELECT unnest([0, 1, 2]) AS k))
+        |SELECT window_start, COUNT(*) AS n_distinct_users
+        |FROM uw GROUP BY window_start
+        |ORDER BY window_start""".stripMargin,
     "events_cumulative_users" ->
       """WITH fd AS (
         |  SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS first_day

@@ -147,10 +147,48 @@ object Graph {
       .orderBy(desc("n_triangles"), col("s_suppkey"))
   }
 
+  /** Hop-distance horizon for the BFS entry: 4 bounded rounds keeps the
+    * plan static and the oracle expressible as a depth-capped recursion —
+    * the "neighborhood within k hops" query pattern (impact radius,
+    * supply-chain blast zone), not full single-source shortest path. */
+  private val MaxHops = 4
+
+  /** Multi-source BFS: exact shortest HOP distance (≤ MaxHops) from a
+    * seed set (suppliers 1–5) to every reachable node in the bipartite
+    * supply graph — the traversal primitive next to pagerank's fixed-point
+    * and dedup_cc's contraction. Level-synchronous frontier expansion:
+    * each round joins ONLY the current frontier (nodes first discovered
+    * last round — strictly shrinking as the neighborhood saturates)
+    * against the cached, pre-partitioned edge list, then folds candidates
+    * into the distance relation with a min-agg. Everything is equi-join +
+    * hash-agg; per-round wire cost is |frontier|·avg-degree, never
+    * |edges|, and the driver holds no vertex state — the 100 TB BFS
+    * shape. Distances are small integers: bit-deterministic, no float
+    * anywhere. Oracle: depth-capped WITH RECURSIVE (UNION dedup) + MIN —
+    * topology-independent, like dedup_cc's closure oracle. */
+  def khopDistance(spark: SparkSession, dir: String): DataFrame = {
+    val ed = edges(spark, dir).repartition(col("src")).cache()
+    val seeds = Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") <= 5)
+      .select((col("l_suppkey") * 2).as("node")).distinct()
+    var dist = seeds.withColumn("d", lit(0L))
+    for (k <- 1 to MaxHops) {
+      val frontier = dist.filter(col("d") === (k - 1))
+      val next = frontier.select(col("node")).alias("f")
+        .join(ed.alias("e"), col("f.node") === col("e.src"))
+        .select(col("e.dst").as("node"), lit(k.toLong).as("d"))
+        .distinct()
+      dist = dist.unionByName(next)
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+    }
+    dist.select(col("node"), col("d").as("dist")).orderBy(col("node"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank"   -> (pagerank _),
     "graph_degree_hist" -> (degreeHistogram _),
-    "graph_triangles"  -> (triangleCounts _)
+    "graph_triangles"  -> (triangleCounts _),
+    "graph_khop_distance" -> (khopDistance _)
   )
 
   private val edgeCtes =
@@ -180,6 +218,22 @@ object Graph {
          |SELECT node, r / 1000000.0 AS rank FROM r3
          |ORDER BY rank DESC, node
          |LIMIT 25""".stripMargin,
+    "graph_khop_distance" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT s * 2 AS src, p * 2 + 1 AS dst FROM e0
+        |  UNION ALL
+        |  SELECT p * 2 + 1 AS src, s * 2 AS dst FROM e0),
+        |bfs(node, d) AS (
+        |  SELECT DISTINCT l_suppkey * 2 AS node, 0 AS d
+        |  FROM lineitem WHERE l_suppkey <= 5
+        |  UNION
+        |  SELECT e.dst, bfs.d + 1 FROM bfs JOIN e ON bfs.node = e.src
+        |  WHERE bfs.d < 4)
+        |SELECT node, CAST(MIN(d) AS BIGINT) AS dist
+        |FROM bfs GROUP BY node
+        |ORDER BY node""".stripMargin,
     "graph_degree_hist" ->
       s"""WITH $edgeCtes
          |SELECT d AS degree, COUNT(*) AS n_nodes

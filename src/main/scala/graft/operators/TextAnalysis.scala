@@ -638,6 +638,59 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Bloom-filter PREFILTER in front of an exact membership semi-join —
+    * the runtime-filter pattern written out relationally: build a bitset
+    * over the SMALL side's keys (eval-split lead fingerprints), broadcast
+    * it, and discard most of the 100 TB probe side BEFORE any
+    * key-shuffling join; then an exact semi-join on the survivors kills
+    * the bloom's false positives. Bloom filters have NO false negatives
+    * (every probe position of a true member was set by that very member,
+    * computed by the same hash expressions), so the final answer provably
+    * equals the plain exact semi-join — which is exactly what the oracle
+    * runs, bloom-free. m=8192 bits / k=3 hashes (seeded by suffixing the
+    * key) keeps the broadcast under a shuffle page; the candidate check is
+    * "ALL k positions present": probe rows left-join the bitset and a doc
+    * survives iff no position missed. BloomSpec pins the prefilter's
+    * selectivity (candidates ≪ probe side) so the entry can't silently
+    * degrade into scan-everything. */
+  /** The prefilter's stages, split out so BloomSpec can pin selectivity:
+    * (probe docs, bloom-surviving candidates, distinct eval fingerprints).
+    * Candidate set ⊇ true matches (no false negatives) and ≪ probe set
+    * (that's the point). */
+  private[graft] def bloomStages(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val BloomBits = 8192
+    val NumHashes = 3
+    def positions(key: org.apache.spark.sql.Column) =
+      array((1 to NumHashes).map(i =>
+        pmod(xxhash64(concat(key, lit(s"#$i"))), lit(BloomBits.toLong))): _*)
+    val lead = concat_ws(" ", slice(split(col("text"), " "), 1, 5))
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        substring(md5(col("text")), 1, 1).as("hx"), md5(lead).as("fp"))
+    val isEval = col("hx").isin("e", "f")
+    val evalFps = t.filter(isEval).select(col("fp")).distinct()
+    val bits = evalFps.select(explode(positions(col("fp"))).as("pos"))
+      .distinct().withColumn("hit", lit(1))
+    val probeDocs = t.filter(!isEval)
+      .select(col("doc_id"), col("source"), col("fp"))
+    val probe = probeDocs
+      .select(col("doc_id"), col("source"), col("fp"),
+        explode(positions(col("fp"))).as("pos"))
+    val candidates = probe.join(broadcast(bits), Seq("pos"), "left")
+      .groupBy(col("doc_id"), col("source"), col("fp"))
+      .agg((count(lit(1)) === count(col("hit"))).as("all_hit"))
+      .filter(col("all_hit"))
+    (probeDocs, candidates, evalFps)
+  }
+
+  def bloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    val (_, candidates, evalFps) = bloomStages(spark, dir)
+    candidates.join(evalFps, Seq("fp"), "left_semi")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_matched"))
+      .orderBy(col("source"))
+  }
+
   /** The custom GENERATOR from SQL text (`graft.expressions.NGrams` via
     * LATERAL VIEW — the table-function face of the extension ladder, as
     * `sql_graft_dot` is for the scalar Expression): top-20 corpus bigrams
@@ -825,6 +878,7 @@ object TextAnalysis {
     "text_repetition" -> (repetitionSignals _),
     "text_ngram_generator" -> (ngramGenerator _),
     "pipe_contamination" -> (contamination _),
+    "pipe_bloom_prefilter" -> (bloomPrefilter _),
     "pipe_mixture_sample" -> (mixtureSample _),
     "pipe_domain_cap" -> (domainCap _),
     "text_normalize_dedup" -> (normalizeDedup _),
@@ -952,6 +1006,21 @@ object TextAnalysis {
         |GROUP BY ngram
         |ORDER BY n DESC, ngram
         |LIMIT 20""".stripMargin,
+    // deliberately bloom-free: the prefilter is an optimization whose
+    // result must EQUAL the exact semi-join (no false negatives)
+    "pipe_bloom_prefilter" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, substr(md5(text), 1, 1) AS hx,
+        |    md5(array_to_string(
+        |      list_slice(string_split(text, ' '), 1, 5), ' ')) AS fp
+        |  FROM documents),
+        |ev AS (SELECT DISTINCT fp FROM t WHERE hx IN ('e', 'f')),
+        |tr AS (
+        |  SELECT doc_id, source, fp FROM t WHERE hx NOT IN ('e', 'f'))
+        |SELECT tr.source, COUNT(*) AS n_matched
+        |FROM tr WHERE fp IN (SELECT fp FROM ev)
+        |GROUP BY tr.source
+        |ORDER BY tr.source""".stripMargin,
     "pipe_contamination" ->
       """WITH t AS (
         |  SELECT doc_id, source, substr(md5(text), 1, 1) AS hx,
