@@ -441,6 +441,47 @@ object Aggregates {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Exact-moment linear regression per group — `regr_slope` /
+    * `regr_intercept` / `regr_r2` re-derived the agg_corr_manual way:
+    * the builtins are un-oracleable (engine-specific double accumulation
+    * order), but the five moments as EXACT decimal sums over 2-decimal
+    * inputs are associative and partition-order-independent, and the
+    * closed forms are one identical IEEE chain on those moments. Grouped
+    * by supplier nation (two broadcast dim hops on the 100 TB fact
+    * side — dims never shuffle the fact). Round-6 absorbs the
+    * decimal→double conversion ulp (module rule, see corrManual). */
+  def regressionManual(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val li = Tables.lineitem(spark, dir)
+    val sup = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    val m = li
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        col("l_quantity").cast(DecimalType(12, 2)).as("x"),
+        col("l_extendedprice").cast(DecimalType(12, 2)).as("y"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"))
+    m.withColumn("slope_raw",
+        (col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx")))
+      .select(col("n_name"), col("n"),
+        round(col("slope_raw"), 6).as("slope"),
+        round((col("sy") - col("slope_raw") * col("sx")) / col("n"), 6).as("intercept"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+            * (col("n") * col("sxy") - col("sx") * col("sy"))
+          / ((col("n") * col("sxx") - col("sx") * col("sx"))
+            * (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+      .orderBy(col("n_name"))
+  }
+
   /** Ordered string aggregation (LISTAGG) — the report-building agg:
     * per-region roster of nation names as one delimited string. Expressed
     * as `concat_ws` over a SORTED collect_list so the result is a unique
@@ -485,6 +526,7 @@ object Aggregates {
     "agg_mode_deterministic" -> (modeDeterministic _),
     "agg_string_agg" -> (stringAgg _),
     "agg_corr_manual" -> (corrManual _),
+    "agg_regression_manual" -> (regressionManual _),
     "agg_collect_roster" -> (collectRoster _),
     "agg_topk_aggregator" -> (topkPerGroup _),
     "agg_topk_native" -> (topkNative _),
@@ -543,6 +585,30 @@ object Aggregates {
         |  ROUND((n * sxy - sx * sy)
         |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_xy
         |FROM s ORDER BY l_returnflag""".stripMargin,
+    "agg_regression_manual" ->
+      """WITH l AS (
+        |  SELECT n_name,
+        |    CAST(l_quantity AS DECIMAL(12,2)) AS x,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS y
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |s AS (
+        |  SELECT n_name, COUNT(*) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(y * y) AS DOUBLE) AS syy,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy
+        |  FROM l GROUP BY n_name),
+        |sl AS (
+        |  SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_raw
+        |  FROM s)
+        |SELECT n_name, n,
+        |  ROUND(slope_raw, 6) AS slope,
+        |  ROUND((sy - slope_raw * sx) / n, 6) AS intercept,
+        |  ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM sl ORDER BY n_name""".stripMargin,
     "agg_collect_roster" ->
       """SELECT r_name,
         |  array_to_string(list_sort(array_agg(n_name)), ',') AS nations,

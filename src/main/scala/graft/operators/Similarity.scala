@@ -107,6 +107,28 @@ object Similarity {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** RANGE (radius) search — the similarity query top-k can't answer:
+    * ALL corpus vectors within a cosine radius of each budget query
+    * (τ = 0.25), however many or few that is. Top-k returns k rows even
+    * when nothing is actually close; range search is what near-dup
+    * thresholding and "anything above the relevance floor" retrieval
+    * run on. Same O(|Q|·n) single-scan shape as knnBrute (fixed budget,
+    * bounded broadcast), but the per-query result is data-dependent, so
+    * the output carries no rank — the (q_id, cos DESC, vec_id) ordering
+    * is still total because cosines are bit-deterministic double folds.
+    * At scale the same τ-filter composes with the LSH/IVF candidate
+    * generators exactly as the top-k variants do. */
+  def rangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val all = vectors(spark, dir).cache() // both sides derive from it
+    val q = all.filter(col("vec_id") < QueryBudget)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    broadcast(q).join(all, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        VectorOps.cosine(VectorOps.dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos"))
+      .filter(col("cos") >= 0.25)
+      .orderBy(col("q_id"), col("cos").desc, col("vec_id"))
+  }
+
   /** Sign bits a multiprobe query flips (probes = 1 + MultiProbeFlips). */
   private[graft] val MultiProbeFlips = 2
 
@@ -528,6 +550,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_brute" -> (knnBrute _),
+    "sim_range_search" -> (rangeSearch _),
     "sim_knn_lsh"   -> (knnLsh _),
     "sim_knn_lsh_multiprobe" -> (knnLshMultiprobe _),
     "sim_knn_ivf"   -> (knnIvf _),
@@ -599,6 +622,18 @@ object Similarity {
         |FROM x
         |GROUP BY label, dim
         |ORDER BY label, dim""".stripMargin,
+    "sim_range_search" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, v,
+        |    sqrt(${dotSql.format("v", "v")}) AS nrm
+        |  FROM e)
+        |SELECT q.vec_id AS q_id, a.vec_id, a.label,
+        |  ${dotSql.format("q.v", "a.v")} / (q.nrm * a.nrm) AS cos
+        |FROM n q JOIN n a ON q.vec_id < $QueryBudget AND q.vec_id <> a.vec_id
+        |WHERE ${dotSql.format("q.v", "a.v")} / (q.nrm * a.nrm) >= 0.25
+        |ORDER BY q_id, cos DESC, a.vec_id""".stripMargin,
     "sim_knn_brute" ->
       s"""WITH e AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

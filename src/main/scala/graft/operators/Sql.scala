@@ -38,6 +38,24 @@ object Sql {
       |WHERE seg_rank <= 5
       |ORDER BY seg_rank, c_mktsegment""".stripMargin
 
+  /** SQL-surface PIVOT clause — the parser-path face of text_pivot_langs'
+    * DataFrame `.pivot()`: long→wide per-source language counts with a
+    * FIXED value list (an open-ended list would need a driver-side
+    * distinct pass — the DataFrame twin documents the same rule). Both
+    * engines parse this subquery-PIVOT form verbatim; the COALESCE wrapper
+    * normalizes the empty-cell convention (Spark leaves NULL, DuckDB 0),
+    * which is exactly the dialect edge a pivot porting guide warns about.
+    * Plan-wise Spark lowers PIVOT to the same conditional-aggregate Expand
+    * the DataFrame twin produces: one hash-agg, |sources|×|langs| output. */
+  private val pivotSql =
+    """SELECT source,
+      |  COALESCE(en, 0) AS n_en, COALESCE(de, 0) AS n_de,
+      |  COALESCE(es, 0) AS n_es, COALESCE(fr, 0) AS n_fr,
+      |  COALESCE(zh, 0) AS n_zh
+      |FROM (SELECT source, lang FROM documents)
+      |PIVOT (COUNT(*) FOR lang IN ('en', 'de', 'es', 'fr', 'zh'))
+      |ORDER BY source""".stripMargin
+
   /** Q5-shape: derived-metric expressions with a NULLIF divide guard.
     * Ref: /root/reference/code/03_SQLOperations.scala:143-152. */
   private val rateSql =
@@ -180,6 +198,8 @@ object Sql {
       ((s, dir) => run(s, dir, rankSql, Seq("orders", "customer"))),
     "sql_rate_nullif" ->
       ((s, dir) => run(s, dir, rateSql, Seq("orders"))),
+    "sql_pivot_stmt" ->
+      ((s, dir) => run(s, dir, pivotSql, Seq("documents"))),
     "sql_graft_dot" -> (graftDotSql _)
   )
 
@@ -199,6 +219,7 @@ object Sql {
     "sql_lateral_topk"  -> lateralSql,
     "sql_cte_rank_topk" -> rankSql,
     "sql_rate_nullif"   -> rateSql,
+    "sql_pivot_stmt"    -> pivotSql,
     "sql_graft_dot" ->
       """SELECT vec_id,
         |  list_reduce(
