@@ -441,6 +441,45 @@ object Aggregates {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Exact-moment skewness / kurtosis — the 3rd/4th-moment builtins
+    * (`skewness`, `kurtosis`) re-derived the corrManual way: raw power
+    * sums Σx..Σx⁴ as exact decimal aggregates (2-decimal inputs keep even
+    * x⁴ exactly representable in decimal), then the central-moment closed
+    * forms as one identical IEEE chain. `sqrt(m2)*m2` replaces `pow(m2,
+    * 1.5)` deliberately: sqrt is IEEE-correctly-rounded in both engines,
+    * libm `pow` is not. Round-6 absorbs the decimal→double conversion ulp
+    * (module rule). Distribution-shape profiling — the first look a
+    * feature-quality pass takes at a numeric column — as one hash-agg
+    * with map-side partials. */
+  def skewKurtosis(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // integer CENTS, not DECIMAL(12,2): the 4th power would overflow both
+    // engines' 38-digit decimal product (DuckDB errors, Spark would round).
+    // Skew/kurt are scale-invariant, so the cents domain needs no rescale;
+    // scale-0 decimal powers stay exact (DuckDB runs the same in HUGEINT).
+    val m = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast(DecimalType(14, 0)).as("x"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("s1"),
+        sum(col("x") * col("x")).cast("double").as("s2"),
+        sum(col("x") * col("x") * col("x")).cast("double").as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).cast("double").as("s4"))
+    val mu = col("s1") / col("n")
+    val m2 = col("s2") / col("n") - mu * mu
+    val m3 = col("s3") / col("n") - lit(3.0) * mu * (col("s2") / col("n")) +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("s4") / col("n") - lit(4.0) * mu * (col("s3") / col("n")) +
+      lit(6.0) * mu * mu * (col("s2") / col("n")) - lit(3.0) * mu * mu * mu * mu
+    m.select(col("o_orderpriority"), col("n"),
+        round(m3 / (sqrt(m2) * m2), 6).as("skew_pop"),
+        round(m4 / (m2 * m2) - lit(3.0), 6).as("kurt_excess"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Exact-moment linear regression per group — `regr_slope` /
     * `regr_intercept` / `regr_r2` re-derived the agg_corr_manual way:
     * the builtins are un-oracleable (engine-specific double accumulation
@@ -527,6 +566,7 @@ object Aggregates {
     "agg_string_agg" -> (stringAgg _),
     "agg_corr_manual" -> (corrManual _),
     "agg_regression_manual" -> (regressionManual _),
+    "agg_skew_kurtosis" -> (skewKurtosis _),
     "agg_collect_roster" -> (collectRoster _),
     "agg_topk_aggregator" -> (topkPerGroup _),
     "agg_topk_native" -> (topkNative _),
@@ -585,6 +625,32 @@ object Aggregates {
         |  ROUND((n * sxy - sx * sy)
         |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_xy
         |FROM s ORDER BY l_returnflag""".stripMargin,
+    "agg_skew_kurtosis" ->
+      """WITH s AS (
+        |  SELECT o_orderpriority, COUNT(*) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS s1,
+        |    CAST(SUM(x * x) AS DOUBLE) AS s2,
+        |    CAST(SUM(x * x * x) AS DOUBLE) AS s3,
+        |    CAST(SUM(x * x * x * x) AS DOUBLE) AS s4
+        |  FROM (SELECT o_orderpriority,
+        |          CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS HUGEINT) AS x
+        |        FROM orders)
+        |  GROUP BY o_orderpriority),
+        |c AS (
+        |  SELECT o_orderpriority, n,
+        |    s1 / n AS mu, s2 / n AS r2, s3 / n AS r3, s4 / n AS r4
+        |  FROM s),
+        |m AS (
+        |  SELECT o_orderpriority, n,
+        |    r2 - mu * mu AS m2,
+        |    r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+        |    r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+        |      - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM c)
+        |SELECT o_orderpriority, n,
+        |  ROUND(m3 / (sqrt(m2) * m2), 6) AS skew_pop,
+        |  ROUND(m4 / (m2 * m2) - 3.0, 6) AS kurt_excess
+        |FROM m ORDER BY o_orderpriority""".stripMargin,
     "agg_regression_manual" ->
       """WITH l AS (
         |  SELECT n_name,

@@ -271,6 +271,51 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** As-of NEAREST (pandas merge_asof(direction='nearest')): each click
+    * takes whichever same-user purchase is closer in time — backward or
+    * forward — with ties to the backward (earlier) match, the attribution
+    * rule "closest touchpoint wins". One union-merge + ONE shuffle on
+    * user_id carries BOTH directional window passes (last-non-null
+    * preceding and first-non-null following over the same sorted
+    * partition); the pick is a pure projection on the two candidates.
+    * Same-ts purchases sort before the click (side order), so they are
+    * backward delta-0 matches — and since backward wins ties, the oracle's
+    * inclusive-both-directions native ASOF pair resolves to the identical
+    * purchase even where the directional windows disagree on who "sees"
+    * the equal timestamp. */
+  def asofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("event_id")).as("p_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val u = clicks
+      .select(col("user_id"), col("ts_us"), lit(1).as("side"),
+        col("event_id"), lit(null).cast("long").as("p_id"),
+        lit(null).cast("long").as("p_ts_us"))
+      .unionByName(purchases
+        .select(col("user_id"), col("ts_us"), lit(0).as("side"),
+          lit(null).cast("long").as("event_id"), col("p_id"),
+          col("ts_us").as("p_ts_us")))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("side"), col("event_id"))
+    val wb = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val wf = ord.rowsBetween(0, Window.unboundedFollowing)
+    val backWins = col("f_ts").isNull ||
+      (col("b_ts").isNotNull && col("ts_us") - col("b_ts") <= col("f_ts") - col("ts_us"))
+    u.withColumn("b_id", last(col("p_id"), ignoreNulls = true).over(wb))
+      .withColumn("b_ts", last(col("p_ts_us"), ignoreNulls = true).over(wb))
+      .withColumn("f_id", first(col("p_id"), ignoreNulls = true).over(wf))
+      .withColumn("f_ts", first(col("p_ts_us"), ignoreNulls = true).over(wf))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        when(backWins, col("b_id")).otherwise(col("f_id")).as("near_p_id"),
+        when(backWins, col("b_ts")).otherwise(col("f_ts")).as("near_p_ts_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** As-of with TOLERANCE (pandas merge_asof(tolerance=...)): the backward
     * match is kept only when the matched purchase is within 1 hour of the
     * click — staler matches are nulled out, which is how feature pipelines
@@ -412,6 +457,7 @@ object Events {
     "join_asof_clicks"     -> (asofClicks _),
     "join_asof_forward"    -> (asofForward _),
     "join_asof_tolerance"  -> (asofTolerance _),
+    "join_asof_nearest"    -> (asofNearest _),
     "join_asof_custom"     -> (asofClicksCustom _),
     "join_interval_clicks" -> (intervalClicks _),
     "join_interval_left"   -> (intervalClicksLeft _)
@@ -480,6 +526,32 @@ object Events {
         |FROM c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND c.ts_us <= p.p_ts_us
         |ORDER BY c.event_id""".stripMargin,
+    "join_asof_nearest" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS p_ts_us, MAX(event_id) AS p_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, epoch_us(ts)),
+        |c AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'click'),
+        |b AS (
+        |  SELECT c.event_id, c.user_id, c.ts_us,
+        |    p.p_id AS b_id, p.p_ts_us AS b_ts
+        |  FROM c ASOF LEFT JOIN p
+        |    ON c.user_id = p.user_id AND c.ts_us >= p.p_ts_us),
+        |f AS (
+        |  SELECT c.event_id, p.p_id AS f_id, p.p_ts_us AS f_ts
+        |  FROM c ASOF LEFT JOIN p
+        |    ON c.user_id = p.user_id AND c.ts_us <= p.p_ts_us)
+        |SELECT b.event_id, b.user_id, b.ts_us,
+        |  CASE WHEN f.f_ts IS NULL OR (b.b_ts IS NOT NULL
+        |    AND b.ts_us - b.b_ts <= f.f_ts - b.ts_us)
+        |    THEN b.b_id ELSE f.f_id END AS near_p_id,
+        |  CASE WHEN f.f_ts IS NULL OR (b.b_ts IS NOT NULL
+        |    AND b.ts_us - b.b_ts <= f.f_ts - b.ts_us)
+        |    THEN b.b_ts ELSE f.f_ts END AS near_p_ts_us
+        |FROM b JOIN f ON b.event_id = f.event_id
+        |ORDER BY b.event_id""".stripMargin,
     "join_asof_tolerance" ->
       """WITH p AS (
         |  SELECT user_id, epoch_us(ts) AS p_ts_us, MAX(event_id) AS p_id

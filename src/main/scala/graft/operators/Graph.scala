@@ -166,13 +166,16 @@ object Graph {
     * shape. Distances are small integers: bit-deterministic, no float
     * anywhere. Oracle: depth-capped WITH RECURSIVE (UNION dedup) + MIN —
     * topology-independent, like dedup_cc's closure oracle. */
-  def khopDistance(spark: SparkSession, dir: String): DataFrame = {
-    val ed = edges(spark, dir).repartition(col("src")).cache()
-    val seeds = Tables.lineitem(spark, dir)
-      .filter(col("l_suppkey") <= 5)
-      .select((col("l_suppkey") * 2).as("node")).distinct()
-    var dist = seeds.withColumn("d", lit(0L))
-    for (k <- 1 to MaxHops) {
+  /** The BFS core over an arbitrary (src, dst) edge relation and (node)
+    * seed relation — split from the catalog entry so GraphSpec can drive
+    * it on a long-path fixture where depths actually reach the horizon
+    * (the harness supply graph is dense: most nodes sit ≤ 2 hops from any
+    * seed, so the catalog oracle alone under-exercises the deep levels). */
+  private[graft] def bfsDistances(edgeRel: DataFrame, seeds: DataFrame,
+                                  maxHops: Int): DataFrame = {
+    val ed = edgeRel.repartition(col("src")).cache()
+    var dist = seeds.select(col("node")).withColumn("d", lit(0L))
+    for (k <- 1 to maxHops) {
       val frontier = dist.filter(col("d") === (k - 1))
       val next = frontier.select(col("node")).alias("f")
         .join(ed.alias("e"), col("f.node") === col("e.src"))
@@ -182,6 +185,13 @@ object Graph {
         .groupBy(col("node")).agg(min(col("d")).as("d"))
     }
     dist.select(col("node"), col("d").as("dist")).orderBy(col("node"))
+  }
+
+  def khopDistance(spark: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") <= 5)
+      .select((col("l_suppkey") * 2).as("node")).distinct()
+    bfsDistances(edges(spark, dir), seeds, MaxHops)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -62,4 +62,36 @@ class GraphSpec extends SparkSpec {
     assert(fast == naive, s"degree-ordered=$fast naive=$naive")
     assert(fast.nonEmpty, "fixture produced no triangles at sf0.001")
   }
+
+  test("BFS on a long path fixture: exact depths out to the horizon, beyond it absent") {
+    import spark.implicits._
+    // path 0-1-2-...-40, seed {0}: the harness supply graph is too dense to
+    // reach depth 4, so the deep frontier levels are pinned here instead
+    val path = (0L until 40L).map(i => (i, i + 1))
+    val edges = path.toDF("src", "dst")
+      .unionByName(path.map(_.swap).toDF("src", "dst"))
+    val seeds = Seq(0L).toDF("node")
+    val dist = Graph.bfsDistances(edges, seeds, maxHops = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // exactly nodes 0..4, each at its true path distance; 5+ unreachable in 4 hops
+    assert(dist == (0L to 4L).map(i => i -> i).toMap,
+      s"path-graph BFS distances wrong: $dist")
+  }
+
+  test("BFS level monotonicity on the corpus: every non-seed node sits one hop above some neighbor") {
+    val d = Graph.khopDistance(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val edges = Tables.lineitem(spark, sf0001)
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+      .collect().flatMap(r => {
+        val s = r.getLong(0) * 2; val p = r.getLong(1) * 2 + 1
+        Seq((s, p), (p, s))
+      })
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    d.foreach { case (n, dn) =>
+      if (dn > 0)
+        assert(adj(n).exists(m => d.get(m).contains(dn - 1)),
+          s"node $n at depth $dn has no neighbor at depth ${dn - 1}")
+    }
+  }
 }
