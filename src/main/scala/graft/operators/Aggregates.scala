@@ -441,6 +441,34 @@ object Aggregates {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Gini coefficient per group — the inequality/concentration measure
+    * mixture balancing reads next to pipe_mixture_hhi's HHI, from the
+    * rank formulation G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over ascending
+    * values: one window pass (row_number over the group-key shuffle) +
+    * one hash-agg. All terms are exact INT64 in integer cents (Σi·x is
+    * rank-weighted, bounded by n²·max-cents — far inside 2⁶³ at any
+    * harness SF), and ties in x are rank-order-invariant (equal values
+    * swap equal contributions), so the single final division of two
+    * exactly-convertible integers is the only float op — deterministic in
+    * both engines without rounding. */
+  def giniCoefficient(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("x"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast("long").as("x"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("i") * col("x")).as("six"))
+      .select(col("o_orderpriority"), col("n"),
+        ((lit(2L) * col("six") - (col("n") + 1) * col("sx")).cast("double")
+          / (col("n") * col("sx")).cast("double")).as("gini"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Exact-moment skewness / kurtosis — the 3rd/4th-moment builtins
     * (`skewness`, `kurtosis`) re-derived the corrManual way: raw power
     * sums Σx..Σx⁴ as exact decimal aggregates (2-decimal inputs keep even
@@ -567,6 +595,7 @@ object Aggregates {
     "agg_corr_manual" -> (corrManual _),
     "agg_regression_manual" -> (regressionManual _),
     "agg_skew_kurtosis" -> (skewKurtosis _),
+    "agg_gini" -> (giniCoefficient _),
     "agg_collect_roster" -> (collectRoster _),
     "agg_topk_aggregator" -> (topkPerGroup _),
     "agg_topk_native" -> (topkNative _),
@@ -625,6 +654,25 @@ object Aggregates {
         |  ROUND((n * sxy - sx * sy)
         |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_xy
         |FROM s ORDER BY l_returnflag""".stripMargin,
+    "agg_gini" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority, x,
+        |    CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY o_orderpriority ORDER BY x, o_orderkey) AS BIGINT) AS i
+        |  FROM c),
+        |s AS (
+        |  SELECT o_orderpriority, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(i * x) AS BIGINT) AS six
+        |  FROM r GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, n,
+        |  CAST(2 * six - (n + 1) * sx AS DOUBLE)
+        |    / CAST(n * sx AS DOUBLE) AS gini
+        |FROM s ORDER BY o_orderpriority""".stripMargin,
     "agg_skew_kurtosis" ->
       """WITH s AS (
         |  SELECT o_orderpriority, COUNT(*) AS n,

@@ -385,6 +385,36 @@ object Dedup {
         .orderBy(col("doc_id"))
     })
 
+  /** INCREMENTAL connected components — the daily-batch shape: when a new
+    * slice of near-dup pairs lands, a 100 TB pipeline cannot re-cluster
+    * the full history; it contracts (yesterday's labels as STAR edges) ∪
+    * (today's pairs) — a relation of \|docs\| + \|new pairs\| rows, not
+    * \|all pairs\|. Star edges are already depth-1, so prior structure
+    * costs ~1 contraction round; only the new pairs drive real work.
+    * The label algebra makes this EXACT, not approximate: components of
+    * (stars ∪ new) equal components of (old ∪ new), and min-labels agree
+    * because each star keeps its component's minimum as the center — so
+    * the entry is gated by the SAME topology-independent full-closure
+    * oracle as dedup_cc_clusters, which is precisely the "incremental ≡
+    * full recompute" claim. Batch split is deterministic (pair-hash 1-in-5
+    * "today"). Memoized like dedupClusters (eager iterative fit). */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame =
+    ccIncMemo.getOrElseUpdate((spark, dir), {
+      val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+      val isNew = pmod(xxhash64(col("doc_a"), col("doc_b")), lit(5)) === 0
+      val (oldLabels, _) = ccContract(pairs.filter(!isNew))
+      val stars = oldLabels
+        .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+      val (labels, _) = ccContract(stars.unionByName(pairs.filter(isNew)))
+      val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
+      labels.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("n_docs"))
+        .orderBy(col("doc_id"))
+    })
+
+  private val ccIncMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** The dedup pipeline's ENDING: the survivor report a corpus job
     * actually emits. The contraction converges to stars centered at the
     * minimum doc_id per component, so the cluster label IS the survivor; per
@@ -436,6 +466,7 @@ object Dedup {
     "dedup_fuzzy_names"     -> (fuzzyNames _),
     "dedup_cc_survivors"    -> (dedupSurvivors _),
     "dedup_cc_clusters"     -> (dedupClusters _),
+    "dedup_cc_incremental"  -> (dedupIncremental _),
     "dedup_minhash_lsh"     -> (minhashLsh _),
     "dedup_ngram_jaccard"   -> (ngramJaccard _),
     "dedup_containment"     -> (containmentPairs _),
@@ -492,6 +523,24 @@ object Dedup {
       |  JOIN sh sa ON sa.doc_id = doc_a
       |  JOIN sh sb ON sb.doc_id = doc_b)""".stripMargin
 
+  private lazy val ccClosureSql: String =
+    s"""WITH RECURSIVE $minhashPairCtes,
+      |pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.7),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b, doc_a FROM pairs),
+      |nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+      |reach(doc_id, label) AS (
+      |  SELECT doc_id, doc_id FROM nodes
+      |  UNION
+      |  SELECT e.b, r.label FROM reach r JOIN edges e ON r.doc_id = e.a),
+      |lab AS (SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id),
+      |cs AS (SELECT cluster_id, COUNT(*) AS n_docs FROM lab GROUP BY cluster_id)
+      |SELECT l.doc_id, l.cluster_id, cs.n_docs
+      |FROM lab l JOIN cs USING (cluster_id)
+      |ORDER BY l.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_fuzzy_names" ->
       """WITH names AS (
@@ -530,23 +579,10 @@ object Dedup {
         |  string_agg(doc_id, ',' ORDER BY doc_id) AS members
         |FROM lab GROUP BY cluster_id
         |ORDER BY survivor_doc""".stripMargin,
-    "dedup_cc_clusters" ->
-      s"""WITH RECURSIVE $minhashPairCtes,
-        |pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.7),
-        |edges AS (
-        |  SELECT doc_a AS a, doc_b AS b FROM pairs
-        |  UNION ALL
-        |  SELECT doc_b, doc_a FROM pairs),
-        |nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
-        |reach(doc_id, label) AS (
-        |  SELECT doc_id, doc_id FROM nodes
-        |  UNION
-        |  SELECT e.b, r.label FROM reach r JOIN edges e ON r.doc_id = e.a),
-        |lab AS (SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id),
-        |cs AS (SELECT cluster_id, COUNT(*) AS n_docs FROM lab GROUP BY cluster_id)
-        |SELECT l.doc_id, l.cluster_id, cs.n_docs
-        |FROM lab l JOIN cs USING (cluster_id)
-        |ORDER BY l.doc_id""".stripMargin,
+    "dedup_cc_clusters" -> ccClosureSql,
+    // the SAME full-closure oracle: "incremental maintenance ≡ full
+    // recompute" IS the correctness claim being gated
+    "dedup_cc_incremental" -> ccClosureSql,
     "dedup_ngram_jaccard" ->
       s"""WITH sh AS ($shingledSql),
         |ex_all AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
