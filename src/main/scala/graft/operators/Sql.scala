@@ -186,7 +186,32 @@ object Sql {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** Spark 4 SQL-language UDF (SPARK-44076): `CREATE FUNCTION … RETURN
+    * <expr>` — the ONE user-defined-function form the catalog's no-UDF
+    * stance permits, because it is not a JVM closure: the body is SQL
+    * text the analyzer INLINES into the plan, so it optimizes, pushes
+    * down, and codegens exactly like the hand-written expression (the
+    * opaque-blob problem §2.12 bans never arises). The oracle runs the
+    * body textually inlined — which is literally what the engine does. */
+  private def sqlUdfScalar(spark: SparkSession, dir: String): DataFrame = {
+    Tables.table(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_price_band(p DOUBLE)
+        |RETURNS STRING
+        |RETURN CASE WHEN p < 50000 THEN 'low'
+        |            WHEN p < 150000 THEN 'mid'
+        |            ELSE 'high' END""".stripMargin)
+    spark.sql(
+      """SELECT graft_price_band(o_totalprice) AS band,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY graft_price_band(o_totalprice)
+        |ORDER BY band""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_udf_scalar" -> (sqlUdfScalar _),
     "sql_session_variable" -> (sessionVariable _),
     "sql_recursive_cte" ->
       ((s, dir) => run(s, dir, recursiveSql, Seq("customer"))),
@@ -204,6 +229,18 @@ object Sql {
   )
 
   val oracle: Map[String, String] = Map(
+    // the UDF body textually inlined — exactly the analyzer's own rewrite
+    "sql_udf_scalar" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+        |              WHEN o_totalprice < 150000 THEN 'mid'
+        |              ELSE 'high' END AS band,
+        |    o_totalprice
+        |  FROM orders)
+        |SELECT band, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM b GROUP BY band
+        |ORDER BY band""".stripMargin,
     "sql_session_variable" ->
       """WITH c AS (
         |  SELECT ROUND(quantile_cont(o_totalprice, 0.9), 4) AS qcut FROM orders)
