@@ -123,11 +123,13 @@ class PlanSpec extends SparkSpec {
     // agg_histogram and etl_winsorize crossJoin the broadcast 1-row
     // min/max / percentile band back over the scan (the same in-plan
     // scalar pattern as text_tfidf / win_ntile_tiers)
+    // sim_range_search broadcasts the same fixed-budget |Q|-row query set
+    // as sim_knn_brute for the O(|Q|·n) radius scan
     val allowedNestedLoop =
       Set("sim_knn_brute", "sim_knn_lsh", "sim_knn_ivf", "text_tfidf", "win_ntile_tiers",
         "events_resample_gapfill", "text_heavy_hitters",
         "sim_knn_quantized", "pipe_mixture_sample", "sim_knn_pq", "sim_knn_ivfpq",
-        "agg_histogram", "etl_winsorize")
+        "agg_histogram", "etl_winsorize", "sim_range_search")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
