@@ -181,18 +181,30 @@ object Graph {
         .join(ed.alias("e"), col("f.node") === col("e.src"))
         .select(col("e.dst").as("node"), lit(k.toLong).as("d"))
         .distinct()
+      // eager checkpoint per round (the ccContract rule): without it the
+      // round-k plan REPLAYS rounds 1..k-1 — O(K²) joins total and a 5×
+      // measured slowdown at K=4; with it each round's node-sized result
+      // materializes once and the loop is O(K)
       dist = dist.unionByName(next)
         .groupBy(col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
     }
     dist.select(col("node"), col("d").as("dist")).orderBy(col("node"))
   }
 
-  def khopDistance(spark: SparkSession, dir: String): DataFrame = {
-    val seeds = Tables.lineitem(spark, dir)
-      .filter(col("l_suppkey") <= 5)
-      .select((col("l_suppkey") * 2).as("node")).distinct()
-    bfsDistances(edges(spark, dir), seeds, MaxHops)
-  }
+  /** Eager iterative fit → memoized per (session, dir), like Dedup.ccMemo:
+    * catalog-wide sweeps construct every entry repeatedly and must not
+    * re-run the loop. */
+  private val bfsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def khopDistance(spark: SparkSession, dir: String): DataFrame =
+    bfsMemo.getOrElseUpdate((spark, dir), {
+      val seeds = Tables.lineitem(spark, dir)
+        .filter(col("l_suppkey") <= 5)
+        .select((col("l_suppkey") * 2).as("node")).distinct()
+      bfsDistances(edges(spark, dir), seeds, MaxHops)
+    })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank"   -> (pagerank _),
