@@ -206,11 +206,45 @@ object Graph {
       bfsDistances(edges(spark, dir), seeds, MaxHops)
     })
 
+  /** Common-neighbors link prediction over the sparsified co-supply graph
+    * (same quantity-50 slice as triangleCounts): top-20 NON-adjacent
+    * supplier pairs ranked by shared neighbors — the classic "who should
+    * be connected" score. Wedge enumeration at the shared middle node is
+    * inherently Σdeg² work (unlike triangles it cannot be orientation-
+    * pruned: the wedge set IS the output domain), so the scale levers are
+    * the ones this entry demonstrates: a sparsified edge slice, and in
+    * production a hub df-cap exactly like dedup_ngram_jaccard's — a hot
+    * middle node contributes deg² candidate pairs and gets capped, not
+    * enumerated. Plan: two equi-joins on the middle node + hash-agg +
+    * left-anti against existing edges + TakeOrderedAndProject. Counts are
+    * integers; ties broken by the pair ids — fully deterministic. */
+  def commonNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 49)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    val e = ps.as("a").join(ps.as("b"),
+        col("a.p") === col("b.p") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("u"), col("b.s").as("v"))
+      .distinct()
+    val und = e.select(col("u").as("m"), col("v").as("x"))
+      .unionByName(e.select(col("v").as("m"), col("u").as("x")))
+      .cache() // real 2× reuse: both wedge legs
+    val pairs = und.as("t1").join(und.as("t2"),
+        col("t1.m") === col("t2.m") && col("t1.x") < col("t2.x"))
+      .groupBy(col("t1.x").as("sa"), col("t2.x").as("sc"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs.join(e, pairs("sa") === e("u") && pairs("sc") === e("v"), "left_anti")
+      .orderBy(desc("n_common"), col("sa"), col("sc"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank"   -> (pagerank _),
     "graph_degree_hist" -> (degreeHistogram _),
     "graph_triangles"  -> (triangleCounts _),
-    "graph_khop_distance" -> (khopDistance _)
+    "graph_khop_distance" -> (khopDistance _),
+    "graph_common_neighbors" -> (commonNeighbors _)
   )
 
   private val edgeCtes =
@@ -240,6 +274,26 @@ object Graph {
          |SELECT node, r / 1000000.0 AS rank FROM r3
          |ORDER BY rank DESC, node
          |LIMIT 25""".stripMargin,
+    "graph_common_neighbors" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+        |  FROM lineitem WHERE l_quantity > 49),
+        |e AS (
+        |  SELECT DISTINCT a.s AS u, b.s AS v
+        |  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+        |und AS (
+        |  SELECT u AS m, v AS x FROM e
+        |  UNION ALL
+        |  SELECT v AS m, u AS x FROM e),
+        |pr AS (
+        |  SELECT t1.x AS sa, t2.x AS sc, COUNT(*) AS n_common
+        |  FROM und t1 JOIN und t2 ON t1.m = t2.m AND t1.x < t2.x
+        |  GROUP BY t1.x, t2.x)
+        |SELECT sa, sc, n_common FROM pr
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM e WHERE e.u = pr.sa AND e.v = pr.sc)
+        |ORDER BY n_common DESC, sa, sc
+        |LIMIT 20""".stripMargin,
     "graph_khop_distance" ->
       """WITH RECURSIVE e0 AS (
         |  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
