@@ -177,7 +177,40 @@ object Behavior {
       .orderBy(col("o_custkey"))
   }
 
+  /** Snapshot reconciliation: diff two keyed snapshots (monthly
+    * customer-spend rollups for 1998-03 vs 1998-04) and classify every key
+    * as added / removed / changed / unchanged — the audit primitive behind
+    * "what moved between yesterday's copy and today's" at warehouse scale.
+    * Shape: two key-partitioned hash-aggs, one full-outer shuffle join on
+    * the SAME key (no broadcast — both sides are |customers|-proportional),
+    * then a |classes|-bounded rollup. Spend compares in exact DECIMAL, so
+    * 'changed' is bit-meaningful, not float-fuzzy. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def snap(m: Int): DataFrame = o
+      .filter(year(col("o_orderdate")) === 1998 && month(col("o_orderdate")) === m)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+    val a = snap(3).as("a")
+    val b = snap(4).as("b")
+    val zero = lit(0).cast("decimal(28,2)")
+    a.join(b, col("a.o_custkey") === col("b.o_custkey"), "full_outer")
+      .select(
+        when(col("a.o_custkey").isNull, lit("added"))
+          .when(col("b.o_custkey").isNull, lit("removed"))
+          .when(col("a.spend") =!= col("b.spend"), lit("changed"))
+          .otherwise(lit("unchanged")).as("diff_class"),
+        coalesce(col("a.spend").cast("decimal(28,2)"), zero).as("sa"),
+        coalesce(col("b.spend").cast("decimal(28,2)"), zero).as("sb"))
+      .groupBy(col("diff_class"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("sa")).cast("double").as("spend_a"),
+        sum(col("sb")).cast("double").as("spend_b"))
+      .orderBy(col("diff_class"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_snapshot_diff"   -> (snapshotDiff _),
     "typed_longest_streak" -> (longestStreak _),
     "events_funnel"       -> (funnel _),
     "cohort_retention"    -> (cohortRetention _),
@@ -186,6 +219,27 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    "etl_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders WHERE year(o_orderdate)=1998 AND month(o_orderdate)=3
+        |  GROUP BY o_custkey),
+        |b AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders WHERE year(o_orderdate)=1998 AND month(o_orderdate)=4
+        |  GROUP BY o_custkey),
+        |d AS (
+        |  SELECT
+        |    CASE WHEN a.o_custkey IS NULL THEN 'added'
+        |         WHEN b.o_custkey IS NULL THEN 'removed'
+        |         WHEN a.spend <> b.spend THEN 'changed'
+        |         ELSE 'unchanged' END AS diff_class,
+        |    COALESCE(a.spend, 0) AS sa, COALESCE(b.spend, 0) AS sb
+        |  FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey)
+        |SELECT diff_class, COUNT(*) AS n_customers,
+        |  CAST(SUM(sa) AS DOUBLE) AS spend_a,
+        |  CAST(SUM(sb) AS DOUBLE) AS spend_b
+        |FROM d GROUP BY diff_class ORDER BY diff_class""".stripMargin,
     "typed_longest_streak" ->
       """WITH m AS (
         |  SELECT DISTINCT o_custkey,

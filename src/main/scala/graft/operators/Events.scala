@@ -473,7 +473,66 @@ object Events {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** Conditional-reset running sum — the "budget since last purchase"
+    * shape (rate-limiter / spend-tracker semantics). A truly recursive
+    * reset is non-associative, but the reset-AT-marker variant lowers to
+    * two associative passes: a per-user window counting PRIOR purchase
+    * events assigns each row a segment number (the count frame ends at -1
+    * so the purchase row itself STARTS its new segment's predecessor —
+    * i.e. segments are delimited exactly at purchases), then one hash-agg
+    * per (user, segment). Both passes partition on user_id — one shuffle,
+    * reused by window and agg (Catalyst collapses the exchange). Output
+    * is bounded by |purchases| + |users|, not |events|. */
+  def resetRunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .withColumn("seg_no",
+        count(when(col("event_type") === "purchase", 1)).over(w))
+      .groupBy(col("user_id"), col("seg_no"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v")).cast("double").as("seg_value"))
+      .orderBy(col("user_id"), col("seg_no"))
+  }
+
+  /** Exact time-weighted average (TWAP): each event's value "holds" until
+    * the user's next event; the mean is Σ value·holdtime / Σ holdtime.
+    * All arithmetic is integer-exact — cents × microseconds accumulated in
+    * DECIMAL(38,0) (a cents·µs product reaches ~1.5e18, too close to the
+    * int64 edge to sum in BIGINT), and the final division is integral
+    * (`div`, truncating; both operands are non-negative so truncation ==
+    * floor). Oracle-side the quotient is taken in HUGEINT, because
+    * DuckDB's `//` on DECIMAL operands silently returns DOUBLE — lossy
+    * above 2^53, a sibling of the div-portability rule in the ADVICE log.
+    * One lead() window and one hash-agg, both partitioned on
+    * user_id; output is |users|-bounded. */
+  def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("nxt", lead(col("ts_us"), 1).over(w))
+      .where(col("nxt").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("cents").cast("decimal(38,0)") * (col("nxt") - col("ts_us"))).as("numer"),
+        sum((col("nxt") - col("ts_us")).cast("decimal(38,0)")).as("denom"),
+        count(lit(1)).as("n_holds"))
+      .where(col("denom") > 0)
+      .select(col("user_id"), col("n_holds"),
+        col("denom").cast("long").as("span_us"),
+        expr("CAST(numer div denom AS BIGINT)").as("twap_cents"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_reset_running_sum" -> (resetRunningSum _),
+    "agg_time_weighted_avg" -> (timeWeightedAvg _),
     "events_transition_matrix" -> (transitionMatrix _),
     "events_cumulative_users" -> (cumulativeUsers _),
     "events_rate_anomaly"  -> (rateAnomaly _),
@@ -509,6 +568,38 @@ object Events {
       |ORDER BY c.event_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "win_reset_running_sum" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |seg AS (
+        |  SELECT *, COUNT(*) FILTER (WHERE event_type = 'purchase')
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seg_no
+        |  FROM e)
+        |SELECT user_id, CAST(seg_no AS BIGINT) AS seg_no, COUNT(*) AS n_events,
+        |  CAST(SUM(v) AS DOUBLE) AS seg_value
+        |FROM seg GROUP BY user_id, seg_no
+        |ORDER BY user_id, seg_no""".stripMargin,
+    "agg_time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |h AS (
+        |  SELECT user_id, cents, ts_us,
+        |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS nxt
+        |  FROM e),
+        |t AS (
+        |  SELECT user_id,
+        |    SUM(CAST(cents AS DECIMAL(38,0)) * (nxt - ts_us)) AS numer,
+        |    SUM(CAST(nxt - ts_us AS DECIMAL(38,0))) AS denom,
+        |    COUNT(*) AS n_holds
+        |  FROM h WHERE nxt IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_holds, CAST(denom AS BIGINT) AS span_us,
+        |  CAST(CAST(numer AS HUGEINT) // CAST(denom AS HUGEINT) AS BIGINT) AS twap_cents
+        |FROM t WHERE denom > 0 ORDER BY user_id""".stripMargin,
     "events_transition_matrix" ->
       """WITH s AS (
         |  SELECT user_id, event_type,

@@ -210,7 +210,23 @@ object Sql {
         |ORDER BY band""".stripMargin)
   }
 
+  /** GROUP BY ALL / ORDER BY ALL (Spark 3.4+ / DuckDB-originated sugar) —
+    * the analyzer infers the grouping set from the non-aggregate select
+    * items and the sort from the full select list. One text, zero edits,
+    * both engines: the oracle IS the query. Lowered plan is identical to
+    * the explicit GROUP BY — partial hash-agg then final, nothing new at
+    * runtime; what's covered is the resolution path. */
+  private val groupByAllSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ALL
+      |ORDER BY ALL""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_groupby_all" ->
+      ((s, dir) => run(s, dir, groupByAllSql, Seq("lineitem"))),
     "sql_udf_scalar" -> (sqlUdfScalar _),
     "sql_session_variable" -> (sessionVariable _),
     "sql_recursive_cte" ->
@@ -229,6 +245,7 @@ object Sql {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_groupby_all" -> groupByAllSql,
     // the UDF body textually inlined — exactly the analyzer's own rewrite
     "sql_udf_scalar" ->
       """WITH b AS (
