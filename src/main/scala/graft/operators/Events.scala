@@ -530,7 +530,33 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Day-of-week seasonal index — the first decomposition cut on any
+    * event series: per-weekday mean spend divided by the global mean.
+    * The weekday is computed PORTABLY as (epoch_days + 4) % 7 (0=Sunday;
+    * 1970-01-01 was a Thursday) — engine dayofweek() conventions disagree
+    * (Spark 1=Sunday, DuckDB 0=Sunday) and integer arithmetic sidesteps
+    * the whole dialect. Sums are exact decimal; the index is a chain of
+    * IEEE divisions on deterministic inputs, bit-identical everywhere.
+    * One 7-row hash-agg plus a 1-row global broadcast back — the A4
+    * no-driver-scalar pattern. */
+  def dowSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    // div, not `/`: Column./ on longs is DOUBLE division, and truncating
+    // the rounded double can land one day off near exact-midnight stamps
+    val e = Tables.events(spark, dir).select(
+      expr("((unix_micros(ts) div 86400000000) + 4) % 7").as("dow"),
+      col("value").cast("decimal(18,2)").as("v"))
+    val byDow = e.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_events"), sum(col("v")).cast("double").as("sum_value"))
+    val global = e.agg(count(lit(1)).as("n_tot"), sum(col("v")).cast("double").as("sum_tot"))
+    byDow.crossJoin(broadcast(global))
+      .select(col("dow"), col("n_events"), col("sum_value"),
+        ((col("sum_value") / col("n_events")) / (col("sum_tot") / col("n_tot")))
+          .as("seasonal_index"))
+      .orderBy(col("dow"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_dow_seasonality" -> (dowSeasonality _),
     "win_reset_running_sum" -> (resetRunningSum _),
     "agg_time_weighted_avg" -> (timeWeightedAvg _),
     "events_transition_matrix" -> (transitionMatrix _),
@@ -582,6 +608,18 @@ object Events {
         |  CAST(SUM(v) AS DOUBLE) AS seg_value
         |FROM seg GROUP BY user_id, seg_no
         |ORDER BY user_id, seg_no""".stripMargin,
+    "events_dow_seasonality" ->
+      """WITH e AS (
+        |  SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |d AS (
+        |  SELECT dow, COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS sum_value
+        |  FROM e GROUP BY dow),
+        |g AS (SELECT COUNT(*) AS n_tot, CAST(SUM(v) AS DOUBLE) AS sum_tot FROM e)
+        |SELECT dow, n_events, sum_value,
+        |  (sum_value / n_events) / (sum_tot / n_tot) AS seasonal_index
+        |FROM d, g ORDER BY dow""".stripMargin,
     "agg_time_weighted_avg" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

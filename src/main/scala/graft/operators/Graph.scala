@@ -239,7 +239,122 @@ object Graph {
       .limit(20)
   }
 
+  /** Bounded-hop weighted shortest path (Bellman–Ford relaxation) — the
+    * "cheapest procurement path within 4 hops" companion to khopDistance's
+    * hop counting. Edge weight = cents of the cheapest lineitem price ever
+    * observed for the supplier–part pair (exact: one double MIN, then one
+    * decimal cast — no float summation anywhere; costs add in BIGINT).
+    * Level-synchronous delta relaxation: each round joins only the
+    * IMPROVED frontier (nodes whose cost changed last round — the delta
+    * optimization that keeps per-round wire cost |changed|·avg-degree,
+    * not |nodes|·|edges|) against the cached pre-partitioned edge list,
+    * folds candidates with a min-agg, and eager-localCheckpoints so round
+    * k never replays rounds 1..k-1 (the ccContract rule). After k rounds
+    * dist(v) = min cost over walks of ≤ k edges — exactly the depth-capped
+    * recursive-CTE closure the oracle computes. */
+  private val SsspRounds = 4
+
+  private[graft] def ssspDistances(edgeRel: DataFrame, seeds: DataFrame,
+                                   rounds: Int): DataFrame = {
+    val ed = edgeRel.repartition(col("src")).cache()
+    var dist = seeds.select(col("node")).withColumn("cost", lit(0L))
+      .localCheckpoint(true)
+    var frontier = dist
+    for (_ <- 1 to rounds) {
+      val cand = frontier.alias("f")
+        .join(ed.alias("e"), col("f.node") === col("e.src"))
+        .select(col("e.dst").as("node"), (col("f.cost") + col("e.w")).as("cost"))
+      val next = dist.unionByName(cand)
+        .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+        .localCheckpoint(true)
+      frontier = next.join(
+          dist.select(col("node"), col("cost").as("old_cost")), Seq("node"), "left")
+        .filter(col("old_cost").isNull || col("cost") < col("old_cost"))
+        .select(col("node"), col("cost"))
+      dist = next
+    }
+    dist.select(col("node"), col("cost").as("cost_cents")).orderBy(col("node"))
+  }
+
+  private val ssspMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def ssspWeighted(spark: SparkSession, dir: String): DataFrame =
+    ssspMemo.getOrElseUpdate((spark, dir), {
+      val li = Tables.lineitem(spark, dir)
+      val e0 = li.filter(col("l_quantity") >= 48)
+        .groupBy(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+        .agg((min(col("l_extendedprice")).cast("decimal(12,2)") * 100)
+          .cast("long").as("w"))
+      val edgeRel = e0.select((col("s") * 2).as("src"), (col("p") * 2 + 1).as("dst"), col("w"))
+        .unionByName(e0.select((col("p") * 2 + 1).as("src"), (col("s") * 2).as("dst"), col("w")))
+      val seeds = li.filter(col("l_suppkey") <= 5)
+        .select((col("l_suppkey") * 2).as("node")).distinct()
+      ssspDistances(edgeRel, seeds, SsspRounds)
+    })
+
+  /** k-core decomposition (k=2) of the sparsified quantity-50 co-supply
+    * slice: iteratively peel nodes of degree < k until the fixed point —
+    * THE subgraph-robustness primitive (spam/bot rings, dense community
+    * seeds). Each round is one degree hash-agg plus two semi-shaped
+    * equi-joins restricting edges to surviving endpoints, checkpointed so
+    * the lineage stays O(1) per round; the driver sees only edge COUNTS
+    * (the convergence flag — the ccContract rule, no vertex data ever
+    * collected). The round budget is a failsafe: peeling this slice
+    * reaches the fixed point in ≤ 6 rounds at every harness SF (measured
+    * 6/4/4 at sf0.001/0.01/0.1), and `require(converged)` turns an
+    * exceeded budget into a loud failure, never a silent partial core.
+    * The oracle unrolls the peel to the same depth — extra layers are
+    * idempotent once converged, so fixed-depth unrolling equals the fixed
+    * point. Output: each surviving node with its in-core degree. */
+  private val KCoreK = 2
+  private val KCoreRounds = 8
+
+  private val kcoreMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The peel core over an arbitrary directed-both-ways (src, dst) edge
+    * relation — split from the catalog entry so GraphSpec can drive it on
+    * a clique-plus-pendant-chain fixture with a known core. */
+  private[graft] def kcoreSurvivors(ed0: DataFrame, k: Int,
+                                    rounds: Int): DataFrame = {
+    var ed = ed0.localCheckpoint(true)
+    var prev = -1L
+    var cur = ed.count()
+    var round = 0
+    while (round < rounds && cur != prev) {
+      val keep = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node"))
+      ed = ed
+        .join(keep.select(col("node").as("ksrc")), col("src") === col("ksrc"))
+        .join(keep.select(col("node").as("kdst")), col("dst") === col("kdst"))
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      prev = cur
+      cur = ed.count()
+      round += 1
+    }
+    require(cur == prev,
+      s"k-core peel did not converge within $rounds rounds " +
+        s"(edges $prev -> $cur); raise the round budget")
+    ed.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
+      .orderBy(col("node"))
+  }
+
+  def kcore(spark: SparkSession, dir: String): DataFrame =
+    kcoreMemo.getOrElseUpdate((spark, dir), {
+      val e0 = Tables.lineitem(spark, dir)
+        .filter(col("l_quantity") === 50)
+        .select((col("l_suppkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"))
+        .distinct()
+      val ed0 = e0.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
+      kcoreSurvivors(ed0, KCoreK, KCoreRounds)
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_sssp_weighted" -> (ssspWeighted _),
+    "graph_kcore"      -> (kcore _),
     "graph_pagerank"   -> (pagerank _),
     "graph_degree_hist" -> (degreeHistogram _),
     "graph_triangles"  -> (triangleCounts _),
@@ -264,7 +379,59 @@ object Graph {
        |  JOIN deg ON e.src = deg.src
        |  GROUP BY e.dst)""".stripMargin
 
+  /** One k-core peel layer: degree filter + endpoint restriction.
+    * MATERIALIZED is load-bearing: each layer references the previous one
+    * THREE times (the edge scan plus both endpoint semi-joins), so an
+    * inlining planner re-evaluates ed0 3^depth times — the un-hinted form
+    * measurably hangs DuckDB at depth 8 where the materialized form runs
+    * in 50 ms. */
+  private def peelCte(prev: String, keep: String, cur: String): String =
+    s"""$keep AS MATERIALIZED (
+       |  SELECT src AS node FROM $prev GROUP BY src HAVING COUNT(*) >= 2),
+       |$cur AS MATERIALIZED (
+       |  SELECT e.src, e.dst FROM $prev e
+       |  JOIN $keep k1 ON e.src = k1.node
+       |  JOIN $keep k2 ON e.dst = k2.node)""".stripMargin
+
+  private val kcoreOracle: String = {
+    val layers = (0 until 8)
+      .map(i => peelCte(s"ed$i", s"kp$i", s"ed${i + 1}"))
+      .mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT l_suppkey * 2 AS a, l_partkey * 2 + 1 AS b
+       |  FROM lineitem WHERE l_quantity = 50),
+       |ed0 AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM e0
+       |  UNION ALL
+       |  SELECT b AS src, a AS dst FROM e0),
+       |$layers
+       |SELECT src AS node, COUNT(*) AS core_degree
+       |FROM ed8 GROUP BY src
+       |ORDER BY node""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "graph_sssp_weighted" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT l_suppkey AS s, l_partkey AS p,
+        |    CAST(CAST(MIN(l_extendedprice) AS DECIMAL(12,2)) * 100 AS BIGINT) AS w
+        |  FROM lineitem WHERE l_quantity >= 48
+        |  GROUP BY l_suppkey, l_partkey),
+        |e AS MATERIALIZED (
+        |  SELECT s * 2 AS src, p * 2 + 1 AS dst, w FROM e0
+        |  UNION ALL
+        |  SELECT p * 2 + 1 AS src, s * 2 AS dst, w FROM e0),
+        |walk(node, cost, depth) AS (
+        |  SELECT DISTINCT l_suppkey * 2 AS node, CAST(0 AS BIGINT) AS cost, 0 AS depth
+        |  FROM lineitem WHERE l_suppkey <= 5
+        |  UNION
+        |  SELECT e.dst, walk.cost + e.w, walk.depth + 1
+        |  FROM walk JOIN e ON walk.node = e.src
+        |  WHERE walk.depth < 4)
+        |SELECT node, MIN(cost) AS cost_cents
+        |FROM walk GROUP BY node
+        |ORDER BY node""".stripMargin,
+    "graph_kcore" -> kcoreOracle,
     "graph_pagerank" ->
       s"""WITH $edgeCtes,
          |r0 AS (SELECT src AS node, 1000000::BIGINT AS r FROM deg),

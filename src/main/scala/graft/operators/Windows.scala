@@ -177,7 +177,43 @@ object Windows {
       .orderBy(col("o_orderpriority"), col("rn"))
   }
 
+  /** Rolling OLS slope ("beta") of price on quantity per part — the
+    * windowed-regression primitive (hedge ratios, sensor drift, price
+    * elasticity) done with EXACT integer moments: the five sufficient
+    * statistics (n, Σq, Σc, Σqc, Σq²) accumulate as BIGINT in ONE shared
+    * 21-row frame (Spark evaluates all five in a single WindowExec pass —
+    * one shuffle+sort on the part key), then
+    * beta_micro = 10⁶·(nΣqc − ΣqΣc) div (nΣq² − (Σq)²), a micro-scaled
+    * integral quotient. The numerator CAN be negative, where Spark's
+    * `div` truncates toward zero but DuckDB's `//` floors — so the oracle
+    * spells truncation explicitly (sign-split abs division); the
+    * denominator is a scaled variance, ≥ 0 by Cauchy–Schwarz, NULLIF'd at
+    * zero (constant-quantity windows have no defined slope). Peak
+    * magnitude ~4·10¹⁷ < 2⁶³ — bounds in-comment, no silent wrap. */
+  def rollingBeta(spark: SparkSession, dir: String): DataFrame = {
+    val fr = Window.partitionBy(col("part"))
+      .orderBy(col("sd"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(-20, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_partkey") <= 200)
+      .select(col("l_partkey").as("part"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").as("sd"),  // ordering only, never output: no epoch conversion needed
+        col("l_quantity").cast("long").as("q"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("c"))
+      .select(col("part"), col("l_orderkey"), col("l_linenumber"),
+        count(lit(1)).over(fr).as("n"),
+        sum(col("q")).over(fr).as("sq"),
+        sum(col("c")).over(fr).as("sc"),
+        sum(col("q") * col("c")).over(fr).as("sqc"),
+        sum(col("q") * col("q")).over(fr).as("sqq"))
+      .select(col("part"), col("l_orderkey"), col("l_linenumber"), col("n"),
+        expr("(1000000L * (n*sqc - sq*sc)) div nullif(n*sqq - sq*sq, 0)")
+          .as("beta_micro"))
+      .orderBy(col("part"), col("l_orderkey"), col("l_linenumber"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rolling_beta" -> (rollingBeta _),
     "win_rank_topn"      -> (rankTopNations _),
     "win_grand_avg_diff" -> (grandAvgDiff _),
     "win_ntile_tiers"    -> (ntileTiers _),
@@ -189,6 +225,32 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_rolling_beta" ->
+      """WITH x AS (
+        |  SELECT l_partkey AS part, l_orderkey, l_linenumber,
+        |    l_shipdate AS sd,
+        |    CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+        |  FROM lineitem WHERE l_partkey <= 200),
+        |w AS (
+        |  SELECT part, l_orderkey, l_linenumber,
+        |    COUNT(*)  OVER fr AS n,
+        |    SUM(q)    OVER fr AS sq,
+        |    SUM(c)    OVER fr AS sc,
+        |    SUM(q*c)  OVER fr AS sqc,
+        |    SUM(q*q)  OVER fr AS sqq
+        |  FROM x
+        |  WINDOW fr AS (PARTITION BY part ORDER BY sd, l_orderkey, l_linenumber
+        |                ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)),
+        |m AS (
+        |  SELECT part, l_orderkey, l_linenumber, n,
+        |    1000000 * (n*sqc - sq*sc) AS numer,
+        |    NULLIF(n*sqq - sq*sq, 0) AS denom
+        |  FROM w)
+        |SELECT part, l_orderkey, l_linenumber, n,
+        |  CASE WHEN numer < 0 THEN -((-numer) // denom)
+        |       ELSE numer // denom END AS beta_micro
+        |FROM m ORDER BY part, l_orderkey, l_linenumber""".stripMargin,
     "win_rank_topn" ->
       """WITH agg AS (
         |  SELECT n_name,

@@ -78,6 +78,44 @@ class GraphSpec extends SparkSpec {
       s"path-graph BFS distances wrong: $dist")
   }
 
+  test("weighted SSSP prefers a cheap 2-hop detour over an expensive direct edge") {
+    import spark.implicits._
+    // 0→1 direct costs 100; 0→2→1 costs 1+1: min-COST must beat min-HOP.
+    // Node 3 hangs at the end of a 5-edge unit chain 1-3a-3b-3c-3d-3 —
+    // beyond the 4-round horizon via the cheap side, reachable only at
+    // hop-bounded cost. Undirected edges, both directions.
+    val und = Seq((0L, 1L, 100L), (0L, 2L, 1L), (2L, 1L, 1L),
+      (1L, 10L, 1L), (10L, 11L, 1L), (11L, 12L, 1L), (12L, 13L, 1L))
+    val edges = und.toDF("src", "dst", "w")
+      .unionByName(und.map { case (a, b, w) => (b, a, w) }.toDF("src", "dst", "w"))
+    val seeds = Seq(0L).toDF("node")
+    val dist = Graph.ssspDistances(edges, seeds, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dist(1L) == 2L, s"detour not taken: cost(1) = ${dist(1L)}")
+    assert(dist(2L) == 1L)
+    // chain: 1 is at cost 2 (2 edges), so 10,11 land inside the 4-edge
+    // horizon; 12 is reachable only via the EXPENSIVE direct edge within
+    // 4 edges (100+3), 13 not at all
+    assert(dist(10L) == 3L && dist(11L) == 4L)
+    assert(dist(12L) == 103L, s"horizon fallback wrong: ${dist.get(12L)}")
+    assert(!dist.contains(13L), s"beyond-horizon node present: $dist")
+  }
+
+  test("k-core peel keeps the clique, sheds the pendant chain") {
+    import spark.implicits._
+    // K4 on {0,1,2,3} + chain 3-4-5-6: every chain node has degree ≤ 2 in
+    // any subgraph, so k=3 peeling must strip the chain (cascading from
+    // the far end) and leave exactly the clique, each at degree 3
+    val k4 = for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)
+    val und = k4 ++ Seq((3L, 4L), (4L, 5L), (5L, 6L))
+    val edges = und.toDF("src", "dst")
+      .unionByName(und.map(_.swap).toDF("src", "dst"))
+    val core = Graph.kcoreSurvivors(edges, k = 3, rounds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(core == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L),
+      s"3-core of K4+chain wrong: $core")
+  }
+
   test("BFS level monotonicity on the corpus: every non-seed node sits one hop above some neighbor") {
     val d = Graph.khopDistance(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
