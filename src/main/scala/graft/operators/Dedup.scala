@@ -437,6 +437,30 @@ object Dedup {
         concat_ws(",", sort_array(collect_list(col("doc_id")))).as("members"))
       .orderBy(col("survivor_doc"))
 
+  /** Quality-ranked survivor selection — the policy layer real corpus
+    * dedup runs INSTEAD of min-id: within each near-dup cluster keep the
+    * best document (here: longest by n_chars, doc_id as the total-order
+    * tiebreak), drop the rest. Min-id survivors (dedupSurvivors) are the
+    * degenerate case; content-aware policies (longest, highest quality
+    * score, preferred source) are what production pipelines actually
+    * ship, and the argmax must be DETERMINISTIC under ties or two runs
+    * of the same pipeline keep different documents. One equi-join of the
+    * memoized cluster labels against the documents table (both sides
+    * partitioned on doc_id) and one per-cluster window — clusters are
+    * small by construction, so the window partitions are tiny. */
+  def bestSurvivor(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    dedupClusters(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")), "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("survivor_doc"),
+        col("n_chars").as("survivor_chars"), col("n_docs").as("n_members"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Blocked fuzzy-name matching — entity resolution's other half next to
     * the token/shingle dedups: catalog strings that differ by a typo-scale
     * edit ("hot bolt" / "hot belt") are exact-dedup-invisible and
@@ -465,6 +489,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_fuzzy_names"     -> (fuzzyNames _),
     "dedup_cc_survivors"    -> (dedupSurvivors _),
+    "dedup_best_survivor"   -> (bestSurvivor _),
     "dedup_cc_clusters"     -> (dedupClusters _),
     "dedup_cc_incremental"  -> (dedupIncremental _),
     "dedup_minhash_lsh"     -> (minhashLsh _),
@@ -580,6 +605,30 @@ object Dedup {
         |FROM lab GROUP BY cluster_id
         |ORDER BY survivor_doc""".stripMargin,
     "dedup_cc_clusters" -> ccClosureSql,
+    "dedup_best_survivor" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+        |pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.7),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+        |reach(doc_id, label) AS (
+        |  SELECT doc_id, doc_id FROM nodes
+        |  UNION
+        |  SELECT e.b, r.label FROM reach r JOIN edges e ON r.doc_id = e.a),
+        |lab AS (SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id),
+        |cs AS (SELECT cluster_id, COUNT(*) AS n_members FROM lab GROUP BY cluster_id),
+        |q AS (
+        |  SELECT l.cluster_id, l.doc_id, d.n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+        |                       ORDER BY d.n_chars DESC, l.doc_id) AS rk
+        |  FROM lab l JOIN documents d USING (doc_id))
+        |SELECT q.cluster_id, q.doc_id AS survivor_doc,
+        |  q.n_chars AS survivor_chars, cs.n_members
+        |FROM q JOIN cs USING (cluster_id)
+        |WHERE q.rk = 1
+        |ORDER BY q.cluster_id""".stripMargin,
     // the SAME full-closure oracle: "incremental maintenance ≡ full
     // recompute" IS the correctness claim being gated
     "dedup_cc_incremental" -> ccClosureSql,

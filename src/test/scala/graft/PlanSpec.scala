@@ -125,11 +125,14 @@ class PlanSpec extends SparkSpec {
     // scalar pattern as text_tfidf / win_ntile_tiers)
     // sim_range_search broadcasts the same fixed-budget |Q|-row query set
     // as sim_knn_brute for the O(|Q|·n) radius scan
+    // events_dow_seasonality crossJoins the 7-row weekday aggregate with
+    // the broadcast 1-row global mean (in-plan scalar pattern, A4)
     val allowedNestedLoop =
       Set("sim_knn_brute", "sim_knn_lsh", "sim_knn_ivf", "text_tfidf", "win_ntile_tiers",
         "events_resample_gapfill", "text_heavy_hitters",
         "sim_knn_quantized", "pipe_mixture_sample", "sim_knn_pq", "sim_knn_ivfpq",
-        "agg_histogram", "etl_winsorize", "sim_range_search")
+        "agg_histogram", "etl_winsorize", "sim_range_search",
+        "events_dow_seasonality")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
