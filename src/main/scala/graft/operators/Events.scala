@@ -555,7 +555,38 @@ object Events {
       .orderBy(col("dow"))
   }
 
+  /** Overlapping-interval coalescing (merge islands) — the OTHER
+    * gaps-and-islands: sessionization splits on a fixed max GAP between
+    * points; here each interval carries its own explicit END, and islands
+    * merge while the next interval STARTS before the running max end so
+    * far (downtime windows, maintenance coverage, validity merging).
+    * Intervals are purchases held open for their spend in cent-seconds —
+    * deterministic integer endpoints. Three window passes (running max
+    * end over a 1-PRECEDING frame → new-island flag → running island id)
+    * and one hash-agg, ALL partitioned on user_id: one shuffle total,
+    * Catalyst collapses the window exchanges. */
+  def intervalCoalesce(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("s_us"), col("event_id"))
+    val prior = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val upto = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) +
+          (col("value").cast("decimal(18,2)") * 100).cast("long") * 1000000L).as("e_us"))
+      .withColumn("prev_max", max(col("e_us")).over(prior))
+      .withColumn("new_island",
+        when(col("prev_max").isNull || col("s_us") > col("prev_max"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(upto))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("s_us")).as("start_us"), max(col("e_us")).as("end_us"),
+        count(lit(1)).as("n_intervals"))
+      .orderBy(col("user_id"), col("island"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_interval_coalesce" -> (intervalCoalesce _),
     "events_dow_seasonality" -> (dowSeasonality _),
     "win_reset_running_sum" -> (resetRunningSum _),
     "agg_time_weighted_avg" -> (timeWeightedAvg _),
@@ -608,6 +639,26 @@ object Events {
         |  CAST(SUM(v) AS DOUBLE) AS seg_value
         |FROM seg GROUP BY user_id, seg_no
         |ORDER BY user_id, seg_no""".stripMargin,
+    "events_interval_coalesce" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS s_us,
+        |    epoch_us(ts) + CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * 1000000 AS e_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT *, MAX(e_us) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+        |                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM iv),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_max IS NULL OR s_us > prev_max THEN 1 ELSE 0 END AS new_island
+        |  FROM m),
+        |g AS (
+        |  SELECT *, SUM(new_island) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+        |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f)
+        |SELECT user_id, CAST(island AS BIGINT) AS island, MIN(s_us) AS start_us,
+        |  MAX(e_us) AS end_us, COUNT(*) AS n_intervals
+        |FROM g GROUP BY user_id, island
+        |ORDER BY user_id, island""".stripMargin,
     "events_dow_seasonality" ->
       """WITH e AS (
         |  SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,

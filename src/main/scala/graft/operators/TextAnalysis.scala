@@ -431,6 +431,38 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25 retrieval scoring against a fixed 3-term query — the ranking
+    * baseline every retrieval/quality-weighting pipeline starts from,
+    * next to text_tfidf's corpus-level weights. Okapi parameters k1=1.2,
+    * b=0.75 inlined as the standard (k1+1)=2.2 / (1−b)=0.25 constants.
+    * Determinism: the per-(doc, term) score is a FIXED expression tree of
+    * IEEE ops over exact integers (tf, df, dl, N) whose only libm call is
+    * ln — rounded to integer MICRO-units per term (the tfidf round-6
+    * rule), then summed as BIGINT so the per-doc total never depends on
+    * double summation order. Shape: one explode→hash-agg for tf (the
+    * 3-term filter prunes before the shuffle), a 3-row df broadcast, a
+    * doc-length join on doc_id, top-25 via TakeOrderedAndProject. */
+  def bm25Query(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val stats = d.agg(count(lit(1)).cast("double").as("n"),
+      sum(size(tokens(col("text")))).cast("double").as("total_dl"))
+    val dl = d.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+    val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .filter(col("word").isin("spark", "table", "join"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_micro",
+        round(log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / (col("total_dl") / col("n")))) *
+          1000000).cast("long"))
+      .groupBy(col("doc_id")).agg(sum(col("term_micro")).as("bm25_micro"))
+      .orderBy(col("bm25_micro").desc, col("doc_id")).limit(25)
+  }
+
   /** Heavy hitters — every token above 3% of the corpus — via a
     * Misra–Gries sketch (graft.functions.MisraGries, capacity 64: O(64)
     * state per partition, mergeable) followed by an exact verification
@@ -886,6 +918,7 @@ object TextAnalysis {
     "text_bigram_pairs"  -> (bigramPairs _),
     "text_heavy_hitters" -> (heavyHitters _),
     "text_pii_redact"  -> (piiRedact _),
+    "text_bm25"        -> (bm25Query _),
     "text_rolling_hash" -> (rollingHash _),
     "text_pivot_langs" -> (pivotLangs _),
     "text_unpivot_langs" -> (unpivotLangs _),
@@ -1365,6 +1398,30 @@ object TextAnalysis {
         |  COUNT(*) - COUNT(DISTINCT fp) AS n_exact_dups,
         |  MIN(fp) AS min_fp
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_bm25" ->
+      """WITH stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(len(string_split(text,' '))) AS DOUBLE) AS total_dl
+        |  FROM documents),
+        |dl AS (
+        |  SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (
+        |  SELECT doc_id, word, COUNT(*) AS tf FROM w
+        |  WHERE word IN ('spark','table','join') GROUP BY doc_id, word),
+        |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+        |t AS (
+        |  SELECT tf.doc_id,
+        |    CAST(ROUND( ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+        |      (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (stats.total_dl / stats.n))) *
+        |      1000000 ) AS BIGINT) AS term_micro
+        |  FROM tf JOIN df USING (word) JOIN dl ON tf.doc_id = dl.doc_id, stats)
+        |SELECT doc_id, CAST(SUM(term_micro) AS BIGINT) AS bm25_micro
+        |FROM t GROUP BY doc_id
+        |ORDER BY bm25_micro DESC, doc_id
+        |LIMIT 25""".stripMargin,
     "text_tfidf" ->
       """WITH n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
         |w AS (
