@@ -585,7 +585,29 @@ object Events {
       .orderBy(col("user_id"), col("island"))
   }
 
+  /** Rate-limiter audit — burst detection over a trailing value-based
+    * window: an event is throttled when its user's trailing-hour count
+    * (RANGE frame on epoch seconds, peers enter together so tie order
+    * can't matter) exceeds the budget of 2. The per-event flags collapse
+    * to a |users|-bounded violation report: events audited, events
+    * throttled, peak trailing rate. The RANGE frame + hash-agg share the
+    * one user_id shuffle — the same shape a streaming throttler's state
+    * audit runs in batch over the log. */
+  def rateLimiter(spark: SparkSession, dir: String): DataFrame = {
+    val wr = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+      .rangeBetween(-3599, 0)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts").cast("long").as("ts_s"))
+      .withColumn("trailing_n", count(lit(1)).over(wr))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("trailing_n") > 2, 1L).otherwise(0L)).as("n_throttled"),
+        max(col("trailing_n")).as("peak_rate"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_rate_limiter" -> (rateLimiter _),
     "events_interval_coalesce" -> (intervalCoalesce _),
     "events_dow_seasonality" -> (dowSeasonality _),
     "win_reset_running_sum" -> (resetRunningSum _),
@@ -639,6 +661,19 @@ object Events {
         |  CAST(SUM(v) AS DOUBLE) AS seg_value
         |FROM seg GROUP BY user_id, seg_no
         |ORDER BY user_id, seg_no""".stripMargin,
+    "events_rate_limiter" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(epoch(ts) AS BIGINT) AS ts_s FROM events),
+        |c AS (
+        |  SELECT user_id,
+        |    COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_s
+        |                   RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS trailing_n
+        |  FROM e)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN trailing_n > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_throttled,
+        |  CAST(MAX(trailing_n) AS BIGINT) AS peak_rate
+        |FROM c GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "events_interval_coalesce" ->
       """WITH iv AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS s_us,

@@ -284,7 +284,35 @@ object Joins {
       .orderBy(col("segment"))
   }
 
+  /** Late-arriving dimension reconciliation — the warehouse pattern for
+    * facts that reference dim keys the dimension hasn't loaded yet: a
+    * LEFT join against the (deterministically thinned: custkey % 97 = 0
+    * withheld) dimension, unmatched facts folded into an inferred
+    * 'UNKNOWN' member instead of being dropped or failing the load, and
+    * the audit metric (n_inferred_orders) carried so the backfill job
+    * knows what to repair. Fact-side left join with a broadcast-able dim;
+    * output bounded by |segments|+1. An inner join here silently loses
+    * revenue — the UNKNOWN row is the difference between "joined" and
+    * "accounted for". */
+  def lateDimReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 97 =!= 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    Tables.orders(spark, dir)
+      .join(broadcast(dim), col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_custkey"), col("o_totalprice"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+        when(col("c_custkey").isNull, 1L).otherwise(0L).as("inferred"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        sum(col("inferred")).as("n_inferred_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"))
+      .orderBy(col("segment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_late_dim"           -> (lateDimReconcile _),
     "join_collated_ci"        -> (collatedCiSegments _),
     "join_nullsafe_segments"  -> (nullsafeSegments _),
     "join_inner_revenue"      -> (innerRevenue _),
@@ -299,6 +327,19 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_late_dim" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 97 <> 0),
+        |j AS (
+        |  SELECT o.o_custkey, o.o_totalprice,
+        |    COALESCE(d.c_mktsegment, 'UNKNOWN') AS segment,
+        |    CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 0 END AS inferred
+        |  FROM orders o LEFT JOIN dim d ON o.o_custkey = d.c_custkey)
+        |SELECT segment, COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT o_custkey) AS n_customers,
+        |  CAST(SUM(inferred) AS BIGINT) AS n_inferred_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM j GROUP BY segment ORDER BY segment""".stripMargin,
     // semantic twin: UNICODE_CI equality == lower()-equality on ASCII
     "join_collated_ci" ->
       """WITH cust AS (

@@ -10,6 +10,27 @@ import graft.operators.{Aggregates, Dedup, Etl, Multimodal, Similarity, TextAnal
   * decode plumbing. */
 class OperatorSpec extends SparkSpec {
 
+  test("interval coalesce: islands disjoint+ordered per user, member counts conserved") {
+    import graft.operators.Events
+    val rows = Events.intervalCoalesce(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // maximality: consecutive islands of the same user must NOT touch —
+    // a next island starting at or before the previous end would have merged
+    rows.groupBy(_._1).foreach { case (u, iv) =>
+      iv.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, _, e1, _), (_, _, s2, _, _)) =>
+          assert(s2 > e1, s"user $u: island starting at $s2 overlaps prior end $e1")
+        case _ =>
+      }
+      iv.foreach { case (_, _, s, e, _) => assert(e > s) }
+    }
+    // conservation: every purchase lands in exactly one island
+    val purchases = Tables.events(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase").count()
+    assert(rows.map(_._5).sum == purchases,
+      s"island member counts ${rows.map(_._5).sum} != purchases $purchases")
+  }
+
   test("dedupFirstOrder keeps exactly the (date, key)-minimal order per customer") {
     val got = Etl.dedupFirstOrder(spark, sf0001)
     val n = got.count()
