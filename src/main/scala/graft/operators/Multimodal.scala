@@ -316,6 +316,87 @@ object Multimodal {
   /** Oracle'd catalog entry: binary envelope metadata (octet length, md5 of
     * the payload bytes) aggregated per kind — the part of the multimodal
     * path that IS plain relational algebra. */
+  final case class PerceptualHash(media_id: Long, kind: String,
+                                  n_bytes: Long, ahash: Long)
+
+  /** REAL perceptual average-hash (aHash) — the content-level near-dup
+    * key exact byte hashing cannot give: re-encoded, recompressed, or
+    * slightly brightened copies of the same picture keep (almost) the
+    * same aHash while md5 scatters them. Kernel: bilinear-downscale to
+    * 8×8 through the same Graphics2D path as resizeImage, integer
+    * BT.601 luma per cell, threshold at the mean → 64 bits. Pure integer
+    * arithmetic after the (deterministic) JDK scaler: bit-stable across
+    * runs and platforms. */
+  private[operators] def averageHash(img: java.awt.image.BufferedImage): Long = {
+    val small = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    try {
+      g.setRenderingHint(
+        java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 8, 8, null)
+    } finally g.dispose()
+    val grays = new Array[Int](64)
+    var i = 0
+    while (i < 64) {
+      val rgb = small.getRGB(i % 8, i / 8)
+      grays(i) = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+        (rgb & 0xff) * 114) / 1000
+      i += 1
+    }
+    var sum = 0L; i = 0
+    while (i < 64) { sum += grays(i); i += 1 }
+    val mean = sum / 64
+    var acc = 0L; i = 0
+    while (i < 64) { if (grays(i) > mean) acc |= (1L << i); i += 1 }
+    acc
+  }
+
+  /** Per-record perceptual hashes: the REAL aHash kernel for decodable
+    * images, a deterministic stub (byteChecksum-derived bits) for
+    * everything else — the same dual-path contract as decode/resize. */
+  def perceptualHashes(media: Dataset[MediaRecord]): Dataset[PerceptualHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val h = (if (r.kind == "image") readImage(r.payload) else None)
+          .map(averageHash)
+          .getOrElse {
+            val c = byteChecksum(r.payload)
+            c * 2654435761L + r.payload.length // stub: spread checksum bits
+          }
+        PerceptualHash(r.media_id, r.kind, r.payload.length.toLong, h)
+      }
+    }
+  }
+
+  /** Perceptual near-dup pairs at Hamming ≤ maxHamming over the aHash,
+    * via the SAME 4×16-bit pigeonhole blocking as dedup_simhash_hamming:
+    * two hashes within distance 3 must agree on at least one of the four
+    * 16-bit blocks, so candidates come from four equi-joins (block index +
+    * block value), never an all-pairs scan; the exact popcount filter
+    * runs only on candidates. */
+  def perceptualDupPairs(hashes: Dataset[PerceptualHash],
+                         maxHamming: Int): DataFrame = {
+    require(maxHamming < 4, "4-block pigeonhole covers Hamming <= 3")
+    val h = hashes.toDF()
+    val blocks = h.select(col("media_id"), col("ahash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("block_idx"),
+          shiftright(col("ahash"), 16 * b).bitwiseAND(0xffffL).as("block_val"))): _*)).as("blk"))
+      .select(col("media_id"), col("ahash"), col("blk.block_idx"), col("blk.block_val"))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.block_idx") === col("b.block_idx") &&
+        col("a.block_val") === col("b.block_val") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
   def binaryMeta(spark: SparkSession, dir: String): DataFrame = {
     val m = mediaTable(spark, dir).toDF()
     m.withColumn("n_bytes", octet_length(col("payload")).cast("long"))

@@ -216,6 +216,47 @@ class OperatorSpec extends SparkSpec {
     assert(feats(3L).sample_rate == 16000, feats(3L))
   }
 
+  test("perceptual aHash: re-encoded/brightened copies collide, different content separates") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    import spark.implicits._
+    def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new ByteArrayOutputStream(); ImageIO.write(img, fmt, bos); bos.toByteArray
+    }
+    def gradient(shift: Int, invert: Boolean): BufferedImage = {
+      val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 64) {
+        val v0 = math.min(255, (x * 3 + y) / 2 + shift)
+        val v = if (invert) 255 - v0 else v0
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val base = gradient(0, invert = false)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", encode(base, "png")),
+      // same pixels, different container: md5 differs, aHash must not
+      Multimodal.MediaRecord(2L, "image", encode(base, "bmp")),
+      // slightly brightened: near-dup, small Hamming distance
+      Multimodal.MediaRecord(3L, "image", encode(gradient(6, invert = false), "png")),
+      // inverted gradient: different content, large distance
+      Multimodal.MediaRecord(4L, "image", encode(gradient(0, invert = true), "png"))
+    ).toDS()
+    val hs = Multimodal.perceptualHashes(media).collect().map(p => p.media_id -> p.ahash).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hs(1L) == hs(2L), "container re-encode changed the perceptual hash")
+    assert(hamming(hs(1L), hs(3L)) <= 3,
+      s"brightened copy too far: ${hamming(hs(1L), hs(3L))}")
+    assert(hamming(hs(1L), hs(4L)) >= 16,
+      s"inverted image too close: ${hamming(hs(1L), hs(4L))}")
+    // blocked pairing finds exactly the near-dups, never the inverted image
+    val pairs = Multimodal.perceptualDupPairs(Multimodal.perceptualHashes(media), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)), pairs)
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"inverted image paired: $pairs")
+  }
+
   test("image kind gets 3 channels, audio/video 1 (stub decode contract)") {
     val feats = Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sf0001)).toDF()
     assert(feats.filter(col("kind") === "image" && col("channels") =!= 3).count() == 0)
