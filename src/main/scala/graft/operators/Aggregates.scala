@@ -589,7 +589,44 @@ object Aggregates {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Revenue-concentration (Pareto) bands — "what share of revenue do the
+    * top 10% of customers hold", the concentration report next to
+    * agg_gini's scalar index. SCALE-HONEST: no global rank window (that
+    * would single-partition-sort |customers| rows); instead the ntile
+    * pattern — exact p50/p90 spend cutoffs in a 1-row aggregate broadcast
+    * back (round-6 under the ntile determinism rule), a when-chain band
+    * assignment, a 3-row band aggregate, and the cumulative share only
+    * over those 3 grouped rows. Shares are exact: cents sums in BIGINT,
+    * micro-share by integral division taken in DECIMAL(38,0) Spark-side /
+    * HUGEINT oracle-side (the TWAP rule: DuckDB `//` on DECIMAL is lossy
+    * DOUBLE; both operands non-negative so floor == truncation). */
+  def paretoBands(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+    val cuts = c.agg(
+      round(percentile(col("cents"), lit(0.5)), 6).as("c5"),
+      round(percentile(col("cents"), lit(0.9)), 6).as("c9"))
+    val bands = c.crossJoin(broadcast(cuts))
+      .withColumn("band",
+        when(col("cents") <= col("c5"), "bottom50")
+          .when(col("cents") <= col("c9"), "mid40")
+          .otherwise("top10"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("band_cents"))
+    val wAll = Window.partitionBy() // 3 grouped rows — documented constraint
+    bands
+      .withColumn("tot", sum(col("band_cents")).over(wAll))
+      .select(col("band"), col("n_customers"),
+        col("band_cents").cast("long").as("band_cents"),
+        expr("CAST((CAST(band_cents AS DECIMAL(38,0)) * 1000000) div CAST(tot AS DECIMAL(38,0)) AS BIGINT)")
+          .as("share_micro"))
+      .orderBy(col("band"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_pareto_bands" -> (paretoBands _),
     "agg_mode_deterministic" -> (modeDeterministic _),
     "agg_string_agg" -> (stringAgg _),
     "agg_corr_manual" -> (corrManual _),
@@ -616,6 +653,29 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_pareto_bands" ->
+      """WITH c AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |cuts AS (
+        |  SELECT ROUND(quantile_cont(cents, 0.5), 6) AS c5,
+        |         ROUND(quantile_cont(cents, 0.9), 6) AS c9 FROM c),
+        |d AS (
+        |  SELECT CASE WHEN cents <= c5 THEN 'bottom50'
+        |              WHEN cents <= c9 THEN 'mid40'
+        |              ELSE 'top10' END AS band,
+        |    cents FROM c, cuts),
+        |b AS (
+        |  SELECT band, COUNT(*) AS n_customers,
+        |    CAST(SUM(cents) AS BIGINT) AS band_cents FROM d GROUP BY band),
+        |w AS (
+        |  SELECT band, n_customers, band_cents,
+        |    CAST(SUM(band_cents) OVER () AS HUGEINT) AS tot
+        |  FROM b)
+        |SELECT band, n_customers, band_cents,
+        |  CAST(CAST(band_cents AS HUGEINT) * 1000000 // tot AS BIGINT) AS share_micro
+        |FROM w ORDER BY band""".stripMargin,
     "agg_mode_deterministic" ->
       """WITH c AS (
         |  SELECT l_returnflag, l_quantity, COUNT(*) AS n

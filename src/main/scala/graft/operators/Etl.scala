@@ -512,7 +512,39 @@ object Etl {
       .orderBy(col("rule_name"))
   }
 
+  /** Sequence-gap audit (ledger completeness): find the missing id runs in
+    * the F-status order sequence — the voided-invoice / lost-batch check
+    * every billing reconciliation runs. The DISTRIBUTED shape matters: a
+    * naive `lead(k) OVER (ORDER BY k)` is a single-partition global sort,
+    * so the scan is decomposed two-level — within-block gaps under a
+    * window PARTITIONED by `k div 4096` (parallel, each partition a few
+    * thousand keys), plus boundary gaps from the |blocks|-row (min, max)
+    * aggregate under a tiny unpartitioned window (the windows-over-
+    * aggregates pattern the catalog rule allows; |blocks| = |keys|/4096).
+    * Union, top-20 largest runs with a (len, start) total order. */
+  def sequenceGaps(spark: SparkSession, dir: String): DataFrame = {
+    val k = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("k")).distinct()
+      .withColumn("blk", expr("k div 4096"))
+    val wIn = Window.partitionBy(col("blk")).orderBy(col("k"))
+    val within = k.withColumn("nxt", lead(col("k"), 1).over(wIn))
+      .filter(col("nxt") - col("k") > 1)
+      .select((col("k") + 1).as("gap_start"), (col("nxt") - 1).as("gap_end"))
+    val blocks = k.groupBy(col("blk"))
+      .agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    val wB = Window.orderBy(col("blk"))
+    val boundary = blocks.withColumn("next_min", lead(col("min_k"), 1).over(wB))
+      .filter(col("next_min") - col("max_k") > 1)
+      .select((col("max_k") + 1).as("gap_start"), (col("next_min") - 1).as("gap_end"))
+    within.unionByName(boundary)
+      .select(col("gap_start"), col("gap_end"),
+        (col("gap_end") - col("gap_start") + 1).as("gap_len"))
+      .orderBy(col("gap_len").desc, col("gap_start")).limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_sequence_gaps" -> (sequenceGaps _),
     "etl_dq_audit" -> (dqAudit _),
     "etl_explode_outer" -> (explodeOuter _),
     "etl_try_cast" -> (tryCasts _),
@@ -537,6 +569,27 @@ object Etl {
   )
 
   val oracle: Map[String, String] = Map(
+    "etl_sequence_gaps" ->
+      """WITH k AS (
+        |  SELECT DISTINCT o_orderkey AS k, o_orderkey // 4096 AS blk
+        |  FROM orders WHERE o_orderstatus = 'F'),
+        |w AS (
+        |  SELECT k, blk, LEAD(k) OVER (PARTITION BY blk ORDER BY k) AS nxt FROM k),
+        |within AS (
+        |  SELECT k + 1 AS gap_start, nxt - 1 AS gap_end FROM w WHERE nxt - k > 1),
+        |blocks AS (
+        |  SELECT blk, MIN(k) AS min_k, MAX(k) AS max_k FROM k GROUP BY blk),
+        |b AS (
+        |  SELECT max_k, LEAD(min_k) OVER (ORDER BY blk) AS next_min FROM blocks),
+        |boundary AS (
+        |  SELECT max_k + 1 AS gap_start, next_min - 1 AS gap_end
+        |  FROM b WHERE next_min - max_k > 1),
+        |u AS (
+        |  SELECT * FROM within UNION ALL SELECT * FROM boundary)
+        |SELECT gap_start, gap_end, gap_end - gap_start + 1 AS gap_len
+        |FROM u
+        |ORDER BY gap_len DESC, gap_start
+        |LIMIT 20""".stripMargin,
     "etl_dq_audit" ->
       """WITH li AS (
         |  SELECT COUNT(*) AS n,
