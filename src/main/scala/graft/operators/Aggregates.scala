@@ -625,7 +625,29 @@ object Aggregates {
       .orderBy(col("band"))
   }
 
+  /** Market-basket affinity: top-20 part pairs co-ordered in the same
+    * order, ranked by support — the co-occurrence primitive under
+    * recommendations ("bought together") and under feature co-occurrence
+    * stats in corpus analysis. The self-join key is the ORDER (a natural
+    * blocking key): pair volume is Σ|basket|² with baskets ≤ ~13 parts in
+    * this schema — bounded fan-out per key, never |parts|², the same
+    * Σblock² argument as dedup_fuzzy_names. Distinct-projection first so
+    * multi-line duplicates of a part in one order count once; ties at the
+    * top-20 boundary are resolved by the (support desc, part_a, part_b)
+    * total order via TakeOrderedAndProject. */
+  def basketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_basket_pairs" -> (basketPairs _),
     "agg_pareto_bands" -> (paretoBands _),
     "agg_mode_deterministic" -> (modeDeterministic _),
     "agg_string_agg" -> (stringAgg _),
@@ -653,6 +675,16 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_basket_pairs" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |pairs AS (
+        |  SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS support
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY a.p, b.p)
+        |SELECT part_a, part_b, support FROM pairs
+        |ORDER BY support DESC, part_a, part_b
+        |LIMIT 20""".stripMargin,
     "agg_pareto_bands" ->
       """WITH c AS (
         |  SELECT o_custkey,

@@ -431,6 +431,31 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic class balancing — downsample every language to the
+    * minority class size, the rebalancing step before training on skewed
+    * corpora. The pick is a hash-rank: per-language row_number ordered by
+    * md5(doc_id) (an unbiased deterministic shuffle — same doc set picked
+    * on every run and every engine, unlike rand()-based sampling), kept
+    * while rank ≤ the broadcast 1-row minority count. Output is the
+    * per-language audit (kept count == min for every class, plus the
+    * exact kept-id sum so the SELECTION is gated, not just its size).
+    * One |langs|-row broadcast, one lang-partitioned window. */
+  def classBalance(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val minN = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .agg(min(col("n_docs")).as("min_n"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    d.select(col("doc_id"), col("lang"))
+      .withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(minN))
+      .filter(col("rk") <= col("min_n"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept_ids"))
+      .orderBy(col("lang"))
+  }
+
   /** BM25 retrieval scoring against a fixed 3-term query — the ranking
     * baseline every retrieval/quality-weighting pipeline starts from,
     * next to text_tfidf's corpus-level weights. Okapi parameters k1=1.2,
@@ -919,6 +944,7 @@ object TextAnalysis {
     "text_heavy_hitters" -> (heavyHitters _),
     "text_pii_redact"  -> (piiRedact _),
     "text_bm25"        -> (bm25Query _),
+    "pipe_class_balance" -> (classBalance _),
     "text_rolling_hash" -> (rollingHash _),
     "text_pivot_langs" -> (pivotLangs _),
     "text_unpivot_langs" -> (unpivotLangs _),
@@ -1398,6 +1424,19 @@ object TextAnalysis {
         |  COUNT(*) - COUNT(DISTINCT fp) AS n_exact_dups,
         |  MIN(fp) AS min_fp
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pipe_class_balance" ->
+      """WITH n AS (
+        |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        |m AS (SELECT MIN(n_docs) AS min_n FROM n),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_kept,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids
+        |FROM r, m WHERE rk <= min_n
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "text_bm25" ->
       """WITH stats AS (
         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
