@@ -663,7 +663,11 @@ object Events {
         |ORDER BY user_id, seg_no""".stripMargin,
     "events_rate_limiter" ->
       """WITH e AS (
-        |  SELECT user_id, event_id, CAST(epoch(ts) AS BIGINT) AS ts_s FROM events),
+        |  -- epoch_us // 1e6, NOT CAST(epoch(ts) AS BIGINT): epoch() is a
+        |  -- DOUBLE and the cast ROUNDS the fraction where Spark's
+        |  -- cast(ts AS LONG) floors — a half-second event would land in
+        |  -- the wrong trailing window on one side only
+        |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ts_s FROM events),
         |c AS (
         |  SELECT user_id,
         |    COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_s
