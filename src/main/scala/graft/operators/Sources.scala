@@ -24,6 +24,37 @@ object Sources {
 
   private def csvDir(dir: String): String = Tables.scratchPath("csv", dir)
 
+  /** Raw line-corpus roundtrip via the `text` source — the rawest LLM
+    * ingest format (one record per line, no schema, no quoting layer):
+    * documents serialized as id<TAB>lang<TAB>text lines, written with
+    * `write.text`, read back with `spark.read.text` (whole line as one
+    * `value` column — the point of the source vs CSV's field machinery),
+    * re-parsed by split, aggregated per lang. The oracle runs the same
+    * aggregate on the parquet table, so ANY roundtrip loss — a swallowed
+    * newline, an un-reparsable line, a lost char — hash-mismatches. The
+    * corpus text is newline-free (pinned at generation); a real pipeline
+    * would escape embedded newlines before the write, exactly the
+    * contract this entry's serialization step documents. */
+  def textRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = Tables.scratchPath("textlines", dir)
+    Tables.documents(spark, dir)
+      .select(concat_ws("\t",
+        col("doc_id").cast("string"), col("lang"), col("text")).as("value"))
+      .write.mode("overwrite").text(out)
+    val lines = spark.read.text(out)
+    lines
+      .select(split(col("value"), "\t", 3).as("f"))
+      .select(col("f").getItem(0).cast("long").as("doc_id"),
+        col("f").getItem(1).as("lang"),
+        col("f").getItem(2).as("text"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(length(col("text"))).cast("long").as("total_chars"),
+        min(md5(col("text").cast("binary"))).as("min_md5"))
+      .orderBy(col("lang"))
+  }
+
   /** S1/S3: supplier → CSV (header, quoted) → explicit-schema PERMISSIVE
     * read → per-nation aggregate. Oracle runs the same aggregate on the
     * parquet table, so any roundtrip loss would hash-mismatch. */
@@ -379,6 +410,7 @@ object Sources {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_text_roundtrip" -> (textRoundtrip _),
     "src_csv_roundtrip"    -> (csvRoundtrip _),
     "src_json_roundtrip"   -> (jsonRoundtrip _),
     "src_json_corrupt"     -> (jsonCorrupt _),
@@ -427,6 +459,13 @@ object Sources {
         |FROM documents
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+    "src_text_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+        |  MIN(md5(text)) AS min_md5
+        |FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "src_csv_roundtrip" ->
       """SELECT s_nationkey,
         |  COUNT(*) AS n_suppliers,
