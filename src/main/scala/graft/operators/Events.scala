@@ -606,7 +606,32 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** DAU / WAU stickiness — the product-analytics ratio every growth
+    * dashboard leads with. The WAU side is the persist-partials
+    * sliding-distinct shape (events_sliding_distinct) at day granularity:
+    * dedup to (user, day) FIRST (wire cost |users|·|days|, never event
+    * volume), explode each active day into its 7 member window-ends
+    * map-side, dedup (user, window), count. Stickiness is an exact
+    * integral micro-ratio — both operands positive counts, floor ==
+    * truncation. Day index is the portable epoch_us div 86400e6. */
+  def dauStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .distinct()
+    val dau = ud.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("g"), col("d"))
+      .select(col("user_id"), (col("d") + col("g")).as("w"))
+      .distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, dau("d") === wau("w"))
+      .select(col("d").as("day_idx"), col("dau"), col("wau"),
+        expr("CAST(dau * 1000000L div wau AS BIGINT)").as("stickiness_micro"))
+      .orderBy(col("day_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_dau_stickiness" -> (dauStickiness _),
     "events_rate_limiter" -> (rateLimiter _),
     "events_interval_coalesce" -> (intervalCoalesce _),
     "events_dow_seasonality" -> (dowSeasonality _),
@@ -661,6 +686,20 @@ object Events {
         |  CAST(SUM(v) AS DOUBLE) AS seg_value
         |FROM seg GROUP BY user_id, seg_no
         |ORDER BY user_id, seg_no""".stripMargin,
+    "events_dau_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+        |dau AS (
+        |  SELECT d, COUNT(*) AS dau FROM ud GROUP BY d),
+        |member AS (
+        |  SELECT DISTINCT user_id, d + g AS w
+        |  FROM ud, (SELECT unnest(generate_series(0, 6)) AS g)),
+        |wau AS (
+        |  SELECT w, COUNT(*) AS wau FROM member GROUP BY w)
+        |SELECT dau.d AS day_idx, dau.dau, wau.wau,
+        |  CAST(dau.dau * 1000000 // wau.wau AS BIGINT) AS stickiness_micro
+        |FROM dau JOIN wau ON dau.d = wau.w
+        |ORDER BY day_idx""".stripMargin,
     "events_rate_limiter" ->
       """WITH e AS (
         |  -- epoch_us // 1e6, NOT CAST(epoch(ts) AS BIGINT): epoch() is a
