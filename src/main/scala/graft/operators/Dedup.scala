@@ -486,7 +486,46 @@ object Dedup {
       .orderBy(col("name_a"), col("name_b"))
   }
 
+  /** SPAN-level duplication profile — the "Deduplicating Training Data
+    * Makes Language Models Better" observation that document-level dedup
+    * misses verbatim SPANS repeated across otherwise-distinct documents
+    * (boilerplate, licenses, syndicated paragraphs), which LLMs memorize.
+    * Unit = 8-token window (position-sliced, NOT distinct: a span
+    * repeated inside one doc still counts once per occurrence toward
+    * that doc's span total). Each span row carries only a 60-bit digest
+    * (15 md5 hex chars) — wire cost is |spans|·8 bytes-ish, never span
+    * text. A span is "shared" iff its digest occurs in ≥2 DISTINCT docs;
+    * the per-digest doc-count agg collapses map-side, and the
+    * doc-level profile (total spans, shared spans, shared fraction in
+    * exact integral micros — div truncation == floor, both operands
+    * non-negative) is a second hash-agg joined back on the digest. Only
+    * docs with ≥1 shared span are emitted: output is bounded by the
+    * contaminated set, the thing a cleanup pass actually consumes. */
+  def spanNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val N = 8
+    val toks = split(col("text"), " ")
+    val spans = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(size(toks) >= N,
+          transform(sequence(lit(1), size(toks) - (N - 1)),
+            i => conv(substring(md5(array_join(slice(toks, i, lit(N)), " ")), 1, 15), 16, 10)
+              .cast("long")))
+          .otherwise(array().cast("array<long>")).as("hs"))
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val shared = spans.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    spans.join(shared, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_spans"))
+      .join(spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_spans"), col("n_shared_spans"),
+        expr("n_shared_spans * 1000000L div n_spans").as("shared_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_span_ngrams"     -> (spanNgrams _),
     "dedup_fuzzy_names"     -> (fuzzyNames _),
     "dedup_cc_survivors"    -> (dedupSurvivors _),
     "dedup_best_survivor"   -> (bestSurvivor _),
@@ -567,6 +606,26 @@ object Dedup {
       |ORDER BY l.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_span_ngrams" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |spans AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(ws) >= 8
+        |      THEN list_transform(generate_series(1, len(ws) - 7),
+        |        i -> ('0x' || substr(md5(array_to_string(list_slice(ws, i, i + 7), ' ')), 1, 15))::BIGINT)
+        |      ELSE [] END) AS h
+        |  FROM w),
+        |shared AS (
+        |  SELECT h FROM spans GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id),
+        |shr AS (
+        |  SELECT doc_id, COUNT(*) AS n_shared_spans FROM spans
+        |  WHERE h IN (SELECT h FROM shared) GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_spans, s.n_shared_spans,
+        |  s.n_shared_spans * 1000000 // t.n_spans AS shared_micro
+        |FROM tot t JOIN shr s USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "dedup_fuzzy_names" ->
       """WITH names AS (
         |  SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY p_name),

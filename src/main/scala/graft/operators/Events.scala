@@ -202,6 +202,44 @@ object Events {
       .orderBy(col("o_orderkey"))
   }
 
+  /** LEAKAGE-SAFE standardization — the fit-on-train/transform-all
+    * discipline as a relation, the preprocessing contract every ML
+    * pipeline at scale must honor (fitting the scaler on the full table
+    * leaks test statistics into training features). Split assignment is
+    * the deterministic md5 scheme of etl_hash_split (replayable, no
+    * seed-state coupling to partition layout); μ/σ come from the TRAIN
+    * partition only and broadcast back over every split as a 1-row
+    * relation (the A4 in-plan scalar pattern — no driver collect).
+    * All moments are exact decimal power sums (Det stance): n, Σx, Σx²
+    * per split collapse map-side, and every derived double (μ, σ²,
+    * per-split mean/var of z) is a fixed expression tree over those
+    * exact sums — bit-identical in both engines, then rounded 6dp.
+    * Self-check built into the output: the train row must read
+    * mean_z=0, var_z=1; the test/valid rows DIFFER from (0,1) exactly
+    * because their statistics never contaminated the fit. */
+  def standardizeNoLeak(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val h = substring(md5(col("o_orderkey").cast("string")), 1, 1)
+    val dec = col("o_totalprice").cast(DecimalType(18, 2))
+    val moments = Tables.orders(spark, dir)
+      .groupBy(
+        when(h.isin("c", "d"), "valid")
+          .when(h.isin("e", "f"), "test")
+          .otherwise("train").as("split"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec).cast("double").as("s1"),
+        sum(dec * dec).cast("double").as("s2"))
+    val train = moments.filter(col("split") === "train")
+      .select((col("s1") / col("n")).as("m"),
+        (col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n"))).as("v"))
+    moments.crossJoin(broadcast(train))
+      .select(col("split"), col("n"),
+        round((col("s1") / col("n") - col("m")) / sqrt(col("v")), 6).as("mean_z"),
+        round((col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")))
+          / col("v"), 6).as("var_z"))
+      .orderBy(col("split"))
+  }
+
   /** AS-OF JOIN — an operator Spark lacks natively, built by COMPOSITION
     * (SURVEY.md §2.12 preference (a)): each click is matched to the same
     * user's latest purchase at-or-before its timestamp.
@@ -630,7 +668,86 @@ object Events {
       .orderBy(col("day_idx"))
   }
 
+  /** EXACT distinct counting via mergeable BITMAP partials — the
+    * bitmap-index technique warehouses use when approximate (HLL) isn't
+    * acceptable but plain COUNT(DISTINCT) re-scans are too expensive.
+    * Dense integer ids are blocked into 64-id words: each (day, block)
+    * partial is ONE BIGINT whose set bits mark the block's active users
+    * (`bit_or` of single-bit masks — associative, map-side combinable).
+    * The partials then answer BOTH granularities without touching raw
+    * events again: per-day counts are `sum(bit_count(word))`, and the
+    * all-days total re-merges the SAME partials with a second `bit_or`
+    * across days before popcounting — the re-aggregation that
+    * COUNT(DISTINCT) fundamentally can't do (its per-day answers don't
+    * merge) and the reason bitmap partials are the exact-dedup layout at
+    * 100 TB: state per (day, block) is 8 bytes, shuffle is bounded by
+    * |active blocks|, never event volume. The DuckDB oracle runs the
+    * direct COUNT(DISTINCT) at both granularities — the bitmap path must
+    * reproduce it bit-for-bit. Day index is the portable
+    * `epoch_us div 86400e6` (same as dauStickiness). */
+  def bitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val partials = Tables.events(spark, dir)
+      .select(
+        expr("unix_micros(ts) div 86400000000").as("d"),
+        expr("user_id div 64").as("blk"),
+        expr("shiftleft(1L, CAST(pmod(user_id, 64) AS INT))").as("bit"))
+      .groupBy(col("d"), col("blk"))
+      .agg(expr("bit_or(bit)").as("bm"))
+    val perDay = partials
+      .groupBy(col("d"))
+      .agg(sum(bit_count(col("bm")).cast("long")).as("n_users"))
+      .select(col("d").cast("string").as("scope"), col("n_users"))
+    val total = partials
+      .groupBy(col("blk"))
+      .agg(expr("bit_or(bm)").as("bm"))
+      .agg(sum(bit_count(col("bm")).cast("long")).as("n_users"))
+      .select(lit("TOTAL").as("scope"), col("n_users"))
+    perDay.unionByName(total).orderBy(col("scope"))
+  }
+
+  /** KEYLESS interval-containment join via time-bucket chunking — the
+    * scale answer when the only join predicate is a range. A naive
+    * `e.ts BETWEEN w.start AND w.end` with no equi-key plans as a
+    * nested-loop scan of every (event, window) pair; chunking converts it
+    * to a plain equi-join: each window row explodes map-side into the
+    * hour buckets it covers, each event carries its single hour bucket,
+    * and the join key is the bucket. Because an event belongs to EXACTLY
+    * ONE bucket, every qualifying (event, window) pair meets on exactly
+    * one bucket row — no post-join dedup, the property that makes the
+    * rewrite free. Cost: |windows|·(span/bucket) build rows + one
+    * shuffle on bucket, vs |events|·|windows| for the nested loop; holds
+    * for arbitrarily large window tables (the reason this beats a
+    * broadcast range join at 100 TB). Windows here are derived from the
+    * data — the 3 busiest hours, widened to [hr−30min, hr+90min) so each
+    * spans 3 buckets and the explode is genuinely exercised. The oracle
+    * runs the naive range join; answers must match exactly. */
+  def intervalChunked(spark: SparkSession, dir: String): DataFrame = {
+    val BucketUs = 3600L * 1000000L
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+    val wins = e
+      .groupBy(expr(s"us div $BucketUs").as("h"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("h")).limit(3)
+      .select(
+        (col("h") * BucketUs - 1800000000L).as("ws"),
+        (col("h") * BucketUs + 5400000000L).as("we"))
+    val chunks = wins.select(col("ws"), col("we"),
+      explode(sequence(expr(s"ws div $BucketUs"), expr(s"(we - 1) div $BucketUs")))
+        .as("bucket"))
+    e.withColumn("bucket", expr(s"us div $BucketUs"))
+      .join(chunks, Seq("bucket"))
+      .filter(col("us") >= col("ws") && col("us") < col("we"))
+      .groupBy(col("ws"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("ws").as("w_start_us"), col("n_events"), col("n_users"))
+      .orderBy(col("w_start_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bitmap_distinct" -> (bitmapDistinct _),
+    "join_interval_chunked" -> (intervalChunked _),
     "events_dau_stickiness" -> (dauStickiness _),
     "events_rate_limiter" -> (rateLimiter _),
     "events_interval_coalesce" -> (intervalCoalesce _),
@@ -648,6 +765,7 @@ object Events {
     "events_sessionization" -> (sessionization _),
     "events_session_window" -> (sessionWindowNative _),
     "ml_feature_prep"      -> (featurePrep _),
+    "ml_standardize_noleak" -> (standardizeNoLeak _),
     "join_asof_clicks"     -> (asofClicks _),
     "join_asof_forward"    -> (asofForward _),
     "join_asof_tolerance"  -> (asofTolerance _),
@@ -672,6 +790,44 @@ object Events {
       |ORDER BY c.event_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "agg_bitmap_distinct" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS d, user_id FROM events)
+        |SELECT CAST(d AS VARCHAR) AS scope, COUNT(DISTINCT user_id) AS n_users
+        |FROM e GROUP BY d
+        |UNION ALL
+        |SELECT 'TOTAL' AS scope, COUNT(DISTINCT user_id) AS n_users FROM e
+        |ORDER BY scope""".stripMargin,
+    "ml_standardize_noleak" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('c','d') THEN 'valid'
+        |              WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+        |              ELSE 'train' END AS split,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT s1 / n AS mu, s2 / n - (s1 / n) * (s1 / n) AS v
+        |  FROM m WHERE split = 'train')
+        |SELECT split, n,
+        |  ROUND((s1 / n - mu) / sqrt(v), 6) AS mean_z,
+        |  ROUND((s2 / n - (s1 / n) * (s1 / n)) / v, 6) AS var_z
+        |FROM m CROSS JOIN t
+        |ORDER BY split""".stripMargin,
+    "join_interval_chunked" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us FROM events),
+        |top3 AS (
+        |  SELECT us // 3600000000 AS h, COUNT(*) AS n
+        |  FROM e GROUP BY 1 ORDER BY n DESC, h LIMIT 3),
+        |w AS (
+        |  SELECT h * 3600000000 - 1800000000 AS ws,
+        |         h * 3600000000 + 5400000000 AS we FROM top3)
+        |SELECT ws AS w_start_us, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM w JOIN e ON e.us >= w.ws AND e.us < w.we
+        |GROUP BY ws ORDER BY ws""".stripMargin,
     "win_reset_running_sum" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,

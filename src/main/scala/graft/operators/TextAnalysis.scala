@@ -927,7 +927,61 @@ object TextAnalysis {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Weighted sampling WITHOUT replacement at corpus scale — the
+    * Efraimidis–Spirakis exponential-race trick: give every doc the key
+    * `-ln(u)/w` (u uniform in (0,1], w = its weight) and keep the k
+    * SMALLEST keys. The key is an Exp(w) race time, so the winner
+    * distribution is exactly "draw proportional to weight, remove,
+    * repeat" — but computed as one embarrassingly-parallel projection +
+    * a top-k (TakeOrderedAndProject: per-partition bounded heaps, no
+    * global sort, no driver pass), where the textbook sequential
+    * algorithm is inherently serial. That reduction from "k dependent
+    * draws" to "one top-k" is what makes weighted corpus subsampling
+    * (quality-weighted pretraining mixes) feasible at 100 TB. u comes
+    * from the md5 idiom, not rand(): deterministic under retry /
+    * partition relayout, and replayable by the DuckDB oracle — the same
+    * reproducibility contract as etl_hash_split. Weight = n_chars
+    * (longer docs proportionally likelier). u ∈ (0,1] by the +1 shift,
+    * so ln is always finite; doc_id tiebreak pins byte-identical
+    * selection for duplicate texts. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") + 1L)
+      .cast("double") / lit(4294967296.0)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (-log(u) / col("n_chars")).as("es_key"))
+      .orderBy(col("es_key"), col("doc_id")).limit(50)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Conjunctive boolean retrieval (every-term-must-match) as
+    * posting-list intersection by COUNTING: explode each doc's DISTINCT
+    * tokens, keep only the query terms — the filter sits under the
+    * shuffle, so wire cost is Σ|posting list of the query terms|, never
+    * corpus token volume — then a doc qualifies iff its surviving-token
+    * count equals the term count. One hash-agg replaces the k-way
+    * posting-list zipper merge of a search engine, inherits map-side
+    * partials, and needs no per-term join cascade (the naive relational
+    * form — k self-joins — shuffles k× more and skews on common terms).
+    * array_distinct before the explode keeps repeated terms from
+    * double-counting (the HAVING n = k correctness trap). */
+  def conjunctiveSearch(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("vector", "stream", "hash")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === terms.size)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_weighted_sample" -> (weightedSample _),
+    "text_conj_search" -> (conjunctiveSearch _),
     "pipe_cross_source_dupes" -> (crossSourceDupes _),
     "pipe_mixture_hhi" -> (concentration _),
     "pipe_token_packing" -> (tokenPacking _),
@@ -963,6 +1017,24 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "pipe_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT doc_id, source, n_chars,
+        |    -ln((('0x' || substr(md5(text), 1, 8))::BIGINT + 1) / 4294967296.0)
+        |      / n_chars AS es_key
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars
+        |FROM (SELECT * FROM k ORDER BY es_key, doc_id LIMIT 50)
+        |ORDER BY doc_id""".stripMargin,
+    "text_conj_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents)
+        |SELECT doc_id, source FROM toks
+        |WHERE tok IN ('vector', 'stream', 'hash')
+        |GROUP BY doc_id, source HAVING COUNT(*) = 3
+        |ORDER BY doc_id""".stripMargin,
     "pipe_cross_source_dupes" ->
       """WITH d AS (
         |  SELECT md5(array_to_string(

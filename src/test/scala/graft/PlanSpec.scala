@@ -133,13 +133,15 @@ class PlanSpec extends SparkSpec {
     // aggregate back over the per-customer spends (the ntile pattern)
     // pipe_class_balance crossJoins the broadcast 1-row minority count
     // over the ranked docs (the same A4 scalar pattern)
+    // ml_standardize_noleak crossJoins the broadcast 1-row train-split
+    // μ/σ² aggregate over the 3-row split moments (A4 scalar pattern)
     val allowedNestedLoop =
       Set("sim_knn_brute", "sim_knn_lsh", "sim_knn_ivf", "text_tfidf", "win_ntile_tiers",
         "events_resample_gapfill", "text_heavy_hitters",
         "sim_knn_quantized", "pipe_mixture_sample", "sim_knn_pq", "sim_knn_ivfpq",
         "agg_histogram", "etl_winsorize", "sim_range_search",
         "events_dow_seasonality", "text_bm25", "agg_pareto_bands",
-        "pipe_class_balance")
+        "pipe_class_balance", "ml_standardize_noleak")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
