@@ -117,6 +117,28 @@ object Probe {
         time(s"$name ${n}x")(f(amp))
         spark.catalog.clearCache()
       }
+    } else if (sys.env.contains("SPARK_GRAFT_RECALL")) {
+      // IVF-PQ serving-knob sweep: recall@3 against the exact brute-force
+      // ground truth at each (nprobe, refineT) point — the two knobs a
+      // deployed index tunes at query time (quantizers stay fixed; the
+      // seeded fits reproduce identically across variants, so points
+      // differ only in the knobs). Collects are |Q|·3 rows — bounded.
+      import org.apache.spark.sql.functions.col
+      def top3(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+        df.filter(col("rn") <= 3).select("q_id", "vec_id").collect()
+          .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val truth = top3(operators.Similarity.knnBrute(spark, dir))
+      println(s"[recall] ground truth: ${truth.size} queries, brute-force top-3")
+      for ((np, rt) <- Seq((1, 10), (2, 10), (3, 5), (3, 10), (3, 20), (5, 10), (8, 10))) {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val approx = top3(operators.Similarity.knnIvfPqTuned(spark, dir, np, rt))
+        val secs = (System.nanoTime() - t0) / 1e9
+        val recalls = truth.keys.toSeq.map { q =>
+          (truth(q) & approx.getOrElse(q, Set.empty)).size.toDouble / truth(q).size
+        }
+        println(f"[recall] ivfpq nprobe=$np%2d refineT=$rt%3d recall@3=${recalls.sum / recalls.size}%.3f wall=$secs%6.2f s")
+      }
     } else if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
       // plan audit of the round-2 rewrites + round-3 additions
       Seq(

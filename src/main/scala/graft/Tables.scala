@@ -59,15 +59,45 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4's reader rejects
-    * outright (PARQUET_TYPE_ILLEGAL). Read it as raw INT64 nanos via an
-    * explicit schema, then truncate to microseconds — the same truncation
-    * DuckDB applies when it reads nanos, so oracle comparisons agree. */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  /** `events.ts` ingestion is PROBED, never assumed: the harness has shipped
+    * this column as both TIMESTAMP(NANOS) (which Spark 4's reader rejects
+    * outright — PARQUET_TYPE_ILLEGAL) and TIMESTAMP(MICROS) (which decodes
+    * natively) across testdata regenerations. We read the footer schema once
+    * per (dir) and branch:
+    *   - ts infers as TimestampType/TimestampNTZ → plain scan, native decode.
+    *   - schema inference throws (nanos) or ts infers as INT64 raw nanos →
+    *     explicit BIGINT schema + truncate to micros, the same truncation
+    *     DuckDB applies when it reads nanos, so oracle comparisons agree.
+    * Hard-coding either branch silently corrupts the other encoding's
+    * timeline by 1000× — the probe is the contract. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val path = s"$dir/events.parquet"
+    val tsType: Option[org.apache.spark.sql.types.DataType] =
+      try spark.read.parquet(path).schema.fields.find(_.name == "ts").map(_.dataType)
+      catch { case scala.util.control.NonFatal(_) => None } // nanos: footer→Catalyst conversion fails
+    tsType match {
+      case Some(TimestampType) =>
+        spark.read.parquet(path)
+      case Some(TimestampNTZType) =>
+        // pyarrow writes isAdjustedToUTC=false → Spark infers NTZ. Normalize
+        // to TimestampType: the whole events family (unix_micros, windows,
+        // watermarks) and the driver's oracle comparison were proven against
+        // TimestampType, and under the UTC session timezone the cast is
+        // value-preserving (same micros).
+        spark.read.parquet(path)
+          .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case Some(LongType) | None =>
+        spark.read
+          .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+          .parquet(path)
+          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case Some(other) =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported parquet-decoded type $other at $path; " +
+            "expected TIMESTAMP(MICROS/NANOS) or raw INT64 nanos")
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = fanOut(table(spark, dir, "documents"))
   def embeddings(spark: SparkSession, dir: String): DataFrame = fanOut(table(spark, dir, "embeddings"))
 }

@@ -504,7 +504,16 @@ object Dedup {
   def spanNgrams(spark: SparkSession, dir: String): DataFrame = {
     val N = 8
     val toks = split(col("text"), " ")
-    val spans = Tables.documents(spark, dir)
+    // The span explosion (split + 8-token windows + md5 per window over
+    // every document) is the catalog's most expensive projection, so it
+    // runs EXACTLY ONCE: explode → compact immediately to (doc_id, h, cnt)
+    // via a hash-agg whose map-side combine collapses within-partition
+    // duplicates before the shuffle. Everything downstream — the shared
+    // digest set, per-doc shared counts, per-doc totals — derives from the
+    // cached compacted relation, which is bounded by distinct (doc, span)
+    // pairs, not occurrences. (The previous formulation referenced the raw
+    // explosion from three consumers with no persist and recomputed it 3×.)
+    val compact = Tables.documents(spark, dir)
       .select(col("doc_id"),
         when(size(toks) >= N,
           transform(sequence(lit(1), size(toks) - (N - 1)),
@@ -512,13 +521,18 @@ object Dedup {
               .cast("long")))
           .otherwise(array().cast("array<long>")).as("hs"))
       .select(col("doc_id"), explode(col("hs")).as("h"))
-    val shared = spans.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("cnt"))
+      .cache()
+    // (doc_id, h) is unique post-compaction, so distinct-doc count per
+    // digest is a plain count — no countDistinct expansion needed.
+    val shared = compact.groupBy(col("h"))
+      .agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)
       .select(col("h"))
-    spans.join(shared, Seq("h"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_spans"))
-      .join(spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans")), Seq("doc_id"))
+    val totals = compact.groupBy(col("doc_id")).agg(sum(col("cnt")).as("n_spans"))
+    compact.join(shared, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(sum(col("cnt")).as("n_shared_spans"))
+      .join(totals, Seq("doc_id"))
       .select(col("doc_id"), col("n_spans"), col("n_shared_spans"),
         expr("n_shared_spans * 1000000L div n_spans").as("shared_micro"))
       .orderBy(col("doc_id"))

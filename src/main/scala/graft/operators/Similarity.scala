@@ -379,7 +379,17 @@ object Similarity {
     * Everything is normalized up front so ADC-L2 ranks by cosine, like
     * `sim_knn_pq`. NOT oracle-able (two trained quantizers): rows-only
     * driver check + SimilaritySpec recall gate. */
-  def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+  def knnIvfPq(spark: SparkSession, dir: String): DataFrame =
+    knnIvfPqTuned(spark, dir, NProbe, RefineT)
+
+  /** Same pipeline with the two serving-time knobs exposed — `nprobe`
+    * (cells scanned per query) and `refineT` (exact-re-rank shortlist
+    * depth). These are the ONLY parameters a deployed IVF-PQ index tunes
+    * at query time (the trained quantizers are fixed); Probe's recall
+    * mode sweeps them against the brute-force ground truth to place the
+    * catalog's defaults on the measured recall/cost curve. */
+  private[graft] def knnIvfPqTuned(
+      spark: SparkSession, dir: String, nprobe: Int, refineT: Int): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import spark.implicits._
@@ -429,10 +439,10 @@ object Similarity {
         lit(1.0) + col("c_sq")
           - lit(2.0) * VectorOps.dot(col("qv"), col("centroid")))
       .withColumn("cr", row_number().over(probeW))
-      .filter(col("cr") <= NProbe)
+      .filter(col("cr") <= nprobe)
       .select(col("q_id"), col("cell"))
     // ... and the per-(query, probed cell) residual ADC tables
-    // (|Q|·NProbe·PqM·PqK rows, constant)
+    // (|Q|·nprobe·PqM·PqK rows, constant)
     val qSubs = qCells.join(q, Seq("q_id"))
       .join(broadcast(centroids), Seq("cell"))
       .withColumn("qr", zip_with(col("qv"), col("centroid"), (a, b) => a - b))
@@ -464,7 +474,7 @@ object Similarity {
     // constant-size exact pass restores the rank fidelity codes give up.
     val preW = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
     val shortlist = scored.withColumn("pr", row_number().over(preW))
-      .filter(col("pr") <= RefineT)
+      .filter(col("pr") <= refineT)
       .select(col("q_id"), col("vec_id"), col("adist"))
     val rescored = shortlist
       .join(all.select(col("vec_id"), col("vn")), Seq("vec_id"))

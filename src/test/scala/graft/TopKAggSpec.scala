@@ -107,4 +107,27 @@ class TopKAggEngineSpec extends SparkSpec {
       .collect().head.getSeq[Long](0)
     assert(out == Seq(4L, 1L))
   }
+
+  test("DECIMAL value and INT key coerce through the registered builder") {
+    import spark.implicits._
+    org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
+      spark, "graft_topk_keys", TopKKeysAgg.build)
+    // DECIMAL(10,2) value + INT key — the shapes a SQL user actually has
+    // (money columns, surrogate int keys). Builtin aggregates get this
+    // coercion from the analyzer; the builder must supply it for the raw
+    // TypedImperativeAggregate or analysis fails instead of casting.
+    Seq((1, "10.50"), (2, "99.99"), (3, "50.00"), (4, "75.25"))
+      .toDF("k", "v")
+      .selectExpr("CAST(k AS INT) AS k", "CAST(v AS DECIMAL(10,2)) AS v")
+      .createOrReplaceTempView("tk_decimal")
+    val out = spark.sql(
+      "SELECT graft_topk_keys(v, k, 2) AS ks FROM tk_decimal")
+      .collect().head.getSeq[Long](0)
+    assert(out == Seq(2L, 4L), s"decimal coercion produced $out")
+    // agrees with the udaf twin on the double-cast equivalent
+    val twin = new graft.functions.TopKKeys(2)
+    val pairs = Seq((10.50, 1L), (99.99, 2L), (50.00, 3L), (75.25, 4L))
+    val viaTwin = twin.finish(pairs.foldLeft(twin.zero)(twin.reduce))
+    assert(out == viaTwin)
+  }
 }
