@@ -7,8 +7,11 @@ import org.apache.spark.sql.functions._
   * paths are real (JDK built-in `javax.imageio`: PNG/JPEG/BMP/GIF), the
   * AUDIO path is real for WAV/PCM (pure byte parsing + PCM16 RMS — WAV is
   * a container, not a codec), and the VIDEO frame-sampler is real for
-  * multi-frame GIF (ImageIO sequence demux). Only codec-bound formats
-  * (mp3/aac, mp4/webm) keep clearly-marked deterministic stubs — no codec
+  * multi-frame GIF (ImageIO sequence demux, full pixel decode) and for
+  * mp4/mov (`Mp4Index`: pure-byte ISO BMFF sample-table parsing locates
+  * every coded frame — container demux needs no codec). Only truly
+  * codec-bound formats (mp3/aac pixel/PCM decode, webm/mkv's EBML
+  * container) keep clearly-marked deterministic stubs — no codec
   * libraries ship in the JDK. Everything around the kernels — binary columns with
   * typed metadata, batched per-partition decode, explicit output schema,
   * partition-count preservation — is real Spark plumbing; OperatorSpec
@@ -287,10 +290,30 @@ object Multimodal {
       }
     } catch { case _: Exception => None } // corrupt container → stub path
 
-  /** Frame sampling: REAL demux kernel for multi-frame GIF payloads, the
-    * deterministic chunk stub for codec-bound formats (mp4/webm — no codec
-    * libraries in the JDK). Either way the operator is a 1→N flatMap per
-    * video row — the real shape of frame extraction (output rows carry
+  /** REAL mp4 frame sampling via the sample INDEX (no decode): every
+    * `stride`-th sample's CODED bytes are sliced out of the payload at the
+    * offset/size the container's own index declares and checksummed — the
+    * demuxer's half of frame extraction, which is all a frame-SAMPLING
+    * operator needs (a decoder would consume these exact byte ranges).
+    * `n_bytes` is the coded sample size. Single-sample files are "images
+    * in an mp4 coat", not video — None, like the GIF kernel's n<=1 rule. */
+  private[graft] def sampleMp4Frames(r: MediaRecord, stride: Int): Option[Vector[Frame]] =
+    Mp4Index.sampleIndex(r.payload).flatMap { idx =>
+      if (idx.length <= 1) None
+      else Some((0 until idx.length by stride).toVector.map { i =>
+        val (off, sz) = idx(i)
+        Frame(r.media_id, i, sz.toLong,
+          byteChecksum(java.util.Arrays.copyOfRange(r.payload, off.toInt, off.toInt + sz)))
+      })
+    }
+
+  /** Frame sampling: REAL demux kernels for multi-frame GIF (full pixel
+    * decode — the JDK ships the codec) and mp4/mov (sample-index demux —
+    * coded frame bytes located via the container's stbl tables, no codec
+    * needed), the deterministic chunk stub for the remaining codec-bound
+    * formats (webm/mkv: EBML container, no JDK parser — loud documented
+    * limitation). Either way the operator is a 1→N flatMap per video row —
+    * the real shape of frame extraction (output rows carry
     * (media_id, frame_idx), no driver involvement, partition count
     * preserved, demuxer state per record inside a per-partition batch). */
   def sampleFrames(media: Dataset[MediaRecord], stride: Int,
@@ -300,15 +323,17 @@ object Multimodal {
       // real impl note: a native demuxer would open its context here,
       // once per partition
       rows.flatMap { r =>
-        sampleContainerFrames(r, stride).getOrElse {
-          // STUB fallback — every `stride`-th fixed-size chunk of the
-          // payload stands in for a decoded frame
-          val nFrames = math.max(1, r.payload.length / frameBytes)
-          (0 until nFrames by stride).toVector.map { i =>
-            val chunk = r.payload.slice(i * frameBytes, math.min((i + 1) * frameBytes, r.payload.length))
-            Frame(r.media_id, i, chunk.length.toLong, byteChecksum(chunk))
+        sampleContainerFrames(r, stride)
+          .orElse(sampleMp4Frames(r, stride))
+          .getOrElse {
+            // STUB fallback — every `stride`-th fixed-size chunk of the
+            // payload stands in for a decoded frame
+            val nFrames = math.max(1, r.payload.length / frameBytes)
+            (0 until nFrames by stride).toVector.map { i =>
+              val chunk = r.payload.slice(i * frameBytes, math.min((i + 1) * frameBytes, r.payload.length))
+              Frame(r.media_id, i, chunk.length.toLong, byteChecksum(chunk))
+            }
           }
-        }
       }
     }
   }
@@ -433,4 +458,142 @@ object Multimodal {
         |  MIN(payload_md5) AS min_md5
         |FROM m GROUP BY kind ORDER BY kind""".stripMargin
   )
+}
+
+/** Pure-JDK ISO BMFF (mp4/mov/m4v) sample-INDEX reader — the container
+  * half of a demuxer, no codec involved. ISO BMFF stores every coded
+  * frame's location in plain tables inside `moov/trak/mdia/minf/stbl`:
+  * `stsz` (per-sample byte sizes), `stsc` (samples-per-chunk runs), and
+  * `stco`/`co64` (chunk file offsets). Walking those three tables yields
+  * the exact (offset, size) of every coded video frame in the payload —
+  * which is precisely the "frame index read, not decode" a SAMPLING
+  * operator needs; only pixel decode would require a codec.
+  *
+  * Box grammar (ISO/IEC 14496-12 §4.2): size(u32) + type(4cc), with
+  * size==1 ⇒ 64-bit largesize follows, size==0 ⇒ box runs to end of
+  * enclosing scope. Multi-byte integers are big-endian. Malformed input
+  * never throws out of here — any structural violation (box overrun,
+  * sample range outside the payload, index/table disagreement) returns
+  * None so the caller falls back, the same corrupt-media policy as the
+  * image kernels. */
+private[graft] object Mp4Index {
+  private def u32(b: Array[Byte], p: Int): Long =
+    ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+      ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+  private def u64(b: Array[Byte], p: Int): Long = (u32(b, p) << 32) | u32(b, p + 4)
+  private def tag(b: Array[Byte], p: Int): String = new String(b, p, 4, "ISO-8859-1")
+
+  /** Child boxes (type, payloadStart, payloadEnd) of byte range [start, end).
+    * Stops (rather than throws) at the first malformed header. */
+  private def children(b: Array[Byte], start: Int, end: Int): Vector[(String, Int, Int)] = {
+    val out = Vector.newBuilder[(String, Int, Int)]
+    var p = start
+    var ok = true
+    while (ok && p + 8 <= end) {
+      val sz0 = u32(b, p)
+      val typ = tag(b, p + 4)
+      val (hdr, sz): (Long, Long) =
+        if (sz0 == 1L && p + 16 <= end) (16L, u64(b, p + 8))
+        else if (sz0 == 0L) (8L, (end - p).toLong)
+        else (8L, sz0)
+      if (sz < hdr || p + sz > end) ok = false // malformed: stop the walk
+      else {
+        out += ((typ, p + hdr.toInt, p + sz.toInt))
+        p += sz.toInt
+      }
+    }
+    out.result()
+  }
+
+  private def find(b: Array[Byte], start: Int, end: Int, typ: String): Option[(Int, Int)] =
+    children(b, start, end).collectFirst { case (t, s, e) if t == typ => (s, e) }
+
+  /** (offset, size) of every sample in the FIRST `vide`-handler track, in
+    * sample order, with every range verified to sit inside the payload. */
+  def sampleIndex(payload: Array[Byte]): Option[Vector[(Long, Int)]] =
+    try sampleIndexUnsafe(payload)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def sampleIndexUnsafe(payload: Array[Byte]): Option[Vector[(Long, Int)]] = {
+    val end = payload.length
+    for {
+      (mvS, mvE) <- find(payload, 0, end, "moov")
+      // first trak whose mdia/hdlr declares a video handler; hdlr payload =
+      // version+flags(4) + pre_defined(4) + handler_type(4cc at offset 8)
+      (sbS, sbE) <- children(payload, mvS, mvE).collect { case ("trak", ts, te) => (ts, te) }
+        .flatMap { case (ts, te) =>
+          for {
+            (mdS, mdE) <- find(payload, ts, te, "mdia")
+            (hS, hE) <- find(payload, mdS, mdE, "hdlr")
+            if hS + 12 <= hE && tag(payload, hS + 8) == "vide"
+            (mnS, mnE) <- find(payload, mdS, mdE, "minf")
+            stbl <- find(payload, mnS, mnE, "stbl")
+          } yield stbl
+        }.headOption
+      // stsz payload: version+flags(4), uniform_size(4), count(4), sizes[]
+      (szS, szE) <- find(payload, sbS, sbE, "stsz")
+      n = u32(payload, szS + 8).toInt
+      if n > 0
+      uniform = u32(payload, szS + 4)
+      sizes <- if (uniform != 0L) Some(Vector.fill(n)(uniform.toInt))
+        else if (szS + 12 + 4L * n <= szE)
+          Some((0 until n).map(i => u32(payload, szS + 12 + 4 * i).toInt).toVector)
+        else None
+      // chunk offsets: stco (u32 each) or its 64-bit twin co64
+      offsets <- find(payload, sbS, sbE, "stco").flatMap { case (cS, cE) =>
+          val nc = u32(payload, cS + 4).toInt
+          if (cS + 8 + 4L * nc <= cE)
+            Some((0 until nc).map(i => u32(payload, cS + 8 + 4 * i)).toVector)
+          else None
+        }.orElse(find(payload, sbS, sbE, "co64").flatMap { case (cS, cE) =>
+          val nc = u32(payload, cS + 4).toInt
+          if (cS + 8 + 8L * nc <= cE)
+            Some((0 until nc).map(i => u64(payload, cS + 8 + 8 * i)).toVector)
+          else None
+        })
+      // stsc payload: version+flags(4), count(4), then
+      // (first_chunk, samples_per_chunk, sample_desc_index) u32 triples;
+      // chunk c takes the samples_per_chunk of the LAST run with
+      // first_chunk <= c (runs are ascending by first_chunk)
+      (scS, scE) <- find(payload, sbS, sbE, "stsc")
+      runs <- {
+        val ne = u32(payload, scS + 4).toInt
+        if (ne > 0 && scS + 8 + 12L * ne <= scE)
+          Some((0 until ne).map { i =>
+            val p = scS + 8 + 12 * i
+            (u32(payload, p).toInt, u32(payload, p + 4).toInt)
+          }.toVector)
+        else None
+      }
+      index <- expand(payload.length.toLong, n, sizes, offsets, runs)
+    } yield index
+  }
+
+  /** Walk chunks, laying samples head-to-tail from each chunk's file
+    * offset (samples within a chunk are contiguous by definition —
+    * §8.7.4). Returns None unless the walk places EXACTLY the declared
+    * sample count with every byte range inside the payload. */
+  private def expand(payloadLen: Long, n: Int, sizes: Vector[Int],
+                     offsets: Vector[Long],
+                     runs: Vector[(Int, Int)]): Option[Vector[(Long, Int)]] = {
+    val out = Vector.newBuilder[(Long, Int)]
+    var sample = 0
+    var chunk = 1
+    var valid = true
+    while (valid && sample < n && chunk <= offsets.length) {
+      val spc = runs.takeWhile(_._1 <= chunk).lastOption.fold(0)(_._2)
+      var off = offsets(chunk - 1)
+      var i = 0
+      while (valid && i < spc && sample < n) {
+        val sz = sizes(sample)
+        if (sz < 0 || off < 0 || off + sz > payloadLen) valid = false
+        else {
+          out += ((off, sz))
+          off += sz; sample += 1; i += 1
+        }
+      }
+      chunk += 1
+    }
+    if (valid && sample == n) Some(out.result()) else None
+  }
 }
