@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions._
   * paths are real (JDK built-in `javax.imageio`: PNG/JPEG/BMP/GIF), the
   * AUDIO path is real for WAV/PCM (pure byte parsing + PCM16 RMS — WAV is
   * a container, not a codec), and the VIDEO frame-sampler is real for
-  * multi-frame GIF (ImageIO sequence demux, full pixel decode) and for
-  * mp4/mov (`Mp4Index`: pure-byte ISO BMFF sample-table parsing locates
-  * every coded frame — container demux needs no codec). Only truly
-  * codec-bound formats (mp3/aac pixel/PCM decode, webm/mkv's EBML
-  * container) keep clearly-marked deterministic stubs — no codec
-  * libraries ship in the JDK. Everything around the kernels — binary columns with
+  * multi-frame GIF (ImageIO sequence demux, full pixel decode), for
+  * mp4/mov (`Mp4Index`: pure-byte ISO BMFF sample-table parsing), and for
+  * webm/mkv (`WebmIndex`: pure-byte EBML SimpleBlock walk) — container
+  * demux needs no codec, so every container format's frame index is read
+  * for real. Only actual codec work (mp3/aac PCM decode, video pixel
+  * decode) keeps clearly-marked deterministic stubs — no codec libraries
+  * ship in the JDK. Everything around the kernels — binary columns with
   * typed metadata, batched per-partition decode, explicit output schema,
   * partition-count preservation — is real Spark plumbing; OperatorSpec
   * exercises the plumbing and decodes actual in-test-generated PNGs
@@ -298,7 +299,22 @@ object Multimodal {
     * `n_bytes` is the coded sample size. Single-sample files are "images
     * in an mp4 coat", not video — None, like the GIF kernel's n<=1 rule. */
   private[graft] def sampleMp4Frames(r: MediaRecord, stride: Int): Option[Vector[Frame]] =
-    Mp4Index.sampleIndex(r.payload).flatMap { idx =>
+    framesFromIndex(r, Mp4Index.sampleIndex(r.payload), stride)
+
+  /** Same contract over the Matroska/WebM index — with `Mp4Index` and the
+    * GIF kernel this makes every container format's frame-SAMPLING path
+    * real; only pixel decode stays codec-bound. */
+  private[graft] def sampleWebmFrames(r: MediaRecord, stride: Int): Option[Vector[Frame]] =
+    framesFromIndex(r, WebmIndex.sampleIndex(r.payload), stride)
+
+  /** Every `stride`-th coded frame sliced out at the (offset, size) the
+    * container index declares and checksummed — the shared back half of
+    * both index demuxers (ranges are already payload-bounds-verified by
+    * the parsers). Single-sample files are "images in a video coat", not
+    * video — None, like the GIF kernel's n<=1 rule. */
+  private def framesFromIndex(r: MediaRecord, index: Option[Vector[(Long, Int)]],
+                              stride: Int): Option[Vector[Frame]] =
+    index.flatMap { idx =>
       if (idx.length <= 1) None
       else Some((0 until idx.length by stride).toVector.map { i =>
         val (off, sz) = idx(i)
@@ -308,13 +324,13 @@ object Multimodal {
     }
 
   /** Frame sampling: REAL demux kernels for multi-frame GIF (full pixel
-    * decode — the JDK ships the codec) and mp4/mov (sample-index demux —
-    * coded frame bytes located via the container's stbl tables, no codec
-    * needed), the deterministic chunk stub for the remaining codec-bound
-    * formats (webm/mkv: EBML container, no JDK parser — loud documented
-    * limitation). Either way the operator is a 1→N flatMap per video row —
-    * the real shape of frame extraction (output rows carry
-    * (media_id, frame_idx), no driver involvement, partition count
+    * decode — the JDK ships the codec), mp4/mov (sample-index demux via
+    * the container's stbl tables), and webm/mkv (SimpleBlock walk via the
+    * EBML element grammar) — no codec needed for any index path. The
+    * deterministic chunk stub remains only for payloads that parse as
+    * none of the containers. Either way the operator is a 1→N flatMap
+    * per video row — the real shape of frame extraction (output rows
+    * carry (media_id, frame_idx), no driver involvement, partition count
     * preserved, demuxer state per record inside a per-partition batch). */
   def sampleFrames(media: Dataset[MediaRecord], stride: Int,
                    frameBytes: Int = 64): Dataset[Frame] = {
@@ -325,6 +341,7 @@ object Multimodal {
       rows.flatMap { r =>
         sampleContainerFrames(r, stride)
           .orElse(sampleMp4Frames(r, stride))
+          .orElse(sampleWebmFrames(r, stride))
           .getOrElse {
             // STUB fallback — every `stride`-th fixed-size chunk of the
             // payload stands in for a decoded frame
@@ -596,4 +613,129 @@ private[graft] object Mp4Index {
     }
     if (valid && sample == n) Some(out.result()) else None
   }
+}
+
+/** Pure-JDK Matroska/WebM frame-INDEX reader — the EBML counterpart of
+  * `Mp4Index`, and the close of the video-demux family: every container
+  * the media table can carry now has a real index path, and only pixel/
+  * PCM *decode* of codec-bound formats remains stubbed (that genuinely
+  * needs codecs the JDK lacks).
+  *
+  * Matroska stores coded frames in SimpleBlock / BlockGroup>Block
+  * elements inside Clusters; each block's payload is
+  * `track varint + s16 relative-timestamp + flags byte + frame bytes`,
+  * so the frame's (offset, size) falls out of the element walk with no
+  * codec. EBML grammar: every element is `ID varint (marker kept) +
+  * size varint (marker stripped) + payload`; an all-ones size value
+  * means "unknown" — accepted for Segment (runs to EOF, the common
+  * streamed-mux layout) and rejected elsewhere. Laced blocks (multiple
+  * frames per block, rare for video) are skipped rather than
+  * mis-sliced. Any structural violation → None, same corrupt-media
+  * fallback policy as `Mp4Index` and the image kernels. */
+private[graft] object WebmIndex {
+  private val IdSegment = 0x18538067L
+  private val IdTracks = 0x1654AE6BL
+  private val IdTrackEntry = 0xAEL
+  private val IdTrackNumber = 0xD7L
+  private val IdTrackType = 0x83L
+  private val IdCluster = 0x1F43B675L
+  private val IdSimpleBlock = 0xA3L
+  private val IdBlockGroup = 0xA0L
+  private val IdBlock = 0xA1L
+
+  /** EBML varint at `p`: (value, encoded length). IDs keep the length
+    * marker bit in the value (that's how Matroska IDs are quoted);
+    * sizes strip it. None on truncation or a zero lead byte. */
+  private def varint(b: Array[Byte], p: Int, end: Int,
+                     keepMarker: Boolean): Option[(Long, Int)] = {
+    if (p >= end) return None
+    val b0 = b(p) & 0xff
+    if (b0 == 0) return None // >8-byte varints are invalid in Matroska
+    val len = Integer.numberOfLeadingZeros(b0) - 23 // 1..8
+    if (p + len > end) return None
+    var v = if (keepMarker) b0.toLong else (b0 & (0xff >>> len)).toLong
+    var i = 1
+    while (i < len) { v = (v << 8) | (b(p + i) & 0xffL); i += 1 }
+    Some((v, len))
+  }
+
+  /** True iff a stripped size value is the all-ones "unknown" marker. */
+  private def unknownSize(v: Long, len: Int): Boolean = v == (1L << (7 * len)) - 1
+
+  /** Child elements (id, payloadStart, payloadEnd) of [start, end).
+    * `allowUnknownToEnd`: an unknown-size child swallows the rest of the
+    * range (Segment at top level); elsewhere unknown size stops the walk. */
+  private def children(b: Array[Byte], start: Int, end: Int,
+                       allowUnknownToEnd: Boolean): Vector[(Long, Int, Int)] = {
+    val out = Vector.newBuilder[(Long, Int, Int)]
+    var p = start
+    var ok = true
+    while (ok && p < end) {
+      (for {
+        (id, idLen) <- varint(b, p, end, keepMarker = true)
+        (sz, szLen) <- varint(b, p + idLen, end, keepMarker = false)
+      } yield (id, sz, idLen + szLen, szLen)) match {
+        case Some((id, sz, hdr, szLen)) if unknownSize(sz, szLen) =>
+          if (allowUnknownToEnd) { out += ((id, p + hdr, end)); p = end }
+          else ok = false
+        case Some((id, sz, hdr, _)) if sz >= 0 && p + hdr + sz <= end =>
+          out += ((id, p + hdr, (p + hdr + sz).toInt))
+          p += hdr + sz.toInt
+        case _ => ok = false // malformed: stop the walk
+      }
+    }
+    out.result()
+  }
+
+  /** Big-endian unsigned int payload (TrackNumber / TrackType). */
+  private def uintPayload(b: Array[Byte], s: Int, e: Int): Option[Long] =
+    if (e - s < 1 || e - s > 8) None
+    else Some((s until e).foldLeft(0L)((acc, i) => (acc << 8) | (b(i) & 0xffL)))
+
+  /** (offset, size) of every unlaced coded frame of the FIRST video
+    * (TrackType 1) track, in stream order. */
+  def sampleIndex(payload: Array[Byte]): Option[Vector[(Long, Int)]] =
+    try sampleIndexUnsafe(payload)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def sampleIndexUnsafe(payload: Array[Byte]): Option[Vector[(Long, Int)]] = {
+    val top = children(payload, 0, payload.length, allowUnknownToEnd = true)
+    for {
+      (_, segS, segE) <- top.collectFirst { case (IdSegment, s, e) => ((), s, e) }
+      seg = children(payload, segS, segE, allowUnknownToEnd = false)
+      videoTrack <- seg.collectFirst { case (IdTracks, ts, te) =>
+        children(payload, ts, te, allowUnknownToEnd = false).collect {
+          case (IdTrackEntry, es, ee) =>
+            val fields = children(payload, es, ee, allowUnknownToEnd = false)
+            val num = fields.collectFirst { case (IdTrackNumber, s, e) => uintPayload(payload, s, e) }.flatten
+            val typ = fields.collectFirst { case (IdTrackType, s, e) => uintPayload(payload, s, e) }.flatten
+            (num, typ)
+        }.collectFirst { case (Some(n), Some(1L)) => n }
+      }.flatten
+      frames = seg.collect { case (IdCluster, cs, ce) =>
+        children(payload, cs, ce, allowUnknownToEnd = false).flatMap {
+          case (IdSimpleBlock, bs, be) => blockFrame(payload, bs, be, videoTrack)
+          case (IdBlockGroup, gs, ge) =>
+            children(payload, gs, ge, allowUnknownToEnd = false).flatMap {
+              case (IdBlock, bs, be) => blockFrame(payload, bs, be, videoTrack)
+              case _ => Vector.empty
+            }
+          case _ => Vector.empty
+        }
+      }.flatten
+      if frames.nonEmpty
+    } yield frames
+  }
+
+  /** Frame range inside one (Simple)Block payload, if it belongs to the
+    * video track and is unlaced (lacing bits 00 — one frame per block). */
+  private def blockFrame(b: Array[Byte], s: Int, e: Int,
+                         track: Long): Vector[(Long, Int)] =
+    varint(b, s, e, keepMarker = false) match {
+      case Some((tn, tLen)) if tn == track && s + tLen + 3 <= e =>
+        val flags = b(s + tLen + 2) & 0xff
+        if ((flags & 0x06) != 0) Vector.empty // laced: skip, never mis-slice
+        else Vector(((s + tLen + 3).toLong, e - (s + tLen + 3)))
+      case _ => Vector.empty
+    }
 }
