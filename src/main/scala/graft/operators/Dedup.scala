@@ -538,8 +538,66 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** SPAN REMOVAL — the cleanup half of Lee et al.'s span dedup, which
+    * `spanNgrams` only profiles: delete from every document the token
+    * positions covered by any 8-token span that also appears (verbatim)
+    * in another document, and emit the cleaned text's fingerprint. This
+    * is the operation a training-data pipeline actually runs — the
+    * profile says how contaminated a doc is; this produces the
+    * decontaminated doc.
+    *
+    * Shape, all relational: windows (position, digest) per doc →
+    * cross-doc shared digests (distinct-doc count ≥ 2) → covered
+    * positions = union of shared windows' [i, i+7] ranges (explode +
+    * distinct — overlap collapses here) → per-position tokens ANTI JOIN
+    * covered → rebuild text with an order-pinned fold
+    * (array_sort over (pos, tok) structs; collect_list order is
+    * partition-dependent, the sort restores determinism). Every stage is
+    * a hash-agg or equi-join keyed by doc_id or digest — work is bounded
+    * by corpus token count, never pairs of docs; the per-doc agg buffer
+    * holds one doc's kept tokens, the same bound as the source text
+    * itself. Output is (counts, md5 of cleaned text), not the text —
+    * wire-narrow, and exactly hash-comparable against the oracle's
+    * string_agg reconstruction. */
+  def spanRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val N = 8
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .cache() // three consumers: windows, token explode, final join
+    val windows = docs
+      .filter(size(col("ws")) >= N)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - (N - 1)),
+          i => struct(i.as("i"),
+            md5(array_join(slice(col("ws"), i, lit(N)), " ")).as("h")))).as("w"))
+      .select(col("doc_id"), col("w.i").as("i"), col("w.h").as("h"))
+    val shared = windows.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    val covered = windows.join(shared, Seq("h"), "left_semi")
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (N - 1))).as("pos"))
+      .distinct()
+    val tokens = docs
+      .select(col("doc_id"), posexplode(col("ws")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+    val cleaned = tokens.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")), " ").as("clean_text"))
+    docs.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_span_ngrams"     -> (spanNgrams _),
+    "dedup_span_removal"    -> (spanRemoval _),
     "dedup_fuzzy_names"     -> (fuzzyNames _),
     "dedup_cc_survivors"    -> (dedupSurvivors _),
     "dedup_best_survivor"   -> (bestSurvivor _),
@@ -620,6 +678,40 @@ object Dedup {
       |ORDER BY l.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_span_removal" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |w AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 8
+        |    THEN list_transform(generate_series(1, len(ws) - 7),
+        |      i -> struct_pack(i := i, h := md5(array_to_string(list_slice(ws, i, i + 7), ' '))))
+        |    ELSE [] END) AS s
+        |  FROM t),
+        |wx AS (SELECT doc_id, s.i AS i, s.h AS h FROM w),
+        |shared AS (
+        |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM wx) GROUP BY h
+        |  HAVING COUNT(*) >= 2),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT doc_id, unnest(generate_series(i, i + 7)) AS pos
+        |    FROM wx WHERE h IN (SELECT h FROM shared))),
+        |toks AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)),
+        |    i -> struct_pack(pos := i, tok := ws[i]))) AS s
+        |  FROM t),
+        |tok2 AS (SELECT doc_id, s.pos AS pos, s.tok AS tok FROM toks),
+        |kept AS (
+        |  SELECT k.doc_id, k.pos, k.tok FROM tok2 k
+        |  LEFT JOIN covered c ON k.doc_id = c.doc_id AND k.pos = c.pos
+        |  WHERE c.doc_id IS NULL),
+        |cleaned AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.ws) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed,
+        |  md5(COALESCE(c.clean_text, '')) AS clean_md5
+        |FROM t LEFT JOIN cleaned c USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "dedup_span_ngrams" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

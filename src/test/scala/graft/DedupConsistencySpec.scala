@@ -66,4 +66,44 @@ class DedupConsistencySpec extends SparkSpec {
       assert(c.get >= j - 1e-12, s"containment ${c.get} < jaccard $j for $pair")
     }
   }
+
+  test("span removal removes exactly from the docs span profiling flags") {
+    // spanNgrams (profile) and spanRemoval (cleanup) are independent
+    // formulations over the same shared-span definition, so:
+    //   - a doc has n_removed > 0  IFF  it appears in the profile
+    //     (profile only emits docs with >= 1 shared span);
+    //   - removal counts are bounded: each shared span covers 8 positions,
+    //     so n_removed <= min(n_tokens, 8 * n_shared_spans);
+    //   - untouched docs keep their original text verbatim (md5 of the
+    //     split-rejoin equals clean_md5 — rebuild is order-faithful).
+    val removal = Dedup.spanRemoval(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"), r.getAs[String]("clean_md5")))
+      .toMap
+    val profile = Dedup.spanNgrams(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_spans")).toMap
+    assert(removal.nonEmpty && profile.nonEmpty)
+    removal.foreach { case (d, (nTok, nRem, _)) =>
+      assert(nRem >= 0 && nRem <= nTok, s"doc $d: removed $nRem of $nTok")
+      profile.get(d) match {
+        case Some(nShared) =>
+          assert(nRem > 0, s"doc $d profiled with $nShared shared spans but nothing removed")
+          assert(nRem <= math.min(nTok, 8L * nShared),
+            s"doc $d: removed $nRem > 8×$nShared shared spans")
+        case None =>
+          assert(nRem == 0, s"doc $d removed $nRem tokens but is not in the span profile")
+      }
+    }
+    // clean_md5 of an untouched doc == md5 of its original tokens rejoined
+    import org.apache.spark.sql.functions.{col, md5, array_join, split}
+    val untouched = removal.filter { case (_, (_, nRem, _)) => nRem == 0 }.keySet
+    assert(untouched.nonEmpty, "fixture has no uncontaminated docs")
+    val originals = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        md5(array_join(split(col("text"), " "), " ")).as("orig_md5"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("orig_md5")).toMap
+    untouched.foreach { d =>
+      assert(removal(d)._3 == originals(d), s"untouched doc $d text changed by removal")
+    }
+  }
 }
