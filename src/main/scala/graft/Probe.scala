@@ -160,6 +160,8 @@ object Probe {
       // each heavy entry twice: run 1 = plan+codegen+execute, run 2 ≈ pure
       // execution (codegen cache warm) — the gap is the compile floor
       Seq[(String, () => Long)](
+        "span ngrams" -> (() => operators.Dedup.spanNgrams(spark, dir).count()),
+        "span removal" -> (() => operators.Dedup.spanRemoval(spark, dir).count()),
         "minhash" -> (() => operators.Dedup.minhashLsh(spark, dir).count()),
         "ngram" -> (() => operators.Dedup.ngramJaccard(spark, dir).count()),
         "embedding lsh" -> (() => operators.Dedup.embeddingLsh(spark, dir).count()),

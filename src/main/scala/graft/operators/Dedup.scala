@@ -493,8 +493,11 @@ object Dedup {
     * Unit = 8-token window (position-sliced, NOT distinct: a span
     * repeated inside one doc still counts once per occurrence toward
     * that doc's span total). Each span row carries only a 60-bit digest
-    * (15 md5 hex chars) — wire cost is |spans|·8 bytes-ish, never span
-    * text. A span is "shared" iff its digest occurs in ≥2 DISTINCT docs;
+    * (15 md5 hex chars, kept as the hex substring — a conv() to BIGINT
+    * halves the bytes but costs a per-window base-conversion that
+    * measured 5-10× the whole pipeline's fresh-run time; 15 bytes vs 8
+    * on the shuffle wire does not) — never span text. A span is "shared"
+    * iff its digest occurs in ≥2 DISTINCT docs;
     * the per-digest doc-count agg collapses map-side, and the
     * doc-level profile (total spans, shared spans, shared fraction in
     * exact integral micros — div truncation == floor, both operands
@@ -503,36 +506,44 @@ object Dedup {
     * contaminated set, the thing a cleanup pass actually consumes. */
   def spanNgrams(spark: SparkSession, dir: String): DataFrame = {
     val N = 8
-    val toks = split(col("text"), " ")
-    // The span explosion (split + 8-token windows + md5 per window over
-    // every document) is the catalog's most expensive projection, so it
-    // runs EXACTLY ONCE: explode → compact immediately to (doc_id, h, cnt)
-    // via a hash-agg whose map-side combine collapses within-partition
-    // duplicates before the shuffle. Everything downstream — the shared
-    // digest set, per-doc shared counts, per-doc totals — derives from the
-    // cached compacted relation, which is bounded by distinct (doc, span)
-    // pairs, not occurrences. (The previous formulation referenced the raw
-    // explosion from three consumers with no persist and recomputed it 3×.)
-    val compact = Tables.documents(spark, dir)
+    // ONE linear pipeline, no cache, no joins: the span explosion (split +
+    // 8-token windows + md5 per window over every document) runs exactly
+    // once, compacts immediately to (doc_id, h, cnt) via a hash-agg whose
+    // map-side combine collapses within-partition duplicates, and the
+    // shared-digest test rides a COUNT window partitioned by digest —
+    // (doc_id, h) is unique post-compaction, so the window's plain count
+    // IS the distinct-doc count, no countDistinct expansion. The per-doc
+    // profile is then a second hash-agg conditioning on that count.
+    // 3 shuffles of the compacted relation (by (doc,h), by h, by doc) and
+    // nothing else — the earlier formulation's cached 3-consumer fan-out
+    // (separate shared/totals aggs + semi-join + equi-join) did the same
+    // logical work in 5 wide stages plus an InMemoryRelation build.
+    //
+    // The generator's child is the INLINE transform expression, with
+    // short docs dropped by an explicit `size(ws) >= N` filter first
+    // (they contribute zero spans either way, so semantics are
+    // unchanged). Shape matters enormously here: exploding a
+    // pre-projected alias (`explode(col("hs"))`) lets
+    // InferFiltersFromGenerate add `size(hs) > 0` and push it through
+    // the projections INTO the scan filter — where the substituted
+    // filter re-runs the ENTIRE window+md5 computation on every row
+    // before the projection runs it again. Measured 8× the whole
+    // explosion's cost at sf0.1 (3.0 s vs 0.38 s); with the expensive
+    // expression sitting directly under the Generate, the optimizer
+    // skips that inference and the digests are computed exactly once.
+    val byDigest = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= N)
       .select(col("doc_id"),
-        when(size(toks) >= N,
-          transform(sequence(lit(1), size(toks) - (N - 1)),
-            i => conv(substring(md5(array_join(slice(toks, i, lit(N)), " ")), 1, 15), 16, 10)
-              .cast("long")))
-          .otherwise(array().cast("array<long>")).as("hs"))
-      .select(col("doc_id"), explode(col("hs")).as("h"))
+        explode(transform(sequence(lit(1), size(col("ws")) - (N - 1)),
+          i => substring(md5(array_join(slice(col("ws"), i, lit(N)), " ")), 1, 15))).as("h"))
       .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("cnt"))
-      .cache()
-    // (doc_id, h) is unique post-compaction, so distinct-doc count per
-    // digest is a plain count — no countDistinct expansion needed.
-    val shared = compact.groupBy(col("h"))
-      .agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2)
-      .select(col("h"))
-    val totals = compact.groupBy(col("doc_id")).agg(sum(col("cnt")).as("n_spans"))
-    compact.join(shared, Seq("h"), "left_semi")
-      .groupBy(col("doc_id")).agg(sum(col("cnt")).as("n_shared_spans"))
-      .join(totals, Seq("doc_id"))
+      .withColumn("nd", count(lit(1)).over(byDigest))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_spans"),
+        sum(when(col("nd") >= 2, col("cnt")).otherwise(lit(0L))).as("n_shared_spans"))
+      .filter(col("n_shared_spans") >= 1) // output bounded by the contaminated set
       .select(col("doc_id"), col("n_spans"), col("n_shared_spans"),
         expr("n_shared_spans * 1000000L div n_spans").as("shared_micro"))
       .orderBy(col("doc_id"))
@@ -719,7 +730,7 @@ object Dedup {
         |  SELECT doc_id,
         |    unnest(CASE WHEN len(ws) >= 8
         |      THEN list_transform(generate_series(1, len(ws) - 7),
-        |        i -> ('0x' || substr(md5(array_to_string(list_slice(ws, i, i + 7), ' ')), 1, 15))::BIGINT)
+        |        i -> substr(md5(array_to_string(list_slice(ws, i, i + 7), ' ')), 1, 15))
         |      ELSE [] END) AS h
         |  FROM w),
         |shared AS (
