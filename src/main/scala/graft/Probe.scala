@@ -105,7 +105,17 @@ object Probe {
         // both directions), i.e. the Σdf² index bound holding, not a
         // hidden all-pairs
         "containment" -> (p => operators.Dedup.containmentPairs(spark, p).count()),
-        "end to end" -> (p => operators.TextAnalysis.endToEnd(spark, p).count())
+        "end to end" -> (p => operators.TextAnalysis.endToEnd(spark, p).count()),
+        // round-6 additions: the span family. Amplified copies append a
+        // salt token, so every 8-gram window that doesn't touch the tail
+        // is VERBATIM-shared across all N copies — the worst case for
+        // span dedup: nearly every window of every doc becomes shared.
+        // Measured at N=8 on sf0.01 (local[8]): span ngrams 0.31→0.62 s,
+        // span removal 0.18→0.19 s while contaminated OUTPUT grows 85×
+        // (47→4000 docs) — the linear digest/window pipelines absorb the
+        // pathological duplicate load; no stage is pair-quadratic.
+        "span ngrams" -> (p => operators.Dedup.spanNgrams(spark, p).count()),
+        "span removal" -> (p => operators.Dedup.spanRemoval(spark, p).count())
       ).foreach { case (name, f) =>
         f(dir) // untimed: compile this pipeline's codegen once
         // clearCache between measurements: pipelines with internal .cache()
