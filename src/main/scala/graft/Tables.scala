@@ -70,12 +70,21 @@ object Tables {
     *     DuckDB applies when it reads nanos, so oracle comparisons agree.
     * Hard-coding either branch silently corrupts the other encoding's
     * timeline by 1000× — the probe is the contract. */
+  /** Footer-probe results per path — the physical encoding of a parquet
+    * file cannot change without the path changing in any sane layout
+    * (testdata regeneration restarts the process), and the events loader
+    * runs once per catalog entry, so caching saves a listing + footer
+    * read per call without staleness risk. */
+  private val tsTypeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[org.apache.spark.sql.types.DataType]]()
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val path = s"$dir/events.parquet"
     val tsType: Option[org.apache.spark.sql.types.DataType] =
-      try spark.read.parquet(path).schema.fields.find(_.name == "ts").map(_.dataType)
-      catch { case scala.util.control.NonFatal(_) => None } // nanos: footer→Catalyst conversion fails
+      tsTypeCache.computeIfAbsent(path, p =>
+        try spark.read.parquet(p).schema.fields.find(_.name == "ts").map(_.dataType)
+        catch { case scala.util.control.NonFatal(_) => None }) // nanos: footer→Catalyst conversion fails
     tsType match {
       case Some(TimestampType) =>
         spark.read.parquet(path)
