@@ -575,6 +575,11 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .cache() // three consumers: windows, token explode, final join
+    // cached: BOTH the shared-digest agg and the covered-position expand
+    // read this relation — without the persist the split+window+md5
+    // explosion (the pipeline's most expensive projection) would run
+    // twice, once per consumer (PlanSpec pins the single-computation
+    // invariant by counting md5 sites in the plan)
     val windows = docs
       .filter(size(col("ws")) >= N)
       .select(col("doc_id"),
@@ -582,6 +587,7 @@ object Dedup {
           i => struct(i.as("i"),
             md5(array_join(slice(col("ws"), i, lit(N)), " ")).as("h")))).as("w"))
       .select(col("doc_id"), col("w.i").as("i"), col("w.h").as("h"))
+      .cache()
     val shared = windows.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)

@@ -154,6 +154,32 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unexpected cartesian/nested-loop: $offenders")
   }
 
+  test("span explosion computes its window digests exactly once in the plan") {
+    // Regression pin for the InferFiltersFromGenerate pathology: exploding
+    // a PRE-PROJECTED array alias lets the optimizer infer `size(hs) > 0`
+    // and push it through the projections into the scan filter, where the
+    // substituted predicate re-runs the whole window+md5 computation on
+    // every row before the projection runs it again — measured 8× the
+    // explosion's cost at sf0.1. The fix keeps the transform expression
+    // directly under the Generate; this test counts md5 occurrences in
+    // the physical plan so a refactor can't silently reintroduce the
+    // duplication (correctness would not catch it — only cost does).
+    Seq[(String, DataFrame)](
+      "spanNgrams" -> Dedup.spanNgrams(spark, sf0001),
+      "spanRemoval" -> Dedup.spanRemoval(spark, sf0001)
+    ).foreach { case (name, df) =>
+      val p = plan(df)
+      val md5Sites = "md5\\(".r.findAllIn(p).size
+      // one site for the window digests (+1 in spanRemoval's final
+      // clean-text fingerprint projection); anything above that means an
+      // optimizer rule duplicated the expensive generator child
+      val allowed = if (name == "spanRemoval") 2 else 1
+      assert(md5Sites <= allowed,
+        s"$name plan computes md5 at $md5Sites sites (allowed $allowed) — " +
+          s"expensive generator child duplicated by an inferred filter?\n$p")
+    }
+  }
+
   test("chunking is a pure generator pipeline: no join, no aggregate, one sort exchange") {
     val df = TextAnalysis.chunkDocuments(spark, sf0001)
     val p = plan(df)
