@@ -81,10 +81,22 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val path = s"$dir/events.parquet"
-    val tsType: Option[org.apache.spark.sql.types.DataType] =
-      tsTypeCache.computeIfAbsent(path, p =>
-        try spark.read.parquet(p).schema.fields.find(_.name == "ts").map(_.dataType)
-        catch { case scala.util.control.NonFatal(_) => None }) // nanos: footer→Catalyst conversion fails
+    // Cache ONLY successful probes: a thrown probe is ambiguous between
+    // "genuine nanos footer" (the reader rejects it every time — re-failing
+    // is cheap) and a transient I/O error (file momentarily absent during
+    // regeneration). Pinning the failure would lock the raw-INT64 branch for
+    // the process lifetime and silently divide a later-appearing MICROS file
+    // by 1000 — the exact corruption the probe exists to prevent.
+    val tsType: Option[org.apache.spark.sql.types.DataType] = {
+      val cached = tsTypeCache.get(path)
+      if (cached ne null) cached
+      else
+        try {
+          val probed = spark.read.parquet(path).schema.fields.find(_.name == "ts").map(_.dataType)
+          tsTypeCache.put(path, probed)
+          probed
+        } catch { case scala.util.control.NonFatal(_) => None } // nanos: not cached, re-probed next call
+    }
     tsType match {
       case Some(TimestampType) =>
         spark.read.parquet(path)

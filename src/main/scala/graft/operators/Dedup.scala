@@ -569,14 +569,29 @@ object Dedup {
     * holds one doc's kept tokens, the same bound as the source text
     * itself. Output is (counts, md5 of cleaned text), not the text —
     * wire-narrow, and exactly hash-comparable against the oracle's
-    * string_agg reconstruction. */
-  def spanRemoval(spark: SparkSession, dir: String): DataFrame = {
-    val N = 8
+    * string_agg reconstruction.
+    *
+    * CACHING CONTRACT: the returned (lazy) frame reads two persisted
+    * relations (docs, windows). Spark's CacheManager keys cache entries
+    * by canonicalized plan, so repeat calls on the same `dir` REUSE the
+    * same InMemoryRelations rather than stacking new ones — growth is
+    * bounded by distinct source dirs, not invocations. The entries are
+    * still held until released: long-lived sessions that are done with a
+    * dir should call [[releaseSpanCaches]] (or
+    * `spark.catalog.clearCache()`, as Probe does between measurements)
+    * after the result is consumed. */
+  private val SpanN = 8
+
+  /** The two relations `spanRemoval` persists, built identically on every
+    * call so CacheManager's canonicalized-plan matching both dedups the
+    * cache entries across calls and lets [[releaseSpanCaches]] unpersist
+    * them without holding references. */
+  private def spanRemovalCached(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val N = SpanN
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .cache() // three consumers: windows, token explode, final join
-    // cached: BOTH the shared-digest agg and the covered-position expand
-    // read this relation — without the persist the split+window+md5
+    // windows cached: BOTH the shared-digest agg and the covered-position
+    // expand read this relation — without the persist the split+window+md5
     // explosion (the pipeline's most expensive projection) would run
     // twice, once per consumer (PlanSpec pins the single-computation
     // invariant by counting md5 sites in the plan)
@@ -587,7 +602,22 @@ object Dedup {
           i => struct(i.as("i"),
             md5(array_join(slice(col("ws"), i, lit(N)), " ")).as("h")))).as("w"))
       .select(col("doc_id"), col("w.i").as("i"), col("w.h").as("h"))
-      .cache()
+    (docs, windows)
+  }
+
+  /** Unpersist the relations [[spanRemoval]] cached for `dir` (plan-matched;
+    * safe to call whether or not they are currently cached). */
+  def releaseSpanCaches(spark: SparkSession, dir: String): Unit = {
+    val (docs, windows) = spanRemovalCached(spark, dir)
+    windows.unpersist()
+    docs.unpersist()
+  }
+
+  def spanRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val N = SpanN
+    val (docsPlan, windowsPlan) = spanRemovalCached(spark, dir)
+    val docs = docsPlan.cache() // three consumers: windows, token explode, final join
+    val windows = windowsPlan.cache()
     val shared = windows.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)

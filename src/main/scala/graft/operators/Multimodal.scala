@@ -549,10 +549,19 @@ private[graft] object Mp4Index {
         }.headOption
       // stsz payload: version+flags(4), uniform_size(4), count(4), sizes[]
       (szS, szE) <- find(payload, sbS, sbE, "stsz")
+      if szS + 12 <= szE // undersized box would read sibling bytes as header
       n = u32(payload, szS + 8).toInt
       if n > 0
       uniform = u32(payload, szS + 4)
-      sizes <- if (uniform != 0L) Some(Vector.fill(n)(uniform.toInt))
+      // Uniform path bounds the count BEFORE materializing: an index claiming
+      // more sample bytes than the whole payload is invalid anyway, and a
+      // crafted count (u32 up to 2^31-1) would otherwise force a multi-GB
+      // Vector.fill — OutOfMemoryError is an Error, not caught by the
+      // NonFatal net, so it would escape the "malformed never throws"
+      // contract and could kill the executor JVM.
+      sizes <- if (uniform != 0L) {
+          if (n.toLong * uniform <= payload.length) Some(Vector.fill(n)(uniform.toInt)) else None
+        }
         else if (szS + 12 + 4L * n <= szE)
           Some((0 until n).map(i => u32(payload, szS + 12 + 4 * i).toInt).toVector)
         else None
