@@ -382,14 +382,18 @@ object Similarity {
   def knnIvfPq(spark: SparkSession, dir: String): DataFrame =
     knnIvfPqTuned(spark, dir, NProbe, RefineT)
 
-  /** Same pipeline with the two serving-time knobs exposed — `nprobe`
-    * (cells scanned per query) and `refineT` (exact-re-rank shortlist
-    * depth). These are the ONLY parameters a deployed IVF-PQ index tunes
-    * at query time (the trained quantizers are fixed); Probe's recall
-    * mode sweeps them against the brute-force ground truth to place the
-    * catalog's defaults on the measured recall/cost curve. */
+  /** Same pipeline with the serving/build knobs exposed — `nprobe`
+    * (cells scanned per query), `refineT` (exact-re-rank shortlist
+    * depth), and `cells` (coarse-quantizer cell count, an INDEX-BUILD
+    * knob: changing it retrains the coarse quantizer). nprobe/refineT
+    * are the ONLY parameters a deployed IVF-PQ index tunes at query
+    * time; Probe's recall mode sweeps them against the brute-force
+    * ground truth to place the catalog's defaults on the measured
+    * recall/cost curve, and [[knnIvfPqScaled]] derives all three from
+    * the corpus size the way a production index build does. */
   private[graft] def knnIvfPqTuned(
-      spark: SparkSession, dir: String, nprobe: Int, refineT: Int): DataFrame = {
+      spark: SparkSession, dir: String, nprobe: Int, refineT: Int,
+      cells: Int = K): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import spark.implicits._
@@ -398,8 +402,8 @@ object Similarity {
       .select(col("vec_id"), col("vn"))
       .withColumn("fv", array_to_vector(col("vn")))
       .cache()
-    // coarse quantizer: K cells over the normalized vectors
-    val coarse = new KMeans().setK(K).setSeed(42).setMaxIter(5)
+    // coarse quantizer: `cells` cells over the normalized vectors
+    val coarse = new KMeans().setK(cells).setSeed(42).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(trainSample(all)) // bounded sample: fit O(1) in n (TrainCap doc)
     val centroids = coarse.clusterCenters.toSeq.zipWithIndex
@@ -487,6 +491,54 @@ object Similarity {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** IVF-PQ with corpus-SCALED parameters — the fix for the measured
+    * fixed-parameter recall decay (COVERAGE.md §7.5: recall@3 fell
+    * 0.53 → 0.35 going sf0.01 → sf0.1 with K=16/nprobe=3/refineT=10
+    * held constant). A production index build sizes these from n, the
+    * standard FAISS practice; this entry derives them the same way:
+    *
+    *  - `cells = √n` (clamped to [8, TrainCap/4]): the textbook IVF
+    *    sizing — per-query cost is nprobe·(n/cells) candidate scans
+    *    plus `cells` centroid scores, and √n balances the two linear
+    *    terms. Fixed cells means per-cell occupancy grows linearly
+    *    with the corpus and the ADC shortlist drowns. The upper clamp
+    *    keeps ≥4 training points per centroid under the bounded
+    *    TrainCap sample.
+    *  - `nprobe = √cells` (≥ the NProbe default): scan fraction
+    *    nprobe/cells = cells^(−1/2) FALLS as the corpus grows — the
+    *    sublinear serving profile a real deployment runs (at n = 10⁹:
+    *    ~31k cells, ~178 probes, 0.6% of the corpus scanned), while
+    *    finer cells keep the scanned neighborhood tight around the
+    *    query.
+    *  - `refineT = nprobe·occupancy/10` (≥ the RefineT default): the
+    *    exact-re-rank shortlist tracks 10% of the expected ADC
+    *    candidate count instead of staying a constant 10 — the depth
+    *    the codes' distortion actually needs to keep true neighbors
+    *    above the cut as candidates multiply.
+    *
+    * The one `count()` is an O(1)-result action at INDEX-BUILD time
+    * (parameter selection, same phase as the KMeans fits) — not a
+    * per-row driver loop; serving-path work stays fully relational.
+    * NOT oracle-able (trained quantizers, like its siblings): rows-only
+    * driver check + SimilaritySpec gate that scaled recall@3 at sf0.1
+    * beats the measured fixed-parameter decay. */
+  def knnIvfPqScaled(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    val (cells, nprobe, refineT) = scaledIvfPqParams(n)
+    knnIvfPqTuned(spark, dir, nprobe, refineT, cells)
+  }
+
+  /** The n → (cells, nprobe, refineT) sizing rule, exposed so the spec
+    * can pin the curve's shape without re-deriving it. */
+  private[graft] def scaledIvfPqParams(n: Long): (Int, Int, Int) = {
+    val cells = math.max(8, math.min(TrainCap / 4,
+      math.round(math.sqrt(n.toDouble)).toInt))
+    val nprobe = math.max(NProbe, math.round(math.sqrt(cells.toDouble)).toInt)
+    val occupancy = n.toDouble / cells
+    val refineT = math.max(RefineT, math.ceil(nprobe * occupancy / 10.0).toInt)
+    (cells, nprobe, refineT)
+  }
+
   /** Per-label centroid vectors — the reduction every embedding pipeline
     * needs (class prototypes, cluster seeds, IVF retraining). Computed in
     * LONG format: posexplode to (label, dim, x) rows, then ONE hash-agg —
@@ -567,6 +619,7 @@ object Similarity {
     "sim_knn_quantized" -> (knnQuantized _),
     "sim_knn_pq" -> (knnPq _),
     "sim_knn_ivfpq" -> (knnIvfPq _),
+    "sim_knn_ivfpq_tuned" -> (knnIvfPqScaled _),
     "sim_label_centroids" -> (labelCentroids _),
     "sim_centroid_assign" -> (centroidAssign _)
   )

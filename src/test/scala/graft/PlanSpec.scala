@@ -118,8 +118,9 @@ class PlanSpec extends SparkSpec {
     // the broadcast 1-row corpus total (in-plan scalar pattern)
     // sim_knn_pq crossJoins the |Q|·PqM-row query subvectors against the
     // broadcast PqK-row codebook (both constant) to build the ADC tables
-    // sim_knn_ivfpq crossJoins constant-size query relations against the
-    // broadcast centroid/codebook relations (same shapes as ivf + pq)
+    // sim_knn_ivfpq (and its corpus-scaled twin sim_knn_ivfpq_tuned)
+    // crossJoins constant-size query relations against the broadcast
+    // centroid/codebook relations (same shapes as ivf + pq)
     // agg_histogram and etl_winsorize crossJoin the broadcast 1-row
     // min/max / percentile band back over the scan (the same in-plan
     // scalar pattern as text_tfidf / win_ntile_tiers)
@@ -139,6 +140,7 @@ class PlanSpec extends SparkSpec {
       Set("sim_knn_brute", "sim_knn_lsh", "sim_knn_ivf", "text_tfidf", "win_ntile_tiers",
         "events_resample_gapfill", "text_heavy_hitters",
         "sim_knn_quantized", "pipe_mixture_sample", "sim_knn_pq", "sim_knn_ivfpq",
+        "sim_knn_ivfpq_tuned",
         "agg_histogram", "etl_winsorize", "sim_range_search",
         "events_dow_seasonality", "text_bm25", "agg_pareto_bands",
         "pipe_class_balance", "ml_standardize_noleak")
