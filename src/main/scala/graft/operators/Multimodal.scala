@@ -526,7 +526,13 @@ private[graft] object Mp4Index {
     children(b, start, end).collectFirst { case (t, s, e) if t == typ => (s, e) }
 
   /** (offset, size) of every sample in the FIRST `vide`-handler track, in
-    * sample order, with every range verified to sit inside the payload. */
+    * sample order, with every range verified to sit inside the payload.
+    * Handles BOTH layouts a real mp4 ships in: the classic indexed form
+    * (all samples described by the moov `stbl` tables) and FRAGMENTED
+    * mp4 (fMP4/CMAF, the streaming layout: `stbl` is empty and samples
+    * live in per-fragment `moof/traf/trun` run tables) — the stbl walk
+    * is tried first, and an empty/absent sample table falls through to
+    * the fragment walk. */
   def sampleIndex(payload: Array[Byte]): Option[Vector[(Long, Int)]] =
     try sampleIndexUnsafe(payload)
     catch { case scala.util.control.NonFatal(_) => None }
@@ -537,7 +543,7 @@ private[graft] object Mp4Index {
       (mvS, mvE) <- find(payload, 0, end, "moov")
       // first trak whose mdia/hdlr declares a video handler; hdlr payload =
       // version+flags(4) + pre_defined(4) + handler_type(4cc at offset 8)
-      (sbS, sbE) <- children(payload, mvS, mvE).collect { case ("trak", ts, te) => (ts, te) }
+      trakStbl <- children(payload, mvS, mvE).collect { case ("trak", ts, te) => (ts, te) }
         .flatMap { case (ts, te) =>
           for {
             (mdS, mdE) <- find(payload, ts, te, "mdia")
@@ -545,8 +551,18 @@ private[graft] object Mp4Index {
             if hS + 12 <= hE && tag(payload, hS + 8) == "vide"
             (mnS, mnE) <- find(payload, mdS, mdE, "minf")
             stbl <- find(payload, mnS, mnE, "stbl")
-          } yield stbl
+          } yield ((ts, te), stbl)
         }.headOption
+      ((tkS, tkE), (sbS, sbE)) = trakStbl
+      idx <- stblIndex(payload, sbS, sbE)
+        .orElse(fragmentIndex(payload, mvS, mvE, tkS, tkE))
+    } yield idx
+  }
+
+  /** Classic-layout index from the stbl tables; None when the table walk
+    * fails OR the sample table is empty (the fragmented-mp4 signature). */
+  private def stblIndex(payload: Array[Byte], sbS: Int, sbE: Int): Option[Vector[(Long, Int)]] = {
+    for {
       // stsz payload: version+flags(4), uniform_size(4), count(4), sizes[]
       (szS, szE) <- find(payload, sbS, sbE, "stsz")
       if szS + 12 <= szE // undersized box would read sibling bytes as header
@@ -621,6 +637,198 @@ private[graft] object Mp4Index {
       chunk += 1
     }
     if (valid && sample == n) Some(out.result()) else None
+  }
+
+  // ---------------------------------------------------------------------
+  // Fragmented mp4 (fMP4/CMAF — ISO/IEC 14496-12 §8.8): the streaming
+  // layout. moov carries only track metadata + mvex defaults; every
+  // fragment is a `moof` (run tables) followed by its `mdat`. Sample
+  // locations come from, per traf:
+  //   tfhd — track id, optional base_data_offset / default_sample_size
+  //   trun — sample runs: count, optional data_offset (SIGNED, relative
+  //          to the base), optional per-sample sizes
+  // with size defaults falling back tfhd → trex. Base offset precedence:
+  // explicit base_data_offset, else the first byte of the enclosing moof
+  // BOX (both the default-base-is-moof flag and the spec's first-traf
+  // default resolve there for the single-video-track files we index).
+  // Same strictness as the stbl path: any malformed structure in OUR
+  // track's run tables → None; other tracks' trafs are skipped.
+  // ---------------------------------------------------------------------
+
+  private val TfhdBaseDataOffset = 0x000001L
+  private val TfhdSampleDescIdx = 0x000002L
+  private val TfhdDefaultDuration = 0x000008L
+  private val TfhdDefaultSize = 0x000010L
+  private val TrunDataOffset = 0x000001L
+  private val TrunFirstSampleFlags = 0x000004L
+  private val TrunSampleDuration = 0x000100L
+  private val TrunSampleSize = 0x000200L
+  private val TrunSampleFlags = 0x000400L
+  private val TrunSampleCto = 0x000800L
+
+  /** Like [[children]], but also yields each box's own HEADER start — the
+    * fragment walk needs it (trun data offsets are relative to the first
+    * byte of the moof box, not its payload). */
+  private def childrenWithStart(b: Array[Byte], start: Int, end: Int): Vector[(String, Int, Int, Int)] = {
+    val out = Vector.newBuilder[(String, Int, Int, Int)]
+    var p = start
+    var ok = true
+    while (ok && p + 8 <= end) {
+      val sz0 = u32(b, p)
+      val typ = tag(b, p + 4)
+      val (hdr, sz): (Long, Long) =
+        if (sz0 == 1L && p + 16 <= end) (16L, u64(b, p + 8))
+        else if (sz0 == 0L) (8L, (end - p).toLong)
+        else (8L, sz0)
+      if (sz < hdr || p + sz > end) ok = false
+      else {
+        out += ((typ, p, p + hdr.toInt, p + sz.toInt))
+        p += sz.toInt
+      }
+    }
+    out.result()
+  }
+
+  /** track_ID from tkhd: version(1)+flags(3), then v0 puts it after two
+    * u32 times (offset 12), v1 after two u64 times (offset 20). */
+  private def tkhdTrackId(payload: Array[Byte], hS: Int, hE: Int): Option[Long] = {
+    if (hS + 4 > hE) None
+    else {
+      val at = if (payload(hS) == 1.toByte) hS + 20 else hS + 12
+      if (at + 4 <= hE) Some(u32(payload, at)) else None
+    }
+  }
+
+  /** Fragment-run index for the video trak, tried when the stbl tables
+    * are empty/absent. */
+  private def fragmentIndex(payload: Array[Byte], mvS: Int, mvE: Int,
+                            tkS: Int, tkE: Int): Option[Vector[(Long, Int)]] =
+    for {
+      (khS, khE) <- find(payload, tkS, tkE, "tkhd")
+      trackId <- tkhdTrackId(payload, khS, khE)
+      // trex (mvex) default sample size for this track, if declared —
+      // the outermost rung of the size-default ladder. 0 means "none".
+      trexDefault = (for {
+        (mxS, mxE) <- find(payload, mvS, mvE, "mvex")
+        sz <- children(payload, mxS, mxE).collectFirst {
+          case ("trex", s, e) if s + 24 <= e && u32(payload, s + 4) == trackId =>
+            u32(payload, s + 16)
+        }
+      } yield sz).filter(_ > 0L)
+      idx <- walkMoofs(payload, trackId, trexDefault)
+    } yield idx
+
+  private def walkMoofs(payload: Array[Byte], trackId: Long,
+                        trexDefault: Option[Long]): Option[Vector[(Long, Int)]] = {
+    val out = Vector.newBuilder[(Long, Int)]
+    var valid = true
+    var sawSamples = false
+    childrenWithStart(payload, 0, payload.length).foreach {
+      case ("moof", moofStart, mS, mE) if valid =>
+        children(payload, mS, mE).foreach {
+          case ("traf", fS, fE) if valid =>
+            parseTraf(payload, fS, fE, moofStart, trackId, trexDefault) match {
+              case Some(samples) =>
+                samples.foreach { case (off, sz) =>
+                  if (off < 0 || sz < 0 || off + sz > payload.length) valid = false
+                  else { out += ((off, sz)); sawSamples = true }
+                }
+              case None => valid = false // OUR track's traf was malformed
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    if (valid && sawSamples) Some(out.result()) else None
+  }
+
+  /** Samples of one traf, in run order; Some(empty) for other tracks'
+    * trafs (skipped), None when OUR track's tables are malformed. */
+  private def parseTraf(payload: Array[Byte], fS: Int, fE: Int, moofStart: Int,
+                        trackId: Long, trexDefault: Option[Long]): Option[Vector[(Long, Int)]] = {
+    val kids = children(payload, fS, fE)
+    kids.collectFirst { case ("tfhd", s, e) => (s, e) } match {
+      case None => None // a traf without tfhd is structurally invalid
+      case Some((hS, hE)) if hS + 8 <= hE =>
+        val flags = u32(payload, hS) & 0xffffffL
+        if (u32(payload, hS + 4) != trackId) Some(Vector.empty)
+        else {
+          // optional tfhd fields, in declaration order
+          var p = hS + 8
+          var bad = false
+          def fld(n: Int): Long =
+            if (p + n > hE) { bad = true; 0L }
+            else { val v = if (n == 8) u64(payload, p) else u32(payload, p); p += n; v }
+          val baseData =
+            if ((flags & TfhdBaseDataOffset) != 0L) Some(fld(8)) else None
+          if ((flags & TfhdSampleDescIdx) != 0L) fld(4)
+          if ((flags & TfhdDefaultDuration) != 0L) fld(4)
+          val tfhdDefault =
+            if ((flags & TfhdDefaultSize) != 0L) Some(fld(4)).filter(_ > 0L) else None
+          if (bad) None
+          else {
+            val base = baseData.getOrElse(moofStart.toLong)
+            val defSize = tfhdDefault.orElse(trexDefault)
+            var cursor = base // where a data_offset-less run continues
+            var ok = true
+            val out = Vector.newBuilder[(Long, Int)]
+            kids.foreach {
+              case ("trun", rS, rE) if ok =>
+                parseTrun(payload, rS, rE, base, cursor, defSize) match {
+                  case Some((samples, next)) => out ++= samples; cursor = next
+                  case None => ok = false
+                }
+              case _ => ()
+            }
+            if (ok) Some(out.result()) else None
+          }
+        }
+      case _ => None // undersized tfhd
+    }
+  }
+
+  /** One trun's samples + the offset cursor after them. */
+  private def parseTrun(payload: Array[Byte], rS: Int, rE: Int, base: Long,
+                        cursor: Long, defSize: Option[Long]): Option[(Vector[(Long, Int)], Long)] = {
+    if (rS + 8 > rE) return None
+    val flags = u32(payload, rS) & 0xffffffL
+    val n = u32(payload, rS + 4)
+    var p = rS + 8
+    val start =
+      if ((flags & TrunDataOffset) != 0L) {
+        if (p + 4 > rE) return None
+        val d = u32(payload, p).toInt // SIGNED s32 per spec
+        p += 4
+        base + d
+      } else cursor
+    if ((flags & TrunFirstSampleFlags) != 0L) p += 4
+    val hasSize = (flags & TrunSampleSize) != 0L
+    val szOff = if ((flags & TrunSampleDuration) != 0L) 4 else 0
+    val per = szOff + (if (hasSize) 4 else 0) +
+      (if ((flags & TrunSampleFlags) != 0L) 4 else 0) +
+      (if ((flags & TrunSampleCto) != 0L) 4 else 0)
+    // allocation bounds BEFORE materializing (same policy as the stsz
+    // fix): a per-sample table must fit inside the trun box; a uniform
+    // default size can't claim more bytes than the payload holds — and a
+    // crafted zero-size count is capped by the payload length too.
+    if (per > 0 && p + per.toLong * n > rE) return None
+    if (per == 0 && n > payload.length) return None
+    if (!hasSize) {
+      val sz = defSize.getOrElse(return None)
+      if (n * sz > payload.length) return None
+    }
+    val nn = n.toInt
+    val out = Vector.newBuilder[(Long, Int)]
+    var off = start
+    var i = 0
+    while (i < nn) {
+      val sz = if (hasSize) u32(payload, p + per * i + szOff) else defSize.get
+      if (sz > Int.MaxValue) return None
+      out += ((off, sz.toInt))
+      off += sz
+      i += 1
+    }
+    Some((out.result(), off))
   }
 }
 

@@ -79,6 +79,93 @@ class Mp4IndexSpec extends AnyFunSuite {
     assert(Mp4Index.sampleIndex(bad).isEmpty)
   }
 
+  // ---- fragmented mp4 (fMP4/CMAF): empty stbl, moof/traf/trun runs ----
+
+  private def emptyStblMoov(trexDefaultSize: Int = 0): Array[Byte] = {
+    // classic tables all empty — the fragmented-file signature
+    val stbl = box("stbl",
+      box("stsz", u32s(0, 0, 0)), box("stsc", u32s(0, 0)), box("stco", u32s(0, 0)))
+    val hdlr = box("hdlr", u32s(0, 0), "vide".getBytes, u32s(0, 0, 0), Array[Byte](0))
+    val mdia = box("mdia", hdlr, box("minf", stbl))
+    // tkhd v0: ver+flags, creation, modification, track_ID=1, reserved
+    val tkhd = box("tkhd", u32s(0, 0, 0, 1, 0))
+    val trak = box("trak", tkhd, mdia)
+    val mvex = box("mvex",
+      box("trex", u32s(0, 1 /*track*/, 1 /*desc*/, 0 /*dur*/, trexDefaultSize, 0)))
+    box("moov", trak, mvex)
+  }
+
+  /** One fragment: moof(mfhd, traf(tfhd, trun)) + mdat holding `sizes`
+    * samples head-to-tail; trun carries per-sample sizes and a data
+    * offset relative to the moof box start (default-base-is-moof). */
+  private def fragment(seq: Int, sizes: Seq[Int], fill: Byte): Array[Byte] = {
+    val mfhd = box("mfhd", u32s(0, seq))
+    // tfhd flags = 0x020000 default-base-is-moof; track_ID 1
+    val tfhdF = box("tfhd", u32s(0x020000, 1))
+    // trun flags = 0x201 data-offset + sample-size; data_offset filled below
+    val trun = box("trun", u32s(0x201, sizes.length, 0), u32s(sizes: _*))
+    val traf = box("traf", tfhdF, trun)
+    val moof = box("moof", mfhd, traf)
+    // patch data_offset: first sample starts right after moof + mdat header
+    val doPos = moof.length - trun.length + 8 + 8 // into trun payload, after ver+count
+    ByteBuffer.wrap(moof).putInt(doPos, moof.length + 8)
+    moof ++ box("mdat", Array.fill(sizes.sum)(fill))
+  }
+
+  test("fragmented mp4: two moof/trun fragments, exact offsets and sizes") {
+    val moov = emptyStblMoov()
+    val ftyp = box("ftyp", "isom".getBytes, u32s(0), "iso6".getBytes)
+    val f1 = fragment(1, Seq(10, 20, 30), fill = 0x11)
+    val f2 = fragment(2, Seq(40, 50), fill = 0x22)
+    val mp4 = ftyp ++ moov ++ f1 ++ f2
+    val idx = Mp4Index.sampleIndex(mp4).getOrElse(fail("fragmented file rejected"))
+    assert(idx.map(_._2) == Seq(10, 20, 30, 40, 50))
+    // exact offsets: each fragment's samples lie head-to-tail in its mdat
+    val m1 = ftyp.length + moov.length         // first moof box start
+    val d1 = m1 + (f1.length - 68) + 8         // its mdat payload (60 bytes + header)
+    val m2 = m1 + f1.length
+    val d2 = m2 + (f2.length - 98) + 8
+    assert(idx.map(_._1) == Seq(d1, d1 + 10, d1 + 30, d2, d2 + 40).map(_.toLong))
+    // and the slices hand back exactly the mdat bytes
+    idx.take(3).foreach { case (off, sz) =>
+      assert(mp4.slice(off.toInt, off.toInt + sz).forall(_ == 0x11.toByte)) }
+    idx.drop(3).foreach { case (off, sz) =>
+      assert(mp4.slice(off.toInt, off.toInt + sz).forall(_ == 0x22.toByte)) }
+  }
+
+  test("fragmented mp4: trex default size covers size-less truns") {
+    // trun omits per-sample sizes; tfhd omits default → trex's 25 rules
+    val moov = emptyStblMoov(trexDefaultSize = 25)
+    val mfhd = box("mfhd", u32s(0, 1))
+    val tfhdF = box("tfhd", u32s(0x020000, 1))
+    val trun = box("trun", u32s(0x1 /*data-offset only*/, 2, 0))
+    val traf = box("traf", tfhdF, trun)
+    val moof = {
+      val m = box("moof", mfhd, traf)
+      ByteBuffer.wrap(m).putInt(m.length - trun.length + 8 + 8, m.length + 8)
+      m
+    }
+    val mp4 = moov ++ moof ++ box("mdat", Array.fill(50)(0x33.toByte))
+    val idx = Mp4Index.sampleIndex(mp4).getOrElse(fail("trex-default file rejected"))
+    val base = moov.length + moof.length + 8
+    assert(idx == Vector((base.toLong, 25), (base + 25L, 25)))
+  }
+
+  test("fragmented mp4: run pointing outside the payload is rejected") {
+    val moov = emptyStblMoov()
+    val f1 = fragment(1, Seq(10, 20, 30), fill = 0x11)
+    // truncate the final mdat so the last sample overruns
+    val truncated = (moov ++ f1).dropRight(5)
+    assert(Mp4Index.sampleIndex(truncated).isEmpty)
+    // and a size-less run with no default anywhere is malformed, not guessed
+    val mfhd = box("mfhd", u32s(0, 1))
+    val tfhdF = box("tfhd", u32s(0x020000, 1))
+    val trun = box("trun", u32s(0x1, 2, 16))
+    val moof = box("moof", mfhd, box("traf", tfhdF, trun))
+    val noDefault = moov ++ moof ++ box("mdat", Array.fill(50)(0x33.toByte))
+    assert(Mp4Index.sampleIndex(noDefault).isEmpty)
+  }
+
   test("non-video handlers and non-BMFF payloads are rejected") {
     val soun = {
       val mp4 = buildMp4()

@@ -16,7 +16,80 @@ import graft.operators.{Mp4Index, WebmIndex}
   * size/offset fields. */
 object DemuxProps extends Properties("graft.demux") {
 
+  /** A structurally-valid fMP4 prelude (empty-stbl moov for video track 1)
+    * so fragment-box soup reaches the moof/traf/trun walk instead of dying
+    * at the video-trak check. */
+  private val fmp4Prelude: Array[Byte] = {
+    def box(typ: String, payloads: Array[Byte]*): Array[Byte] = {
+      val total = 8 + payloads.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(total)
+      bb.putInt(total).put(typ.getBytes("ISO-8859-1"))
+      payloads.foreach(bb.put)
+      bb.array()
+    }
+    def u32s(xs: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * xs.length)
+      xs.foreach(bb.putInt)
+      bb.array()
+    }
+    val stbl = box("stbl",
+      box("stsz", u32s(0, 0, 0)), box("stsc", u32s(0, 0)), box("stco", u32s(0, 0)))
+    val hdlr = box("hdlr", u32s(0, 0), "vide".getBytes, u32s(0, 0, 0), Array[Byte](0))
+    val trak = box("trak", box("tkhd", u32s(0, 0, 0, 1, 0)),
+      box("mdia", hdlr, box("minf", stbl)))
+    box("moov", trak, box("mvex", box("trex", u32s(0, 1, 1, 0, 0, 0))))
+  }
+
+  /** Soup of PROPERLY-NESTED fragment-grammar boxes with random field
+    * bytes: adversarial tfhd/trun flag combinations, data offsets, and
+    * sample counts land in the exact fields the fragment walk trusts
+    * least — with tfhd's track_ID biased to the prelude's video track so
+    * the run parser (not the track filter) takes the hit. */
+  private val genFragmentSoup: Gen[Array[Byte]] = {
+    def mk(typ: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length).put(typ.getBytes("ISO-8859-1")).put(body)
+      bb.array()
+    }
+    val rawU32 = Gen.chooseNum(Int.MinValue, Int.MaxValue)
+    def u32(x: Int) = java.nio.ByteBuffer.allocate(4).putInt(x).array()
+    val genTfhd = for {
+      flags <- rawU32
+      track <- Gen.frequency(3 -> Gen.const(1), 1 -> rawU32) // mostly OUR track
+      tailN <- Gen.chooseNum(0, 24)
+      tail <- Gen.listOfN(tailN, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+    } yield mk("tfhd", u32(flags) ++ u32(track) ++ tail.toArray)
+    val genTrun = for {
+      flags <- Gen.frequency(2 -> Gen.oneOf(0x1, 0x201, 0x301, 0x205, 0xf01, 0x200, 0x0),
+        1 -> rawU32)
+      count <- Gen.frequency(3 -> Gen.chooseNum(0, 8), 1 -> rawU32) // incl. huge/negative
+      tailN <- Gen.chooseNum(0, 48)
+      tail <- Gen.listOfN(tailN, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+    } yield mk("trun", u32(flags) ++ u32(count) ++ tail.toArray)
+    val genTraf = for {
+      h <- genTfhd
+      nRuns <- Gen.chooseNum(0, 2)
+      runs <- Gen.listOfN(nRuns, genTrun)
+    } yield mk("traf", h ++ runs.flatten.toArray)
+    val genMoof = for {
+      nTrafs <- Gen.chooseNum(0, 2)
+      trafs <- Gen.listOfN(nTrafs, genTraf)
+    } yield mk("moof", mk("mfhd", u32(0) ++ u32(1)) ++ trafs.flatten.toArray)
+    val genMdat = Gen.chooseNum(0, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(b =>
+        mk("mdat", b.toArray)))
+    for {
+      k <- Gen.chooseNum(1, 4)
+      boxes <- Gen.listOfN(k, Gen.frequency(3 -> genMoof, 1 -> genMdat))
+      // sometimes chop the tail so declared sizes lie (truncated download)
+      chop <- Gen.chooseNum(0, 4)
+    } yield fmp4Prelude ++ boxes.flatten.dropRight(chop)
+  }
+
   private val genBytes: Gen[Array[Byte]] = Gen.frequency(
+    // fragment-grammar soup behind a valid fMP4 prelude (reaches the
+    // moof/traf/trun walk with adversarial flags/counts/offsets)
+    2 -> genFragmentSoup,
     // pure noise of assorted lengths (covers the tiny-header edge cases)
     4 -> Gen.chooseNum(0, 512).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray)),
