@@ -275,7 +275,10 @@ class PlanSpec extends SparkSpec {
     Seq(
       "sim_knn_quantized" -> Similarity.knnQuantized(spark, sf0001),
       "sim_knn_pq"        -> Similarity.knnPq(spark, sf0001),
-      "sim_knn_ivfpq"     -> Similarity.knnIvfPq(spark, sf0001)
+      "sim_knn_ivfpq"     -> Similarity.knnIvfPq(spark, sf0001),
+      // the corpus-scaled parameterization must obey the same hint
+      // discipline at its larger cell/table sizes
+      "sim_knn_ivfpq_tuned" -> Similarity.knnIvfPqScaled(spark, sf0001)
     ).foreach { case (name, df) =>
       val hs = hints(df)
       assert(hs.nonEmpty, s"$name lost its bounded broadcast hints")
