@@ -149,6 +149,21 @@ object Probe {
         }
         println(f"[recall] ivfpq nprobe=$np%2d refineT=$rt%3d recall@3=${recalls.sum / recalls.size}%.3f wall=$secs%6.2f s")
       }
+      // the corpus-SCALED point (cells=√n, nprobe=√cells, refineT by
+      // occupancy — the sim_knn_ivfpq_tuned entry) on the same ground
+      // truth, so the sweep shows what sizing-by-n buys over knob-turning
+      // at fixed cells
+      spark.catalog.clearCache()
+      val n = Tables.embeddings(spark, dir).count()
+      val (cells, np, rt) = operators.Similarity.scaledIvfPqParams(n)
+      val t0 = System.nanoTime()
+      val scaled = top3(operators.Similarity.knnIvfPqTuned(spark, dir, np, rt, cells))
+      val secs = (System.nanoTime() - t0) / 1e9
+      val recalls = truth.keys.toSeq.map { q =>
+        (truth(q) & scaled.getOrElse(q, Set.empty)).size.toDouble / truth(q).size
+      }
+      println(f"[recall] ivfpq SCALED n=$n cells=$cells nprobe=$np refineT=$rt " +
+        f"recall@3=${recalls.sum / recalls.size}%.3f wall=$secs%6.2f s")
     } else if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
       // plan audit of the round-2 rewrites + round-3 additions
       Seq(
