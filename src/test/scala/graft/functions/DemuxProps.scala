@@ -114,6 +114,50 @@ object DemuxProps extends Properties("graft.demux") {
   property("Mp4Index never throws and never indexes out of bounds") =
     forAll(genBytes) { bs => inBounds(bs, Mp4Index.sampleIndex(bs)) }
 
+  // ---- generative fragmented-mp4 ROUNDTRIP: any spec-conformant file
+  // with random fragment/sample geometry must index back EXACTLY ----
+
+  private def mkBox(typ: String, payloads: Array[Byte]*): Array[Byte] = {
+    val total = 8 + payloads.map(_.length).sum
+    val bb = java.nio.ByteBuffer.allocate(total)
+    bb.putInt(total).put(typ.getBytes("ISO-8859-1"))
+    payloads.foreach(bb.put)
+    bb.array()
+  }
+  private def mkU32s(xs: Int*): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 * xs.length)
+    xs.foreach(bb.putInt)
+    bb.array()
+  }
+
+  private val genFragGeometry: Gen[Seq[Seq[Int]]] = for {
+    nFrags <- Gen.chooseNum(1, 4)
+    frags <- Gen.listOfN(nFrags, for {
+      nSamples <- Gen.chooseNum(1, 6)
+      sizes <- Gen.listOfN(nSamples, Gen.chooseNum(0, 40))
+    } yield sizes)
+  } yield frags
+
+  property("Mp4Index roundtrips any conformant fragmented geometry exactly") =
+    forAll(genFragGeometry) { frags =>
+      var file = fmp4Prelude
+      val expected = Vector.newBuilder[(Long, Int)]
+      frags.zipWithIndex.foreach { case (sizes, i) =>
+        val mfhd = mkBox("mfhd", mkU32s(0, i + 1))
+        val tfhd = mkBox("tfhd", mkU32s(0x020000, 1)) // default-base-is-moof
+        val trun = mkBox("trun", mkU32s(0x201, sizes.length, 0), mkU32s(sizes: _*))
+        val moof = mkBox("moof", mfhd, mkBox("traf", tfhd, trun))
+        // patch data_offset (after trun hdr + ver/flags + count) to the
+        // mdat payload right behind this moof
+        java.nio.ByteBuffer.wrap(moof)
+          .putInt(moof.length - trun.length + 16, moof.length + 8)
+        var off = (file.length + moof.length + 8).toLong
+        sizes.foreach { s => expected += ((off, s)); off += s }
+        file = file ++ moof ++ mkBox("mdat", Array.fill(sizes.sum)(i.toByte))
+      }
+      Mp4Index.sampleIndex(file).contains(expected.result())
+    }
+
   property("WebmIndex never throws and never indexes out of bounds") =
     forAll(genBytes) { bs => inBounds(bs, WebmIndex.sampleIndex(bs)) }
 }
