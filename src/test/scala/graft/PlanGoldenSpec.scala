@@ -55,7 +55,8 @@ class PlanGoldenSpec extends SparkSpec {
     "sim_knn_ivf" -> "trained quantizer",
     "sim_knn_pq" -> "trained quantizer",
     "sim_knn_ivfpq" -> "trained quantizer",
-    "sim_knn_ivfpq_tuned" -> "trained quantizer"
+    "sim_knn_ivfpq_tuned" -> "trained quantizer",
+    "sim_index_serve" -> "trained quantizer (build phase) + scratch-path index"
   )
 
   private def fingerprint(df: DataFrame): String = {

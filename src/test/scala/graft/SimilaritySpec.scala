@@ -195,6 +195,24 @@ class SimilaritySpec extends SparkSpec {
     assert(rtB > rt2k, "refine shortlist must track occupancy")
   }
 
+  test("persisted-index serve returns exactly the in-memory scaled results") {
+    // build-once/serve-many: seeded fits make the persisted quantizers
+    // identical to the in-memory ones, and parquet roundtrips doubles
+    // losslessly — so the serve path must reproduce sim_knn_ivfpq_tuned
+    // row for row (ranks included), at BOTH probed SFs. Run twice to
+    // exercise both the build-and-serve and the serve-only code paths.
+    def rows(df: DataFrame): Seq[(Long, Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rn"))).toSeq
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val mem = rows(Similarity.knnIvfPqScaled(spark, dir))
+      val served1 = rows(Similarity.knnIvfPqServed(spark, dir))
+      val served2 = rows(Similarity.knnIvfPqServed(spark, dir)) // warm index
+      assert(served1 == mem, s"served != in-memory at $dir")
+      assert(served2 == mem, s"warm-index serve != in-memory at $dir")
+    }
+  }
+
   test("IVF emits at most 3 ranked neighbors per query, no self-matches") {
     val rows = Similarity.knnIvf(spark, sf0001).collect()
     assert(rows.nonEmpty)
