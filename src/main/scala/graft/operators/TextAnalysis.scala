@@ -378,6 +378,111 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR importance weights (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023) computed
+    * relationally: hashed n-gram (unigram + bigram) bag-of-words features
+    * in B=256 md5 buckets, bucket distributions fit on a target slice
+    * (`lang = 'en'`) vs the raw rest, Laplace-smoothed log-likelihood
+    * ratio per bucket, per-document importance weight = Σ of its feature
+    * buckets' scores. Emits the top-50 raw documents by weight — the docs
+    * DSIR would resample into a target-like training mix. (The published
+    * method then adds seeded Gumbel noise for sampling-without-replacement;
+    * the weights are the deterministic, testable core — the noise twin is
+    * `pipe_weighted_sample`'s Efraimidis–Spirakis pattern.)
+    *
+    * Determinism: each bucket score is ln() of ONE IEEE division of exact
+    * integer counts, rounded to 6 decimals (the module libm rule) and cast
+    * to DECIMAL(18,6); per-doc weights are DECIMAL-lattice sums — exact and
+    * order-invariant, so the digest survives any partition count.
+    *
+    * Scale: the feature stream is ≤2× the token stream and collapses
+    * map-side in the two bounded-width hash-aggs (B bucket keys, |docs|
+    * doc keys); the score table is exactly B rows and joins back onto the
+    * feature stream as a broadcast — fitting the distributions and scoring
+    * the corpus are each ONE pass, no all-pairs anything, no driver math. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val B = 256L
+    val d = Tables.documents(spark, dir)
+    val toksC = filter(tokens(col("text")), t => length(t) > 0)
+    val base = d.select(col("doc_id"), col("lang"), col("source"), toksC.as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+    val uni = base.select(col("doc_id"), col("lang"), col("source"),
+      explode(col("toks")).as("g"))
+    val bi = base.filter(col("n") >= 2)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(transform(sequence(lit(1L), col("n") - 1), i =>
+          concat_ws(" ",
+            element_at(col("toks"), i.cast("int")),
+            element_at(col("toks"), (i + 1).cast("int"))))).as("g"))
+    val feats = uni.unionByName(bi)
+      .withColumn("b",
+        conv(substring(md5(col("g")), 1, 4), 16, 10).cast("long") % B)
+      .drop("g")
+      .cache() // reused three ways: bucket counts, totals, scoring join
+    val isTgt = col("lang") === "en"
+    val counts = feats.groupBy(col("b")).agg(
+      sum(when(isTgt, 1L).otherwise(0L)).as("ct"),
+      sum(when(isTgt, 0L).otherwise(1L)).as("cq"))
+    val totals = feats.agg(
+      sum(when(isTgt, 1L).otherwise(0L)).as("nt"),
+      sum(when(isTgt, 0L).otherwise(1L)).as("nq"))
+    // all-bucket frame so never-seen buckets still score via +1 smoothing
+    val scores = spark.range(0, B).select(col("id").as("b"))
+      .join(counts, Seq("b"), "left")
+      .crossJoin(broadcast(totals)) // 1-row totals — A4 pattern, no driver scalar
+      .select(col("b"),
+        round(
+          log((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
+              (col("nt") + lit(B)).cast("double")) -
+          log((coalesce(col("cq"), lit(0L)) + lit(1L)).cast("double") /
+              (col("nq") + lit(B)).cast("double")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("score"))
+    feats.filter(col("lang") =!= "en")
+      .join(broadcast(scores), "b")
+      .groupBy(col("doc_id"), col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("score")).cast("double").as("logw"))
+      .orderBy(col("logw").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  /** Temperature-scaled corpus mixture (the multilingual sampling rule of
+    * XLM-R / mT5: q_l ∝ p_l^α, here α=0.3): per-language token shares are
+    * flattened by the exponent so low-resource languages are upsampled,
+    * then a 100k-token budget is allocated proportionally. One bounded
+    * hash-agg (|langs| keys) plus two 1-row broadcast totals — the whole
+    * mixture computation stays in-plan at any corpus size.
+    *
+    * Determinism: p is ONE IEEE division of exact longs; pow() is libm →
+    * rounded to 6 decimals and cast to the DECIMAL(18,6) lattice before the
+    * normalizer sum (exact); q is one decimal÷decimal-as-double division,
+    * re-rounded; the budget allocation floors q·budget — identical doubles
+    * in, identical longs out. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val alpha = 0.3
+    val budget = 100000L
+    val d = Tables.documents(spark, dir)
+    val toksC = filter(tokens(col("text")), t => length(t) > 0)
+    val byLang = d.select(col("lang"), size(toksC).cast("long").as("ntok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+      .cache() // |langs| rows, read 3× (totals, shares, normalizer) —
+               // without it every branch re-scans the full corpus
+    val tot = byLang.agg(sum(col("n_tokens")).as("corpus_tokens"))
+    val shares = byLang.crossJoin(broadcast(tot))
+      .withColumn("p",
+        col("n_tokens").cast("double") / col("corpus_tokens").cast("double"))
+      .withColumn("pa", round(pow(col("p"), lit(alpha)), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+    val z = shares.agg(sum(col("pa")).as("z")) // exact decimal sum
+    shares.crossJoin(broadcast(z))
+      .withColumn("q", round(col("pa").cast("double") / col("z").cast("double"), 6))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("p"), 6).as("p"), col("q"),
+        floor(col("q") * lit(budget).cast("double")).cast("long").as("alloc_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** Pivot (wide reshape): doc counts per source × language. Pivot values
     * are declared explicitly — at scale, letting pivot() discover values
     * costs an extra distinct job and risks schema drift between runs. */
@@ -1013,10 +1118,77 @@ object TextAnalysis {
     "text_tfidf"       -> (tfidfTopTerms _),
     "text_chunking"    -> (chunkDocuments _),
     "text_trigram_score" -> (trigramScore _),
-    "pipe_chunk_dedup" -> (chunkDedup _)
+    "pipe_chunk_dedup" -> (chunkDedup _),
+    "pipe_dsir_weights" -> (dsirWeights _),
+    "pipe_temperature_mix" -> (temperatureMix _)
   )
 
   val oracle: Map[String, String] = Map(
+    "pipe_dsir_weights" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |uni AS (
+        |  SELECT doc_id, lang, source, unnest(toks) AS g FROM t),
+        |b0 AS (
+        |  SELECT doc_id, lang, source, toks, len(toks) AS n
+        |  FROM t WHERE len(toks) >= 2),
+        |bi AS (
+        |  SELECT doc_id, lang, source, toks[i] || ' ' || toks[i + 1] AS g
+        |  FROM (SELECT doc_id, lang, source, toks,
+        |          unnest(generate_series(1, n - 1)) AS i FROM b0)),
+        |f AS (
+        |  SELECT doc_id, lang, source,
+        |    ('0x' || substr(md5(g), 1, 4))::BIGINT % 256 AS b
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |c AS (
+        |  SELECT b,
+        |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+        |    SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS cq
+        |  FROM f GROUP BY b),
+        |tot AS (
+        |  SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt,
+        |         SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS nq
+        |  FROM f),
+        |sc AS (
+        |  SELECT r.range AS b,
+        |    CAST(round(
+        |      ln(CAST(COALESCE(c.ct, 0) + 1 AS DOUBLE) /
+        |         CAST(tot.nt + 256 AS DOUBLE)) -
+        |      ln(CAST(COALESCE(c.cq, 0) + 1 AS DOUBLE) /
+        |         CAST(tot.nq + 256 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS score
+        |  FROM range(256) r LEFT JOIN c ON c.b = r.range CROSS JOIN tot)
+        |SELECT f.doc_id, f.source, f.lang,
+        |  COUNT(*) AS n_feats,
+        |  CAST(SUM(sc.score) AS DOUBLE) AS logw
+        |FROM f JOIN sc USING (b)
+        |WHERE f.lang <> 'en'
+        |GROUP BY 1, 2, 3
+        |ORDER BY logw DESC, f.doc_id
+        |LIMIT 50""".stripMargin,
+    "pipe_temperature_mix" ->
+      """WITH l AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(list_filter(string_split(text, ' '),
+        |                             x -> length(x) > 0))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens FROM l),
+        |s AS (
+        |  SELECT lang, n_docs, n_tokens,
+        |    CAST(n_tokens AS DOUBLE) / CAST(corpus_tokens AS DOUBLE) AS p,
+        |    CAST(round(pow(CAST(n_tokens AS DOUBLE) /
+        |                   CAST(corpus_tokens AS DOUBLE), 0.3), 6)
+        |         AS DECIMAL(18,6)) AS pa
+        |  FROM l CROSS JOIN tot),
+        |z AS (SELECT SUM(pa) AS z FROM s)
+        |SELECT lang, n_docs, n_tokens,
+        |  round(p, 6) AS p,
+        |  round(CAST(pa AS DOUBLE) / CAST(z AS DOUBLE), 6) AS q,
+        |  CAST(floor(round(CAST(pa AS DOUBLE) / CAST(z AS DOUBLE), 6) * 100000.0)
+        |       AS BIGINT) AS alloc_tokens
+        |FROM s CROSS JOIN z
+        |ORDER BY lang""".stripMargin,
     "pipe_weighted_sample" ->
       """WITH k AS (
         |  SELECT doc_id, source, n_chars,

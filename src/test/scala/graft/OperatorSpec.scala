@@ -90,6 +90,44 @@ class OperatorSpec extends SparkSpec {
     scored.unpersist()
   }
 
+  test("DSIR weights: raw docs only, exact feature counts, ordered output") {
+    val w = TextAnalysis.dsirWeights(spark, sf0001).cache()
+    val rows = w.collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    // target-slice docs must never appear among the resampling candidates
+    assert(rows.forall(_.getAs[String]("lang") != "en"))
+    // n_feats is exactly unigrams + bigrams = n + (n-1) for docs with n>=2
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => length(t) > 0)).cast("long").as("n"))
+    val joined = w.join(toks, "doc_id")
+    assert(joined.count() == rows.length, "weighted doc missing from corpus")
+    assert(joined.filter(col("n") >= 2 && col("n_feats") =!= col("n") * 2 - 1)
+      .count() == 0, "n_feats != 2n-1 for some doc")
+    // output is ordered by weight desc (doc_id tiebreak)
+    val lw = rows.map(_.getAs[Double]("logw"))
+    assert(lw.forall(v => !v.isNaN && !v.isInfinite))
+    assert(lw.zip(lw.tail).forall { case (a, b) => a >= b }, "logw not sorted desc")
+    w.unpersist()
+  }
+
+  test("temperature mix: order-preserving, ratio-compressing, budget-bounded") {
+    val m = TextAnalysis.temperatureMix(spark, sf0001).collect()
+    assert(m.length == 5, s"expected 5 langs, got ${m.length}")
+    val p = m.map(_.getAs[Double]("p"))
+    val q = m.map(_.getAs[Double]("q"))
+    assert(math.abs(p.sum - 1.0) < 1e-4 && math.abs(q.sum - 1.0) < 1e-4)
+    // α<1 preserves the share ORDER but compresses the ratios
+    for (i <- p.indices; j <- p.indices if p(i) > p(j) + 1e-9) {
+      assert(q(i) > q(j), s"order flipped between rows $i and $j")
+      assert(q(i) / q(j) < p(i) / p(j) + 1e-9, "temperature did not flatten")
+    }
+    val alloc = m.map(_.getAs[Long]("alloc_tokens"))
+    assert(alloc.sum <= 100000L, "allocation exceeds the token budget")
+    m.zipWithIndex.foreach { case (r, i) =>
+      assert(alloc(i) == math.floor(q(i) * 100000.0).toLong) }
+  }
+
   test("HLL partial-union estimates agree with exact within the pinned margin") {
     val got = Aggregates.hllPartialUnion(spark, sf0001).collect()
     assert(got.nonEmpty)
