@@ -274,22 +274,29 @@ object Multimodal {
           val n = reader.getNumImages(true) // allowSearch: exact frame count
           if (n <= 1) None // single-frame payloads are images, not video
           else Some((0 until n by stride).toVector.map { i =>
-            val img = reader.read(i)
-            val (w, h) = (img.getWidth, img.getHeight)
-            var acc = 0L; var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                acc = (acc * 31 + (img.getRGB(x, y) & 0xffffff)) % 1000000007L
-                x += 1
-              }
-              y += 1
-            }
-            Frame(r.media_id, i, w.toLong * h * 3L, acc)
+            val (nBytes, acc) = rasterChecksum(reader.read(i))
+            Frame(r.media_id, i, nBytes, acc)
           })
         } finally reader.dispose()
       }
     } catch { case _: Exception => None } // corrupt container → stub path
+
+  /** Shared decoded-frame feature: (raster size w·h·3, RGB pixel fold in
+    * row-major order mod 1e9+7) — pure integer arithmetic after the
+    * decoder, so bit-stable wherever the decode itself is. */
+  private def rasterChecksum(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var acc = 0L; var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        acc = (acc * 31 + (img.getRGB(x, y) & 0xffffff)) % 1000000007L
+        x += 1
+      }
+      y += 1
+    }
+    (w.toLong * h * 3L, acc)
+  }
 
   /** REAL mp4 frame sampling via the sample INDEX (no decode): every
     * `stride`-th sample's CODED bytes are sliced out of the payload at the
@@ -306,6 +313,28 @@ object Multimodal {
     * real; only pixel decode stays codec-bound. */
   private[graft] def sampleWebmFrames(r: MediaRecord, stride: Int): Option[Vector[Frame]] =
     framesFromIndex(r, WebmIndex.sampleIndex(r.payload), stride)
+
+  /** AVI frame sampling — and, uniquely among the video containers, REAL
+    * pixel decode when the stream is Motion-JPEG: each MJPEG '##dc' chunk
+    * is a complete baseline JPEG, a codec the JDK ships. Every sampled
+    * frame slice is offered to ImageIO; a decode yields the GIF-kernel
+    * pixel contract (n_bytes = w·h·3, raster-fold checksum), a miss falls
+    * back to the coded-byte contract of the mp4/webm paths — so a DV or
+    * Cinepak AVI still demuxes, it just isn't pixel-decoded. */
+  private[graft] def sampleAviFrames(r: MediaRecord, stride: Int): Option[Vector[Frame]] =
+    AviIndex.sampleIndex(r.payload).flatMap { idx =>
+      if (idx.length <= 1) None // single-frame "video" — an image in an AVI coat
+      else Some((0 until idx.length by stride).toVector.map { i =>
+        val (off, sz) = idx(i)
+        val slice = java.util.Arrays.copyOfRange(r.payload, off.toInt, off.toInt + sz)
+        readImage(slice) match {
+          case Some(img) =>
+            val (nBytes, acc) = rasterChecksum(img)
+            Frame(r.media_id, i, nBytes, acc)
+          case None => Frame(r.media_id, i, sz.toLong, byteChecksum(slice))
+        }
+      })
+    }
 
   /** Every `stride`-th coded frame sliced out at the (offset, size) the
     * container index declares and checksummed — the shared back half of
@@ -325,8 +354,9 @@ object Multimodal {
 
   /** Frame sampling: REAL demux kernels for multi-frame GIF (full pixel
     * decode — the JDK ships the codec), mp4/mov (sample-index demux via
-    * the container's stbl tables), and webm/mkv (SimpleBlock walk via the
-    * EBML element grammar) — no codec needed for any index path. The
+    * the container's stbl tables), webm/mkv (SimpleBlock walk via the
+    * EBML element grammar), and AVI (RIFF chunk walk; MJPEG frames decode
+    * to real pixels) — no codec needed for any index path. The
     * deterministic chunk stub remains only for payloads that parse as
     * none of the containers. Either way the operator is a 1→N flatMap
     * per video row — the real shape of frame extraction (output rows
@@ -342,6 +372,7 @@ object Multimodal {
         sampleContainerFrames(r, stride)
           .orElse(sampleMp4Frames(r, stride))
           .orElse(sampleWebmFrames(r, stride))
+          .orElse(sampleAviFrames(r, stride))
           .getOrElse {
             // STUB fallback — every `stride`-th fixed-size chunk of the
             // payload stands in for a decoded frame
@@ -954,5 +985,98 @@ private[graft] object WebmIndex {
         if ((flags & 0x06) != 0) Vector.empty // laced: skip, never mis-slice
         else Vector(((s + tLen + 3).toLong, e - (s + tLen + 3)))
       case _ => Vector.empty
+    }
+}
+
+/** Pure-byte RIFF/AVI sample-index demuxer (the "AVI RIFF File Reference"
+  * layout): LIST hdrl → per-stream LIST strl/strh finds the first 'vids'
+  * stream by position (the k-th strl IS stream k — that's how the '##dc'
+  * chunk ids are assigned), then LIST movi — including one level of
+  * LIST 'rec ' interleave groups — yields that stream's '##dc'/'##db'
+  * frame chunks as exact payload (offset, size) ranges in stream order.
+  *
+  * Why AVI earns a third demuxer: Motion-JPEG lives here, and each MJPEG
+  * '##dc' chunk is a complete baseline JPEG — a codec the JDK ships. So
+  * this index is the one container path where the layer above can decode
+  * real PIXELS (`Multimodal.sampleAviFrames`), not just slice coded bytes.
+  *
+  * Malformed-input policy matches Mp4Index/WebmIndex: never throw, never
+  * emit an out-of-payload range. Stricter than the EBML walk in one way:
+  * RIFF sizes are load-bearing (there is no resync marker), so ANY child
+  * whose declared size overruns its parent — including a truncated tail —
+  * rejects the whole file rather than emitting a partial index. */
+private[graft] object AviIndex {
+  private def u32(b: Array[Byte], p: Int): Long = // RIFF is little-endian
+    (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+      ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+  private def tag(b: Array[Byte], p: Int): String =
+    new String(b, p, 4, "ISO-8859-1")
+
+  /** RIFF children (fourcc, dataStart, dataEnd, isList) of [start, end).
+    * For LIST chunks the fourcc is the list TYPE and the range excludes
+    * it, so callers recurse into the range directly. Chunks are padded to
+    * even offsets per the spec. None on any overrun (reject, not salvage:
+    * one bad size desynchronizes every later chunk boundary). */
+  private def children(b: Array[Byte], start: Int,
+                       end: Int): Option[Vector[(String, Int, Int, Boolean)]] = {
+    val out = Vector.newBuilder[(String, Int, Int, Boolean)]
+    var p = start
+    while (p < end) {
+      if (p + 8 > end) return None
+      val id = tag(b, p)
+      val sz = u32(b, p + 4)
+      val dS = p + 8
+      if (dS.toLong + sz > end) return None
+      val dE = (dS + sz).toInt
+      if (id == "LIST") {
+        if (sz < 4) return None
+        out += ((tag(b, dS), dS + 4, dE, true))
+      } else out += ((id, dS, dE, false))
+      p = dE + (sz.toInt & 1)
+    }
+    Some(out.result())
+  }
+
+  /** (offset, size) of every frame chunk of the first 'vids' stream. */
+  def sampleIndex(payload: Array[Byte]): Option[Vector[(Long, Int)]] =
+    try sampleIndexUnsafe(payload)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def sampleIndexUnsafe(b: Array[Byte]): Option[Vector[(Long, Int)]] = {
+    if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "AVI ") return None
+    val declaredEnd = 8L + u32(b, 4)
+    if (declaredEnd > b.length) return None // truncated download
+    for {
+      top <- children(b, 12, declaredEnd.toInt)
+      (hS, hE) <- top.collectFirst { case ("hdrl", s, e, true) => (s, e) }
+      hdrlKids <- children(b, hS, hE)
+      vidsIdx <- hdrlKids.collect { case ("strl", s, e, true) => (s, e) }
+        .zipWithIndex.collectFirst {
+          case ((s, e), k) if children(b, s, e).exists(_.exists {
+            case ("strh", cs, ce, false) => ce - cs >= 4 && tag(b, cs) == "vids"
+            case _ => false
+          }) => k
+        }
+      (mS, mE) <- top.collectFirst { case ("movi", s, e, true) => (s, e) }
+      frames <- moviFrames(b, mS, mE, f"$vidsIdx%02d", depth = 0)
+      if frames.nonEmpty
+    } yield frames
+  }
+
+  private def moviFrames(b: Array[Byte], s: Int, e: Int, nn: String,
+                         depth: Int): Option[Vector[(Long, Int)]] =
+    children(b, s, e).flatMap { kids =>
+      kids.foldLeft(Option(Vector.empty[(Long, Int)])) {
+        case (None, _) => None
+        case (Some(acc), ("rec ", rs, re, true)) =>
+          // interleave groups hold frame chunks one level down; the spec
+          // does not nest them further — deeper nesting is malformed
+          if (depth >= 1) None
+          else moviFrames(b, rs, re, nn, depth + 1).map(acc ++ _)
+        case (Some(acc), (id, ds, de, false))
+          if id == nn + "dc" || id == nn + "db" =>
+          Some(acc :+ ((ds.toLong, de - ds)))
+        case (Some(acc), _) => Some(acc) // other streams' chunks, idx1, JUNK
+      }
     }
 }

@@ -3,7 +3,7 @@ package graft.functions
 import org.scalacheck.{Gen, Properties}
 import org.scalacheck.Prop.forAll
 
-import graft.operators.{Mp4Index, WebmIndex}
+import graft.operators.{AviIndex, Mp4Index, WebmIndex}
 
 /** Fuzz properties for the pure-byte container demuxers. A media column at
   * 100 TB contains truncated downloads, bit-flipped blobs, and outright
@@ -160,4 +160,76 @@ object DemuxProps extends Properties("graft.demux") {
 
   property("WebmIndex never throws and never indexes out of bounds") =
     forAll(genBytes) { bs => inBounds(bs, WebmIndex.sampleIndex(bs)) }
+
+  // ---- RIFF/AVI: noise arms + a generative conformant roundtrip ----
+
+  /** Noise behind the RIFF/AVI magic with a PLAUSIBLE declared size, so
+    * the walk gets past the truncation gate into the chunk grammar. */
+  private val genAviNoise: Gen[Array[Byte]] = for {
+    n <- Gen.chooseNum(4, 256)
+    bs <- Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+    // declared size: sometimes exact, sometimes lying in either direction
+    declared <- Gen.frequency(2 -> Gen.const(n + 4), 1 -> Gen.chooseNum(0, 512))
+  } yield {
+    val bb = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ISO-8859-1")).putInt(declared)
+      .put("AVI ".getBytes("ISO-8859-1"))
+    bb.array() ++ bs.toArray
+  }
+
+  property("AviIndex never throws and never indexes out of bounds") =
+    forAll(Gen.frequency(2 -> genAviNoise, 1 -> genBytes)) { bs =>
+      inBounds(bs, AviIndex.sampleIndex(bs))
+    }
+
+  /** Any conformant AVI with random stream count/position, frame sizes
+    * (odd sizes force pad bytes), and rec-group placement must index back
+    * exactly the video stream's frames in stream order. */
+  private val genAviGeometry: Gen[(Int, Seq[(Int, Boolean)])] = for {
+    vidsPos <- Gen.chooseNum(0, 2) // video is the (pos+1)-th of 3 streams
+    nFrames <- Gen.chooseNum(2, 8)
+    frames <- Gen.listOfN(nFrames, for {
+      sz <- Gen.chooseNum(0, 41)
+      inRec <- Gen.oneOf(true, false)
+    } yield (sz, inRec))
+  } yield (vidsPos, frames)
+
+  property("AviIndex roundtrips any conformant geometry exactly") =
+    forAll(genAviGeometry) { case (vidsPos, frameSpecs) =>
+      def u32le(x: Int) = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(x).array()
+      def chunk(id: String, data: Array[Byte]) = {
+        val pad = if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+        id.getBytes("ISO-8859-1") ++ u32le(data.length) ++ data ++ pad
+      }
+      def list(typ: String, kids: Array[Byte]*) = {
+        val body = typ.getBytes("ISO-8859-1") ++ kids.flatten
+        "LIST".getBytes("ISO-8859-1") ++ u32le(body.length) ++ body
+      }
+      def strl(t: String) = list("strl",
+        chunk("strh", t.getBytes("ISO-8859-1") ++ Array.fill[Byte](52)(0)),
+        chunk("strf", Array.fill[Byte](40)(0)))
+      val streams = Vector.tabulate(3)(k => if (k == vidsPos) strl("vids") else strl("auds"))
+      val nn = f"$vidsPos%02d"
+      val other = f"${(vidsPos + 1) % 3}%02d"
+      val moviKids = frameSpecs.zipWithIndex.flatMap { case ((sz, inRec), i) =>
+        val fr = chunk(nn + "dc", Array.fill(sz)(i.toByte))
+        val noise = chunk(other + "wb", Array.fill(5)(0x55.toByte))
+        Seq(noise, if (inRec) list("rec ", fr) else fr)
+      }
+      val hdrl = list("hdrl", chunk("avih", Array.fill[Byte](56)(0)) +: streams: _*)
+      val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ list("movi", moviKids: _*)
+      val file = "RIFF".getBytes("ISO-8859-1") ++ u32le(body.length) ++ body
+      AviIndex.sampleIndex(file) match {
+        case Some(idx) =>
+          idx.length == frameSpecs.length &&
+            idx.zipWithIndex.forall { case ((off, sz), i) =>
+              sz == frameSpecs(i)._1 &&
+                file.slice(off.toInt, off.toInt + sz)
+                  .forall(_ == i.toByte)
+            }
+        case None => false
+      }
+    }
 }
