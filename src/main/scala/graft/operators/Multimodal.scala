@@ -181,15 +181,32 @@ object Multimodal {
                                  n_channels: Int, bits_per_sample: Int,
                                  n_frames: Long, duration_ms: Long, rms: Double)
 
-  /** REAL audio decode for WAV/PCM with pure JDK byte parsing — WAV is a
-    * container, not a codec, so no codec library is needed: walk the RIFF
-    * chunk list for `fmt ` (rate/channels/bits) and `data` (sample bytes),
-    * then compute the signal RMS over the PCM16 samples — actual DSP on
-    * actual audio, the audio analogue of the ImageIO upgrade. Compressed
-    * formats (mp3/aac) would still need an external codec and keep the
-    * stub contract. Returns None for payloads that aren't PCM16 WAV.
-    * All arithmetic is integer accumulation + one final sqrt —
-    * deterministic at any partitioning. */
+  // IMA ADPCM quantizer tables (the IMA "Recommended Practices for
+  // Enhancing Digital Audio Compatibility" algorithm, also RFC 3551 DVI4)
+  private val AdpcmStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484,
+    7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818,
+    18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val AdpcmIndexAdj: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** REAL audio decode with pure JDK byte parsing — WAV is a container,
+    * not a codec: walk the RIFF chunk list for `fmt ` (format tag, rate,
+    * channels, bits, block align) and `data`, then compute the signal RMS
+    * over the ACTUAL samples. Two codepaths:
+    *  - PCM16 (format 1): samples read straight off the byte stream;
+    *  - IMA ADPCM (format 0x11, mono): a REAL compressed codec decoded in
+    *    pure integer math — per-block (predictor, step-index) header, then
+    *    4-bit nibbles expanded through the IMA step/index tables, 4:1
+    *    compression undone with zero library code. Stereo ADPCM and
+    *    entropy-coded formats (mp3/aac) keep the stub contract.
+    * Returns None for payloads that are neither. All arithmetic is integer
+    * accumulation + one final sqrt — deterministic at any partitioning,
+    * and every index derived from untrusted bytes is clamped before use. */
   private[operators] def decodeWav(r: MediaRecord): Option[AudioFeatures] = {
     val b = r.payload
     def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
@@ -199,38 +216,86 @@ object Multimodal {
     def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
     if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
     var pos = 12L
-    var rate = 0; var ch = 0; var bits = 0
+    var fmtTag = 0; var rate = 0; var ch = 0; var bits = 0
+    var blockAlign = 0; var samplesPerBlock = 0
     var dataOff = -1L; var dataLen = 0L
     // chunk walk; `len` comes from untrusted bytes, so every step is
     // bounds-checked and monotone (word-aligned) to rule out loops
     while (pos + 8 <= b.length) {
       val id = tag(pos.toInt); val len = u32(pos.toInt + 4)
       if (id == "fmt " && pos + 24 <= b.length) {
+        fmtTag = u16(pos.toInt + 8)
         ch = u16(pos.toInt + 10); rate = u32(pos.toInt + 12).toInt
+        blockAlign = u16(pos.toInt + 20)
         bits = u16(pos.toInt + 22)
+        // the ADPCM fmt extension declares samples per block
+        if (pos + 28 <= b.length) samplesPerBlock = u16(pos.toInt + 26)
       } else if (id == "data" && dataOff < 0) {
         dataOff = pos + 8
         dataLen = math.min(len, b.length - dataOff)
       }
       pos += 8 + len + (len & 1L)
     }
-    if (rate <= 0 || ch <= 0 || bits != 16 || dataOff < 0) return None
-    val nFrames = dataLen / (ch * 2)
-    var i = dataOff.toInt; var acc = 0L; var n = 0L
-    val end = (dataOff + dataLen).toInt
-    while (i + 1 < end) {
-      val s = (u16(i) << 16) >> 16 // sign-extend PCM16
-      acc += s.toLong * s; n += 1; i += 2
-    }
-    val rms = if (n == 0) 0.0 else math.sqrt(acc.toDouble / n)
-    Some(AudioFeatures(r.media_id, rate, ch, bits, nFrames,
-      nFrames * 1000L / rate, rms))
+    if (rate <= 0 || ch <= 0 || dataOff < 0) return None
+    if (fmtTag == 1 && bits == 16) {
+      val nFrames = dataLen / (ch * 2)
+      var i = dataOff.toInt; var acc = 0L; var n = 0L
+      val end = (dataOff + dataLen).toInt
+      while (i + 1 < end) {
+        val s = (u16(i) << 16) >> 16 // sign-extend PCM16
+        acc += s.toLong * s; n += 1; i += 2
+      }
+      val rms = if (n == 0) 0.0 else math.sqrt(acc.toDouble / n)
+      Some(AudioFeatures(r.media_id, rate, ch, bits, nFrames,
+        nFrames * 1000L / rate, rms))
+    } else if (fmtTag == 0x11 && ch == 1 && bits == 4 && blockAlign >= 5) {
+      // a block physically holds header sample + 2 nibbles per data byte;
+      // a declared samplesPerBlock beyond that is a lie — clamp, never
+      // trust it as an allocation or loop bound
+      val maxSpb = (blockAlign - 4) * 2 + 1
+      val take = if (samplesPerBlock > 0) math.min(samplesPerBlock, maxSpb)
+                 else maxSpb
+      var acc = 0L; var n = 0L
+      var blockStart = dataOff.toInt
+      val end = (dataOff + dataLen).toInt
+      while (blockStart + 4 <= end) {
+        val blockEnd = math.min(blockStart.toLong + blockAlign, end.toLong).toInt
+        var pred = (u16(blockStart) << 16) >> 16 // header IS sample 0
+        var index = math.min(88, math.max(0, b(blockStart + 2) & 0xff))
+        acc += pred.toLong * pred; n += 1
+        var produced = 1
+        var i = blockStart + 4
+        while (i < blockEnd && produced < take) {
+          val byte = b(i) & 0xff
+          var k = 0
+          while (k < 2 && produced < take) {
+            val nib = if (k == 0) byte & 0x0f else byte >>> 4 // low nibble first
+            val step = AdpcmStep(index)
+            var diff = step >> 3
+            if ((nib & 1) != 0) diff += step >> 2
+            if ((nib & 2) != 0) diff += step >> 1
+            if ((nib & 4) != 0) diff += step
+            pred = if ((nib & 8) != 0) math.max(-32768, pred - diff)
+                   else math.min(32767, pred + diff)
+            index = math.min(88, math.max(0, index + AdpcmIndexAdj(nib)))
+            acc += pred.toLong * pred; n += 1; produced += 1
+            k += 1
+          }
+          i += 1
+        }
+        blockStart += blockAlign
+      }
+      if (n == 0) None
+      else Some(AudioFeatures(r.media_id, rate, ch, bits, n,
+        n * 1000L / rate, math.sqrt(acc.toDouble / n)))
+    } else None
   }
 
-  /** Batched per-partition audio feature extraction: the REAL WAV path
-    * with the deterministic stub as fallback for payloads that aren't WAV
-    * containers (the harness media table carries text bytes). Same operator
-    * shape as decodeFeatures: typed narrow output, partition-preserving. */
+  /** Batched per-partition audio feature extraction: the REAL WAV paths
+    * (PCM16 and IMA-ADPCM-compressed) with the deterministic stub as
+    * fallback for payloads that aren't WAV containers (the harness media
+    * table carries text bytes). Same operator shape as decodeFeatures:
+    * typed narrow output, partition-preserving. */
   def audioFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "audio").mapPartitions { rows =>

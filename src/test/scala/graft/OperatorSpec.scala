@@ -254,6 +254,89 @@ class OperatorSpec extends SparkSpec {
     assert(feats(3L).sample_rate == 16000, feats(3L))
   }
 
+  test("IMA ADPCM decode: exact known vectors, and an encoder roundtrip") {
+    import spark.implicits._
+    // hand-built ADPCM WAV: fmt tag 0x11, mono, 4-bit, given blockAlign +
+    // samplesPerBlock (the 2-byte fmt extension), raw block bytes verbatim
+    def adpcmWav(rate: Int, blockAlign: Int, spb: Int,
+                 blocks: Array[Byte]): Array[Byte] = {
+      def u16(x: Int) = Array((x & 0xff).toByte, ((x >> 8) & 0xff).toByte)
+      def u32(x: Int) = Array((x & 0xff).toByte, ((x >> 8) & 0xff).toByte,
+        ((x >> 16) & 0xff).toByte, ((x >> 24) & 0xff).toByte)
+      val fmt = u16(0x11) ++ u16(1) ++ u32(rate) ++
+        u32(rate * blockAlign / math.max(1, spb)) ++ u16(blockAlign) ++
+        u16(4) ++ u16(2) ++ u16(spb)
+      "RIFF".getBytes ++ u32(4 + 8 + fmt.length + 8 + blocks.length) ++
+        "WAVE".getBytes ++
+        "fmt ".getBytes ++ u32(fmt.length) ++ fmt ++
+        "data".getBytes ++ u32(blocks.length) ++ blocks
+    }
+    // vector 1 — DC: predictor=1000, all-zero nibbles; step starts at 7 so
+    // diff = 7>>3 = 0 every step: every decoded sample is exactly 1000
+    val dc = adpcmWav(8000, 8, 9,
+      Array[Byte](0xE8.toByte, 0x03, 0, 0, 0, 0, 0, 0))
+    // vector 2 — hand-traced: pred=0, idx=0; nibble 4: diff=7 → 7, idx→2;
+    // nibble 8: step=9, diff=9>>3=1, sign → 6, idx→1. Samples [0, 7, 6].
+    val traced = adpcmWav(8000, 8, 3,
+      Array[Byte](0, 0, 0, 0, 0x84.toByte, 0, 0, 0))
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio", dc),
+      Multimodal.MediaRecord(2L, "audio", traced)).toDS()
+    val feats = Multimodal.audioFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).rms == 1000.0 && feats(1L).n_frames == 9L, feats(1L))
+    assert(feats(1L).bits_per_sample == 4 && feats(1L).sample_rate == 8000)
+    // samplesPerBlock=3 caps decode: [0,7,6] → RMS = sqrt(85/3) exactly
+    assert(feats(2L).n_frames == 3L, feats(2L))
+    assert(feats(2L).rms == math.sqrt(85.0 / 3), feats(2L))
+
+    // roundtrip: encode a sine with the standard IMA encoder (test-side),
+    // decode with the kernel — lossy, but RMS must land within a few %
+    val src = Array.tabulate(1 + 2 * 252)(i =>
+      (8000 * math.sin(i * 2 * math.Pi / 50)).toInt)
+    val step = Array(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28,
+      31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+      157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+      598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878,
+      2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+      6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818,
+      18500, 20350, 22385, 24623, 27086, 29794, 32767)
+    val idxAdj = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+    var pred = src(0); var idx = 0
+    val nibbles = src.drop(1).map { s =>
+      val st = step(idx)
+      var delta = s - pred
+      var nib = if (delta < 0) { delta = -delta; 8 } else 0
+      var diff = st >> 3
+      if (delta >= st) { nib |= 4; delta -= st; diff += st }
+      if (delta >= (st >> 1)) { nib |= 2; delta -= st >> 1; diff += st >> 1 }
+      if (delta >= (st >> 2)) { nib |= 1; diff += st >> 2 }
+      pred = if ((nib & 8) != 0) math.max(-32768, pred - diff)
+             else math.min(32767, pred + diff)
+      idx = math.min(88, math.max(0, idx + idxAdj(nib & 7)))
+      nib
+    }
+    val hdr = Array((src(0) & 0xff).toByte, ((src(0) >> 8) & 0xff).toByte, 0.toByte, 0.toByte)
+    val packed = nibbles.grouped(2).map {
+      case Array(a, b) => (a | (b << 4)).toByte
+      case Array(a) => a.toByte
+    }.toArray
+    val blockAlign = 4 + packed.length // one big block
+    val enc = adpcmWav(8000, blockAlign, src.length, hdr ++ packed)
+    val got = Multimodal.audioFeatures(
+      Seq(Multimodal.MediaRecord(3L, "audio", enc)).toDS()).collect().head
+    assert(got.n_frames == src.length.toLong, got)
+    val srcRms = math.sqrt(src.map(s => s.toLong * s).sum.toDouble / src.length)
+    assert(math.abs(got.rms - srcRms) / srcRms < 0.05,
+      s"ADPCM roundtrip RMS ${got.rms} vs source $srcRms")
+
+    // malformed ADPCM never throws: truncated block, hostile step index
+    val hostile = adpcmWav(8000, 8, 9,
+      Array[Byte](0x12, 0x7f, 0xff.toByte, 0xee.toByte, 0x99.toByte))
+    val out = Multimodal.audioFeatures(
+      Seq(Multimodal.MediaRecord(4L, "audio", hostile)).toDS()).collect()
+    assert(out.length == 1) // decoded (clamped index) or stub — either, no throw
+  }
+
   test("perceptual aHash: re-encoded/brightened copies collide, different content separates") {
     import java.awt.image.BufferedImage
     import java.io.ByteArrayOutputStream
