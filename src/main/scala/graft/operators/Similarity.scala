@@ -61,7 +61,7 @@ object Similarity {
   private def trainSample(df: DataFrame): DataFrame =
     df.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(TrainCap)
 
-  private def vectors(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
@@ -446,12 +446,23 @@ object Similarity {
     * exactly what this function plans. */
   private[graft] def serveIvfPq(all: DataFrame, centroids: DataFrame,
       codebook: DataFrame, cells: DataFrame, codes: DataFrame,
-      nprobe: Int, refineT: Int): DataFrame = {
+      nprobe: Int, refineT: Int): DataFrame =
+    serveIvfPqQueries(
+      all.filter(col("vec_id") < QueryBudget)
+        .select(col("vec_id").as("q_id"), col("vn").as("qv")),
+      all.select(col("vec_id"), col("vn")),
+      centroids, codebook, cells, codes, nprobe, refineT)
+
+  /** The same serving plan with the QUERY relation decoupled from the
+    * corpus — the online-serving shape: `q(q_id, qv)` may be a micro-batch
+    * of fresh queries (see `streaming.AnnServeStream`) while corpus +
+    * index relations stay static. Self-matches are excluded by id, which
+    * only bites when queries ARE corpus vectors (the offline twin). */
+  private[graft] def serveIvfPqQueries(q: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, codebook: DataFrame, cells: DataFrame,
+      codes: DataFrame, nprobe: Int, refineT: Int): DataFrame = {
     val centroidsSq = centroids
       .withColumn("c_sq", VectorOps.dot(col("centroid"), col("centroid")))
-    // query side: nprobe nearest cells (constant |Q|·cells rows) ...
-    val q = all.filter(col("vec_id") < QueryBudget)
-      .select(col("vec_id").as("q_id"), col("vn").as("qv"))
     val probeW = Window.partitionBy(col("q_id")).orderBy(col("dist2"), col("cell"))
     val qCells = q.crossJoin(broadcast(centroidsSq))
       .withColumn("dist2",
@@ -496,7 +507,7 @@ object Similarity {
       .filter(col("pr") <= refineT)
       .select(col("q_id"), col("vec_id"), col("adist"))
     val rescored = shortlist
-      .join(all.select(col("vec_id"), col("vn")), Seq("vec_id"))
+      .join(corpus.select(col("vec_id"), col("vn")), Seq("vec_id"))
       .join(broadcast(q), Seq("q_id"))
       .withColumn("cos", VectorOps.dot(col("qv"), col("vn"))) // unit vectors
       .select(col("q_id"), col("vec_id"), col("cos"))
@@ -569,6 +580,25 @@ object Similarity {
     * quantizers; parquet roundtrips doubles losslessly) — gated by
     * SimilaritySpec, rows-only for the driver like its trained siblings. */
   def knnIvfPqServed(spark: SparkSession, dir: String): DataFrame = {
+    val (idx, nprobe, refineT) = ensureIvfPqIndex(spark, dir)
+    val allServe = vectors(spark, dir)
+      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+      .select(col("vec_id"), col("vn"))
+    serveIvfPq(allServe,
+      spark.read.parquet(s"$idx/centroids"),
+      spark.read.parquet(s"$idx/codebook"),
+      spark.read.parquet(s"$idx/cells"),
+      spark.read.parquet(s"$idx/codes"),
+      nprobe, refineT)
+  }
+
+  /** The BUILD half of [[knnIvfPqServed]], callable on its own (the
+    * streaming server needs the index without the offline query batch):
+    * trains + persists the four index relations unless a fresh index for
+    * this corpus fingerprint already exists. Returns (indexPath, nprobe,
+    * refineT) at the corpus-scaled parameters. */
+  private[graft] def ensureIvfPqIndex(spark: SparkSession,
+                                      dir: String): (String, Int, Int) = {
     val n = Tables.embeddings(spark, dir).count()
     val (cellsK, nprobe, refineT) = scaledIvfPqParams(n)
     val src = new java.io.File(s"$dir/embeddings.parquet")
@@ -613,15 +643,7 @@ object Similarity {
         .write.mode("overwrite").parquet(s"$idx/codes")
       all.unpersist(); subs.unpersist()
     }
-    val allServe = vectors(spark, dir)
-      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
-      .select(col("vec_id"), col("vn"))
-    serveIvfPq(allServe,
-      spark.read.parquet(s"$idx/centroids"),
-      spark.read.parquet(s"$idx/codebook"),
-      spark.read.parquet(s"$idx/cells"),
-      spark.read.parquet(s"$idx/codes"),
-      nprobe, refineT)
+    (idx, nprobe, refineT)
   }
 
   /** The n → (cells, nprobe, refineT) sizing rule, exposed so the spec
