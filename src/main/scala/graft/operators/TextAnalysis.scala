@@ -400,7 +400,14 @@ object TextAnalysis {
     * doc keys); the score table is exactly B rows and joins back onto the
     * feature stream as a broadcast — fitting the distributions and scoring
     * the corpus are each ONE pass, no all-pairs anything, no driver math. */
-  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirLogWeights(spark, dir)
+      .orderBy(col("logw").desc, col("doc_id"))
+      .limit(50)
+
+  /** Per-document DSIR log-importance-weights for EVERY raw doc (the
+    * relation both the ranked entry and the resampler consume). */
+  private def dsirLogWeights(spark: SparkSession, dir: String): DataFrame = {
     val B = 256L
     val d = Tables.documents(spark, dir)
     val toksC = filter(tokens(col("text")), t => length(t) > 0)
@@ -418,14 +425,15 @@ object TextAnalysis {
       .withColumn("b",
         conv(substring(md5(col("g")), 1, 4), 16, 10).cast("long") % B)
       .drop("g")
-      .cache() // reused three ways: bucket counts, totals, scoring join
+      .cache() // reused twice: bucket-count fit + scoring join
     val isTgt = col("lang") === "en"
     val counts = feats.groupBy(col("b")).agg(
       sum(when(isTgt, 1L).otherwise(0L)).as("ct"),
       sum(when(isTgt, 0L).otherwise(1L)).as("cq"))
-    val totals = feats.agg(
-      sum(when(isTgt, 1L).otherwise(0L)).as("nt"),
-      sum(when(isTgt, 0L).otherwise(1L)).as("nq"))
+      .cache() // B≤256 rows, read twice (scores + totals)
+    // totals fold the B-row count relation, not the corpus-sized feature
+    // stream — one fewer full pass over the cached features
+    val totals = counts.agg(sum(col("ct")).as("nt"), sum(col("cq")).as("nq"))
     // all-bucket frame so never-seen buckets still score via +1 smoothing
     val scores = spark.range(0, B).select(col("id").as("b"))
       .join(counts, Seq("b"), "left")
@@ -442,8 +450,31 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("source"), col("lang"))
       .agg(count(lit(1)).as("n_feats"),
         sum(col("score")).cast("double").as("logw"))
-      .orderBy(col("logw").desc, col("doc_id"))
-      .limit(50)
+  }
+
+  /** The RESAMPLING half of DSIR — Gumbel-top-k over the learned
+    * importance weights: key = logw + Gumbel(0,1), take the k largest.
+    * The Gumbel-max trick makes this an EXACT without-replacement sample
+    * ∝ w_i = exp(logw_i) (the same reduction Efraimidis–Spirakis is for
+    * plain weights), so the inherently-sequential "draw, remove, repeat"
+    * becomes one projection + TakeOrderedAndProject. The noise is the md5
+    * idiom — u = (h+1)/2³², g = −ln(−ln u) — deterministic under retry and
+    * relayout and replayed verbatim by the oracle, which makes the entire
+    * published method (fit → weight → resample) hash-checkable end to end.
+    * Scale: the weight relation is the one pass `dsirLogWeights` plans;
+    * the noise join back to `documents` is a doc_id equi-join (pruned to
+    * two columns); top-k never global-sorts. */
+  def dsirResample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"),
+      ((conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") + 1L) /
+        lit(4294967296.0)).as("u"))
+    dsirLogWeights(spark, dir)
+      .join(d, "doc_id")
+      .withColumn("skey", round(col("logw") - log(-log(col("u"))), 6))
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("logw"), col("skey"))
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(40)
   }
 
   /** Temperature-scaled corpus mixture (the multilingual sampling rule of
@@ -1120,6 +1151,7 @@ object TextAnalysis {
     "text_trigram_score" -> (trigramScore _),
     "pipe_chunk_dedup" -> (chunkDedup _),
     "pipe_dsir_weights" -> (dsirWeights _),
+    "pipe_dsir_resample" -> (dsirResample _),
     "pipe_temperature_mix" -> (temperatureMix _)
   )
 
@@ -1167,6 +1199,56 @@ object TextAnalysis {
         |GROUP BY 1, 2, 3
         |ORDER BY logw DESC, f.doc_id
         |LIMIT 50""".stripMargin,
+    "pipe_dsir_resample" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |uni AS (
+        |  SELECT doc_id, lang, source, unnest(toks) AS g FROM t),
+        |b0 AS (
+        |  SELECT doc_id, lang, source, toks, len(toks) AS n
+        |  FROM t WHERE len(toks) >= 2),
+        |bi AS (
+        |  SELECT doc_id, lang, source, toks[i] || ' ' || toks[i + 1] AS g
+        |  FROM (SELECT doc_id, lang, source, toks,
+        |          unnest(generate_series(1, n - 1)) AS i FROM b0)),
+        |f AS (
+        |  SELECT doc_id, lang, source,
+        |    ('0x' || substr(md5(g), 1, 4))::BIGINT % 256 AS b
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |c AS (
+        |  SELECT b,
+        |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+        |    SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS cq
+        |  FROM f GROUP BY b),
+        |tot AS (
+        |  SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt,
+        |         SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS nq
+        |  FROM f),
+        |sc AS (
+        |  SELECT r.range AS b,
+        |    CAST(round(
+        |      ln(CAST(COALESCE(c.ct, 0) + 1 AS DOUBLE) /
+        |         CAST(tot.nt + 256 AS DOUBLE)) -
+        |      ln(CAST(COALESCE(c.cq, 0) + 1 AS DOUBLE) /
+        |         CAST(tot.nq + 256 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS score
+        |  FROM range(256) r LEFT JOIN c ON c.b = r.range CROSS JOIN tot),
+        |w AS (
+        |  SELECT f.doc_id, f.source, f.lang,
+        |    CAST(SUM(sc.score) AS DOUBLE) AS logw
+        |  FROM f JOIN sc USING (b)
+        |  WHERE f.lang <> 'en'
+        |  GROUP BY 1, 2, 3),
+        |u AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5(text), 1, 8))::BIGINT + 1) / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT w.doc_id, w.source, w.lang, w.logw,
+        |  round(w.logw - ln(-ln(u.u)), 6) AS skey
+        |FROM w JOIN u USING (doc_id)
+        |ORDER BY skey DESC, w.doc_id
+        |LIMIT 40""".stripMargin,
     "pipe_temperature_mix" ->
       """WITH l AS (
         |  SELECT lang, COUNT(*) AS n_docs,

@@ -109,6 +109,21 @@ class OperatorSpec extends SparkSpec {
     assert(lw.forall(v => !v.isNaN && !v.isInfinite))
     assert(lw.zip(lw.tail).forall { case (a, b) => a >= b }, "logw not sorted desc")
     w.unpersist()
+
+    // the Gumbel-top-k resampler: raw docs only, keyed above its weight
+    // (g = −ln(−ln u) > −∞), ordered by the perturbed key
+    val rs = TextAnalysis.dsirResample(spark, sf0001).collect()
+    assert(rs.nonEmpty && rs.length <= 40)
+    assert(rs.forall(_.getAs[String]("lang") != "en"))
+    val keys = rs.map(_.getAs[Double]("skey"))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b }, "skey not sorted desc")
+    // resampling with noise must not simply replicate the argmax order:
+    // at least one resampled doc sits outside the same-size weight top-k
+    // (holds for this corpus; if it ever ties out, the fixture changed)
+    val topByW = TextAnalysis.dsirWeights(spark, sf0001).collect()
+      .take(rs.length).map(_.getAs[Long]("doc_id")).toSet
+    assert(rs.exists(r => !topByW.contains(r.getAs[Long]("doc_id"))),
+      "Gumbel noise had no effect — resample == weight ranking")
   }
 
   test("temperature mix: order-preserving, ratio-compressing, budget-bounded") {

@@ -78,5 +78,9 @@ class PartitionInvarianceSpec extends SparkSpec {
       } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+    // entries cache() intermediates and the CacheManager is shared across
+    // the newSession() isolates — drop the sweep's residue so later
+    // suites (PlanSpec's shape pins especially) see fresh plans
+    spark.catalog.clearCache()
   }
 }

@@ -136,6 +136,11 @@ class PlanSpec extends SparkSpec {
     // over the ranked docs (the same A4 scalar pattern)
     // ml_standardize_noleak crossJoins the broadcast 1-row train-split
     // μ/σ² aggregate over the 3-row split moments (A4 scalar pattern)
+    // pipe_dsir_weights / pipe_dsir_resample crossJoin the broadcast 1-row
+    // (nt, nq) feature totals into the B=256-row score relation (A4
+    // scalar pattern; the corpus-sized feature stream itself equi-joins)
+    // pipe_temperature_mix crossJoins two broadcast 1-row totals (corpus
+    // tokens, normalizer) over the |langs|-row share relation (A4 ×2)
     val allowedNestedLoop =
       Set("sim_knn_brute", "sim_knn_lsh", "sim_knn_ivf", "text_tfidf", "win_ntile_tiers",
         "events_resample_gapfill", "text_heavy_hitters",
@@ -143,7 +148,8 @@ class PlanSpec extends SparkSpec {
         "sim_knn_ivfpq_tuned", "sim_index_serve",
         "agg_histogram", "etl_winsorize", "sim_range_search",
         "events_dow_seasonality", "text_bm25", "agg_pareto_bands",
-        "pipe_class_balance", "ml_standardize_noleak")
+        "pipe_class_balance", "ml_standardize_noleak",
+        "pipe_dsir_weights", "pipe_dsir_resample", "pipe_temperature_mix")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
@@ -166,6 +172,11 @@ class PlanSpec extends SparkSpec {
     // directly under the Generate; this test counts md5 occurrences in
     // the physical plan so a refactor can't silently reintroduce the
     // duplication (correctness would not catch it — only cost does).
+    // Cache residue from another suite (CacheManager is CONTEXT-shared,
+    // even across newSession() isolates) would print the cached span
+    // relation's subtree inside InMemoryRelation at every scan site and
+    // inflate the count — pin the fresh, unmaterialized shape.
+    spark.catalog.clearCache()
     Seq[(String, DataFrame)](
       "spanNgrams" -> Dedup.spanNgrams(spark, sf0001),
       "spanRemoval" -> Dedup.spanRemoval(spark, sf0001)
