@@ -514,6 +514,43 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** Per-document token-distribution Shannon entropy + type-token ratio —
+    * the information-density quality signals (low entropy flags the
+    * keyword-stuffed / template / gibberish docs that length and stopword
+    * ratios miss; RefinedWeb/Gopher-class pipelines gate on exactly this
+    * family). H = −Σ p_t·ln(p_t) over the doc's own token frequencies;
+    * also emits exp(H) (perplexity of the doc's unigram self-model) and
+    * the low-diversity flag at H < 2 nats.
+    *
+    * Determinism: p_t is ONE IEEE division of exact counts; each
+    * −p·ln(p) term is round-6 → DECIMAL(18,6) (module libm rule) and the
+    * per-doc sum runs on the decimal lattice; exp() of the rounded sum is
+    * re-rounded. Scale: explode → (doc, token) hash-agg (map-side
+    * collapse) → per-doc agg — two bounded shuffles, no joins at all. */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+    val toksC = filter(tokens(col("text")), t => length(t) > 0)
+    val tok = d.select(col("doc_id"), explode(toksC).as("t"))
+    val freq = tok.groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val withN = freq.withColumn("n",
+      sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+    val term = withN.withColumn("p",
+        col("c").cast("double") / col("n").cast("double"))
+      .withColumn("h_term", round(-col("p") * log(col("p")), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+    term.groupBy(col("doc_id"))
+      .agg(
+        max(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        (count(lit(1)).cast("double") / max(col("n")).cast("double")).as("ttr"),
+        sum(col("h_term")).cast("double").as("entropy"))
+      .withColumn("perplexity", round(exp(col("entropy")), 6))
+      .withColumn("low_diversity", col("entropy") < 2.0)
+      .orderBy(col("doc_id"))
+  }
+
   /** Pivot (wide reshape): doc counts per source × language. Pivot values
     * are declared explicitly — at scale, letting pivot() discover values
     * costs an extra distinct job and risks schema drift between runs. */
@@ -1152,7 +1189,8 @@ object TextAnalysis {
     "pipe_chunk_dedup" -> (chunkDedup _),
     "pipe_dsir_weights" -> (dsirWeights _),
     "pipe_dsir_resample" -> (dsirResample _),
-    "pipe_temperature_mix" -> (temperatureMix _)
+    "pipe_temperature_mix" -> (temperatureMix _),
+    "text_entropy" -> (tokenEntropy _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1199,6 +1237,33 @@ object TextAnalysis {
         |GROUP BY 1, 2, 3
         |ORDER BY logw DESC, f.doc_id
         |LIMIT 50""".stripMargin,
+    "text_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |                                    x -> length(x) > 0)) AS t
+        |  FROM documents),
+        |freq AS (
+        |  SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+        |withn AS (
+        |  SELECT doc_id, c,
+        |    SUM(c) OVER (PARTITION BY doc_id) AS n
+        |  FROM freq),
+        |term AS (
+        |  SELECT doc_id, n,
+        |    CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |               ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |         AS DECIMAL(18,6)) AS h_term
+        |  FROM withn)
+        |SELECT doc_id,
+        |  CAST(MAX(n) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS n_types,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS ttr,
+        |  CAST(SUM(h_term) AS DOUBLE) AS entropy,
+        |  round(exp(CAST(SUM(h_term) AS DOUBLE)), 6) AS perplexity,
+        |  CAST(SUM(h_term) AS DOUBLE) < 2.0 AS low_diversity
+        |FROM term
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "pipe_dsir_resample" ->
       """WITH t AS (
         |  SELECT doc_id, lang, source,
