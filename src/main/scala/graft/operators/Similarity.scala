@@ -646,6 +646,80 @@ object Similarity {
     (idx, nprobe, refineT)
   }
 
+  /** ENCODE-ONLY ingestion against FROZEN quantizers — the index APPEND
+    * path (FAISS `add`): new vectors get a coarse cell by relational
+    * argmin over the persisted centroids and per-subvector PQ codes by
+    * argmin over the persisted codebook — zero KMeans fits, zero changes
+    * to existing rows, pure DataFrame ops end to end. Because encoding is
+    * a per-row pure function of (vector, quantizers), it is APPEND-
+    * COMPOSABLE: encode(A) ∪ encode(B) ≡ encode(A ∪ B) row-for-row
+    * (AppendSpec pins this exactly), which is what lets a deployed index
+    * ingest a day's new embeddings as `INSERT INTO cells/codes` while
+    * yesterday's relations stay untouched — at 100 TB the append costs
+    * O(|new|·K) work, not a rebuild.
+    * Argmins are min(struct(d2, id)) — deterministic under ties and
+    * partitioning. Returns (cells(vec_id, cell), codes(vec_id, m, code)).
+    * Input `vecs` must carry (vec_id, vn) with vn unit-normalized. */
+  private[graft] def encodeWithIndex(vecs: DataFrame, centroids: DataFrame,
+      codebook: DataFrame): (DataFrame, DataFrame) = {
+    val d2 = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val cells = vecs.crossJoin(broadcast(centroids))
+      .withColumn("d2", d2(col("vn"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cell"))).as("mn"))
+      .select(col("vec_id"), col("mn.cell").as("cell"))
+    val resid = vecs.join(cells, "vec_id")
+      .join(broadcast(centroids), Seq("cell"))
+      .withColumn("rv", zip_with(col("vn"), col("centroid"), (a, b) => a - b))
+      .select(col("vec_id"), col("cell"), col("rv"))
+    val codes = resid
+      .select(col("vec_id"), explode(lit((0 until PqM).toArray)).as("m"), col("rv"))
+      .withColumn("sv", slice(col("rv"), col("m") * lit(PqSub) + 1, lit(PqSub)))
+      .crossJoin(broadcast(codebook))
+      .withColumn("d2", d2(col("sv"), col("pq_centroid")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("code"))).as("mn"))
+      .select(col("vec_id"), col("m"), col("mn.code").as("code"))
+    (cells, codes)
+  }
+
+  /** INCREMENTAL INGEST + SERVE as a catalog entry: the newest fifth of
+    * the corpus plays "today's arrivals" — it is encoded against the
+    * persisted index's FROZEN quantizers via [[encodeWithIndex]] (no
+    * retrain) and unioned onto the base index relations; then planted
+    * probe queries (exact copies of three appended vectors, fresh q_ids)
+    * are served over the merged index. Each planted query's own twin MUST
+    * come back at rank 1 with cosine ≈ 1 — "new data is searchable the
+    * moment its encode lands" made into a checkable result (AppendSpec
+    * gates it; rows-only for the driver like the other trained entries).
+    * The base keeps its build-time (MLlib-assigned) rows while appended
+    * rows carry relational-argmin assignments — each (cells, codes) pair
+    * is internally consistent, which is all ADC needs. */
+  def indexAppendServe(spark: SparkSession, dir: String): DataFrame = {
+    val (idx, nprobe, refineT) = ensureIvfPqIndex(spark, dir)
+    val all = vectors(spark, dir)
+      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+      .select(col("vec_id"), col("vn"))
+    val maxId = all.agg(max(col("vec_id"))).head.getLong(0)
+    val cut = maxId - maxId / 5
+    val base = all.filter(col("vec_id") < cut)
+    val fresh = all.filter(col("vec_id") >= cut).cache() // encoded + probed
+    val centroids = spark.read.parquet(s"$idx/centroids")
+    val codebook = spark.read.parquet(s"$idx/codebook")
+    val (newCells, newCodes) = encodeWithIndex(fresh, centroids, codebook)
+    val cells = spark.read.parquet(s"$idx/cells")
+      .filter(col("vec_id") < cut).unionByName(newCells)
+    val codes = spark.read.parquet(s"$idx/codes")
+      .filter(col("vec_id") < cut).unionByName(newCodes)
+    // planted probes: exact copies of three appended vectors, fresh ids
+    val q = fresh.orderBy(col("vec_id")).limit(3)
+      .select((col("vec_id") + lit(1000000L)).as("q_id"), col("vn").as("qv"))
+    serveIvfPqQueries(q, all, centroids, codebook, cells, codes,
+      nprobe, refineT)
+  }
+
   /** The n → (cells, nprobe, refineT) sizing rule, exposed so the spec
     * can pin the curve's shape without re-deriving it. */
   private[graft] def scaledIvfPqParams(n: Long): (Int, Int, Int) = {
@@ -739,6 +813,7 @@ object Similarity {
     "sim_knn_ivfpq" -> (knnIvfPq _),
     "sim_knn_ivfpq_tuned" -> (knnIvfPqScaled _),
     "sim_index_serve" -> (knnIvfPqServed _),
+    "sim_index_append" -> (indexAppendServe _),
     "sim_label_centroids" -> (labelCentroids _),
     "sim_centroid_assign" -> (centroidAssign _)
   )

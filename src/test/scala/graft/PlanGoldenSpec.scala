@@ -56,7 +56,8 @@ class PlanGoldenSpec extends SparkSpec {
     "sim_knn_pq" -> "trained quantizer",
     "sim_knn_ivfpq" -> "trained quantizer",
     "sim_knn_ivfpq_tuned" -> "trained quantizer",
-    "sim_index_serve" -> "trained quantizer (build phase) + scratch-path index"
+    "sim_index_serve" -> "trained quantizer (build phase) + scratch-path index",
+    "sim_index_append" -> "trained quantizer (build phase) + scratch-path index"
   )
 
   private def fingerprint(df: DataFrame): String = {

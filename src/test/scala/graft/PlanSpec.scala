@@ -145,7 +145,7 @@ class PlanSpec extends SparkSpec {
       Set("sim_knn_brute", "sim_knn_lsh", "sim_knn_ivf", "text_tfidf", "win_ntile_tiers",
         "events_resample_gapfill", "text_heavy_hitters",
         "sim_knn_quantized", "pipe_mixture_sample", "sim_knn_pq", "sim_knn_ivfpq",
-        "sim_knn_ivfpq_tuned", "sim_index_serve",
+        "sim_knn_ivfpq_tuned", "sim_index_serve", "sim_index_append",
         "agg_histogram", "etl_winsorize", "sim_range_search",
         "events_dow_seasonality", "text_bm25", "agg_pareto_bands",
         "pipe_class_balance", "ml_standardize_noleak",
