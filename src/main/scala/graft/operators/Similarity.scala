@@ -88,6 +88,83 @@ object Similarity {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Hybrid retrieval with Reciprocal Rank Fusion (Cormack, Clarke &
+    * Buettcher, "Reciprocal Rank Fusion outperforms Condorcet and
+    * individual rank learning methods", SIGIR 2009) — the fusion rule
+    * hybrid search engines (BM25 ∪ dense) ship because it needs only
+    * RANKS, no score calibration between incommensurable scorers.
+    *
+    * Two arms per query q ∈ [0, QueryBudget), vec_id ≡ doc_id being the
+    * fixture contract binding `embeddings` to `documents`:
+    *  - LEXICAL: Okapi BM25 (k1=1.2, b=0.75 — `text_bm25`'s constants and
+    *    integer-micro determinism rule) where q's query text is the first
+    *    3 distinct tokens of document q; top-`ArmDepth` by score.
+    *  - DENSE: exact cosine over embeddings (`sim_knn_brute`'s budgeted
+    *    O(|Q|·n) single-scan shape); top-`ArmDepth` by cosine.
+    * Fusion: RRF(d) = Σ_arms 1/(60 + rank_arm(d)), the published k=60,
+    * computed in exact integer MICRO-units (1000000 DIV (60+r)) so the
+    * fused total is a BIGINT sum — no floating point anywhere in fusion;
+    * docs missing from an arm contribute 0. Top-10 fused per query.
+    *
+    * Scale: the token stream is pruned to the ≤|Q|·3-word query
+    * vocabulary by a broadcast semi-join BEFORE the tf shuffle; both
+    * arms end in |Q|·ArmDepth-row relations, so the full-outer fusion
+    * join and final per-query window are constant-size regardless of
+    * corpus; the dense arm inherits knnBrute's bounded-broadcast
+    * contract. No global sort, no all-pairs. */
+  private[graft] val ArmDepth = 20
+
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toksC = filter(split(col("text"), " "), t => length(t) > 0)
+    val docs = d.select(col("doc_id"), toksC.as("toks"))
+    val qterms = docs.filter(col("doc_id") < QueryBudget)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(slice(col("toks"), 1, 3))).as("word"))
+    val tf = docs.select(col("doc_id"), explode(col("toks")).as("word"))
+      .join(broadcast(qterms.select(col("word")).distinct()), Seq("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n"),
+      sum(size(col("toks"))).cast("double").as("total_dl"))
+    val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val lexScore = broadcast(qterms).join(tf, Seq("word"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(broadcast(dfreq), Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("term_micro",
+        round(log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / (col("total_dl") / col("n")))) *
+          1000000).cast("long"))
+      .groupBy(col("q_id"), col("doc_id")).agg(sum(col("term_micro")).as("s_lex"))
+    val wl = Window.partitionBy(col("q_id")).orderBy(col("s_lex").desc, col("doc_id"))
+    val lex = lexScore.withColumn("r_lex", row_number().over(wl).cast("long"))
+      .filter(col("r_lex") <= ArmDepth)
+      .select(col("q_id"), col("doc_id"), col("r_lex"))
+    val all = vectors(spark, dir).cache() // both dense sides derive from it
+    val q = all.filter(col("vec_id") < QueryBudget)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val dscored = broadcast(q).join(all, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        VectorOps.cosine(VectorOps.dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos"))
+    val wd = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("doc_id"))
+    val dense = dscored.withColumn("r_dense", row_number().over(wd).cast("long"))
+      .filter(col("r_dense") <= ArmDepth)
+      .select(col("q_id"), col("doc_id"), col("r_dense"))
+    val fused = lex.join(dense, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr("1000000 DIV (60 + r_lex)"), lit(0L)) +
+        coalesce(expr("1000000 DIV (60 + r_dense)"), lit(0L)))
+    val wf = Window.partitionBy(col("q_id")).orderBy(col("rrf_micro").desc, col("doc_id"))
+    fused.withColumn("rn", row_number().over(wf).cast("long"))
+      .filter(col("rn") <= 10)
+      .select(col("q_id"), col("doc_id"), col("r_lex"), col("r_dense"),
+        col("rrf_micro"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** LSH-bucketed top-3: query probes only its sign bucket. NO broadcast
     * hint — the equi-join on `bucket` is AQE's to plan (broadcast at small
     * sf, shuffle at scale). */
@@ -815,7 +892,8 @@ object Similarity {
     "sim_index_serve" -> (knnIvfPqServed _),
     "sim_index_append" -> (indexAppendServe _),
     "sim_label_centroids" -> (labelCentroids _),
-    "sim_centroid_assign" -> (centroidAssign _)
+    "sim_centroid_assign" -> (centroidAssign _),
+    "sim_hybrid_rrf" -> (hybridRrf _)
   )
 
   private val dotSql =
@@ -826,6 +904,68 @@ object Similarity {
     .mkString("CAST(", " + ", " AS BIGINT)")
 
   val oracle: Map[String, String] = Map(
+    "sim_hybrid_rrf" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(len(toks)) AS DOUBLE) AS total_dl FROM t),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        |qt AS (
+        |  SELECT doc_id AS q_id, unnest(list_distinct(toks[1:3])) AS word
+        |  FROM t WHERE doc_id < $QueryBudget),
+        |w AS (SELECT doc_id, unnest(toks) AS word FROM t),
+        |tf AS (
+        |  SELECT doc_id, word, COUNT(*) AS tf FROM w
+        |  WHERE word IN (SELECT word FROM qt) GROUP BY doc_id, word),
+        |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+        |lexterm AS (
+        |  SELECT qt.q_id, tf.doc_id,
+        |    CAST(ROUND( ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+        |      (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (stats.total_dl / stats.n))) *
+        |      1000000 ) AS BIGINT) AS term_micro
+        |  FROM qt JOIN tf USING (word) JOIN df USING (word)
+        |       JOIN dl ON tf.doc_id = dl.doc_id, stats
+        |  WHERE tf.doc_id <> qt.q_id),
+        |lexs AS (
+        |  SELECT q_id, doc_id, SUM(term_micro) AS s_lex
+        |  FROM lexterm GROUP BY q_id, doc_id),
+        |lex AS (
+        |  SELECT q_id, doc_id, rn AS r_lex FROM (
+        |    SELECT q_id, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY s_lex DESC, doc_id) AS rn
+        |    FROM lexs)
+        |  WHERE rn <= $ArmDepth),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |nv AS (
+        |  SELECT vec_id, v, sqrt(${dotSql.format("v", "v")}) AS nrm FROM e),
+        |dsc AS (
+        |  SELECT q.vec_id AS q_id, a.vec_id AS doc_id,
+        |    ${dotSql.format("q.v", "a.v")} / (q.nrm * a.nrm) AS cos
+        |  FROM nv q JOIN nv a ON q.vec_id < $QueryBudget AND q.vec_id <> a.vec_id),
+        |dense AS (
+        |  SELECT q_id, doc_id, rn AS r_dense FROM (
+        |    SELECT q_id, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rn
+        |    FROM dsc)
+        |  WHERE rn <= $ArmDepth),
+        |fused AS (
+        |  SELECT COALESCE(lex.q_id, dense.q_id) AS q_id,
+        |    COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+        |    lex.r_lex, dense.r_dense,
+        |    COALESCE(1000000 // (60 + lex.r_lex), 0) +
+        |    COALESCE(1000000 // (60 + dense.r_dense), 0) AS rrf_micro
+        |  FROM lex FULL OUTER JOIN dense
+        |    ON lex.q_id = dense.q_id AND lex.doc_id = dense.doc_id)
+        |SELECT q_id, doc_id, r_lex, r_dense, rrf_micro, rn FROM (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id) AS rn
+        |  FROM fused)
+        |WHERE rn <= 10
+        |ORDER BY q_id, rn""".stripMargin,
     "sim_centroid_assign" ->
       """WITH x0 AS (
         |  SELECT vec_id, label, embedding,

@@ -551,6 +551,84 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style reference-LM perplexity bucketing (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    * LREC 2020): fit a Laplace-smoothed bigram language model on the
+    * high-quality reference slice (`lang = 'en'` — the stand-in for
+    * CCNet's Wikipedia-trained KenLM), score every document's mean
+    * per-transition negative log-likelihood under that reference model
+    * (low = reference-like, high = out-of-distribution/gibberish), and
+    * split the corpus at the published head / middle / tail terciles —
+    * the bucketing CCNet ships and most open-corpus pipelines (e.g.
+    * RedPajama) reuse for quality-stratified sampling. Complements
+    * `text_entropy` (a doc scored by its OWN unigram distribution): this
+    * is the CROSS-corpus signal — a fluent-but-off-domain doc has low
+    * self-entropy yet high reference perplexity.
+    *
+    * Model: P(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V), with c(w1·) the
+    * reference count of w1 as a bigram CONTEXT and V = |distinct
+    * reference contexts|+1 (the +1 absorbs OOV contexts); unseen
+    * contexts thus score −ln(1/V). Docs under 2 tokens carry no
+    * transition and are excluded (CCNet likewise drops empty paragraphs).
+    *
+    * Determinism: each transition's term is ln() of ONE IEEE division of
+    * exact longs, round-6 → DECIMAL(18,6) (module libm rule); per-doc
+    * nll is the exact decimal sum divided once by the exact transition
+    * count, re-rounded; tercile cutoffs are round-6 exact percentiles.
+    *
+    * Scale: the LM is two hash-aggs over the reference token stream; the
+    * scoring pass is two hash-partitionable equi-joins ((w1,w2) and w1)
+    * plus a 1-row broadcast V — no all-pairs, no windows; cutoffs follow
+    * the `win_ntile_tiers` pattern (1-row percentile agg broadcast back,
+    * never a global sort; swap in approx_percentile at extreme scale with
+    * no plan change). At 100 TB the bigram relation is large but keyed —
+    * production CCNet prunes it to top-|V| n-grams, the same equi-join. */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toksC = filter(tokens(col("text")), t => length(t) > 0)
+    val base = d.select(col("doc_id"), col("lang"), toksC.as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") >= 2)
+    val trans = base.select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1L), col("n") - 1), i =>
+          struct(element_at(col("toks"), i.cast("int")).as("w1"),
+                 element_at(col("toks"), (i + 1).cast("int")).as("w2")))).as("g"))
+      .select(col("doc_id"), col("lang"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .cache() // real reuse: LM fit reads the en slice twice, scoring reads all
+    val en = trans.filter(col("lang") === "en")
+    val refBi = en.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val refCtx = en.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val vocabV = refCtx.agg((count(lit(1)) + 1L).as("v"))
+    val scored = trans
+      .join(refBi, Seq("w1", "w2"), "left")
+      .join(refCtx, Seq("w1"), "left")
+      .crossJoin(broadcast(vocabV)) // 1-row V — A4 pattern, no driver scalar
+      .withColumn("term",
+        round(-log((coalesce(col("cb"), lit(0L)) + lit(1L)).cast("double") /
+                   (coalesce(col("cu"), lit(0L)) + col("v")).cast("double")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+    val perDoc = scored.groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_trans"), sum(col("term")).as("nll_sum"))
+      .withColumn("nll",
+        round(col("nll_sum").cast("double") / col("n_trans").cast("double"), 6))
+      .cache() // read twice: tercile cutoffs + bucket assignment
+    val cuts = perDoc.agg(
+      round(percentile(col("nll"), lit(1.0 / 3)), 6).as("c1"),
+      round(percentile(col("nll"), lit(2.0 / 3)), 6).as("c2"))
+    perDoc.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("nll") <= col("c1"), "head")
+          .when(col("nll") <= col("c2"), "middle")
+          .otherwise("tail"))
+      .groupBy(col("bucket"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("nll").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1)).cast("double"), 6).as("avg_nll"),
+        min(col("nll")).as("min_nll"),
+        max(col("nll")).as("max_nll"))
+      .orderBy(col("bucket"), col("lang"))
+  }
+
   /** Pivot (wide reshape): doc counts per source × language. Pivot values
     * are declared explicitly — at scale, letting pivot() discover values
     * costs an extra distinct job and risks schema drift between runs. */
@@ -1190,10 +1268,53 @@ object TextAnalysis {
     "pipe_dsir_weights" -> (dsirWeights _),
     "pipe_dsir_resample" -> (dsirResample _),
     "pipe_temperature_mix" -> (temperatureMix _),
-    "text_entropy" -> (tokenEntropy _)
+    "text_entropy" -> (tokenEntropy _),
+    "pipe_ccnet_buckets" -> (ccnetBuckets _)
   )
 
   val oracle: Map[String, String] = Map(
+    "pipe_ccnet_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |b0 AS (
+        |  SELECT doc_id, lang, toks, len(toks) AS n
+        |  FROM t WHERE len(toks) >= 2),
+        |tr AS (
+        |  SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT doc_id, lang, toks,
+        |          unnest(generate_series(1, n - 1)) AS i FROM b0)),
+        |rb AS (
+        |  SELECT w1, w2, COUNT(*) AS cb FROM tr WHERE lang = 'en' GROUP BY w1, w2),
+        |rc AS (
+        |  SELECT w1, COUNT(*) AS cu FROM tr WHERE lang = 'en' GROUP BY w1),
+        |vv AS (SELECT COUNT(*) + 1 AS v FROM rc),
+        |sc AS (
+        |  SELECT tr.doc_id, tr.lang,
+        |    CAST(round(-ln(CAST(COALESCE(rb.cb, 0) + 1 AS DOUBLE) /
+        |                   CAST(COALESCE(rc.cu, 0) + vv.v AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS term
+        |  FROM tr LEFT JOIN rb ON tr.w1 = rb.w1 AND tr.w2 = rb.w2
+        |          LEFT JOIN rc ON tr.w1 = rc.w1
+        |          CROSS JOIN vv),
+        |pd AS (
+        |  SELECT doc_id, lang, COUNT(*) AS n_trans,
+        |    round(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS nll
+        |  FROM sc GROUP BY doc_id, lang),
+        |cuts AS (
+        |  SELECT round(quantile_cont(nll, 1.0/3), 6) AS c1,
+        |         round(quantile_cont(nll, 2.0/3), 6) AS c2
+        |  FROM pd)
+        |SELECT
+        |  CASE WHEN nll <= c1 THEN 'head'
+        |       WHEN nll <= c2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket,
+        |  lang, COUNT(*) AS n_docs,
+        |  round(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_nll,
+        |  MIN(nll) AS min_nll, MAX(nll) AS max_nll
+        |FROM pd, cuts
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "pipe_dsir_weights" ->
       """WITH t AS (
         |  SELECT doc_id, lang, source,

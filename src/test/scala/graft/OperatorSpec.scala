@@ -536,4 +536,47 @@ class OperatorSpec extends SparkSpec {
     val again = Multimodal.sampleFrames(media, stride = 2).toDF()
     assert(frames.exceptAll(again).isEmpty && again.exceptAll(frames).isEmpty)
   }
+
+  test("ccnet buckets: terciles partition the corpus and the reference language skews head") {
+    val out = TextAnalysis.ccnetBuckets(spark, sf0001).cache()
+    val byLang = out.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def n(b: String, l: String) = byLang.getOrElse((b, l), 0L)
+    // the LM is fit ON the en slice, so en docs must score reference-like:
+    // more en docs in head than tail, and every other language the reverse —
+    // the signal CCNet buckets exist to surface, not just the plumbing
+    assert(n("head", "en") > n("tail", "en"),
+      s"en docs do not skew head: ${byLang.filter(_._1._2 == "en")}")
+    Seq("de", "es", "fr", "zh").foreach { l =>
+      assert(n("tail", l) > n("head", l),
+        s"non-reference lang $l does not skew tail: ${byLang.filter(_._1._2 == l)}")
+    }
+    // bucket means must be ordered (terciles over the same score)
+    val avg = out.groupBy(col("bucket"))
+      .agg(((sum(col("avg_nll") * col("n_docs"))) / sum(col("n_docs"))).as("a"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(avg("head") < avg("middle") && avg("middle") < avg("tail"), avg.toString)
+  }
+
+  test("hybrid rrf: per-query fusion of both arms with exact integer scores") {
+    val out = Similarity.hybridRrf(spark, sf0001).cache()
+    val rows = out.collect()
+    val qs = rows.map(_.getLong(0)).distinct
+    assert(qs.length == 20, s"expected 20 queries, got ${qs.length}")
+    assert(rows.length == 200, s"expected 20x10 fused rows, got ${rows.length}")
+    // rrf_micro must equal the integer-micro sum of its rank reciprocals
+    rows.foreach { r =>
+      val lex = if (r.isNullAt(2)) 0L else 1000000L / (60L + r.getLong(2))
+      val den = if (r.isNullAt(3)) 0L else 1000000L / (60L + r.getLong(3))
+      assert(r.getLong(4) == lex + den, s"rrf mismatch: $r")
+    }
+    // fusion is real: each arm contributes rows the other does not
+    assert(rows.exists(_.isNullAt(2)), "no dense-only rows — lexical arm swallowed fusion")
+    assert(rows.exists(_.isNullAt(3)), "no lex-only rows — dense arm swallowed fusion")
+    // ranks are a proper per-query permutation prefix
+    qs.foreach { q =>
+      val rns = rows.filter(_.getLong(0) == q).map(_.getLong(5)).sorted
+      assert(rns.sameElements(1L to 10L), s"q=$q fused ranks $rns")
+    }
+  }
 }

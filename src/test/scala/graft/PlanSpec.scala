@@ -141,6 +141,12 @@ class PlanSpec extends SparkSpec {
     // scalar pattern; the corpus-sized feature stream itself equi-joins)
     // pipe_temperature_mix crossJoins two broadcast 1-row totals (corpus
     // tokens, normalizer) over the |langs|-row share relation (A4 ×2)
+    // pipe_ccnet_buckets crossJoins the broadcast 1-row vocabulary size V
+    // over the transition stream and the broadcast 1-row tercile cutoffs
+    // over the per-doc scores (A4 + the ntile pattern)
+    // sim_hybrid_rrf crossJoins the broadcast 1-row BM25 corpus stats
+    // (text_bm25's A4 shape); its dense arm broadcasts the fixed-budget
+    // |Q|-row query set like sim_knn_brute
     val allowedNestedLoop =
       Set("sim_knn_brute", "sim_knn_lsh", "sim_knn_ivf", "text_tfidf", "win_ntile_tiers",
         "events_resample_gapfill", "text_heavy_hitters",
@@ -149,7 +155,8 @@ class PlanSpec extends SparkSpec {
         "agg_histogram", "etl_winsorize", "sim_range_search",
         "events_dow_seasonality", "text_bm25", "agg_pareto_bands",
         "pipe_class_balance", "ml_standardize_noleak",
-        "pipe_dsir_weights", "pipe_dsir_resample", "pipe_temperature_mix")
+        "pipe_dsir_weights", "pipe_dsir_resample", "pipe_temperature_mix",
+        "pipe_ccnet_buckets", "sim_hybrid_rrf")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
