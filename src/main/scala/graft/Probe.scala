@@ -164,6 +164,20 @@ object Probe {
       }
       println(f"[recall] ivfpq SCALED n=$n cells=$cells nprobe=$np refineT=$rt " +
         f"recall@3=${recalls.sum / recalls.size}%.3f wall=$secs%6.2f s")
+    } else if (sys.env.contains("SPARK_GRAFT_TIME")) {
+      // generic per-entry timing: comma-separated catalog names, each run
+      // cold (plan+codegen+execute) then warm (codegen cache hot) — the
+      // same min-of-2-style evidence Bench uses, but targeted, so an
+      // optimization can be measured without a full catalog sweep
+      sys.env("SPARK_GRAFT_TIME").split(",").map(_.trim).filter(_.nonEmpty)
+        .foreach { name =>
+          val fn = SparkEntry.queries.getOrElse(name,
+            sys.error(s"unknown catalog entry: $name"))
+          time(s"$name cold")(fn(spark, dir).count())
+          spark.catalog.clearCache()
+          time(s"$name warm")(fn(spark, dir).count())
+          spark.catalog.clearCache()
+        }
     } else if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
       // plan audit of the round-2 rewrites + round-3 additions
       Seq(

@@ -121,17 +121,22 @@ object Similarity {
     val qterms = docs.filter(col("doc_id") < QueryBudget)
       .select(col("doc_id").as("q_id"),
         explode(array_distinct(slice(col("toks"), 1, 3))).as("word"))
-    val tf = docs.select(col("doc_id"), explode(col("toks")).as("word"))
+    // dl rides the token explode: BM25 needs a doc's length only for docs
+    // that contain a query term, so carrying size(toks) through the
+    // vocabulary-pruned token stream replaces a second full tokenize pass
+    // AND a corpus-sized doc_id equi-join with one extra long per
+    // shuffled row (dl is constant per doc, so max() under the agg is it)
+    val tf = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("word"))
       .join(broadcast(qterms.select(col("word")).distinct()), Seq("word"))
-      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).cast("double").as("n"),
       sum(size(col("toks"))).cast("double").as("total_dl"))
-    val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
     val lexScore = broadcast(qterms).join(tf, Seq("word"))
       .filter(col("doc_id") =!= col("q_id"))
       .join(broadcast(dfreq), Seq("word"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("term_micro",
         round(log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *

@@ -594,10 +594,12 @@ object TextAnalysis {
           struct(element_at(col("toks"), i.cast("int")).as("w1"),
                  element_at(col("toks"), (i + 1).cast("int")).as("w2")))).as("g"))
       .select(col("doc_id"), col("lang"), col("g.w1").as("w1"), col("g.w2").as("w2"))
-      .cache() // real reuse: LM fit reads the en slice twice, scoring reads all
+      .cache() // real reuse: the LM fit reads the en slice, scoring reads all
     val en = trans.filter(col("lang") === "en")
     val refBi = en.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-    val refCtx = en.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    // context counts fold the (much smaller) bigram relation, not the
+    // corpus-sized transition stream: c(w1·) = Σ_w2 c(w1,w2) exactly
+    val refCtx = refBi.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
     val vocabV = refCtx.agg((count(lit(1)) + 1L).as("v"))
     val scored = trans
       .join(refBi, Seq("w1", "w2"), "left")
