@@ -646,7 +646,41 @@ object Aggregates {
       .limit(20)
   }
 
+  /** Differentially-private release counts (Dwork et al. 2006): per-group
+    * counts with Laplace(1/ε) noise at ε = 1 — the ε-DP mechanism for a
+    * COUNT query, whose sensitivity is 1. The noise is drawn by inverse
+    * CDF (u ∈ (0,1) → −b·sign(u−½)·ln(1−2|u−½|)) from the module's md5
+    * uniform idiom keyed on the group value, making the draw a pure
+    * function of the data — deterministic under retry/relayout and
+    * replayed verbatim by the oracle, the same replayable-noise stance as
+    * `pipe_dsir_resample`'s Gumbel keys. A production release would key
+    * the hash on a SECRET salt (data-keyed noise is replay-testable, not
+    * private); the relational mechanism — one hash-agg, noise as a
+    * projection, non-negativity clamp — is identical either way.
+    *
+    * Determinism: u is one IEEE division of an exact 32-bit hash prefix;
+    * ln() output round-6 (module libm rule); the released count rounds
+    * the noisy double once. Scale: one partial-agg'd hash-agg over a
+    * bounded key domain; noise adds zero shuffles. */
+  def dpCounts(spark: SparkSession, dir: String): DataFrame = {
+    val b = 1.0 // Laplace scale = sensitivity/ε = 1/1
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("u",
+        (conv(substring(md5(concat(lit("dp:"), col("o_orderpriority"))), 1, 8), 16, 10)
+          .cast("long") + 1L) / lit(4294967296.0))
+      .withColumn("noise",
+        round(when(col("u") < 0.5, lit(b) * log(col("u") * 2.0))
+          .otherwise(lit(-b) * log((lit(1.0) - col("u")) * 2.0)), 6))
+      .withColumn("n_released",
+        greatest(lit(0L), round(col("n_true") + col("noise")).cast("long")))
+      .drop("u")
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_dp_counts" -> (dpCounts _),
     "agg_basket_pairs" -> (basketPairs _),
     "agg_pareto_bands" -> (paretoBands _),
     "agg_mode_deterministic" -> (modeDeterministic _),
@@ -675,6 +709,22 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_dp_counts" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority, COUNT(*) AS n_true FROM orders GROUP BY 1),
+        |n AS (
+        |  SELECT o_orderpriority, n_true,
+        |    (('0x' || substr(md5('dp:' || o_orderpriority), 1, 8))::BIGINT + 1)
+        |      / 4294967296.0 AS u
+        |  FROM g),
+        |x AS (
+        |  SELECT o_orderpriority, n_true,
+        |    round(CASE WHEN u < 0.5 THEN 1.0 * ln(u * 2.0)
+        |               ELSE -1.0 * ln((1.0 - u) * 2.0) END, 6) AS noise
+        |  FROM n)
+        |SELECT o_orderpriority, n_true, noise,
+        |  GREATEST(CAST(0 AS BIGINT), CAST(round(n_true + noise) AS BIGINT)) AS n_released
+        |FROM x ORDER BY o_orderpriority""".stripMargin,
     "agg_basket_pairs" ->
       """WITH op AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

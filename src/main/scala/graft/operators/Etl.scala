@@ -543,7 +543,36 @@ object Etl {
       .orderBy(col("gap_len").desc, col("gap_start")).limit(20)
   }
 
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et al.
+    * 2007) — the re-identification gate a dataset passes before release:
+    * every quasi-identifier combination (here nation × market segment)
+    * must cover ≥ k individuals, and its sensitive attribute (account
+    * balance, banded to 2000-unit buckets) must take ≥ l distinct values
+    * so the group doesn't leak the attribute by uniformity. Emits the
+    * per-group audit (size, diversity, both flags) — the relation a
+    * release pipeline joins against to suppress or generalize failing
+    * groups.
+    *
+    * Scale: one hash-agg over the quasi-identifier key (count +
+    * count-distinct of the banded sensitive value — the distinct runs
+    * under the same shuffle, partial-aggregated map-side); output is
+    * |QI-combinations| rows, constant-bounded by the key domain. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val K = 8L
+    val L = 3L
+    Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 2000).cast("long").as("sens_band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("sens_band")).as("l_diversity"))
+      .withColumn("k_ok", col("n_members") >= K)
+      .withColumn("l_ok", col("l_diversity") >= L)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_k_anonymity" -> (kAnonymity _),
     "etl_sequence_gaps" -> (sequenceGaps _),
     "etl_dq_audit" -> (dqAudit _),
     "etl_explode_outer" -> (explodeOuter _),
@@ -569,6 +598,15 @@ object Etl {
   )
 
   val oracle: Map[String, String] = Map(
+    "etl_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  COUNT(*) AS n_members,
+        |  COUNT(DISTINCT CAST(FLOOR(c_acctbal / 2000) AS BIGINT)) AS l_diversity,
+        |  COUNT(*) >= 8 AS k_ok,
+        |  COUNT(DISTINCT CAST(FLOOR(c_acctbal / 2000) AS BIGINT)) >= 3 AS l_ok
+        |FROM customer
+        |GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "etl_sequence_gaps" ->
       """WITH k AS (
         |  SELECT DISTINCT o_orderkey AS k, o_orderkey // 4096 AS blk

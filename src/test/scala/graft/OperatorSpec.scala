@@ -558,6 +558,32 @@ class OperatorSpec extends SparkSpec {
     assert(avg("head") < avg("middle") && avg("middle") < avg("tail"), avg.toString)
   }
 
+  test("k-anonymity audit: groups partition the table and flags match thresholds") {
+    val out = Etl.kAnonymity(spark, sf0001).collect()
+    val total = Tables.customer(spark, sf0001).count()
+    assert(out.map(_.getLong(2)).sum == total, "group sizes do not partition the table")
+    out.foreach { r =>
+      assert(r.getBoolean(4) == (r.getLong(2) >= 8L), s"k flag wrong: $r")
+      assert(r.getBoolean(5) == (r.getLong(3) >= 3L), s"l flag wrong: $r")
+      assert(r.getLong(3) <= r.getLong(2), s"diversity exceeds group size: $r")
+    }
+  }
+
+  test("dp counts: replayable Laplace noise, clamped release, bounded perturbation") {
+    val out = Aggregates.dpCounts(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, noise, rel) = (r.getLong(1), r.getDouble(2), r.getLong(3))
+      // inverse-CDF bound: |noise| = b·|ln(2u)| with u on a 2^-32 lattice
+      assert(math.abs(noise) < 23.0, s"noise outside Laplace support: $r")
+      assert(rel == math.max(0L, math.round(n + noise)), s"release rule violated: $r")
+    }
+    assert(out.exists(r => math.abs(r.getDouble(2)) > 1e-6), "all noise exactly zero")
+    // determinism: the draw is a pure function of the data
+    val again = Aggregates.dpCounts(spark, sf0001).collect()
+    assert(out.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("hybrid rrf: per-query fusion of both arms with exact integer scores") {
     val out = Similarity.hybridRrf(spark, sf0001).cache()
     val rows = out.collect()
