@@ -631,6 +631,89 @@ object TextAnalysis {
       .orderBy(col("bucket"), col("lang"))
   }
 
+  /** BPE tokenizer training, the REAL iterative loop (Sennrich et al.,
+    * "Neural Machine Translation of Rare Words with Subword Units", ACL
+    * 2016) — not just one pair count (`text_bigram_pairs` is that inner
+    * step) but R = 3 full merge rounds over the word-frequency dictionary:
+    * count weighted adjacent symbol pairs → argmax (lexicographic
+    * tiebreak) → REWRITE every word's symbol sequence with the winning
+    * merge applied greedily left-to-right → repeat on the merged stream.
+    * Emits the learned merge table (round, pair, weighted count) plus the
+    * shrinking corpus symbol count — the tokenizer-training artifact.
+    *
+    * The greedy-overlap subtlety (run "aaa" under merge (a,a) must yield
+    * [aa, a], not merge both overlapping pairs) is resolved relationally:
+    * islands of CONSECUTIVE matches (island id = pos − running match
+    * count, constant within a run) merge only at odd within-island
+    * offsets — exactly the sequential greedy outcome, computed by
+    * windows. A matched row's right neighbor is consumed via lag().
+    *
+    * Determinism: pure integer + string ops end to end — no floats, no
+    * libm — so the oracle hash-matches with no rounding rules at all.
+    *
+    * Scale: state is the (word, pos, sym) symbol stream — Σ word lengths
+    * over the DISTINCT vocabulary, not the corpus (the explode→hash-agg
+    * word-freq pass is the only corpus-sized step). Every window
+    * partitions by `word`; each round is one bounded-key pair agg, one
+    * top-1 TakeOrderedAndProject, and one window pipeline on a single
+    * `word` shuffle — at 100 TB this is the standard
+    * dictionary-compressed BPE trainer (HF tokenizers trains on exactly
+    * this word-count dict), R rounds = R bounded jobs. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val R = 3
+    val d = Tables.documents(spark, dir)
+    val wfreq = d.select(explode(filter(tokens(col("text")), t => length(t) > 0)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val wOrd = Window.partitionBy(col("word")).orderBy(col("pos"))
+    var s = wfreq.select(col("word"), col("cnt"),
+        posexplode(transform(sequence(lit(1), length(col("word"))), i =>
+          col("word").substr(i, lit(1)))))
+      .select(col("word"), col("cnt"), (col("pos") + 1).as("pos"), col("col").as("sym"))
+      .cache() // each round reads the stream twice (pair count + rewrite)
+    val rounds = (1 to R).map { round =>
+      val (best, next) = bpeRound(s)
+      val symbolsAfter = next.agg(sum(col("cnt")).as("symbols_after"))
+      val out = best.crossJoin(broadcast(symbolsAfter))
+        .select(lit(round.toLong).as("round"), col("a").as("left_sym"),
+          col("b").as("right_sym"), col("pc").as("pair_count"),
+          col("symbols_after"))
+      s = next
+      out
+    }
+    rounds.reduce(_.unionByName(_)).orderBy(col("round"))
+  }
+
+  /** One BPE merge round over a (word, cnt, pos, sym) symbol stream:
+    * returns the 1-row winning pair (a, b, pc) and the rewritten, cached
+    * stream with that merge applied greedily. Factored out so the
+    * greedy-overlap semantics are unit-testable on hand-built words. */
+  private[graft] def bpeRound(s: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("word")).orderBy(col("pos"))
+    val withNext = s.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+    val pairs = withNext.filter(col("nxt").isNotNull)
+      .groupBy(col("sym"), col("nxt")).agg(sum(col("cnt")).as("pc"))
+    val best = pairs.orderBy(col("pc").desc, col("sym"), col("nxt")).limit(1)
+      .select(col("sym").as("a"), col("nxt").as("b"), col("pc"))
+    val flagged = withNext.crossJoin(broadcast(best))
+      .withColumn("m", col("sym") === col("a") && col("nxt") === col("b"))
+    val islanded = flagged
+      .withColumn("mcum", sum(when(col("m"), 1).otherwise(0)).over(wOrd))
+      .withColumn("isl", when(col("m"), col("pos") - col("mcum")))
+    val offs = islanded.withColumn("off", when(col("m"),
+        row_number().over(Window.partitionBy(col("word"), col("isl")).orderBy(col("pos")))))
+      .withColumn("merged", col("m") && col("off") % 2 === 1)
+    val kept = offs
+      .withColumn("cons", coalesce(lag(col("merged"), 1).over(wOrd), lit(false)))
+      .filter(!col("cons"))
+    val next = kept.select(col("word"), col("cnt"),
+        row_number().over(wOrd).as("pos"),
+        when(col("merged"), concat(col("a"), col("b"))).otherwise(col("sym")).as("sym"))
+      .cache() // read by the round's symbol count AND the next round
+    (best, next)
+  }
+
   /** Pivot (wide reshape): doc counts per source × language. Pivot values
     * are declared explicitly — at scale, letting pivot() discover values
     * costs an extra distinct job and risks schema drift between runs. */
@@ -1271,10 +1354,95 @@ object TextAnalysis {
     "pipe_dsir_resample" -> (dsirResample _),
     "pipe_temperature_mix" -> (temperatureMix _),
     "text_entropy" -> (tokenEntropy _),
-    "pipe_ccnet_buckets" -> (ccnetBuckets _)
+    "pipe_ccnet_buckets" -> (ccnetBuckets _),
+    "text_bpe_merges" -> (bpeMerges _)
   )
 
   val oracle: Map[String, String] = Map(
+    "text_bpe_merges" ->
+      """WITH wfreq AS (
+        |  SELECT word, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS word
+        |    FROM documents) GROUP BY word),
+        |s0 AS (
+        |  SELECT word, cnt, i AS pos, substr(word, CAST(i AS INTEGER), 1) AS sym
+        |  FROM (SELECT word, cnt,
+        |          unnest(generate_series(1, CAST(length(word) AS BIGINT))) AS i
+        |        FROM wfreq)),
+        |r1_nxt AS (SELECT word, cnt, pos, sym,
+        |    LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM s0),
+        |r1_pairs AS (SELECT sym, nxt, CAST(SUM(cnt) AS BIGINT) AS pc FROM r1_nxt
+        |    WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+        |r1_best AS (SELECT sym AS a, nxt AS b, pc FROM r1_pairs
+        |    ORDER BY pc DESC, sym, nxt LIMIT 1),
+        |r1_flag AS (SELECT t.word, t.cnt, t.pos, t.sym, t.nxt, b.a, b.b, b.pc,
+        |    (t.sym = b.a AND t.nxt = b.b) AS m
+        |  FROM r1_nxt t CROSS JOIN r1_best b),
+        |r1_run AS (SELECT *, SUM(CASE WHEN m THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY word ORDER BY pos) AS mcum FROM r1_flag),
+        |r1_isl AS (SELECT *, CASE WHEN m THEN pos - mcum END AS isl FROM r1_run),
+        |r1_off AS (SELECT *, CASE WHEN m THEN
+        |    ROW_NUMBER() OVER (PARTITION BY word, isl ORDER BY pos) END AS off FROM r1_isl),
+        |r1_mrg AS (SELECT *, (m AND off % 2 = 1) AS merged FROM r1_off),
+        |r1_keep AS (SELECT *, COALESCE(LAG(merged)
+        |    OVER (PARTITION BY word ORDER BY pos), FALSE) AS cons FROM r1_mrg),
+        |s1 AS (SELECT word, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+        |    CASE WHEN merged THEN a || b ELSE sym END AS sym
+        |  FROM r1_keep WHERE NOT cons),
+        |r1_out AS (SELECT CAST(1 AS BIGINT) AS round, a AS left_sym, b AS right_sym,
+        |    pc AS pair_count, (SELECT CAST(SUM(cnt) AS BIGINT) FROM s1) AS symbols_after
+        |  FROM r1_best),
+        |r2_nxt AS (SELECT word, cnt, pos, sym,
+        |    LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM s1),
+        |r2_pairs AS (SELECT sym, nxt, CAST(SUM(cnt) AS BIGINT) AS pc FROM r2_nxt
+        |    WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+        |r2_best AS (SELECT sym AS a, nxt AS b, pc FROM r2_pairs
+        |    ORDER BY pc DESC, sym, nxt LIMIT 1),
+        |r2_flag AS (SELECT t.word, t.cnt, t.pos, t.sym, t.nxt, b.a, b.b, b.pc,
+        |    (t.sym = b.a AND t.nxt = b.b) AS m
+        |  FROM r2_nxt t CROSS JOIN r2_best b),
+        |r2_run AS (SELECT *, SUM(CASE WHEN m THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY word ORDER BY pos) AS mcum FROM r2_flag),
+        |r2_isl AS (SELECT *, CASE WHEN m THEN pos - mcum END AS isl FROM r2_run),
+        |r2_off AS (SELECT *, CASE WHEN m THEN
+        |    ROW_NUMBER() OVER (PARTITION BY word, isl ORDER BY pos) END AS off FROM r2_isl),
+        |r2_mrg AS (SELECT *, (m AND off % 2 = 1) AS merged FROM r2_off),
+        |r2_keep AS (SELECT *, COALESCE(LAG(merged)
+        |    OVER (PARTITION BY word ORDER BY pos), FALSE) AS cons FROM r2_mrg),
+        |s2 AS (SELECT word, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+        |    CASE WHEN merged THEN a || b ELSE sym END AS sym
+        |  FROM r2_keep WHERE NOT cons),
+        |r2_out AS (SELECT CAST(2 AS BIGINT) AS round, a AS left_sym, b AS right_sym,
+        |    pc AS pair_count, (SELECT CAST(SUM(cnt) AS BIGINT) FROM s2) AS symbols_after
+        |  FROM r2_best),
+        |r3_nxt AS (SELECT word, cnt, pos, sym,
+        |    LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM s2),
+        |r3_pairs AS (SELECT sym, nxt, CAST(SUM(cnt) AS BIGINT) AS pc FROM r3_nxt
+        |    WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+        |r3_best AS (SELECT sym AS a, nxt AS b, pc FROM r3_pairs
+        |    ORDER BY pc DESC, sym, nxt LIMIT 1),
+        |r3_flag AS (SELECT t.word, t.cnt, t.pos, t.sym, t.nxt, b.a, b.b, b.pc,
+        |    (t.sym = b.a AND t.nxt = b.b) AS m
+        |  FROM r3_nxt t CROSS JOIN r3_best b),
+        |r3_run AS (SELECT *, SUM(CASE WHEN m THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY word ORDER BY pos) AS mcum FROM r3_flag),
+        |r3_isl AS (SELECT *, CASE WHEN m THEN pos - mcum END AS isl FROM r3_run),
+        |r3_off AS (SELECT *, CASE WHEN m THEN
+        |    ROW_NUMBER() OVER (PARTITION BY word, isl ORDER BY pos) END AS off FROM r3_isl),
+        |r3_mrg AS (SELECT *, (m AND off % 2 = 1) AS merged FROM r3_off),
+        |r3_keep AS (SELECT *, COALESCE(LAG(merged)
+        |    OVER (PARTITION BY word ORDER BY pos), FALSE) AS cons FROM r3_mrg),
+        |s3 AS (SELECT word, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+        |    CASE WHEN merged THEN a || b ELSE sym END AS sym
+        |  FROM r3_keep WHERE NOT cons),
+        |r3_out AS (SELECT CAST(3 AS BIGINT) AS round, a AS left_sym, b AS right_sym,
+        |    pc AS pair_count, (SELECT CAST(SUM(cnt) AS BIGINT) FROM s3) AS symbols_after
+        |  FROM r3_best)
+        |SELECT * FROM r1_out UNION ALL SELECT * FROM r2_out UNION ALL SELECT * FROM r3_out
+        |ORDER BY round""".stripMargin,
     "pipe_ccnet_buckets" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

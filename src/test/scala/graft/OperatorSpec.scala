@@ -558,6 +558,48 @@ class OperatorSpec extends SparkSpec {
     assert(avg("head") < avg("middle") && avg("middle") < avg("tail"), avg.toString)
   }
 
+  test("bpe round: greedy left-to-right overlap semantics on hand-built words") {
+    import spark.implicits._
+    // "aaaa" under merge (a,a) must become [aa][aa]; "aaa" must become
+    // [aa][a] — the sequential greedy outcome, not all-overlapping-pairs
+    val s = Seq(
+      ("aaaa", 10L), ("aaa", 5L), ("ab", 1L)
+    ).toDF("word", "cnt")
+      .select(col("word"), col("cnt"),
+        posexplode(transform(sequence(lit(1), length(col("word"))), i =>
+          col("word").substr(i, lit(1)))))
+      .select(col("word"), col("cnt"), (col("pos") + 1).as("pos"), col("col").as("sym"))
+    val (best, next) = TextAnalysis.bpeRound(s)
+    val b = best.collect().head
+    assert((b.getString(0), b.getString(1), b.getLong(2)) == ("a", "a", 40L),
+      s"winning pair wrong: $b") // aaaa:3 pairs x10 + aaa:2 x5 = 40
+    val rewritten = next.orderBy(col("word"), col("pos")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(3)).toSeq).toMap
+    assert(rewritten("aaaa") == Seq("aa", "aa"), rewritten("aaaa").toString)
+    assert(rewritten("aaa") == Seq("aa", "a"), rewritten("aaa").toString)
+    assert(rewritten("ab") == Seq("a", "b"), rewritten("ab").toString)
+    next.unpersist()
+  }
+
+  test("bpe merges: symbol count shrinks by between half and all of the pair count") {
+    val out = TextAnalysis.bpeMerges(spark, sf0001).orderBy(col("round")).collect()
+    assert(out.length == 3)
+    val s0 = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .agg(sum(length(col("w")))).collect().head.getLong(0)
+    var prev = s0
+    out.foreach { r =>
+      val (pc, after) = (r.getLong(3), r.getLong(4))
+      val drop = prev - after
+      // a != b merges remove exactly pc symbols; a == b overlap runs
+      // remove at least ceil(pc/2) — anything outside is a rewrite bug
+      assert(drop <= pc && drop * 2 >= pc,
+        s"round ${r.getLong(0)}: drop $drop outside [pc/2, pc] for pc=$pc")
+      prev = after
+    }
+  }
+
   test("k-anonymity audit: groups partition the table and flags match thresholds") {
     val out = Etl.kAnonymity(spark, sf0001).collect()
     val total = Tables.customer(spark, sf0001).count()

@@ -147,6 +147,9 @@ class PlanSpec extends SparkSpec {
     // sim_hybrid_rrf crossJoins the broadcast 1-row BM25 corpus stats
     // (text_bm25's A4 shape); its dense arm broadcasts the fixed-budget
     // |Q|-row query set like sim_knn_brute
+    // text_bpe_merges crossJoins each round's broadcast 1-row winning
+    // pair and 1-row symbol total over the vocabulary symbol stream
+    // (A4 scalar pattern, x2 per merge round)
     val allowedNestedLoop =
       Set("sim_knn_brute", "sim_knn_lsh", "sim_knn_ivf", "text_tfidf", "win_ntile_tiers",
         "events_resample_gapfill", "text_heavy_hitters",
@@ -156,7 +159,7 @@ class PlanSpec extends SparkSpec {
         "events_dow_seasonality", "text_bm25", "agg_pareto_bands",
         "pipe_class_balance", "ml_standardize_noleak",
         "pipe_dsir_weights", "pipe_dsir_resample", "pipe_temperature_mix",
-        "pipe_ccnet_buckets", "sim_hybrid_rrf")
+        "pipe_ccnet_buckets", "sim_hybrid_rrf", "text_bpe_merges")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
