@@ -679,7 +679,54 @@ object Aggregates {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Population Stability Index drift report — THE production monitoring
+    * metric for feature/score drift between a reference window and the
+    * current one (banking scorecards through ML feature stores; rule of
+    * thumb: <0.1 stable, 0.1–0.25 drifting, >0.25 act). Here: the order
+    * price distribution before vs from 1998, in B=10 fixed-width 50k
+    * bins. PSI = Σ_bins (p−q)·ln(p/q) with +1 smoothing so empty bins on
+    * either side stay finite (the all-bin frame makes never-hit bins
+    * contribute through the smoothed term too). Emits the per-bin audit
+    * (counts, shares, term) with the total on every row — the relation a
+    * monitoring job thresholds and alerts on.
+    *
+    * Determinism: p, q are single IEEE divisions of exact longs; the
+    * (p−q)·ln(p/q) term is round-6 → DECIMAL(18,6) (module libm rule,
+    * same as text_entropy's −p·ln p) and the total is the exact decimal
+    * sum. Scale: one B-key hash-agg over the scan (partial map-side), a
+    * 10-row frame join, two 1-row broadcasts — nothing grows with data. */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val B = 10L
+    val o = Tables.orders(spark, dir)
+      .select(
+        least(floor(col("o_totalprice") / 50000).cast("long"), lit(B - 1)).as("bin"),
+        (col("o_orderdate") < lit("1998-01-01").cast("timestamp")).as("is_ref"))
+    val bins = o.groupBy(col("bin")).agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+      sum(when(col("is_ref"), 0L).otherwise(1L)).as("n_cur"))
+    val frame = spark.range(0, B).select(col("id").as("bin"))
+      .join(bins, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = frame.agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
+    val terms = frame.crossJoin(broadcast(totals))
+      .withColumn("p", (col("n_ref") + lit(1L)).cast("double") / (col("tr") + lit(B)).cast("double"))
+      .withColumn("q", (col("n_cur") + lit(1L)).cast("double") / (col("tc") + lit(B)).cast("double"))
+      .withColumn("psi_term", round((col("p") - col("q")) * log(col("p") / col("q")), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .cache() // read twice: total fold + per-bin output
+    val total = terms.agg(sum(col("psi_term")).as("t"))
+    terms.crossJoin(broadcast(total))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(col("p"), 6).as("p_ref"), round(col("q"), 6).as("p_cur"),
+        col("psi_term").cast("double").as("psi_term"),
+        col("t").cast("double").as("psi_total"))
+      .orderBy(col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_psi_drift" -> (psiDrift _),
     "agg_dp_counts" -> (dpCounts _),
     "agg_basket_pairs" -> (basketPairs _),
     "agg_pareto_bands" -> (paretoBands _),
@@ -709,6 +756,35 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_psi_drift" ->
+      """WITH b AS (
+        |  SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 9) AS bin,
+        |    o_orderdate < TIMESTAMP '1998-01-01' AS is_ref
+        |  FROM orders),
+        |g AS (
+        |  SELECT bin,
+        |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+        |  FROM b GROUP BY bin),
+        |f AS (
+        |  SELECT r.range AS bin,
+        |    COALESCE(g.n_ref, 0) AS n_ref, COALESCE(g.n_cur, 0) AS n_cur
+        |  FROM range(10) r LEFT JOIN g ON g.bin = r.range),
+        |tot AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM f),
+        |t AS (
+        |  SELECT bin, n_ref, n_cur,
+        |    CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE) AS p,
+        |    CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE) AS q
+        |  FROM f CROSS JOIN tot),
+        |x AS (
+        |  SELECT bin, n_ref, n_cur, p, q,
+        |    CAST(round((p - q) * ln(p / q), 6) AS DECIMAL(18,6)) AS psi_term
+        |  FROM t)
+        |SELECT bin, n_ref, n_cur,
+        |  round(p, 6) AS p_ref, round(q, 6) AS p_cur,
+        |  CAST(psi_term AS DOUBLE) AS psi_term,
+        |  CAST((SELECT SUM(psi_term) FROM x) AS DOUBLE) AS psi_total
+        |FROM x ORDER BY bin""".stripMargin,
     "agg_dp_counts" ->
       """WITH g AS (
         |  SELECT o_orderpriority, COUNT(*) AS n_true FROM orders GROUP BY 1),

@@ -660,17 +660,8 @@ object TextAnalysis {
     * dictionary-compressed BPE trainer (HF tokenizers trains on exactly
     * this word-count dict), R rounds = R bounded jobs. */
   def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val R = 3
-    val d = Tables.documents(spark, dir)
-    val wfreq = d.select(explode(filter(tokens(col("text")), t => length(t) > 0)).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-    val wOrd = Window.partitionBy(col("word")).orderBy(col("pos"))
-    var s = wfreq.select(col("word"), col("cnt"),
-        posexplode(transform(sequence(lit(1), length(col("word"))), i =>
-          col("word").substr(i, lit(1)))))
-      .select(col("word"), col("cnt"), (col("pos") + 1).as("pos"), col("col").as("sym"))
-      .cache() // each round reads the stream twice (pair count + rewrite)
+    var s = bpeInitialStream(spark, dir)
     val rounds = (1 to R).map { round =>
       val (best, next) = bpeRound(s)
       val symbolsAfter = next.agg(sum(col("cnt")).as("symbols_after"))
@@ -682,6 +673,45 @@ object TextAnalysis {
       out
     }
     rounds.reduce(_.unionByName(_)).orderBy(col("round"))
+  }
+
+  /** BPE ENCODING — the production half of `text_bpe_merges`: after the
+    * R training rounds, every word is left segmented into the learned
+    * subword units; this entry emits the resulting top-15 subword
+    * vocabulary with corpus-weighted counts — the token distribution a
+    * trained tokenizer actually produces (and the artifact a data
+    * pipeline ships to training). Shares the round machinery, so encode
+    * is BY CONSTRUCTION the same greedy semantics as training; the
+    * oracle replays the identical unrolled rounds and aggregates the
+    * final stream. Scale: everything `text_bpe_merges` does plus one
+    * bounded hash-agg over the vocabulary symbol stream. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    bpeFinalStream(spark, dir)
+      .groupBy(col("sym"))
+      .agg(sum(col("cnt")).as("n_tokens"))
+      .orderBy(col("n_tokens").desc, col("sym"))
+      .limit(15)
+  }
+
+  /** The symbol stream after R merge rounds (shared by train + encode). */
+  private def bpeFinalStream(spark: SparkSession, dir: String): DataFrame = {
+    var s = bpeInitialStream(spark, dir)
+    (1 to 3).foreach { _ => s = bpeRound(s)._2 }
+    s
+  }
+
+  /** The character-level (word, cnt, pos, sym) stream BPE starts from:
+    * word-frequency dictionary (the one corpus-sized pass) exploded to
+    * one row per character position. */
+  private def bpeInitialStream(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val wfreq = d.select(explode(filter(tokens(col("text")), t => length(t) > 0)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    wfreq.select(col("word"), col("cnt"),
+        posexplode(transform(sequence(lit(1), length(col("word"))), i =>
+          col("word").substr(i, lit(1)))))
+      .select(col("word"), col("cnt"), (col("pos") + 1).as("pos"), col("col").as("sym"))
+      .cache() // each round reads the stream twice (pair count + rewrite)
   }
 
   /** One BPE merge round over a (word, cnt, pos, sym) symbol stream:
@@ -1355,10 +1385,86 @@ object TextAnalysis {
     "pipe_temperature_mix" -> (temperatureMix _),
     "text_entropy" -> (tokenEntropy _),
     "pipe_ccnet_buckets" -> (ccnetBuckets _),
-    "text_bpe_merges" -> (bpeMerges _)
+    "text_bpe_merges" -> (bpeMerges _),
+    "text_bpe_encode" -> (bpeEncode _)
   )
 
   val oracle: Map[String, String] = Map(
+    "text_bpe_encode" ->
+      """WITH wfreq AS (
+        |  SELECT word, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS word
+        |    FROM documents) GROUP BY word),
+        |s0 AS (
+        |  SELECT word, cnt, i AS pos, substr(word, CAST(i AS INTEGER), 1) AS sym
+        |  FROM (SELECT word, cnt,
+        |          unnest(generate_series(1, CAST(length(word) AS BIGINT))) AS i
+        |        FROM wfreq)),
+        |r1_nxt AS (SELECT word, cnt, pos, sym,
+        |    LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM s0),
+        |r1_pairs AS (SELECT sym, nxt, CAST(SUM(cnt) AS BIGINT) AS pc FROM r1_nxt
+        |    WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+        |r1_best AS (SELECT sym AS a, nxt AS b, pc FROM r1_pairs
+        |    ORDER BY pc DESC, sym, nxt LIMIT 1),
+        |r1_flag AS (SELECT t.word, t.cnt, t.pos, t.sym, t.nxt, b.a, b.b, b.pc,
+        |    (t.sym = b.a AND t.nxt = b.b) AS m
+        |  FROM r1_nxt t CROSS JOIN r1_best b),
+        |r1_run AS (SELECT *, SUM(CASE WHEN m THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY word ORDER BY pos) AS mcum FROM r1_flag),
+        |r1_isl AS (SELECT *, CASE WHEN m THEN pos - mcum END AS isl FROM r1_run),
+        |r1_off AS (SELECT *, CASE WHEN m THEN
+        |    ROW_NUMBER() OVER (PARTITION BY word, isl ORDER BY pos) END AS off FROM r1_isl),
+        |r1_mrg AS (SELECT *, (m AND off % 2 = 1) AS merged FROM r1_off),
+        |r1_keep AS (SELECT *, COALESCE(LAG(merged)
+        |    OVER (PARTITION BY word ORDER BY pos), FALSE) AS cons FROM r1_mrg),
+        |s1 AS (SELECT word, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+        |    CASE WHEN merged THEN a || b ELSE sym END AS sym
+        |  FROM r1_keep WHERE NOT cons),
+        |r2_nxt AS (SELECT word, cnt, pos, sym,
+        |    LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM s1),
+        |r2_pairs AS (SELECT sym, nxt, CAST(SUM(cnt) AS BIGINT) AS pc FROM r2_nxt
+        |    WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+        |r2_best AS (SELECT sym AS a, nxt AS b, pc FROM r2_pairs
+        |    ORDER BY pc DESC, sym, nxt LIMIT 1),
+        |r2_flag AS (SELECT t.word, t.cnt, t.pos, t.sym, t.nxt, b.a, b.b, b.pc,
+        |    (t.sym = b.a AND t.nxt = b.b) AS m
+        |  FROM r2_nxt t CROSS JOIN r2_best b),
+        |r2_run AS (SELECT *, SUM(CASE WHEN m THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY word ORDER BY pos) AS mcum FROM r2_flag),
+        |r2_isl AS (SELECT *, CASE WHEN m THEN pos - mcum END AS isl FROM r2_run),
+        |r2_off AS (SELECT *, CASE WHEN m THEN
+        |    ROW_NUMBER() OVER (PARTITION BY word, isl ORDER BY pos) END AS off FROM r2_isl),
+        |r2_mrg AS (SELECT *, (m AND off % 2 = 1) AS merged FROM r2_off),
+        |r2_keep AS (SELECT *, COALESCE(LAG(merged)
+        |    OVER (PARTITION BY word ORDER BY pos), FALSE) AS cons FROM r2_mrg),
+        |s2 AS (SELECT word, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+        |    CASE WHEN merged THEN a || b ELSE sym END AS sym
+        |  FROM r2_keep WHERE NOT cons),
+        |r3_nxt AS (SELECT word, cnt, pos, sym,
+        |    LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM s2),
+        |r3_pairs AS (SELECT sym, nxt, CAST(SUM(cnt) AS BIGINT) AS pc FROM r3_nxt
+        |    WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+        |r3_best AS (SELECT sym AS a, nxt AS b, pc FROM r3_pairs
+        |    ORDER BY pc DESC, sym, nxt LIMIT 1),
+        |r3_flag AS (SELECT t.word, t.cnt, t.pos, t.sym, t.nxt, b.a, b.b, b.pc,
+        |    (t.sym = b.a AND t.nxt = b.b) AS m
+        |  FROM r3_nxt t CROSS JOIN r3_best b),
+        |r3_run AS (SELECT *, SUM(CASE WHEN m THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY word ORDER BY pos) AS mcum FROM r3_flag),
+        |r3_isl AS (SELECT *, CASE WHEN m THEN pos - mcum END AS isl FROM r3_run),
+        |r3_off AS (SELECT *, CASE WHEN m THEN
+        |    ROW_NUMBER() OVER (PARTITION BY word, isl ORDER BY pos) END AS off FROM r3_isl),
+        |r3_mrg AS (SELECT *, (m AND off % 2 = 1) AS merged FROM r3_off),
+        |r3_keep AS (SELECT *, COALESCE(LAG(merged)
+        |    OVER (PARTITION BY word ORDER BY pos), FALSE) AS cons FROM r3_mrg),
+        |s3 AS (SELECT word, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+        |    CASE WHEN merged THEN a || b ELSE sym END AS sym
+        |  FROM r3_keep WHERE NOT cons)
+        |SELECT sym, CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM s3
+        |GROUP BY sym ORDER BY n_tokens DESC, sym LIMIT 15""".stripMargin,
     "text_bpe_merges" ->
       """WITH wfreq AS (
         |  SELECT word, COUNT(*) AS cnt FROM (

@@ -600,6 +600,36 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("bpe encode: learned subwords appear in the final vocabulary, mass conserved") {
+    val vocab = TextAnalysis.bpeEncode(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merges = TextAnalysis.bpeMerges(spark, sf0001).collect()
+      .map(r => r.getString(1) + r.getString(2))
+    // learned multi-char units must surface in the top vocabulary (the
+    // top-15 cutoff can drop a low-count later merge, so gate existence,
+    // not completeness) and nothing else multi-char can exist
+    assert(merges.exists(vocab.contains), "no learned subword in the top vocabulary")
+    val multi = vocab.keys.filter(_.length > 1)
+    assert(multi.nonEmpty && multi.forall(merges.contains),
+      s"multi-char tokens $multi not all from learned merges $merges")
+    assert(vocab.values.forall(_ > 0))
+  }
+
+  test("psi drift: bins cover the table, terms are consistent, total is their sum") {
+    val rows = Aggregates.psiDrift(spark, sf0001).collect()
+    assert(rows.length == 10)
+    val total = Tables.orders(spark, sf0001).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == total,
+      "bin counts do not partition the orders table")
+    val sumTerms = rows.map(_.getDouble(5)).sum
+    assert(math.abs(sumTerms - rows.head.getDouble(6)) < 1e-9,
+      s"psi_total ${rows.head.getDouble(6)} != sum of terms $sumTerms")
+    // PSI of a distribution against itself is 0; both windows non-empty
+    // here, so every term must be finite and the total non-negative
+    assert(rows.forall(r => !r.getDouble(5).isNaN && !r.getDouble(5).isInfinite))
+    assert(rows.head.getDouble(6) >= 0.0)
+  }
+
   test("k-anonymity audit: groups partition the table and flags match thresholds") {
     val out = Etl.kAnonymity(spark, sf0001).collect()
     val total = Tables.customer(spark, sf0001).count()

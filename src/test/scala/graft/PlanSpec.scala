@@ -147,9 +147,11 @@ class PlanSpec extends SparkSpec {
     // sim_hybrid_rrf crossJoins the broadcast 1-row BM25 corpus stats
     // (text_bm25's A4 shape); its dense arm broadcasts the fixed-budget
     // |Q|-row query set like sim_knn_brute
-    // text_bpe_merges crossJoins each round's broadcast 1-row winning
-    // pair and 1-row symbol total over the vocabulary symbol stream
-    // (A4 scalar pattern, x2 per merge round)
+    // text_bpe_merges / text_bpe_encode crossJoin each round's broadcast
+    // 1-row winning pair (and the merge table's 1-row symbol totals) over
+    // the vocabulary symbol stream (A4 scalar pattern, per merge round)
+    // agg_psi_drift crossJoins the broadcast 1-row window totals and the
+    // 1-row PSI sum over the 10-bin frame (A4 x2)
     val allowedNestedLoop =
       Set("sim_knn_brute", "sim_knn_lsh", "sim_knn_ivf", "text_tfidf", "win_ntile_tiers",
         "events_resample_gapfill", "text_heavy_hitters",
@@ -159,7 +161,8 @@ class PlanSpec extends SparkSpec {
         "events_dow_seasonality", "text_bm25", "agg_pareto_bands",
         "pipe_class_balance", "ml_standardize_noleak",
         "pipe_dsir_weights", "pipe_dsir_resample", "pipe_temperature_mix",
-        "pipe_ccnet_buckets", "sim_hybrid_rrf", "text_bpe_merges")
+        "pipe_ccnet_buckets", "sim_hybrid_rrf", "text_bpe_merges",
+        "text_bpe_encode", "agg_psi_drift")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
