@@ -99,6 +99,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("identical self-join sides reuse one exchange (scan + shuffle run once)") {
+    // agg_basket_pairs joins the distinct (order, part) relation to
+    // itself: Spark's exchange reuse must materialize that shuffle ONCE
+    // and feed both sides — at 100 TB the difference between scanning and
+    // shuffling the fact table once vs twice. A refactor that makes the
+    // two sides non-canonical (e.g. divergent projections) silently
+    // doubles the heaviest stage; this pin catches it. Under AQE the
+    // reuse happens at runtime via the stage cache (keyed on the same
+    // canonical form), invisible in a static explain — so the pin checks
+    // the non-adaptive physical plan, where ReuseExchangeAndSubquery
+    // makes the shared stage explicit.
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = plan(Aggregates.basketPairs(spark, sf0001))
+      assert(p.contains("ReusedExchange"),
+        s"self-join sides no longer share an exchange:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("no accidental cartesian products anywhere in the catalog") {
     // the all-pairs similarity shapes are *documented* nested-loop joins
     // (brute-force scoring); everything else must be hash/broadcast/sort-merge
