@@ -136,6 +136,77 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Prefix-filtered twin of `dedup_ngram_jaccard` (Chaudhuri et al.'s
+    * prefix filter / PPJoin family, ICDE 2006): IDENTICAL output, strictly
+    * fewer candidate pairs. The theorem: under any global token order, two
+    * sets with |A∩B| ≥ α must share a token inside each set's first
+    * |X| − α + 1 tokens; and Jaccard ≥ t forces |A∩B| ≥ ⌈t·|A|⌉ (since
+    * I ≥ t(na+nb−I) and I ≤ nb give I(1+t) ≥ t·na + t·I). So each doc
+    * indexes only its first |rare(X)| − ⌈t·n⌉ + 1 rare shingles in the
+    * canonical rarest-first (df, g) order, the candidate equi-join runs on
+    * that prefix index, and exact intersections are recounted from the
+    * full rare index for candidates only. ⌈0.7·n⌉ is computed as
+    * (7n+9) DIV 10 — pure integer, no float threshold edge.
+    *
+    * At 100 TB this is the difference between Σ df² pair rows over EVERY
+    * surviving shingle and Σ df² over prefix tokens only — the standard
+    * set-similarity-join scaling trick, and the oracle is the UNFILTERED
+    * semantic twin (same SQL as dedup_ngram_jaccard), so completeness of
+    * the filter is hash-checked, not assumed. DedupConsistencySpec also
+    * pins output equality and measures the candidate reduction. */
+  def ngramJaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val (prefix, ex, sizes) = prefixIndex(spark, dir)
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cands
+      .join(ex.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
+      .join(ex.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard", col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")))
+      .filter(col("jaccard") >= 0.7)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The prefix index + supporting relations behind `dedup_ngram_prefix`:
+    * (prefix(doc_id, g), full rare index ex(doc_id, g, df),
+    * sizes(doc_id, n)). */
+  private def prefixIndex(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingled(spark, dir).cache()
+    val exAll = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
+    val rare = exAll.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf)
+    val ex = exAll.join(rare, Seq("g"))
+      .cache() // reused: prefix index + exact recount for candidates
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+    val rareN = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("nr"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    val prefix = ex.withColumn("rk", row_number().over(wDoc).cast("long"))
+      .join(sizes, Seq("doc_id"))
+      .join(rareN, Seq("doc_id"))
+      .filter(col("rk") <= col("nr") - expr("(7 * n + 9) DIV 10") + lit(1L))
+      .select(col("doc_id"), col("g"))
+    (prefix, ex, sizes)
+  }
+
+  /** Candidate-join volume of the prefix index (Σ df·(df−1)/2 over prefix
+    * tokens) — exposed so DedupConsistencySpec can measure the reduction
+    * against the full inverted index. */
+  private[graft] def prefixCandidateVolume(spark: SparkSession, dir: String): Long = {
+    val (prefix, _, _) = prefixIndex(spark, dir)
+    prefix.groupBy(col("g")).agg(count(lit(1)).as("dfp"))
+      .agg(sum(expr("(dfp * (dfp - 1)) DIV 2")))
+      .collect().head.getLong(0)
+  }
+
   /** Containment near-dup (asymmetric Jaccard): |S(a)∩S(b)| / |S(a)| —
     * the relation symmetric Jaccard structurally misses: an excerpt or
     * quotation `a` whose shingles are a subset of a much larger `b` has
@@ -652,6 +723,7 @@ object Dedup {
     "dedup_cc_incremental"  -> (dedupIncremental _),
     "dedup_minhash_lsh"     -> (minhashLsh _),
     "dedup_ngram_jaccard"   -> (ngramJaccard _),
+    "dedup_ngram_prefix"    -> (ngramJaccardPrefix _),
     "dedup_containment"     -> (containmentPairs _),
     "dedup_simhash"         -> (simhashClusters _),
     "dedup_simhash_hamming" -> (simhashHamming _),
@@ -844,7 +916,26 @@ object Dedup {
     // the SAME full-closure oracle: "incremental maintenance ≡ full
     // recompute" IS the correctness claim being gated
     "dedup_cc_incremental" -> ccClosureSql,
-    "dedup_ngram_jaccard" ->
+    "dedup_ngram_prefix" ->
+      // semantic twin: the UNFILTERED jaccard SQL — prefix filtering must
+      // not change the result set, only the candidate count
+      s"""WITH sh AS ($shingledSql),
+        |ex_all AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+        |rare AS (SELECT g FROM ex_all GROUP BY g HAVING COUNT(*) <= $MaxShingleDf),
+        |ex AS (SELECT doc_id, g FROM ex_all WHERE g IN (SELECT g FROM rare)),
+        |sizes AS (SELECT doc_id, len(shingles)::BIGINT AS n FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_inter,
+        |  n_inter::DOUBLE / (na.n + nb.n - n_inter) AS jaccard
+        |FROM inter
+        |JOIN sizes na ON na.doc_id = doc_a
+        |JOIN sizes nb ON nb.doc_id = doc_b
+        |WHERE n_inter::DOUBLE / (na.n + nb.n - n_inter) >= 0.7
+        |ORDER BY doc_a, doc_b""".stripMargin,
+        "dedup_ngram_jaccard" ->
       s"""WITH sh AS ($shingledSql),
         |ex_all AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
         |rare AS (SELECT g FROM ex_all GROUP BY g HAVING COUNT(*) <= $MaxShingleDf),

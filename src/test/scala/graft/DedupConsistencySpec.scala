@@ -106,4 +106,32 @@ class DedupConsistencySpec extends SparkSpec {
       assert(removal(d)._3 == originals(d), s"untouched doc $d text changed by removal")
     }
   }
+
+  test("prefix-filtered jaccard equals the full inverted-index join on fewer candidates") {
+    import org.apache.spark.sql.functions._
+    // output identity: prefix filtering is a completeness THEOREM, and the
+    // entry's oracle is the unfiltered SQL — here the two Spark paths are
+    // additionally compared row-for-row including scores
+    val full = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val pref = Dedup.ngramJaccardPrefix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(full.nonEmpty)
+    assert(pref == full, s"prefix twin diverged: only-full=${full -- pref} only-prefix=${pref -- full}")
+    // candidate reduction: prefix-index pair volume must be strictly less
+    // than the full inverted-index pair volume (Σ df·(df−1)/2 per token)
+    val d = graft.Tables.documents(spark, sf)
+    val toks = split(col("text"), " ")
+    val sh = d.select(col("doc_id"),
+      when(size(toks) >= 3,
+        array_distinct(transform(sequence(lit(1), size(toks) - 2),
+          i => array_join(slice(toks, i, lit(3)), " "))))
+        .otherwise(array().cast("array<string>")).as("shingles"))
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
+    val fullPairs = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .agg(sum(expr("(df * (df - 1)) DIV 2"))).collect().head.getLong(0)
+    val prefPairs = Dedup.prefixCandidateVolume(spark, sf)
+    assert(prefPairs < fullPairs,
+      s"prefix filter does not shrink the candidate join: $prefPairs >= $fullPairs")
+  }
 }
