@@ -309,6 +309,50 @@ object Etl {
       .orderBy(col("o_orderkey"))
   }
 
+  /** SCD-2 MERGE apply — the type-2 counterpart of `etl_upsert_merge`'s
+    * type-1 overwrite, and the WRITE half of `scd2_status_history` /
+    * `join_scd2_pointintime` (which consume an already-built history):
+    * apply a day's changeset to an effective-dated dimension by CLOSING
+    * the current version (valid_to = effective date) and INSERTING the
+    * new one, carrying everything else — the nightly dimension merge
+    * every warehouse runs. Includes the classic trap done right: NO-OP
+    * suppression (a change row whose value equals the current version
+    * must NOT spawn a version; here half the changeset is engineered to
+    * be no-ops) and late-registered brand-new members under a disjoint
+    * key range. The changeset derives deterministically from the base so
+    * the result is oracle-checkable.
+    *
+    * Scale: one key equi-join (base × changes) + a three-way union — no
+    * windows, no driver state; at 100 TB this is a single shuffle on the
+    * dimension key, and the three branches are disjoint row sets of the
+    * same join output (the optimizer shares the scan). */
+  def scd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    val eff = lit("1998-06-01").cast("date")
+    val c = Tables.customer(spark, dir)
+    val base = c.select(col("c_custkey"), col("c_mktsegment").as("segment"),
+      lit("1995-01-01").cast("date").as("valid_from"),
+      lit(null).cast("date").as("valid_to"))
+    val changes = c.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 14 === 0, col("c_mktsegment")) // engineered no-op
+          .otherwise(lit("MOVED")).as("new_segment"))
+    val joined = base.join(changes, Seq("c_custkey"), "left")
+    val realChange = col("new_segment").isNotNull && col("new_segment") =!= col("segment")
+    val carried = joined.filter(!realChange)
+      .select(col("c_custkey"), col("segment"), col("valid_from"), col("valid_to"))
+    val closed = joined.filter(realChange)
+      .select(col("c_custkey"), col("segment"), col("valid_from"), eff.as("valid_to"))
+    val opened = joined.filter(realChange)
+      .select(col("c_custkey"), col("new_segment").as("segment"),
+        eff.as("valid_from"), lit(null).cast("date").as("valid_to"))
+    val newMembers = c.filter(col("c_custkey") % 999 === 0)
+      .select((col("c_custkey") + lit(1000000000L)).as("c_custkey"),
+        lit("NEWSEG").as("segment"), eff.as("valid_from"),
+        lit(null).cast("date").as("valid_to"))
+    carried.unionByName(closed).unionByName(opened).unionByName(newMembers)
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
   /** Calendar arithmetic breadth (the X-series' date half): day diffs,
     * interval adds, month ends, and month truncation — each mirrored by
     * the DuckDB calendar functions over DATE values, so the whole
@@ -583,6 +627,7 @@ object Etl {
     "etl_date_arithmetic" -> (dateArithmetic _),
     "etl_array_hof"      -> (arrayHof _),
     "etl_upsert_merge"   -> (upsertMerge _),
+    "etl_scd2_merge"     -> (scd2Merge _),
     "etl_dedup_first_order" -> (dedupFirstOrder _),
     "etl_dedup_dropdup"     -> (dedupDropDuplicates _),
     "etl_validity_filter"   -> (validityFilter _),
@@ -598,6 +643,34 @@ object Etl {
   )
 
   val oracle: Map[String, String] = Map(
+    "etl_scd2_merge" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_mktsegment AS segment,
+        |    DATE '1995-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+        |  FROM customer),
+        |changes AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 14 = 0 THEN c_mktsegment ELSE 'MOVED' END AS new_segment
+        |  FROM customer WHERE c_custkey % 7 = 0),
+        |j AS (
+        |  SELECT base.*, changes.new_segment,
+        |    changes.new_segment IS NOT NULL AND changes.new_segment <> base.segment AS chg
+        |  FROM base LEFT JOIN changes USING (c_custkey)),
+        |carried AS (
+        |  SELECT c_custkey, segment, valid_from, valid_to FROM j WHERE NOT chg OR chg IS NULL),
+        |closed AS (
+        |  SELECT c_custkey, segment, valid_from, DATE '1998-06-01' AS valid_to FROM j WHERE chg),
+        |opened AS (
+        |  SELECT c_custkey, new_segment AS segment, DATE '1998-06-01' AS valid_from,
+        |    CAST(NULL AS DATE) AS valid_to FROM j WHERE chg),
+        |newm AS (
+        |  SELECT c_custkey + 1000000000 AS c_custkey, 'NEWSEG' AS segment,
+        |    DATE '1998-06-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+        |  FROM customer WHERE c_custkey % 999 = 0)
+        |SELECT * FROM (
+        |  SELECT * FROM carried UNION ALL SELECT * FROM closed
+        |  UNION ALL SELECT * FROM opened UNION ALL SELECT * FROM newm)
+        |ORDER BY c_custkey, valid_from""".stripMargin,
     "etl_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,
         |  COUNT(*) AS n_members,

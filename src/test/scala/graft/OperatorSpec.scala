@@ -641,6 +641,31 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("scd2 merge: no-op changes suppressed, real changes close-and-open contiguously") {
+    val dim = Etl.scd2Merge(spark, sf0001).collect()
+    val byKey = dim.groupBy(_.getLong(0))
+    val nCust = Tables.customer(spark, sf0001).count()
+    byKey.foreach { case (k, rows) =>
+      if (k >= 1000000000L) {
+        assert(rows.length == 1 && rows.head.getString(1) == "NEWSEG", s"new member $k wrong")
+      } else if (k % 7 == 0 && k % 14 != 0) {
+        // real change: exactly one closed + one open version, contiguous
+        assert(rows.length == 2, s"changed member $k has ${rows.length} versions")
+        val closed = rows.find(!_.isNullAt(3)).get
+        val open = rows.find(_.isNullAt(3)).get
+        assert(closed.getDate(3) == open.getDate(2),
+          s"member $k: close date ${closed.getDate(3)} != open date ${open.getDate(2)}")
+        assert(open.getString(1) == "MOVED")
+      } else {
+        // untouched or no-op change: the single original open version
+        assert(rows.length == 1 && rows.head.isNullAt(3),
+          s"member $k (no-op/untouched) got extra versions")
+      }
+    }
+    val changed = byKey.keys.count(k => k < 1000000000L && k % 7 == 0 && k % 14 != 0)
+    assert(dim.length == nCust + changed + byKey.keys.count(_ >= 1000000000L))
+  }
+
   test("dp counts: replayable Laplace noise, clamped release, bounded perturbation") {
     val out = Aggregates.dpCounts(spark, sf0001).collect()
     assert(out.nonEmpty)
