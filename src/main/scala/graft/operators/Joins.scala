@@ -311,7 +311,48 @@ object Joins {
       .orderBy(col("segment"))
   }
 
+  /** Spatial radius self-join via GRID-CELL BLOCKING — the standard way a
+    * distance join scales (geohash/S2/H3 pipelines all reduce to it):
+    * bucket points into δ×δ cells, replicate ONE side into its 3×3
+    * neighborhood, equi-join on the cell key, and run the exact distance
+    * predicate only on co-cell candidates. With radius r ≤ δ the 9-cell
+    * neighborhood is COMPLETE (any pair within r differs by ≤1 cell per
+    * axis), and each qualifying pair matches on exactly one replica —
+    * no dedup needed. Work is Σ(cell population)² over neighborhoods,
+    * never n²; skew = dense cells, the same salting story as hot join
+    * keys. Points are deterministic md5-uniform coordinates derived from
+    * customer keys (the corpus carries no geometry); closest-100 pairs by
+    * exact squared Euclidean distance — all IEEE arithmetic (no trig, no
+    * rounding rules), so the oracle replays it bit-for-bit. */
+  def geoGridJoin(spark: SparkSession, dir: String): DataFrame = {
+    val delta = 0.2
+    val r2 = 0.01 // r = 0.1 <= delta, the 9-cell completeness condition
+    def u(tag: String) =
+      (conv(substring(md5(concat(lit(tag), col("c_custkey").cast("string"))), 1, 8), 16, 10)
+        .cast("long") + lit(1L)) / lit(4294967296.0) * lit(10.0)
+    val pts = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("id"), u("lat:").as("x"), u("lon:").as("y"))
+      .withColumn("cx", floor(col("x") / delta).cast("long"))
+      .withColumn("cy", floor(col("y") / delta).cast("long"))
+      .cache() // both sides of the blocking join derive from it
+    val offs = Seq(-1L, 0L, 1L)
+    val b9 = pts.select(col("id").as("id_b"), col("x").as("xb"), col("y").as("yb"),
+        explode(array(offs.flatMap(dx => offs.map(dy =>
+          struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy")))): _*)).as("c"))
+      .select(col("id_b"), col("xb"), col("yb"), col("c.cx"), col("c.cy"))
+    pts.join(b9, Seq("cx", "cy"))
+      .filter(col("id") < col("id_b"))
+      .withColumn("d2",
+        (col("x") - col("xb")) * (col("x") - col("xb")) +
+        (col("y") - col("yb")) * (col("y") - col("yb")))
+      .filter(col("d2") <= r2)
+      .select(col("id").as("id_a"), col("id_b"), col("d2"))
+      .orderBy(col("d2"), col("id_a"), col("id_b"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_geo_grid" -> (geoGridJoin _),
     "join_late_dim"           -> (lateDimReconcile _),
     "join_collated_ci"        -> (collatedCiSegments _),
     "join_nullsafe_segments"  -> (nullsafeSegments _),
@@ -327,6 +368,27 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_geo_grid" ->
+      """WITH pts AS (
+        |  SELECT c_custkey AS id,
+        |    (('0x' || substr(md5('lat:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT + 1)
+        |      / 4294967296.0 * 10.0 AS x,
+        |    (('0x' || substr(md5('lon:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT + 1)
+        |      / 4294967296.0 * 10.0 AS y
+        |  FROM customer),
+        |pc AS (
+        |  SELECT *, CAST(FLOOR(x / 0.2) AS BIGINT) AS cx,
+        |    CAST(FLOOR(y / 0.2) AS BIGINT) AS cy FROM pts),
+        |b9 AS (
+        |  SELECT id AS id_b, x AS xb, y AS yb, cx + dx.d AS cx, cy + dy.d AS cy
+        |  FROM pc, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)),
+        |j AS (
+        |  SELECT a.id AS id_a, b9.id_b,
+        |    (a.x - b9.xb) * (a.x - b9.xb) + (a.y - b9.yb) * (a.y - b9.yb) AS d2
+        |  FROM pc a JOIN b9 ON a.cx = b9.cx AND a.cy = b9.cy
+        |  WHERE a.id < b9.id_b)
+        |SELECT id_a, id_b, d2 FROM j WHERE d2 <= 0.01
+        |ORDER BY d2, id_a, id_b LIMIT 100""".stripMargin,
     "join_late_dim" ->
       """WITH dim AS (
         |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 97 <> 0),

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.Det
-import graft.operators.{Aggregates, Dedup, Etl, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Aggregates, Dedup, Etl, Joins, Multimodal, Similarity, TextAnalysis}
 
 /** Unit-level semantics checks on small data (SURVEY.md §5 rebuild test
   * strategy): dedup survivor determinism, decimal-sum exactness, multimodal
@@ -639,6 +639,29 @@ class OperatorSpec extends SparkSpec {
       assert(r.getBoolean(5) == (r.getLong(3) >= 3L), s"l flag wrong: $r")
       assert(r.getLong(3) <= r.getLong(2), s"diversity exceeds group size: $r")
     }
+  }
+
+  test("geo grid join: 9-cell blocking is complete vs brute-force all-pairs") {
+    val blocked = Joins.geoGridJoin(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // brute-force twin on the same deterministic points (no blocking)
+    def u(tag: String) =
+      (conv(substring(md5(concat(lit(tag), col("c_custkey").cast("string"))), 1, 8), 16, 10)
+        .cast("long") + lit(1L)) / lit(4294967296.0) * lit(10.0)
+    val pts = Tables.customer(spark, sf0001)
+      .select(col("c_custkey").as("id"), u("lat:").as("x"), u("lon:").as("y"))
+    val brute = pts.as("a").crossJoin(pts.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("d2",
+        (col("a.x") - col("b.x")) * (col("a.x") - col("b.x")) +
+        (col("a.y") - col("b.y")) * (col("a.y") - col("b.y")))
+      .filter(col("d2") <= 0.01)
+      .select(col("a.id"), col("b.id"), col("d2"))
+      .orderBy(col("d2"), col("a.id"), col("b.id")).limit(100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(blocked.nonEmpty, "no pairs within radius — fixture too sparse")
+    assert(blocked.sameElements(brute),
+      s"blocking missed or invented pairs: blocked=${blocked.length} brute=${brute.length}")
   }
 
   test("scd2 merge: no-op changes suppressed, real changes close-and-open contiguously") {
