@@ -72,4 +72,47 @@ class TextPropertiesSpec extends SparkSpec {
     assert(buckets.map(_.getAs[Long]("n_exact_dups")).sum >= 1,
       "planted duplicates not detected")
   }
+
+  test("bpe round: relational greedy rewrite equals the imperative reference on random words") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // the trusted 6-line sequential greedy (the semantics BPE specifies):
+    // scan left-to-right, merge on match, skip the consumed symbol
+    def greedy(syms: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    // small alphabet makes same-symbol runs (the overlap edge) common
+    val wordGen = Gen.chooseNum(1, 12)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c"))).map(_.mkString)
+    (1 to 4).foreach { trial =>
+      val words = Gen.listOfN(40, wordGen)
+        .apply(Gen.Parameters.default, Seed(900L + trial)).get.distinct
+      val s = words.toDF("word")
+        .withColumn("cnt", lit(1L))
+        .select(col("word"), col("cnt"),
+          posexplode(transform(sequence(lit(1), length(col("word"))), i =>
+            col("word").substr(i, lit(1)))))
+        .select(col("word"), col("cnt"), (col("pos") + 1).as("pos"), col("col").as("sym"))
+      val (bestDf, next) = TextAnalysis.bpeRound(s)
+      val best = bestDf.collect().head
+      val (a, b) = (best.getString(0), best.getString(1))
+      val rewritten = next.orderBy(col("word"), col("pos")).collect()
+        .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(3)).toList).toMap
+      words.foreach { w =>
+        val expect = greedy(w.map(_.toString).toList, a, b)
+        val got = rewritten.getOrElse(w, Nil)
+        assert(got == expect, s"trial $trial word '$w' merge ($a,$b): got $got expected $expect")
+        // mass conservation: the symbols still spell the word
+        assert(got.mkString == w, s"word '$w' no longer spelled by its symbols: $got")
+      }
+      next.unpersist()
+    }
+  }
 }
