@@ -209,7 +209,54 @@ object Behavior {
       .orderBy(col("diff_class"))
   }
 
+  /** Kaplan–Meier survival curve (Kaplan & Meier, JASA 1958) — the
+    * time-to-event estimator product analytics runs for churn/failure:
+    * here "time from a user's first event to their first error", with
+    * ADMINISTRATIVE right-censoring at τ = 5 days (first failures beyond
+    * the observation window count as at-risk survivors, not deaths — the
+    * thing a naive average-time-to-failure gets wrong). Ŝ(t) =
+    * Π_{t_i ≤ t} (1 − d_i/n_i) over the failure days, with the at-risk
+    * set n_i shrunk by prior deaths AND prior censorings.
+    *
+    * Shape: one user-keyed hash-agg (first event / first error per user),
+    * one ≤τ+1-row day aggregate, and the running product as
+    * exp(Σ ln(1−d/n)) over an unpartitioned window on that AGGREGATED
+    * day relation (the PlanSpec-sanctioned O(|groups|) window; the
+    * corpus-sized pass is only the first agg). Determinism: d/n is one
+    * IEEE division of exact longs, ln round-6 → DECIMAL cumsum, exp of
+    * the exact sum re-rounded — the module ln()/lattice rule. */
+  def survivalCurve(spark: SparkSession, dir: String): DataFrame = {
+    val tau = 5L
+    val u = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(
+        min(col("ts")).as("first_ts"),
+        min(when(col("event_type") === "error", col("ts"))).as("first_err"))
+      .withColumn("d_raw",
+        datediff(col("first_err").cast("date"), col("first_ts").cast("date")).cast("long"))
+      .withColumn("observed", col("d_raw").isNotNull && col("d_raw") < tau)
+      .withColumn("t", when(col("observed"), col("d_raw")).otherwise(lit(tau)))
+      .cache() // read twice: day histogram + the 1-row total
+    val byDay = u.groupBy(col("t")).agg(
+      sum(when(col("observed"), 1L).otherwise(0L)).as("n_failed"),
+      sum(when(col("observed"), 0L).otherwise(1L)).as("n_censored"))
+    val total = u.agg(count(lit(1)).as("n_total"))
+    val wPrev = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, 0)
+    byDay.crossJoin(broadcast(total))
+      .withColumn("left_before",
+        coalesce(sum(col("n_failed") + col("n_censored")).over(wPrev), lit(0L)))
+      .withColumn("n_at_risk", col("n_total") - col("left_before"))
+      .withColumn("ln_term",
+        round(log(lit(1.0) - col("n_failed").cast("double") / col("n_at_risk").cast("double")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .withColumn("survival", round(exp(sum(col("ln_term")).over(wCum).cast("double")), 6))
+      .select(col("t").as("t_days"), col("n_at_risk"), col("n_failed"),
+        col("n_censored"), col("survival"))
+      .orderBy(col("t_days"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_survival_km"  -> (survivalCurve _),
     "etl_snapshot_diff"   -> (snapshotDiff _),
     "typed_longest_streak" -> (longestStreak _),
     "events_funnel"       -> (funnel _),
@@ -219,6 +266,40 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_survival_km" ->
+      """WITH u AS (
+        |  SELECT user_id, MIN(ts) AS first_ts,
+        |    MIN(CASE WHEN event_type = 'error' THEN ts END) AS first_err
+        |  FROM events GROUP BY user_id),
+        |lt AS (
+        |  SELECT user_id,
+        |    date_diff('day', CAST(first_ts AS DATE), CAST(first_err AS DATE)) AS d_raw,
+        |    first_err IS NOT NULL AND
+        |      date_diff('day', CAST(first_ts AS DATE), CAST(first_err AS DATE)) < 5 AS observed
+        |  FROM u),
+        |t AS (
+        |  SELECT user_id, observed,
+        |    CASE WHEN observed THEN d_raw ELSE 5 END AS t FROM lt),
+        |byday AS (
+        |  SELECT t,
+        |    CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+        |    CAST(SUM(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+        |  FROM t GROUP BY t),
+        |tot AS (SELECT COUNT(*) AS n_total FROM t),
+        |risk AS (
+        |  SELECT byday.*, tot.n_total,
+        |    CAST(tot.n_total - COALESCE(SUM(n_failed + n_censored) OVER
+        |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+        |  FROM byday, tot),
+        |terms AS (
+        |  SELECT *, CAST(round(ln(1.0 -
+        |      CAST(n_failed AS DOUBLE) / CAST(n_at_risk AS DOUBLE)), 6)
+        |    AS DECIMAL(18,6)) AS ln_term
+        |  FROM risk)
+        |SELECT t AS t_days, n_at_risk, n_failed, n_censored,
+        |  round(exp(CAST(SUM(ln_term) OVER
+        |    (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6) AS survival
+        |FROM terms ORDER BY t_days""".stripMargin,
     "etl_snapshot_diff" ->
       """WITH a AS (
         |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend

@@ -641,6 +641,23 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("survival curve: monotone, risk-set accounting exact, everyone leaves once") {
+    val rows = graft.operators.Behavior.survivalCurve(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val nUsers = Tables.events(spark, sf0001).select(col("user_id")).distinct().count()
+    assert(rows.map(r => r.getLong(2) + r.getLong(3)).sum == nUsers,
+      "failed + censored does not partition the user set")
+    assert(rows.head.getLong(1) == nUsers, "day-0 risk set != all users")
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(1) == a.getLong(1) - a.getLong(2) - a.getLong(3),
+          s"risk set not decremented by prior exits: $a -> $b")
+        assert(b.getDouble(4) <= a.getDouble(4) + 1e-9, s"survival increased: $a -> $b")
+      case _ => ()
+    }
+    assert(rows.forall(r => r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0))
+  }
+
   test("geo grid join: 9-cell blocking is complete vs brute-force all-pairs") {
     val blocked = Joins.geoGridJoin(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -172,6 +172,8 @@ class PlanSpec extends SparkSpec {
     // the vocabulary symbol stream (A4 scalar pattern, per merge round)
     // agg_psi_drift crossJoins the broadcast 1-row window totals and the
     // 1-row PSI sum over the 10-bin frame (A4 x2)
+    // events_survival_km crossJoins the broadcast 1-row user total over
+    // the <=tau+1-row day aggregate (A4 scalar pattern)
     val allowedNestedLoop =
       Set("sim_knn_brute", "sim_knn_lsh", "sim_knn_ivf", "text_tfidf", "win_ntile_tiers",
         "events_resample_gapfill", "text_heavy_hitters",
@@ -182,7 +184,7 @@ class PlanSpec extends SparkSpec {
         "pipe_class_balance", "ml_standardize_noleak",
         "pipe_dsir_weights", "pipe_dsir_resample", "pipe_temperature_mix",
         "pipe_ccnet_buckets", "sim_hybrid_rrf", "text_bpe_merges",
-        "text_bpe_encode", "agg_psi_drift")
+        "text_bpe_encode", "agg_psi_drift", "events_survival_km")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
