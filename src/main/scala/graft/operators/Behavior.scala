@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -44,6 +44,84 @@ object Behavior {
       .unionByName(stageCount(s2, 2L, "click"))
       .unionByName(stageCount(s3, 3L, "purchase"))
       .orderBy(col("stage_no"))
+  }
+
+  /** TIME-CONSTRAINED funnel — `events_funnel` with the step-deadline
+    * semantics real product funnels use: a click only counts within 24 h
+    * of the user's first view, a purchase within 24 h of that click
+    * (unbounded funnels credit conversions that took weeks). Same
+    * scale shape as the unbounded twin — three shrinking hash-aggs
+    * chained by user_id equi-joins, the deadline as an extra residual
+    * predicate on the join — plus the per-stage mean step latency (ONE
+    * IEEE division of exact microsecond sums, the module ratio rule). */
+  def funnelWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val stepUs = 24L * 3600L * 1000000L
+    val e = Tables.events(spark, dir).withColumn("ts_us", unix_micros(col("ts")))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("s1_us"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .where(col("ts_us") > col("s1_us") && col("ts_us") <= col("s1_us") + stepUs)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("s2_us"), min(col("s1_us")).as("s1_us"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .where(col("ts_us") > col("s2_us") && col("ts_us") <= col("s2_us") + stepUs)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("s3_us"), min(col("s2_us")).as("s2_us"))
+    def stage(df: DataFrame, no: Long, name: String, delay: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_users"),
+          (sum(delay).cast("double") / count(lit(1)).cast("double")).as("avg_step_us"))
+        .select(lit(no).as("stage_no"), lit(name).as("stage"),
+          col("n_users"), col("avg_step_us"))
+    stage(s1, 1L, "view", lit(0L))
+      .unionByName(stage(s2, 2L, "click", col("s2_us") - col("s1_us")))
+      .unionByName(stage(s3, 3L, "purchase", col("s3_us") - col("s2_us")))
+      .orderBy(col("stage_no"))
+  }
+
+  /** RFM segmentation (Hughes' recency/frequency/monetary coding — the
+    * classic CRM stratification): per customer, R = days since last order
+    * (to the corpus max date), F = order count, M = total spend; each
+    * scored 1–4 by exact quartile cutoffs and combined into the RFM cell
+    * code (R·100 + F·10 + M). All NINE cutoffs come from ONE 1-row
+    * percentile aggregate broadcast back over the per-customer relation
+    * (the `win_ntile_tiers` pattern tripled — no global sort or window
+    * anywhere); R scores are inverted (low recency = best = 4), the
+    * standard convention. Output is the |cells|-bounded segment audit.
+    * Determinism: cutoffs round-6 (the percentile rule), spend compared
+    * on exact DECIMAL sums cast once to double. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val perCust = o.groupBy(col("o_custkey")).agg(
+        max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("f"),
+        // exact decimal spend kept for the final average; the double twin
+        // exists only for percentile/compare (re-casting the double back
+        // to decimal would re-round and diverge engines — the module's
+        // never-decimal-a-double-product rule)
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("m_dec"))
+      .withColumn("m", col("m_dec").cast("double"))
+      .crossJoin(broadcast(o.agg(max(col("o_orderdate")).as("maxd"))))
+      .withColumn("r", datediff(col("maxd").cast("date"), col("last_order").cast("date")).cast("long"))
+      .cache() // read twice: the 9-cutoff aggregate + the scoring pass
+    def cuts(c: Column, n: String) = Seq(
+      round(percentile(c, lit(0.25)), 6).as(s"${n}1"),
+      round(percentile(c, lit(0.5)), 6).as(s"${n}2"),
+      round(percentile(c, lit(0.75)), 6).as(s"${n}3"))
+    val allCuts = cuts(col("r"), "r") ++ cuts(col("f"), "f") ++ cuts(col("m"), "m")
+    val q = perCust.agg(allCuts.head, allCuts.tail: _*)
+    def score(c: Column, n: String) =
+      when(c <= col(s"${n}1"), 1L).when(c <= col(s"${n}2"), 2L)
+        .when(c <= col(s"${n}3"), 3L).otherwise(4L)
+    perCust.crossJoin(broadcast(q))
+      .withColumn("r_score", lit(5L) - score(col("r"), "r")) // low recency = best
+      .withColumn("f_score", score(col("f"), "f"))
+      .withColumn("m_score", score(col("m"), "m"))
+      .withColumn("segment", col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(col("m_dec")).cast("double") /
+          count(lit(1))).as("avg_monetary"))
+      .orderBy(col("segment"))
   }
 
   /** Cohort retention: customers grouped by first-order month; for each
@@ -257,6 +335,8 @@ object Behavior {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_survival_km"  -> (survivalCurve _),
+    "events_funnel_windowed" -> (funnelWindowed _),
+    "behavior_rfm_segments"  -> (rfmSegments _),
     "etl_snapshot_diff"   -> (snapshotDiff _),
     "typed_longest_streak" -> (longestStreak _),
     "events_funnel"       -> (funnel _),
@@ -266,6 +346,71 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_funnel_windowed" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (
+        |  SELECT user_id, MIN(ts_us) AS s1_us FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts_us) AS s2_us, MIN(s1.s1_us) AS s1_us
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts_us > s1.s1_us
+        |    AND e.ts_us <= s1.s1_us + 86400000000
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ts_us) AS s3_us, MIN(s2.s2_us) AS s2_us
+        |  FROM e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > s2.s2_us
+        |    AND e.ts_us <= s2.s2_us + 86400000000
+        |  GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_no, 'view' AS stage,
+        |    COUNT(*) AS n_users,
+        |    CAST(SUM(0) AS DOUBLE) / COUNT(*) AS avg_step_us FROM s1
+        |  UNION ALL
+        |  SELECT 2, 'click', COUNT(*),
+        |    CAST(SUM(s2_us - s1_us) AS DOUBLE) / COUNT(*) FROM s2
+        |  UNION ALL
+        |  SELECT 3, 'purchase', COUNT(*),
+        |    CAST(SUM(s3_us - s2_us) AS DOUBLE) / COUNT(*) FROM s3)
+        |ORDER BY stage_no""".stripMargin,
+    "behavior_rfm_segments" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+        |    CAST(COUNT(*) AS BIGINT) AS f,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m_dec,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS m
+        |  FROM orders GROUP BY o_custkey),
+        |mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+        |r AS (
+        |  SELECT pc.*, CAST(date_diff('day', CAST(last_order AS DATE),
+        |    CAST(maxd AS DATE)) AS BIGINT) AS r
+        |  FROM pc, mx),
+        |q AS (
+        |  SELECT round(quantile_cont(r, 0.25), 6) AS r1,
+        |    round(quantile_cont(r, 0.5), 6) AS r2,
+        |    round(quantile_cont(r, 0.75), 6) AS r3,
+        |    round(quantile_cont(f, 0.25), 6) AS f1,
+        |    round(quantile_cont(f, 0.5), 6) AS f2,
+        |    round(quantile_cont(f, 0.75), 6) AS f3,
+        |    round(quantile_cont(m, 0.25), 6) AS m1,
+        |    round(quantile_cont(m, 0.5), 6) AS m2,
+        |    round(quantile_cont(m, 0.75), 6) AS m3
+        |  FROM r),
+        |sc AS (
+        |  SELECT r.*,
+        |    5 - (CASE WHEN r <= q.r1 THEN 1 WHEN r <= q.r2 THEN 2
+        |              WHEN r <= q.r3 THEN 3 ELSE 4 END) AS r_score,
+        |    CASE WHEN f <= q.f1 THEN 1 WHEN f <= q.f2 THEN 2
+        |         WHEN f <= q.f3 THEN 3 ELSE 4 END AS f_score,
+        |    CASE WHEN m <= q.m1 THEN 1 WHEN m <= q.m2 THEN 2
+        |         WHEN m <= q.m3 THEN 3 ELSE 4 END AS m_score
+        |  FROM r, q)
+        |SELECT CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(m_dec) AS DOUBLE) / COUNT(*) AS avg_monetary
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_survival_km" ->
       """WITH u AS (
         |  SELECT user_id, MIN(ts) AS first_ts,

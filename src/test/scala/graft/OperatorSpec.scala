@@ -641,6 +641,36 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("windowed funnel: stages shrink and never exceed the unbounded twin") {
+    val bounded = graft.operators.Behavior.funnelWindowed(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val unbounded = graft.operators.Behavior.funnel(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(bounded.size == 3)
+    // deadline can only remove conversions, never add them
+    (1L to 3L).foreach { s =>
+      assert(bounded(s)._1 <= unbounded(s), s"stage $s: deadline added users")
+    }
+    assert(bounded(1)._1 >= bounded(2)._1 && bounded(2)._1 >= bounded(3)._1,
+      "funnel stages do not shrink")
+    // step latencies respect the 24 h deadline
+    assert(bounded(2)._2 <= 86400e6 && bounded(3)._2 <= 86400e6,
+      "mean step latency exceeds the deadline")
+  }
+
+  test("rfm segments: cells partition customers and scores sit in 1..4") {
+    val segs = graft.operators.Behavior.rfmSegments(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nCust = Tables.orders(spark, sf0001).select(col("o_custkey")).distinct().count()
+    assert(segs.map(_._2).sum == nCust, "segment sizes do not partition the customers")
+    segs.foreach { case (code, _) =>
+      val (r, f, m) = (code / 100, code / 10 % 10, code % 10)
+      assert(r >= 1 && r <= 4 && f >= 1 && f <= 4 && m >= 1 && m <= 4,
+        s"segment code $code outside the 1..4 grid")
+    }
+    assert(segs.length > 1, "degenerate single-segment output")
+  }
+
   test("survival curve: monotone, risk-set accounting exact, everyone leaves once") {
     val rows = graft.operators.Behavior.survivalCurve(spark, sf0001).collect()
     assert(rows.nonEmpty)

@@ -174,6 +174,9 @@ class PlanSpec extends SparkSpec {
     // 1-row PSI sum over the 10-bin frame (A4 x2)
     // events_survival_km crossJoins the broadcast 1-row user total over
     // the <=tau+1-row day aggregate (A4 scalar pattern)
+    // behavior_rfm_segments crossJoins the broadcast 1-row max-date and
+    // the 1-row nine-quartile-cutoff aggregate over the per-customer
+    // relation (win_ntile_tiers pattern tripled)
     val allowedNestedLoop =
       Set("sim_knn_brute", "sim_knn_lsh", "sim_knn_ivf", "text_tfidf", "win_ntile_tiers",
         "events_resample_gapfill", "text_heavy_hitters",
@@ -184,7 +187,8 @@ class PlanSpec extends SparkSpec {
         "pipe_class_balance", "ml_standardize_noleak",
         "pipe_dsir_weights", "pipe_dsir_resample", "pipe_temperature_mix",
         "pipe_ccnet_buckets", "sim_hybrid_rrf", "text_bpe_merges",
-        "text_bpe_encode", "agg_psi_drift", "events_survival_km")
+        "text_bpe_encode", "agg_psi_drift", "events_survival_km",
+        "behavior_rfm_segments")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
