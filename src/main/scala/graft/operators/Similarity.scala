@@ -884,6 +884,105 @@ object Similarity {
       .orderBy(col("label"), col("assigned_label"))
   }
 
+  /** SemDeDup — semantic deduplication by embedding (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, compute pairwise
+    * cosine WITHIN each cluster only, and for every near-duplicate pair
+    * keep the member FARTHER from its cluster centroid (the paper's
+    * diversity-preserving survivor policy — low centroid-similarity
+    * examples carry more information). The clustering is the blocking
+    * step: candidate volume is Σ(cluster size)², never n², which is
+    * exactly how the paper runs at 100M+ documents (FAISS k-means there;
+    * frozen label-prototype cells here so every stage stays DuckDB-
+    * replayable — a trained quantizer would break the oracle, and the
+    * dedup semantics are independent of which partitioner produced the
+    * cells).
+    *
+    * The harness corpus is uniform-random (no natural semantic dups), so
+    * the entry PLANTS them relationally: every 8th vector gets a twin
+    * (+0.01 on dim 1, id+1,000,000) via exact decimal arithmetic that
+    * both engines replay identically — cos(twin, original) ≈ 0.9999,
+    * while random within-cluster pairs stay far below the 0.9 gate.
+    * Centroids are fit on the BASE corpus only (the frozen-quantizer
+    * stance of `sim_index_append`), then base+twins are assigned and
+    * deduped together.
+    *
+    * Survivor rule, precisely: within a cluster, pair (a, b) with
+    * cos ≥ 0.9 drops whichever member is GREATER by (cent_cos, vec_id) —
+    * i.e. the one more similar to the centroid; a vector is dropped if
+    * ANY qualifying pair dominates it (the SQL-expressible dominance
+    * form of the paper's keep-one-per-group; near-dup groups are cliques
+    * here and in practice, where dominance ≡ keep-exactly-one).
+    *
+    * Determinism: all dots/norms are exact decimal sums on the round-6
+    * lattice; cosines are one IEEE division on identical operands;
+    * ties break by vec_id. Output is integer-only (per-cluster member/
+    * kept/dropped counts), so the hash gate has no float at all.
+    *
+    * Scale: one |cells|·dims broadcast for assignment (linear scan),
+    * then a (cluster, dim) equi-join whose work is Σ|cluster|²·dims —
+    * the paper's own O(n²/k); k grows with n (the `sim_knn_ivfpq_tuned`
+    * sizing rule) to hold cluster occupancy flat. No driver collect. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val xs = explodedDecimal(spark, dir)
+      .cache() // feeds centroid fit, twin synthesis, and the union
+    val twins = xs.filter(col("vec_id") % 8 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("dim"),
+        (col("x") + when(col("dim") === 1, lit(BigDecimal("0.01").setScale(6)))
+          .otherwise(lit(BigDecimal("0").setScale(6))))
+          .cast("decimal(18,6)").as("x"))
+    val all = xs.select(col("vec_id"), col("dim"), col("x")).unionByName(twins)
+    val cent = centroidCells(xs) // frozen: fit on base vectors only
+      .select(col("label").as("c_label"), col("dim"),
+        round(col("centroid"), 6).cast("decimal(18,6)").as("c"))
+    val cnorm = cent.groupBy(col("c_label"))
+      .agg(sum(col("c") * col("c")).cast("double").as("c_sq"))
+    val vnorm = all.groupBy(col("vec_id"))
+      .agg(sum(col("x") * col("x")).cast("double").as("v_sq"))
+      .cache() // feeds assignment plus both ends of the pair verify
+    val dots = all.join(broadcast(cent), "dim") // |cells|-way fan-out, constant
+      .groupBy(col("vec_id"), col("c_label"))
+      .agg(sum(col("x") * col("c")).cast("double").as("dot"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("c_label"))
+    val assign = dots
+      .join(vnorm, "vec_id")
+      .join(broadcast(cnorm), "c_label")
+      .withColumn("cos_c", col("dot") / sqrt(col("v_sq") * col("c_sq")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_label").as("cluster"), col("cos_c").as("cent_cos"))
+      .cache() // one row per member; feeds the pair join, both dominance
+               // ends, and the rollup — without this the argmax window
+               // subtree re-plans 4× (caller-release contract: Verify and
+               // Bench clearCache() between entries)
+    val m = all.join(assign.select(col("vec_id"), col("cluster")), "vec_id")
+    val pairDots = m.as("a").join(m.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.dim") === col("b.dim") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.cluster").as("cluster"),
+        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .agg(sum(col("a.x") * col("b.x")).cast("double").as("dot"))
+    val pairs = pairDots
+      .join(vnorm.select(col("vec_id").as("id_a"), col("v_sq").as("sq_a")), "id_a")
+      .join(vnorm.select(col("vec_id").as("id_b"), col("v_sq").as("sq_b")), "id_b")
+      .withColumn("cos", col("dot") / sqrt(col("sq_a") * col("sq_b")))
+      .filter(col("cos") >= 0.9)
+    val cc = assign.select(col("vec_id"), col("cent_cos"))
+    val losers = pairs
+      .join(cc.select(col("vec_id").as("id_a"), col("cent_cos").as("cc_a")), "id_a")
+      .join(cc.select(col("vec_id").as("id_b"), col("cent_cos").as("cc_b")), "id_b")
+      .select(when(col("cc_a") > col("cc_b") ||
+          (col("cc_a") === col("cc_b") && col("id_a") > col("id_b")),
+          col("id_a")).otherwise(col("id_b")).as("vec_id"))
+      .distinct()
+    assign
+      .join(losers.withColumn("dropped", lit(1L)), Seq("vec_id"), "left")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("dropped").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("dropped").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+      .orderBy(col("cluster"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_brute" -> (knnBrute _),
     "sim_range_search" -> (rangeSearch _),
@@ -898,7 +997,8 @@ object Similarity {
     "sim_index_append" -> (indexAppendServe _),
     "sim_label_centroids" -> (labelCentroids _),
     "sim_centroid_assign" -> (centroidAssign _),
-    "sim_hybrid_rrf" -> (hybridRrf _)
+    "sim_hybrid_rrf" -> (hybridRrf _),
+    "dedup_semdedup" -> (semDedup _)
   )
 
   private val dotSql =
@@ -909,6 +1009,76 @@ object Similarity {
     .mkString("CAST(", " + ", " AS BIGINT)")
 
   val oracle: Map[String, String] = Map(
+    "dedup_semdedup" ->
+      """WITH x0 AS (
+        |  SELECT vec_id, label, embedding,
+        |    unnest(generate_series(1, len(embedding))) AS dim
+        |  FROM embeddings),
+        |xs AS (
+        |  SELECT vec_id, label, dim,
+        |    CAST(ROUND(embedding[dim]::DOUBLE, 6) AS DECIMAL(18,6)) AS x
+        |  FROM x0),
+        |twins AS (
+        |  SELECT vec_id + 1000000 AS vec_id, dim,
+        |    CAST(x + CASE WHEN dim = 1 THEN 0.010000 ELSE 0.000000 END
+        |      AS DECIMAL(18,6)) AS x
+        |  FROM xs WHERE vec_id % 8 = 0),
+        |alls AS (
+        |  SELECT vec_id, dim, x FROM xs
+        |  UNION ALL SELECT vec_id, dim, x FROM twins),
+        |cent AS (
+        |  SELECT label AS c_label, dim,
+        |    CAST(ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS c
+        |  FROM xs GROUP BY label, dim),
+        |cnorm AS (
+        |  SELECT c_label, CAST(SUM(c * c) AS DOUBLE) AS c_sq
+        |  FROM cent GROUP BY c_label),
+        |vnorm AS (
+        |  SELECT vec_id, CAST(SUM(x * x) AS DOUBLE) AS v_sq
+        |  FROM alls GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id, c.c_label, CAST(SUM(a.x * c.c) AS DOUBLE) AS dot
+        |  FROM alls a JOIN cent c ON a.dim = c.dim
+        |  GROUP BY a.vec_id, c.c_label),
+        |assign AS (
+        |  SELECT vec_id, c_label AS cluster, cos_c AS cent_cos FROM (
+        |    SELECT d.vec_id, d.c_label,
+        |      d.dot / sqrt(v.v_sq * n.c_sq) AS cos_c,
+        |      ROW_NUMBER() OVER (PARTITION BY d.vec_id
+        |        ORDER BY d.dot / sqrt(v.v_sq * n.c_sq) DESC, d.c_label) AS rn
+        |    FROM dots d
+        |    JOIN vnorm v ON d.vec_id = v.vec_id
+        |    JOIN cnorm n ON d.c_label = n.c_label)
+        |  WHERE rn = 1),
+        |m AS (
+        |  SELECT s.cluster, a.vec_id, a.dim, a.x
+        |  FROM alls a JOIN assign s ON a.vec_id = s.vec_id),
+        |pd AS (
+        |  SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(SUM(a.x * b.x) AS DOUBLE) AS dot
+        |  FROM m a JOIN m b
+        |    ON a.cluster = b.cluster AND a.dim = b.dim AND a.vec_id < b.vec_id
+        |  GROUP BY a.cluster, a.vec_id, b.vec_id),
+        |pairs AS (
+        |  SELECT pd.id_a, pd.id_b
+        |  FROM pd
+        |  JOIN vnorm va ON pd.id_a = va.vec_id
+        |  JOIN vnorm vb ON pd.id_b = vb.vec_id
+        |  WHERE pd.dot / sqrt(va.v_sq * vb.v_sq) >= 0.9),
+        |losers AS (
+        |  SELECT DISTINCT CASE WHEN ca.cent_cos > cb.cent_cos
+        |      OR (ca.cent_cos = cb.cent_cos AND p.id_a > p.id_b)
+        |    THEN p.id_a ELSE p.id_b END AS vec_id
+        |  FROM pairs p
+        |  JOIN assign ca ON p.id_a = ca.vec_id
+        |  JOIN assign cb ON p.id_b = cb.vec_id)
+        |SELECT s.cluster,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN l.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+        |FROM assign s LEFT JOIN losers l ON s.vec_id = l.vec_id
+        |GROUP BY s.cluster
+        |ORDER BY cluster""".stripMargin,
     "sim_hybrid_rrf" ->
       s"""WITH t AS (
         |  SELECT doc_id,

@@ -213,6 +213,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("SemDeDup drops exactly one member per planted near-dup pair") {
+    // The entry plants a twin (+0.01 on dim 1, id+1e6) for every 8th
+    // vector; random within-cluster pairs sit far below the 0.9 cosine
+    // gate, so the ONLY duplicate groups are those 2-cliques. The
+    // dominance survivor rule must therefore drop exactly one member per
+    // CO-CLUSTERED pair — never both, never an undominated vector — and
+    // a pair split across clusters (the blocking approximation) keeps
+    // both. Checked at two SFs so the cross-cluster case (observed at
+    // sf0.1: 249/250) is exercised, not just the all-co-clustered one.
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val base = graft.Tables.embeddings(spark, dir).count()
+      val twins = (base + 7) / 8 // vec_id ∈ {0, 8, …}: ⌈base/8⌉
+      val rows = Similarity.semDedup(spark, dir).collect()
+      val nVecs = rows.map(_.getAs[Long]("n_vecs")).sum
+      val nKept = rows.map(_.getAs[Long]("n_kept")).sum
+      val nDropped = rows.map(_.getAs[Long]("n_dropped")).sum
+      assert(nVecs == base + twins, s"member count at $dir")
+      assert(nKept + nDropped == nVecs, s"kept+dropped != members at $dir")
+      // one drop per co-clustered pair: never more than the pair count,
+      // and blocking loses at most a sliver of pairs to cluster splits
+      assert(nDropped <= twins, s"dropped both ends of a pair at $dir")
+      assert(nDropped >= twins * 9 / 10,
+        s"blocking lost >10% of planted pairs at $dir ($nDropped/$twins)")
+      rows.foreach { r =>
+        assert(r.getAs[Long]("n_kept") >= 1, s"cluster emptied at $dir")
+      }
+    }
+  }
+
   test("IVF emits at most 3 ranked neighbors per query, no self-matches") {
     val rows = Similarity.knnIvf(spark, sf0001).collect()
     assert(rows.nonEmpty)
