@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1209,6 +1210,40 @@ object TextAnalysis {
       .orderBy(col("source"), col("reason"))
   }
 
+  /** Filter-threshold calibration sweep — the curve a corpus curator reads
+    * BEFORE picking a quality cutoff (the FineWeb/Gopher methodology:
+    * sweep the threshold, look at what survives, then freeze it). Score =
+    * type-token ratio in integer milli-units (`nd·1000 DIV n` — the
+    * `text_entropy` diversity signal, integer so no float compare sits on
+    * a bucket edge), bucketed to 100-milli bins; one hash-agg collapses
+    * the corpus to ≤11 bucket rows, then a descending cumulative window
+    * over THOSE rows (the `win_grand_avg_diff` tiny-grouped-output window
+    * stance) yields, for each candidate threshold, exactly how many docs
+    * and words survive and the kept share in basis points. Integer-only
+    * output. Scale: the corpus-sized work is one projection + one
+    * B-bucket hash-agg (map-side partials); the window touches ≤11 rows
+    * regardless of corpus size. */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(tokens(col("text")), t => length(t) > 0)
+    val d = Tables.documents(spark, dir)
+      .select(size(toks).cast("long").as("n"),
+        size(array_distinct(toks)).cast("long").as("nd"))
+      .filter(col("n") > 0)
+      .select(expr("nd * 1000 DIV n").as("score_milli"), col("n"))
+    val bins = d.groupBy(expr("score_milli DIV 100").as("bucket"))
+      .agg(count(lit(1)).as("n_docs_bin"), sum(col("n")).as("n_words_bin"))
+    val wCum = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins
+      .withColumn("n_docs_kept", sum(col("n_docs_bin")).over(wCum))
+      .withColumn("n_words_kept", sum(col("n_words_bin")).over(wCum))
+      .withColumn("kept_share_bp",
+        expr("n_docs_kept * 10000 DIV sum(n_docs_bin) OVER ()"))
+      .select((col("bucket") * 100).as("thr_milli"), col("n_docs_bin"),
+        col("n_docs_kept"), col("n_words_kept"), col("kept_share_bp"))
+      .orderBy(col("thr_milli"))
+  }
+
   /** Token-budget batch packing — the step between a cleaned corpus and a
     * training run: documents are packed into fixed-token-budget batches.
     * The packing rule is deterministic and relational: within each SOURCE
@@ -1352,6 +1387,7 @@ object TextAnalysis {
     "pipe_mixture_hhi" -> (concentration _),
     "pipe_token_packing" -> (tokenPacking _),
     "pipe_reason_codes" -> (reasonCodes _),
+    "pipe_threshold_sweep" -> (thresholdSweep _),
     "text_repetition" -> (repetitionSignals _),
     "text_ngram_generator" -> (ngramGenerator _),
     "pipe_contamination" -> (contamination _),
@@ -1792,6 +1828,30 @@ object TextAnalysis {
         |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
         |FROM r GROUP BY source, (running - 1) // 500
         |ORDER BY source, batch_id""".stripMargin,
+    "pipe_threshold_sweep" ->
+      """WITH t AS (
+        |  SELECT
+        |    len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n,
+        |    len(list_distinct(
+        |      list_filter(string_split(text, ' '), x -> len(x) > 0))) AS nd
+        |  FROM documents),
+        |s AS (
+        |  SELECT nd * 1000 // n AS score_milli, n FROM t WHERE n > 0),
+        |bins AS (
+        |  SELECT score_milli // 100 AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs_bin,
+        |    CAST(SUM(n) AS BIGINT) AS n_words_bin
+        |  FROM s GROUP BY score_milli // 100)
+        |SELECT CAST(bucket * 100 AS BIGINT) AS thr_milli, n_docs_bin,
+        |  CAST(SUM(n_docs_bin) OVER (ORDER BY bucket DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_docs_kept,
+        |  CAST(SUM(n_words_bin) OVER (ORDER BY bucket DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_words_kept,
+        |  CAST(SUM(n_docs_bin) OVER (ORDER BY bucket DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000
+        |    // SUM(n_docs_bin) OVER () AS BIGINT) AS kept_share_bp
+        |FROM bins
+        |ORDER BY thr_milli""".stripMargin,
     "pipe_reason_codes" ->
       """WITH t AS (
         |  SELECT source, n_chars,

@@ -751,6 +751,25 @@ class OperatorSpec extends SparkSpec {
     assert(out.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("threshold sweep: a proper monotone survival curve that covers the corpus") {
+    val rows = TextAnalysis.thresholdSweep(spark, sf0001).collect()
+    assert(rows.length >= 3, "degenerate sweep — corpus scored into <3 buckets")
+    // ascending thresholds must keep monotonically FEWER docs and words,
+    // the lowest threshold must keep the whole (non-empty-doc) corpus
+    // (share = 10000 bp), and each kept count must equal the sum of the
+    // bins at or above that threshold — the cumulative window done right
+    val byThr = rows.sortBy(_.getAs[Long]("thr_milli"))
+    byThr.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Long]("n_docs_kept") >= hi.getAs[Long]("n_docs_kept"))
+      assert(lo.getAs[Long]("n_words_kept") >= hi.getAs[Long]("n_words_kept"))
+      assert(lo.getAs[Long]("n_docs_kept") ==
+        hi.getAs[Long]("n_docs_kept") + lo.getAs[Long]("n_docs_bin"))
+    }
+    assert(byThr.head.getAs[Long]("kept_share_bp") == 10000L)
+    assert(byThr.head.getAs[Long]("n_docs_kept") ==
+      rows.map(_.getAs[Long]("n_docs_bin")).sum)
+  }
+
   test("hybrid rrf: per-query fusion of both arms with exact integer scores") {
     val out = Similarity.hybridRrf(spark, sf0001).cache()
     val rows = out.collect()
