@@ -333,7 +333,96 @@ object Behavior {
       .orderBy(col("t_days"))
   }
 
+  /** Last-touch attribution — the channel-credit readout marketing runs
+    * on every conversion log: each purchase is credited to the user's
+    * most recent PRIOR touch (click or view, competing), purchases with
+    * no prior touch land in the 'none' bucket, and credit is the
+    * purchase value in integer cents (`floor(value·100)`, the
+    * `win_forward_fill` cents rule — integer-only output, no float
+    * rules). One union-free pass: touches and purchases share the event
+    * relation, a per-user IGNORE NULLS running `last(touch_type)` window
+    * carries the live channel onto every purchase row (the
+    * `win_forward_fill` mechanism applied across event types), then one
+    * |channels|-row hash-agg. The sort key (ts_us, is_purchase,
+    * event_id) is TOTAL, so same-instant touch/purchase pairs resolve
+    * deterministically: the touch sorts first and gets the credit.
+    * Unlike `join_asof_clicks` (which pairs each purchase with one click
+    * and emits pairs), this is the channel-level rollup with competing
+    * touch types and an unattributed bucket.
+    *
+    * Scale: no self-join at all — one window over events partitioned by
+    * user (bounded partitions), one tiny agg. Linear in the log. */
+  def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        when(col("event_type") =!= "purchase", col("event_type")).as("touch_type"),
+        when(col("event_type") === "purchase",
+          floor(col("value") * 100).cast("long")).as("cents"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("is_p"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("is_p"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.withColumn("channel", last(col("touch_type"), ignoreNulls = true).over(w))
+      .filter(col("is_p") === 1)
+      .groupBy(coalesce(col("channel"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("channel"))
+  }
+
+  /** Two-proportion z-test — the A/B experiment readout: users split by
+    * `user_id % 2`, exposure = first 'view', conversion = a purchase
+    * strictly after that first view and within 24 h (a windowed funnel
+    * definition — "any later purchase" converts EVERY exposed user on
+    * this log, collapsing the pooled variance to zero), and the
+    * pooled-variance z statistic
+    * `(p_a−p_b) / √(p̂(1−p̂)(1/n_a+1/n_b))` computed wholly in-plan on a
+    * single aggregated row — the A4 no-driver-scalar stance. Counts are
+    * exact longs; rates are emitted in integer basis points; z is one
+    * IEEE chain on identical operands in both engines, re-rounded to 6
+    * (the catalog's proven cross-engine rule).
+    *
+    * Scale: two bounded hash-aggs (per-user firsts, then the global
+    * 1-row rollup) + one key equi-join — linear, no windows over the raw
+    * log, nothing grows with data but the per-user agg. */
+  def abZtest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val firstView = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("v_us"))
+    val converted = e.filter(col("event_type") === "purchase")
+      .join(firstView, "user_id")
+      .filter(col("ts_us") > col("v_us") &&
+        col("ts_us") <= col("v_us") + lit(86400000000L))
+      .select(col("user_id")).distinct()
+      .withColumn("c", lit(1L))
+    val users = firstView
+      .join(converted, Seq("user_id"), "left")
+      .select((col("user_id") % 2).as("variant"),
+        coalesce(col("c"), lit(0L)).as("converted"))
+    users.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 0, col("converted")).otherwise(0L)).as("conv_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === 1, col("converted")).otherwise(0L)).as("conv_b"))
+      .withColumn("rate_a_bp", expr("conv_a * 10000 DIV n_a"))
+      .withColumn("rate_b_bp", expr("conv_b * 10000 DIV n_b"))
+      .withColumn("p_pool",
+        (col("conv_a") + col("conv_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("z", // degenerate experiment (all or none convert) → NULL
+        when(col("p_pool") > 0.0 && col("p_pool") < 1.0, round(
+          (col("conv_a").cast("double") / col("n_a") -
+            col("conv_b").cast("double") / col("n_b")) /
+            sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6)))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        col("rate_a_bp"), col("rate_b_bp"), col("z"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_attribution"  -> (lastTouchAttribution _),
+    "behavior_ab_ztest"   -> (abZtest _),
     "events_survival_km"  -> (survivalCurve _),
     "events_funnel_windowed" -> (funnelWindowed _),
     "behavior_rfm_segments"  -> (rfmSegments _),
@@ -346,6 +435,56 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CASE WHEN event_type <> 'purchase' THEN event_type END AS touch_type,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100) AS BIGINT) END AS cents,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view', 'purchase')),
+        |a AS (
+        |  SELECT *, last_value(touch_type IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, is_p, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS channel
+        |  FROM e)
+        |SELECT COALESCE(channel, 'none') AS channel,
+        |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        |FROM a WHERE is_p = 1
+        |GROUP BY COALESCE(channel, 'none')
+        |ORDER BY channel""".stripMargin,
+    "behavior_ab_ztest" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |fv AS (
+        |  SELECT user_id, MIN(ts_us) AS v_us FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |conv AS (
+        |  SELECT DISTINCT e.user_id FROM e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > fv.v_us
+        |    AND e.ts_us <= fv.v_us + 86400000000),
+        |u AS (
+        |  SELECT fv.user_id % 2 AS variant,
+        |    CASE WHEN conv.user_id IS NULL THEN 0 ELSE 1 END AS converted
+        |  FROM fv LEFT JOIN conv ON fv.user_id = conv.user_id),
+        |agg AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM u)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  conv_a * 10000 // n_a AS rate_a_bp,
+        |  conv_b * 10000 // n_b AS rate_b_bp,
+        |  CASE WHEN (conv_a + conv_b) > 0 AND (conv_a + conv_b) < (n_a + n_b)
+        |    THEN ROUND((conv_a::DOUBLE / n_a - conv_b::DOUBLE / n_b) /
+        |      sqrt(((conv_a + conv_b)::DOUBLE / (n_a + n_b)) *
+        |        (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b)) *
+        |        (1.0 / n_a + 1.0 / n_b)), 6) END AS z
+        |FROM agg""".stripMargin,
     "events_funnel_windowed" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
