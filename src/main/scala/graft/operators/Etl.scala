@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -306,6 +306,53 @@ object Etl {
     val changes = updates.unionByName(inserts)
     base.join(changes.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
       .unionByName(changes)
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** CDC change-log apply — the Debezium/Delta-CDF consumer next to
+    * `etl_upsert_merge`'s single-batch upsert: a log of (key, lsn, op)
+    * rows with op ∈ {U, D} plus inserts is folded onto the base snapshot
+    * by MAX-LSN-WINS per key, with the three hazards a real applier must
+    * survive engineered into the log:
+    *  - superseded updates (keys %7: U@lsn1 then U@lsn2 — only lsn2's
+    *    values may appear),
+    *  - cross-op ordering (keys %11: D@lsn3, which on keys %77 ALSO have
+    *    both updates — the delete must win, the row must vanish),
+    *  - at-least-once redelivery (keys %13: the same U@lsn1 row shipped
+    *    twice — apply must be idempotent, no double effect).
+    * The fold is one per-key `row_number` over (lsn DESC, tiebreak) —
+    * redelivered duplicates are byte-identical so any deterministic pick
+    * is the same row — then survivors minus deletes union the untouched
+    * base (anti-join). No windows over the base table: the log is
+    * typically ≪ the snapshot, and the base-side work is one key join.
+    *
+    * Scale: shuffle keys are the table key on both sides; the window
+    * runs on the LOG only (partition = key, a handful of rows each);
+    * AQE picks broadcast when a day's log is small. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    def change(filt: Column, lsn: Long, op: String, dPrice: Double) = base
+      .filter(filt)
+      .select(col("o_orderkey"), lit(lsn).as("lsn"), lit(op).as("op"),
+        col("o_custkey"), lit("C").as("o_orderstatus"),
+        (col("o_totalprice") + lit(dPrice)).as("o_totalprice"))
+    val u1 = change(col("o_orderkey") % 7 === 0, 1L, "U", 1.0)
+    val u2 = change(col("o_orderkey") % 7 === 0, 2L, "U", 2.0)
+    val del = change(col("o_orderkey") % 11 === 0, 3L, "D", 0.0)
+    val dup = change(col("o_orderkey") % 13 === 0, 1L, "U", 5.0)
+    val log = u1.unionByName(u2).unionByName(del)
+      .unionByName(dup).unionByName(dup) // shipped twice: at-least-once
+    val w = Window.partitionBy(col("o_orderkey"))
+      .orderBy(col("lsn").desc, col("op"), col("o_totalprice"))
+    val effective = log.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val survivors = effective.filter(col("op") =!= "D")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    base.join(effective.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+      .unionByName(survivors)
       .orderBy(col("o_orderkey"))
   }
 
@@ -627,6 +674,7 @@ object Etl {
     "etl_date_arithmetic" -> (dateArithmetic _),
     "etl_array_hof"      -> (arrayHof _),
     "etl_upsert_merge"   -> (upsertMerge _),
+    "etl_cdc_apply"      -> (cdcApply _),
     "etl_scd2_merge"     -> (scd2Merge _),
     "etl_dedup_first_order" -> (dedupFirstOrder _),
     "etl_dedup_dropdup"     -> (dedupDropDuplicates _),
@@ -820,6 +868,39 @@ object Etl {
         |  year(CAST(o_orderdate AS DATE)) * 4 + quarter(CAST(o_orderdate AS DATE)) AS quarter_idx
         |FROM orders
         |WHERE o_orderkey % 97 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "etl_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |log AS (
+        |  SELECT o_orderkey, 1 AS lsn, 'U' AS op, o_custkey,
+        |    'C' AS o_orderstatus, o_totalprice + 1.0 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'U', o_custkey, 'C', o_totalprice + 2.0
+        |  FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'D', o_custkey, 'C', o_totalprice
+        |  FROM base WHERE o_orderkey % 11 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 1, 'U', o_custkey, 'C', o_totalprice + 5.0
+        |  FROM base WHERE o_orderkey % 13 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 1, 'U', o_custkey, 'C', o_totalprice + 5.0
+        |  FROM base WHERE o_orderkey % 13 = 0),
+        |eff AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+        |      ORDER BY lsn DESC, op, o_totalprice) AS rn
+        |    FROM log)
+        |  WHERE rn = 1)
+        |SELECT * FROM (
+        |  SELECT b.* FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM eff e
+        |                    WHERE e.o_orderkey = b.o_orderkey)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM eff WHERE op <> 'D')
         |ORDER BY o_orderkey""".stripMargin,
     "etl_upsert_merge" ->
       """WITH base AS (

@@ -751,6 +751,27 @@ class OperatorSpec extends SparkSpec {
     assert(out.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("cdc apply: max-lsn wins, deletes remove, redelivery is idempotent") {
+    val base = graft.Tables.orders(spark, sf0001)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val out = Etl.cdcApply(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    base.keys.foreach { k =>
+      if (k % 11 == 0) // delete wins over any same-key updates
+        assert(!out.contains(k), s"deleted key $k survived")
+      else if (k % 7 == 0) // the lsn-2 update supersedes lsn-1 (both kinds)
+        assert(out(k) == base(k) + 2.0,
+          s"superseded update leaked through for $k: ${out(k)}")
+      else if (k % 13 == 0) // shipped twice at lsn 1 — applied exactly once
+        assert(out(k) == base(k) + 5.0,
+          s"redelivered change misapplied for $k: ${out(k)}")
+      else assert(out(k) == base(k), s"untouched key $k changed")
+    }
+    // no phantom keys: output ⊆ base keys (this log inserts nothing)
+    assert(out.keySet.subsetOf(base.keySet))
+  }
+
   test("threshold sweep: a proper monotone survival curve that covers the corpus") {
     val rows = TextAnalysis.thresholdSweep(spark, sf0001).collect()
     assert(rows.length >= 3, "degenerate sweep — corpus scored into <3 buckets")
