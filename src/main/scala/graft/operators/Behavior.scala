@@ -420,7 +420,75 @@ object Behavior {
         col("rate_a_bp"), col("rate_b_bp"), col("z"))
   }
 
+  /** CUPED — variance-reduced experiment readout (Deng et al., WSDM'13),
+    * the production companion to `behavior_ab_ztest`: each exposed user's
+    * post-exposure purchase cents (y) are adjusted by their PRE-exposure
+    * purchase cents (x, the covariate the variant cannot have caused),
+    * shrinking variance by the x–y correlation. Everything reduces to ONE
+    * global aggregate row of exact integer sums (n, Σx, Σy, Σxy, Σx²,
+    * Σy², per-arm n/Σx/Σy — cents are longs, so every sum is exact and
+    * < 2⁵³ at any plausible SF; an extreme-scale deployment lifts the
+    * moment sums to decimal(38)):
+    *   θ = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)   (pooled OLS slope)
+    *   diff_cuped = diff_raw − θ·(x̄_a − x̄_b)
+    *   var_red_bp = ⌊10000·ρ²⌋, the guaranteed variance-reduction share.
+    * All ratios are IEEE arithmetic on identical operands (the proven
+    * cross-engine rule), re-rounded to 6; degenerate covariate (zero
+    * variance) → θ NULL, CUPED falls back to the raw diff.
+    *
+    * Scale: one per-user hash-agg over the log, then a 1-row global agg
+    * (A4 stance) — no windows, no second pass, nothing driver-side. */
+  def cuped(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val firstView = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("v_us"))
+    val perUser = e.filter(col("event_type") === "purchase")
+      .join(firstView, "user_id")
+      .groupBy(col("user_id"), col("v_us"))
+      .agg(
+        sum(when(col("ts_us") < col("v_us"), col("cents")).otherwise(0L)).as("x0"),
+        sum(when(col("ts_us") > col("v_us"), col("cents")).otherwise(0L)).as("y0"))
+    val users = firstView.join(perUser.drop("v_us"), Seq("user_id"), "left")
+      .select((col("user_id") % 2).as("variant"),
+        coalesce(col("x0"), lit(0L)).as("x"), coalesce(col("y0"), lit(0L)).as("y"))
+    val s = users.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === 0, col("x")).otherwise(0L)).as("sx_a"),
+      sum(when(col("variant") === 0, col("y")).otherwise(0L)).as("sy_a"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === 1, col("x")).otherwise(0L)).as("sx_b"),
+      sum(when(col("variant") === 1, col("y")).otherwise(0L)).as("sy_b"))
+    val covN = col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")
+    val varXN = col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")
+    val varYN = col("n").cast("double") * col("syy") - col("sy").cast("double") * col("sy")
+    s.withColumn("theta", when(varXN > 0.0, round(covN / varXN, 6)))
+      .withColumn("diff_raw", round(
+        col("sy_a").cast("double") / col("n_a") -
+          col("sy_b").cast("double") / col("n_b"), 6))
+      .withColumn("diff_cuped", when(varXN > 0.0, round(
+        (col("sy_a").cast("double") / col("n_a") -
+          col("sy_b").cast("double") / col("n_b")) -
+          (covN / varXN) *
+            (col("sx_a").cast("double") / col("n_a") -
+              col("sx_b").cast("double") / col("n_b")), 6))
+        .otherwise(col("diff_raw")))
+      .withColumn("var_red_bp",
+        when(varXN > 0.0 && varYN > 0.0,
+          floor(lit(10000.0) * covN * covN / (varXN * varYN)).cast("long"))
+          .otherwise(lit(0L)))
+      .select(col("n_a"), col("n_b"), col("theta"), col("diff_raw"),
+        col("diff_cuped"), col("var_red_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "behavior_cuped"      -> (cuped _),
     "events_attribution"  -> (lastTouchAttribution _),
     "behavior_ab_ztest"   -> (abZtest _),
     "events_survival_km"  -> (survivalCurve _),
@@ -435,6 +503,56 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    "behavior_cuped" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |fv AS (
+        |  SELECT user_id, MIN(ts_us) AS v_us FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |pu AS (
+        |  SELECT e.user_id,
+        |    SUM(CASE WHEN e.ts_us < fv.v_us THEN cents ELSE 0 END) AS x0,
+        |    SUM(CASE WHEN e.ts_us > fv.v_us THEN cents ELSE 0 END) AS y0
+        |  FROM e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        |u AS (
+        |  SELECT fv.user_id % 2 AS variant,
+        |    COALESCE(x0, 0) AS x, COALESCE(y0, 0) AS y
+        |  FROM fv LEFT JOIN pu ON fv.user_id = pu.user_id),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy,
+        |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+        |    CAST(SUM(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b
+        |  FROM u)
+        |SELECT n_a, n_b,
+        |  CASE WHEN (n::DOUBLE * sxx - sx::DOUBLE * sx) > 0
+        |    THEN ROUND((n::DOUBLE * sxy - sx::DOUBLE * sy) /
+        |      (n::DOUBLE * sxx - sx::DOUBLE * sx), 6) END AS theta,
+        |  ROUND(sy_a::DOUBLE / n_a - sy_b::DOUBLE / n_b, 6) AS diff_raw,
+        |  CASE WHEN (n::DOUBLE * sxx - sx::DOUBLE * sx) > 0
+        |    THEN ROUND((sy_a::DOUBLE / n_a - sy_b::DOUBLE / n_b) -
+        |      ((n::DOUBLE * sxy - sx::DOUBLE * sy) /
+        |        (n::DOUBLE * sxx - sx::DOUBLE * sx)) *
+        |      (sx_a::DOUBLE / n_a - sx_b::DOUBLE / n_b), 6)
+        |    ELSE ROUND(sy_a::DOUBLE / n_a - sy_b::DOUBLE / n_b, 6)
+        |  END AS diff_cuped,
+        |  CASE WHEN (n::DOUBLE * sxx - sx::DOUBLE * sx) > 0
+        |        AND (n::DOUBLE * syy - sy::DOUBLE * sy) > 0
+        |    THEN CAST(floor(10000.0 * (n::DOUBLE * sxy - sx::DOUBLE * sy)
+        |      * (n::DOUBLE * sxy - sx::DOUBLE * sy) /
+        |      ((n::DOUBLE * sxx - sx::DOUBLE * sx)
+        |        * (n::DOUBLE * syy - sy::DOUBLE * sy))) AS BIGINT)
+        |    ELSE 0 END AS var_red_bp
+        |FROM s""".stripMargin,
     "events_attribution" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
