@@ -487,7 +487,88 @@ object Behavior {
         col("diff_cuped"), col("var_red_bp"))
   }
 
+  /** Linear multi-touch attribution — the fairness-minded counterpart of
+    * `events_attribution`'s last-touch rule: every click/view in the 24 h
+    * BEFORE a purchase shares that purchase's credit equally. Credit is
+    * EXACTLY CONSERVED in integer micro-cents: each touch gets
+    * `cents·10⁶ DIV k` and the division remainder goes to the most recent
+    * touch (a deterministic tie-break, not a float) — so the per-channel
+    * rollup sums to precisely the purchased total, the reconciliation
+    * property finance asks of an attribution report. Purchases with no
+    * in-window touch carry their full credit in the 'none' bucket.
+    *
+    * Shape: one per-user equi-join (purchases × touches) with the 24 h
+    * lookback as a residual range predicate — per-user blocks bound the
+    * candidate volume exactly like the as-of family — then per-purchase
+    * count/rank windows and a |channels|-row hash-agg.
+    *
+    * Scale: everything keys on user_id; no global window, no self-join
+    * beyond the bounded per-user block. */
+  def linearAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val touches = e.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id").as("t_uid"), col("ts_us").as("t_us"),
+        col("event_id").as("t_eid"), col("event_type").as("touch_type"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("p_us"),
+        col("event_id").as("p_eid"), col("cents"))
+    // the 24 h lookback lives IN the join condition: a purchase whose user
+    // has touches but none in-window must still surface as the null row —
+    // a post-join range filter would silently drop it instead
+    val cand = purchases.join(touches,
+      col("user_id") === col("t_uid") &&
+        col("t_us") < col("p_us") &&
+        col("t_us") >= col("p_us") - lit(86400000000L),
+      "left")
+    val wp = Window.partitionBy(col("p_eid"))
+    val wr = wp.orderBy(col("t_us").desc, col("t_eid").desc)
+    val ranked = cand
+      .withColumn("k", count(col("t_eid")).over(wp))
+      .withColumn("rn", row_number().over(wr))
+    val credited = ranked.withColumn("credit_micro",
+      when(col("k") === 0, col("cents") * lit(1000000L))
+        .otherwise(expr("cents * 1000000 DIV k") +
+          when(col("rn") === 1, expr("(cents * 1000000) % k")).otherwise(lit(0L))))
+    credited
+      .groupBy(coalesce(col("touch_type"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_credits"), sum(col("credit_micro")).as("credit_micro"))
+      .orderBy(col("channel"))
+  }
+
+  /** Sample-ratio mismatch check — the validity gate every experiment
+    * platform runs BEFORE reading `behavior_ab_ztest`: a 50/50 split whose
+    * realized arm sizes deviate beyond chance means broken bucketing, and
+    * every downstream readout is invalid. One-degree chi-square against
+    * the designed ratio: χ² = Σ(observed−expected)²/expected over the two
+    * arms, flagged at the 3.841 critical value (p < 0.05). Exposure is
+    * the same first-'view' relation the z-test reads, so the two entries
+    * audit the same population. Counts exact; χ² is IEEE on identical
+    * operands, re-rounded to 6; the flag compares that identical double.
+    *
+    * Scale: one per-user hash-agg + a 1-row global rollup — A4 stance,
+    * nothing driver-side. */
+  def srmCheck(spark: SparkSession, dir: String): DataFrame = {
+    val firstView = Tables.events(spark, dir)
+      .filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      .select((col("user_id") % 2).as("variant"))
+    val s = firstView.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"))
+    val e = (col("n_a") + col("n_b")).cast("double") / 2.0
+    val chi2 = (col("n_a") - e) * (col("n_a") - e) / e +
+      (col("n_b") - e) * (col("n_b") - e) / e
+    s.withColumn("chi2", round(chi2, 6))
+      .withColumn("srm_flag", (chi2 > 3.841).cast("long"))
+      .select(col("n_a"), col("n_b"), col("chi2"), col("srm_flag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_attribution_linear" -> (linearAttribution _),
+    "behavior_srm_check"  -> (srmCheck _),
     "behavior_cuped"      -> (cuped _),
     "events_attribution"  -> (lastTouchAttribution _),
     "behavior_ab_ztest"   -> (abZtest _),
@@ -503,6 +584,60 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_attribution_linear" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |t AS (
+        |  SELECT user_id AS t_uid, ts_us AS t_us, event_id AS t_eid,
+        |    event_type AS touch_type
+        |  FROM e WHERE event_type IN ('click', 'view')),
+        |p AS (
+        |  SELECT user_id, ts_us AS p_us, event_id AS p_eid, cents
+        |  FROM e WHERE event_type = 'purchase'),
+        |cand AS (
+        |  SELECT p.p_eid, p.cents, t.t_eid, t.t_us, t.touch_type
+        |  FROM p LEFT JOIN t ON p.user_id = t.t_uid
+        |    AND t.t_us < p.p_us AND t.t_us >= p.p_us - 86400000000),
+        |ranked AS (
+        |  SELECT *, COUNT(t_eid) OVER (PARTITION BY p_eid) AS k,
+        |    ROW_NUMBER() OVER (PARTITION BY p_eid
+        |      ORDER BY t_us DESC, t_eid DESC) AS rn
+        |  FROM cand),
+        |credited AS (
+        |  SELECT COALESCE(touch_type, 'none') AS channel,
+        |    CASE WHEN k = 0 THEN cents * 1000000
+        |      ELSE cents * 1000000 // k
+        |        + CASE WHEN rn = 1 THEN (cents * 1000000) % k ELSE 0 END
+        |    END AS credit_micro
+        |  FROM ranked)
+        |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_credits,
+        |  CAST(SUM(credit_micro) AS BIGINT) AS credit_micro
+        |FROM credited GROUP BY channel
+        |ORDER BY channel""".stripMargin,
+    "behavior_srm_check" ->
+      """WITH fv AS (
+        |  SELECT user_id % 2 AS variant FROM (
+        |    SELECT user_id, MIN(ts) FROM events
+        |    WHERE event_type = 'view' GROUP BY user_id)),
+        |s AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM fv)
+        |SELECT n_a, n_b,
+        |  ROUND((n_a - (n_a + n_b)::DOUBLE / 2.0) * (n_a - (n_a + n_b)::DOUBLE / 2.0)
+        |      / ((n_a + n_b)::DOUBLE / 2.0)
+        |    + (n_b - (n_a + n_b)::DOUBLE / 2.0) * (n_b - (n_a + n_b)::DOUBLE / 2.0)
+        |      / ((n_a + n_b)::DOUBLE / 2.0), 6) AS chi2,
+        |  CAST(CASE WHEN
+        |    (n_a - (n_a + n_b)::DOUBLE / 2.0) * (n_a - (n_a + n_b)::DOUBLE / 2.0)
+        |      / ((n_a + n_b)::DOUBLE / 2.0)
+        |    + (n_b - (n_a + n_b)::DOUBLE / 2.0) * (n_b - (n_a + n_b)::DOUBLE / 2.0)
+        |      / ((n_a + n_b)::DOUBLE / 2.0) > 3.841
+        |    THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+        |FROM s""".stripMargin,
     "behavior_cuped" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,

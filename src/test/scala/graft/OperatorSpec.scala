@@ -751,6 +751,22 @@ class OperatorSpec extends SparkSpec {
     assert(out.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("linear attribution conserves credit exactly and buckets touchless purchases") {
+    import graft.operators.Behavior
+    val totalMicro = graft.Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .select((floor(col("value") * 100).cast("long") * 1000000L).as("m"))
+      .agg(sum(col("m"))).collect()(0).getLong(0)
+    val rows = Behavior.linearAttribution(spark, sf0001).collect()
+    // the reconciliation property: per-channel credit sums to EXACTLY the
+    // purchased total — integer DIV splitting with the remainder pinned to
+    // the most recent touch loses nothing
+    assert(rows.map(_.getAs[Long]("credit_micro")).sum == totalMicro,
+      "credit not conserved across channels")
+    val channels = rows.map(_.getAs[String]("channel")).toSet
+    assert(channels.subsetOf(Set("click", "view", "none")), s"channels $channels")
+  }
+
   test("cdc apply: max-lsn wins, deletes remove, redelivery is idempotent") {
     val base = graft.Tables.orders(spark, sf0001)
       .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
