@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -725,7 +725,40 @@ object Aggregates {
       .orderBy(col("bin"))
   }
 
+  /** Benford first-digit audit — the classic fraud / fabricated-data
+    * screen: naturally-occurring multi-magnitude amounts follow
+    * P(d) = log₁₀(1+1/d), and a ledger that deviates hard was touched.
+    * The leading digit comes from the INTEGER cents' decimal string
+    * (bigint→string is exact and engine-identical; no float formatting,
+    * no log10 libm call anywhere) and the expected shares are hardcoded
+    * per-hundred-thousand literals (30103, 17609, … — they sum to
+    * exactly 100000), so the whole audit is integer arithmetic: observed
+    * share via DIV, absolute deviation in the same 10⁻⁵ units. One
+    * 9-group hash-agg + a broadcast 1-row total; nothing grows with the
+    * ledger but the scan. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val expected: Column = // log10(1 + 1/d) in 1e-5 units, exact literals
+      map(Seq(1 -> 30103, 2 -> 17609, 3 -> 12494, 4 -> 9691, 5 -> 7918,
+        6 -> 6695, 7 -> 5799, 8 -> 5115, 9 -> 4576)
+        .flatMap { case (d, e) => Seq(lit(d), lit(e)) }: _*)
+    val digits = Tables.orders(spark, dir)
+      .select(substring(floor(col("o_totalprice") * 100).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_orders"))
+    val total = digits.agg(sum(col("n_orders")).as("n_total"))
+    digits.crossJoin(broadcast(total))
+      .withColumn("share_e5", expr("n_orders * 100000 DIV n_total"))
+      .withColumn("expected_e5", element_at(expected, col("digit")).cast("long"))
+      .withColumn("dev_e5",
+        abs(col("share_e5") - col("expected_e5")))
+      .select(col("digit").cast("long").as("digit"), col("n_orders"),
+        col("share_e5"), col("expected_e5"), col("dev_e5"))
+      .orderBy(col("digit"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_benford_audit" -> (benfordAudit _),
     "agg_psi_drift" -> (psiDrift _),
     "agg_dp_counts" -> (dpCounts _),
     "agg_basket_pairs" -> (basketPairs _),
@@ -756,6 +789,26 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_benford_audit" ->
+      """WITH digits AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM orders
+        |  GROUP BY 1),
+        |total AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS n_total FROM digits),
+        |exp_tab AS (
+        |  SELECT * FROM (VALUES (1, 30103), (2, 17609), (3, 12494), (4, 9691),
+        |    (5, 7918), (6, 6695), (7, 5799), (8, 5115), (9, 4576))
+        |    AS t(digit, expected_e5))
+        |SELECT CAST(d.digit AS BIGINT) AS digit, d.n_orders,
+        |  d.n_orders * 100000 // t.n_total AS share_e5,
+        |  CAST(e.expected_e5 AS BIGINT) AS expected_e5,
+        |  abs(d.n_orders * 100000 // t.n_total - e.expected_e5) AS dev_e5
+        |FROM digits d
+        |JOIN exp_tab e ON d.digit = e.digit
+        |CROSS JOIN total t
+        |ORDER BY digit""".stripMargin,
     "agg_psi_drift" ->
       """WITH b AS (
         |  SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 9) AS bin,

@@ -1210,6 +1210,126 @@ object TextAnalysis {
       .orderBy(col("source"), col("reason"))
   }
 
+  /** Exact-decimal feature/label rows for the relational LR trainer:
+    * raw features f1 = type-token ratio, f2 = stopword ratio (round-6 of
+    * one IEEE division of exact longs → DECIMAL, the module lattice
+    * rule), then STANDARDIZED in-plan — one 1-row moment aggregate
+    * (exact decimal Σf, Σf²) broadcast back, z = (f−μ)/σ re-rounded to 6
+    * and re-lifted. Unstandardized GD stalls here (simulated: 3 steps at
+    * any rate leave the all-negative predictor; z-scored, the same 3
+    * steps reach ~93% accuracy) — the textbook conditioning lesson,
+    * reproduced relationally. Label y = 1 iff the doc has ≥ 55 words:
+    * length is NOT among the features, so the model genuinely learns the
+    * diversity→length anticorrelation (long docs repeat vocabulary)
+    * rather than re-deriving a rule of its own inputs. */
+  private def lrDocs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(tokens(col("text")), t => length(t) > 0)
+    val raw = Tables.documents(spark, dir)
+      .select(size(toks).cast("long").as("n"),
+        size(array_distinct(toks)).cast("long").as("nd"),
+        size(filter(toks, t => t.isin("the", "a"))).cast("long").as("n_stop"))
+      .filter(col("n") > 0)
+      .select(
+        round(col("nd").cast("double") / col("n"), 6).cast("decimal(18,6)").as("f1r"),
+        round(col("n_stop").cast("double") / col("n"), 6).cast("decimal(18,6)").as("f2r"),
+        when(col("n") >= 55, lit(BigDecimal(1).setScale(6)))
+          .otherwise(lit(BigDecimal(0).setScale(6)))
+          .cast("decimal(18,6)").as("y"))
+    val stats = raw.agg(count(lit(1)).as("m"),
+      sum(col("f1r")).as("s1"), sum(col("f1r") * col("f1r")).as("s11"),
+      sum(col("f2r")).as("s2"), sum(col("f2r") * col("f2r")).as("s22"))
+    def zscore(f: String, s: String, ss: String) = {
+      val mean = col(s).cast("double") / col("m")
+      val variance = col(ss).cast("double") / col("m") - mean * mean
+      when(variance > 0.0,
+        round((col(f).cast("double") - mean) / sqrt(variance), 6))
+        .otherwise(lit(0.0)) // constant feature carries no signal
+        .cast("decimal(18,6)")
+    }
+    raw.crossJoin(broadcast(stats))
+      .select(zscore("f1r", "s1", "s11").as("f1"),
+        zscore("f2r", "s2", "s22").as("f2"), col("y"))
+  }
+
+  /** Per-doc sigmoid scores under a broadcast 1-row weight relation:
+    * z = w0 + w1·f1 + w2·f2 is an EXACT decimal sum; the sigmoid is one
+    * libm exp + IEEE division, re-rounded to 6 and re-lifted (the
+    * survival-curve ln()/exp lattice rule), so every downstream gradient
+    * sum is again exact decimal arithmetic. */
+  private def lrScore(docs: DataFrame, w: DataFrame): DataFrame =
+    docs.crossJoin(broadcast(w))
+      .withColumn("z",
+        (col("w0") + col("w1") * col("f1") + col("w2") * col("f2")).cast("double"))
+      .withColumn("p",
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).cast("decimal(18,6)"))
+
+  /** One full-batch gradient-descent step at learning rate 2.0 (chosen by
+    * offline simulation on the standardized features; see lrDocs):
+    * gradient components are exact decimal sums of (p−y)·f, the update is
+    * one IEEE multiply/divide chain re-rounded to 6 — the returned
+    * relation is the next 1-row weight vector, exactly replayable by the
+    * oracle. */
+  private def lrStep(docs: DataFrame, w: DataFrame): DataFrame = {
+    val g = lrScore(docs, w)
+      .withColumn("r", col("p") - col("y"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("r")).as("g0"),
+        sum(col("r") * col("f1")).as("g1"),
+        sum(col("r") * col("f2")).as("g2"))
+    def upd(wc: String, gc: String) =
+      round(col(wc).cast("double") - lit(2.0) * col(gc).cast("double") / col("m"), 6)
+        .cast("decimal(18,6)").as(wc)
+    w.crossJoin(broadcast(g))
+      .select(upd("w0", "g0"), upd("w1", "g1"), upd("w2", "g2"))
+      .cache() // 1 row — but consumed TWICE downstream (next step's scoring
+               // AND its update), so an uncached chain re-derives every
+               // earlier step: 2^K corpus scans for K steps (8 observed at
+               // K=3 in the plan fingerprint). Memoizing each step makes
+               // the fit the K+1 linear passes batch GD is supposed to be.
+  }
+
+  /** Relational logistic regression — a fastText-style doc classifier
+    * TRAINED inside the engine: in-plan feature standardization, then
+    * three unrolled full-batch GD steps over (type-token ratio, stopword
+    * ratio) → P(doc ≥ 55 words) — the `text_bpe_merges` unrolled-trainer
+    * pattern applied to model fitting, with the conditioning lesson live
+    * (see lrDocs: unstandardized, the identical 3 steps stay degenerate;
+    * z-scored they reach ~93%/~91% accuracy at sf0.01/0.1 with w1
+    * strongly negative — lexical diversity anticorrelates with length).
+    * Zero-initialized weights make step 1's sigmoid EXACTLY 0.500000 in
+    * both engines (no libm involved at the start), and every later step
+    * re-enters the decimal lattice through round-6, so the whole fit —
+    * weights AND the confusion counts of the final model at threshold
+    * 0.5 — hash-matches the DuckDB oracle that replays the identical
+    * standardization and three steps as a CTE chain. Output: final
+    * weights (round-6 doubles) + n_docs / n_pos_label / n_pos_pred /
+    * n_correct (exact longs).
+    *
+    * Scale: each step is ONE corpus hash-agg producing a 1-row gradient
+    * (map-side partials collapse everything before the shuffle) plus a
+    * broadcast of 3 numbers back — the classic data-parallel batch-GD
+    * layout; K steps = K linear passes, nothing driver-side, nothing
+    * that grows with the corpus but the scan. */
+  def qualityLr(spark: SparkSession, dir: String): DataFrame = {
+    val docs = lrDocs(spark, dir)
+      .cache() // scanned by 3 GD steps + the final evaluation pass
+    val zero = lit(BigDecimal(0).setScale(6)).cast("decimal(18,6)")
+    val w0 = docs.sparkSession.range(1)
+      .select(zero.as("w0"), zero.as("w1"), zero.as("w2"))
+    val wFinal = lrStep(docs, lrStep(docs, lrStep(docs, w0)))
+    lrScore(docs, wFinal)
+      .withColumn("pred",
+        (col("p") >= lit(BigDecimal("0.5").setScale(6))).cast("long"))
+      .agg(
+        first(round(col("w0").cast("double"), 6)).as("w0"),
+        first(round(col("w1").cast("double"), 6)).as("w1"),
+        first(round(col("w2").cast("double"), 6)).as("w2"),
+        count(lit(1)).as("n_docs"),
+        sum(col("y").cast("long")).as("n_pos_label"),
+        sum(col("pred")).as("n_pos_pred"),
+        sum((col("pred") === col("y").cast("long")).cast("long")).as("n_correct"))
+  }
+
   /** Filter-threshold calibration sweep — the curve a corpus curator reads
     * BEFORE picking a quality cutoff (the FineWeb/Gopher methodology:
     * sweep the threshold, look at what survives, then freeze it). Score =
@@ -1388,6 +1508,7 @@ object TextAnalysis {
     "pipe_token_packing" -> (tokenPacking _),
     "pipe_reason_codes" -> (reasonCodes _),
     "pipe_threshold_sweep" -> (thresholdSweep _),
+    "pipe_quality_lr" -> (qualityLr _),
     "text_repetition" -> (repetitionSignals _),
     "text_ngram_generator" -> (ngramGenerator _),
     "pipe_contamination" -> (contamination _),
@@ -1828,6 +1949,89 @@ object TextAnalysis {
         |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
         |FROM r GROUP BY source, (running - 1) // 500
         |ORDER BY source, batch_id""".stripMargin,
+    "pipe_quality_lr" ->
+      """WITH raw AS (
+        |  SELECT CAST(ROUND(nd::DOUBLE / n, 6) AS DECIMAL(18,6)) AS f1r,
+        |    CAST(ROUND(n_stop::DOUBLE / n, 6) AS DECIMAL(18,6)) AS f2r,
+        |    CAST(CASE WHEN n >= 55 THEN 1.000000 ELSE 0.000000 END
+        |      AS DECIMAL(18,6)) AS y
+        |  FROM (
+        |    SELECT
+        |      len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n,
+        |      len(list_distinct(
+        |        list_filter(string_split(text, ' '), x -> len(x) > 0))) AS nd,
+        |      len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the', 'a'))) AS n_stop
+        |    FROM documents)
+        |  WHERE n > 0),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |  SUM(f1r) AS s1, SUM(f1r * f1r) AS s11,
+        |  SUM(f2r) AS s2, SUM(f2r * f2r) AS s22 FROM raw),
+        |d AS (
+        |  SELECT
+        |    CAST(CASE WHEN (s11::DOUBLE / m - (s1::DOUBLE / m) * (s1::DOUBLE / m)) > 0
+        |      THEN ROUND((f1r::DOUBLE - s1::DOUBLE / m) /
+        |        sqrt(s11::DOUBLE / m - (s1::DOUBLE / m) * (s1::DOUBLE / m)), 6)
+        |      ELSE 0.0 END AS DECIMAL(18,6)) AS f1,
+        |    CAST(CASE WHEN (s22::DOUBLE / m - (s2::DOUBLE / m) * (s2::DOUBLE / m)) > 0
+        |      THEN ROUND((f2r::DOUBLE - s2::DOUBLE / m) /
+        |        sqrt(s22::DOUBLE / m - (s2::DOUBLE / m) * (s2::DOUBLE / m)), 6)
+        |      ELSE 0.0 END AS DECIMAL(18,6)) AS f2,
+        |    y
+        |  FROM raw, st),
+        |wa AS (SELECT CAST(0.000000 AS DECIMAL(18,6)) AS w0,
+        |  CAST(0.000000 AS DECIMAL(18,6)) AS w1,
+        |  CAST(0.000000 AS DECIMAL(18,6)) AS w2),
+        |pa AS (
+        |  SELECT d.*, CAST(ROUND(1.0 / (1.0 +
+        |    exp(-((w.w0 + w.w1 * d.f1 + w.w2 * d.f2)::DOUBLE))), 6)
+        |    AS DECIMAL(18,6)) AS p
+        |  FROM d, wa w),
+        |ga AS (SELECT COUNT(*) AS m, SUM(p - y) AS g0,
+        |  SUM((p - y) * f1) AS g1, SUM((p - y) * f2) AS g2 FROM pa),
+        |wb AS (SELECT
+        |  CAST(ROUND(w.w0::DOUBLE - 2.0 * g.g0::DOUBLE / g.m, 6) AS DECIMAL(18,6)) AS w0,
+        |  CAST(ROUND(w.w1::DOUBLE - 2.0 * g.g1::DOUBLE / g.m, 6) AS DECIMAL(18,6)) AS w1,
+        |  CAST(ROUND(w.w2::DOUBLE - 2.0 * g.g2::DOUBLE / g.m, 6) AS DECIMAL(18,6)) AS w2
+        |  FROM wa w, ga g),
+        |pb AS (
+        |  SELECT d.*, CAST(ROUND(1.0 / (1.0 +
+        |    exp(-((w.w0 + w.w1 * d.f1 + w.w2 * d.f2)::DOUBLE))), 6)
+        |    AS DECIMAL(18,6)) AS p
+        |  FROM d, wb w),
+        |gb AS (SELECT COUNT(*) AS m, SUM(p - y) AS g0,
+        |  SUM((p - y) * f1) AS g1, SUM((p - y) * f2) AS g2 FROM pb),
+        |wc AS (SELECT
+        |  CAST(ROUND(w.w0::DOUBLE - 2.0 * g.g0::DOUBLE / g.m, 6) AS DECIMAL(18,6)) AS w0,
+        |  CAST(ROUND(w.w1::DOUBLE - 2.0 * g.g1::DOUBLE / g.m, 6) AS DECIMAL(18,6)) AS w1,
+        |  CAST(ROUND(w.w2::DOUBLE - 2.0 * g.g2::DOUBLE / g.m, 6) AS DECIMAL(18,6)) AS w2
+        |  FROM wb w, gb g),
+        |pc AS (
+        |  SELECT d.*, CAST(ROUND(1.0 / (1.0 +
+        |    exp(-((w.w0 + w.w1 * d.f1 + w.w2 * d.f2)::DOUBLE))), 6)
+        |    AS DECIMAL(18,6)) AS p
+        |  FROM d, wc w),
+        |gc AS (SELECT COUNT(*) AS m, SUM(p - y) AS g0,
+        |  SUM((p - y) * f1) AS g1, SUM((p - y) * f2) AS g2 FROM pc),
+        |wd AS (SELECT
+        |  CAST(ROUND(w.w0::DOUBLE - 2.0 * g.g0::DOUBLE / g.m, 6) AS DECIMAL(18,6)) AS w0,
+        |  CAST(ROUND(w.w1::DOUBLE - 2.0 * g.g1::DOUBLE / g.m, 6) AS DECIMAL(18,6)) AS w1,
+        |  CAST(ROUND(w.w2::DOUBLE - 2.0 * g.g2::DOUBLE / g.m, 6) AS DECIMAL(18,6)) AS w2
+        |  FROM wc w, gc g),
+        |pe AS (
+        |  SELECT d.*, CAST(ROUND(1.0 / (1.0 +
+        |    exp(-((w.w0 + w.w1 * d.f1 + w.w2 * d.f2)::DOUBLE))), 6)
+        |    AS DECIMAL(18,6)) AS p
+        |  FROM d, wd w)
+        |SELECT ROUND(w.w0::DOUBLE, 6) AS w0, ROUND(w.w1::DOUBLE, 6) AS w1,
+        |  ROUND(w.w2::DOUBLE, 6) AS w2,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_pos_label,
+        |  CAST(SUM(CASE WHEN p >= 0.500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_pred,
+        |  CAST(SUM(CASE WHEN (CASE WHEN p >= 0.500000 THEN 1 ELSE 0 END)
+        |    = CAST(y AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |FROM pe, wd w
+        |GROUP BY w.w0, w.w1, w.w2""".stripMargin,
     "pipe_threshold_sweep" ->
       """WITH t AS (
         |  SELECT

@@ -751,6 +751,24 @@ class OperatorSpec extends SparkSpec {
     assert(out.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("relational LR learns a real separator, not the majority class") {
+    // 3 GD steps on standardized features must beat the base rate by a
+    // wide margin AND predict both classes — the degenerate all-negative
+    // model (which unstandardized GD produces) scores ~51% here
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val r = TextAnalysis.qualityLr(spark, dir).collect()(0)
+      val (nDocs, nPos, nPred, nCorrect) =
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_pos_label"),
+          r.getAs[Long]("n_pos_pred"), r.getAs[Long]("n_correct"))
+      assert(nCorrect.toDouble / nDocs >= 0.85,
+        s"accuracy ${nCorrect.toDouble / nDocs} at $dir")
+      assert(nPred > 0 && nPred < nDocs, s"one-class predictor at $dir")
+      assert(nPos > 0 && nPos < nDocs, s"degenerate label at $dir")
+      // the learned direction: lexical diversity anticorrelates with length
+      assert(r.getAs[Double]("w1") < -0.5, s"w1 ${r.getAs[Double]("w1")} at $dir")
+    }
+  }
+
   test("linear attribution conserves credit exactly and buckets touchless purchases") {
     import graft.operators.Behavior
     val totalMicro = graft.Tables.events(spark, sf0001)
