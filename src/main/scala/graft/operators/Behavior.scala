@@ -538,6 +538,58 @@ object Behavior {
       .orderBy(col("channel"))
   }
 
+  /** Welch's t-test on a CONTINUOUS metric — post-exposure revenue cents
+    * per exposed user — completing the readout suite: `behavior_ab_ztest`
+    * handles the binary conversion metric, this the unequal-variance mean
+    * comparison (Welch, the default over Student since arm variances
+    * never match in practice), `behavior_cuped` the variance-reduced
+    * variant, `behavior_srm_check` the validity gate. t, the per-arm
+    * means, and the Welch–Satterthwaite degrees of freedom all derive
+    * from one aggregated row of exact integer sums (n, Σy, Σy² per arm);
+    * sample variances use the n−1 form; every ratio is IEEE on identical
+    * operands re-rounded to 6. Degenerate arms (zero variance in both)
+    * → NULL t rather than a division error.
+    *
+    * Scale: per-user hash-agg + 1-row rollup, the A4 stance. */
+  def welchTtest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val firstView = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("v_us"))
+    val perUser = e.filter(col("event_type") === "purchase")
+      .join(firstView, "user_id")
+      .filter(col("ts_us") > col("v_us"))
+      .groupBy(col("user_id")).agg(sum(col("cents")).as("y0"))
+    val users = firstView.join(perUser, Seq("user_id"), "left")
+      .select((col("user_id") % 2).as("variant"),
+        coalesce(col("y0"), lit(0L)).as("y"))
+    val s = users.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === 0, col("y")).otherwise(0L)).as("sy_a"),
+      sum(when(col("variant") === 0, col("y") * col("y")).otherwise(0L)).as("syy_a"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === 1, col("y")).otherwise(0L)).as("sy_b"),
+      sum(when(col("variant") === 1, col("y") * col("y")).otherwise(0L)).as("syy_b"))
+    def meanC(sy: String, n: String) = col(sy).cast("double") / col(n)
+    // sample variance, n−1 form: (Σy² − (Σy)²/n) / (n−1)
+    def varC(syy: String, sy: String, n: String) =
+      (col(syy).cast("double") - col(sy).cast("double") * col(sy) / col(n)) /
+        (col(n) - lit(1L))
+    val se2a = varC("syy_a", "sy_a", "n_a") / col("n_a")
+    val se2b = varC("syy_b", "sy_b", "n_b") / col("n_b")
+    s.withColumn("mean_a", round(meanC("sy_a", "n_a"), 6))
+      .withColumn("mean_b", round(meanC("sy_b", "n_b"), 6))
+      .withColumn("t", when(se2a + se2b > 0.0, round(
+        (meanC("sy_a", "n_a") - meanC("sy_b", "n_b")) / sqrt(se2a + se2b), 6)))
+      .withColumn("df_welch", when(se2a + se2b > 0.0, round(
+        (se2a + se2b) * (se2a + se2b) /
+          (se2a * se2a / (col("n_a") - lit(1L)) +
+            se2b * se2b / (col("n_b") - lit(1L))), 6)))
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        col("t"), col("df_welch"))
+  }
+
   /** Sample-ratio mismatch check — the validity gate every experiment
     * platform runs BEFORE reading `behavior_ab_ztest`: a 50/50 split whose
     * realized arm sizes deviate beyond chance means broken bucketing, and
@@ -568,6 +620,7 @@ object Behavior {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_attribution_linear" -> (linearAttribution _),
+    "behavior_ttest_revenue" -> (welchTtest _),
     "behavior_srm_check"  -> (srmCheck _),
     "behavior_cuped"      -> (cuped _),
     "events_attribution"  -> (lastTouchAttribution _),
@@ -616,6 +669,45 @@ object Behavior {
         |  CAST(SUM(credit_micro) AS BIGINT) AS credit_micro
         |FROM credited GROUP BY channel
         |ORDER BY channel""".stripMargin,
+    "behavior_ttest_revenue" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |fv AS (
+        |  SELECT user_id, MIN(ts_us) AS v_us FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |pu AS (
+        |  SELECT e.user_id, SUM(cents) AS y0
+        |  FROM e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > fv.v_us
+        |  GROUP BY e.user_id),
+        |u AS (
+        |  SELECT fv.user_id % 2 AS variant, COALESCE(y0, 0) AS y
+        |  FROM fv LEFT JOIN pu ON fv.user_id = pu.user_id),
+        |s AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+        |    CAST(SUM(CASE WHEN variant = 0 THEN y * y ELSE 0 END) AS BIGINT) AS syy_a,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN y * y ELSE 0 END) AS BIGINT) AS syy_b
+        |  FROM u),
+        |g AS (
+        |  SELECT n_a, n_b,
+        |    sy_a::DOUBLE / n_a AS mean_a, sy_b::DOUBLE / n_b AS mean_b,
+        |    ((syy_a::DOUBLE - sy_a::DOUBLE * sy_a / n_a) / (n_a - 1)) / n_a AS se2a,
+        |    ((syy_b::DOUBLE - sy_b::DOUBLE * sy_b / n_b) / (n_b - 1)) / n_b AS se2b
+        |  FROM s)
+        |SELECT n_a, n_b,
+        |  ROUND(mean_a, 6) AS mean_a, ROUND(mean_b, 6) AS mean_b,
+        |  CASE WHEN se2a + se2b > 0
+        |    THEN ROUND((mean_a - mean_b) / sqrt(se2a + se2b), 6) END AS t,
+        |  CASE WHEN se2a + se2b > 0
+        |    THEN ROUND((se2a + se2b) * (se2a + se2b) /
+        |      (se2a * se2a / (n_a - 1) + se2b * se2b / (n_b - 1)), 6)
+        |  END AS df_welch
+        |FROM g""".stripMargin,
     "behavior_srm_check" ->
       """WITH fv AS (
         |  SELECT user_id % 2 AS variant FROM (
