@@ -115,7 +115,18 @@ object Probe {
         // (47→4000 docs) — the linear digest/window pipelines absorb the
         // pathological duplicate load; no stage is pair-quadratic.
         "span ngrams" -> (p => operators.Dedup.spanNgrams(spark, p).count()),
-        "span removal" -> (p => operators.Dedup.spanRemoval(spark, p).count())
+        "span removal" -> (p => operators.Dedup.spanRemoval(spark, p).count()),
+        // r7 session 2: SemDeDup under amplification. Amplified embedding
+        // copies differ by +0.01·copy on dim 0, so every vector gains an
+        // N-copy near-dup cluster INSIDE its assigned cell — the candidate
+        // join's Σ|cluster|² bound is exercised at N× occupancy (~N²-denser
+        // within-cell pair volume, the paper's own O(n²/k) with k fixed
+        // while n grows N×). Measured at N=8 on sf0.01 (local[8]):
+        // 1.21→1.60 s — a 64×-denser candidate volume costs 1.3× wall at
+        // this sf (assignment + fixed costs dominate; the quadratic term
+        // lives inside bounded cells). A production deployment also scales
+        // k∝n to hold occupancy flat (the sim_knn_ivfpq_tuned sizing rule).
+        "semdedup" -> (p => operators.Similarity.semDedup(spark, p).count())
       ).foreach { case (name, f) =>
         f(dir) // untimed: compile this pipeline's codegen once
         // clearCache between measurements: pipelines with internal .cache()

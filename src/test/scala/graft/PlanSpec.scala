@@ -177,6 +177,11 @@ class PlanSpec extends SparkSpec {
     // behavior_rfm_segments crossJoins the broadcast 1-row max-date and
     // the 1-row nine-quartile-cutoff aggregate over the per-customer
     // relation (win_ntile_tiers pattern tripled)
+    // agg_benford_audit crossJoins the broadcast 1-row ledger total over
+    // the 9-digit frame (A4 scalar pattern)
+    // pipe_quality_lr crossJoins the broadcast 1-row standardization
+    // moments and each GD step's 1-row weight/gradient relations over the
+    // doc features (A4 per training step)
     val allowedNestedLoop =
       Set("sim_knn_brute", "sim_knn_lsh", "sim_knn_ivf", "text_tfidf", "win_ntile_tiers",
         "events_resample_gapfill", "text_heavy_hitters",
@@ -188,7 +193,7 @@ class PlanSpec extends SparkSpec {
         "pipe_dsir_weights", "pipe_dsir_resample", "pipe_temperature_mix",
         "pipe_ccnet_buckets", "sim_hybrid_rrf", "text_bpe_merges",
         "text_bpe_encode", "agg_psi_drift", "events_survival_km",
-        "behavior_rfm_segments")
+        "behavior_rfm_segments", "agg_benford_audit", "pipe_quality_lr")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
