@@ -745,7 +745,47 @@ object Events {
       .orderBy(col("w_start_us"))
   }
 
+  /** Bot / automation screening by inter-event regularity — the trust-and-
+    * safety read every event platform runs: humans emit bursty,
+    * heavy-tailed gaps (squared coefficient of variation ≈ 1 for
+    * Poisson-like arrivals); schedulers and scripts emit near-constant
+    * ones (cv² → 0). Per user: gaps in whole seconds via one lag window
+    * (total (ts, event_id) order), then exact long sums n/Σg/Σg², and
+    * cv² = (n·Σg² − (Σg)²)/(Σg)² as ONE IEEE division of exact longs,
+    * re-rounded to 6. Emits the 10 most-machine-like users (lowest cv²,
+    * user_id tiebreak) with their gap stats — the triage worklist, not a
+    * fixed-threshold verdict, so the entry is non-degenerate on any log.
+    * Users need ≥ 5 gaps and a positive gap sum (an all-same-instant
+    * burst has zero mean gap and no defined regularity).
+    *
+    * Scale: one bounded per-user window + per-user hash-agg +
+    * TakeOrderedAndProject(10) — no self-joins, linear in the log. */
+  def botSuspects(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .withColumn("ts_s", expr("unix_micros(cast(ts as timestamp)) div 1000000"))
+      .withColumn("gap_s", col("ts_s") - lag(col("ts_s"), 1).over(byUser))
+      .filter(col("gap_s").isNotNull)
+    val stats = gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).as("sg"),
+        sum(col("gap_s") * col("gap_s")).as("sgg"))
+      .filter(col("n_gaps") >= 5 && col("sg") > 0)
+    val top = stats
+      .withColumn("mean_gap_s", round(col("sg").cast("double") / col("n_gaps"), 6))
+      .withColumn("cv2", round(
+        (col("n_gaps").cast("double") * col("sgg") - col("sg").cast("double") * col("sg")) /
+          (col("sg").cast("double") * col("sg")), 6))
+      .orderBy(col("cv2"), col("user_id"))
+      .limit(10) // TakeOrderedAndProject — no single-partition |users| sort
+    top.withColumn("rn", row_number().over( // rank over the 10 kept rows only
+        Window.orderBy(col("cv2"), col("user_id"))).cast("long"))
+      .select(col("user_id"), col("n_gaps"), col("mean_gap_s"), col("cv2"), col("rn"))
+      .orderBy(col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_bot_suspects" -> (botSuspects _),
     "agg_bitmap_distinct" -> (bitmapDistinct _),
     "join_interval_chunked" -> (intervalChunked _),
     "events_dau_stickiness" -> (dauStickiness _),
@@ -790,6 +830,33 @@ object Events {
       |ORDER BY c.event_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "events_bot_suspects" ->
+      """WITH g0 AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) // 1000000 AS ts_s,
+        |    LAG(epoch_us(ts) // 1000000) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts_s - prev_s AS gap_s FROM g0
+        |  WHERE prev_s IS NOT NULL),
+        |s AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |    CAST(SUM(gap_s) AS BIGINT) AS sg,
+        |    CAST(SUM(gap_s * gap_s) AS BIGINT) AS sgg
+        |  FROM g GROUP BY user_id
+        |  HAVING COUNT(*) >= 5 AND SUM(gap_s) > 0),
+        |r AS (
+        |  SELECT user_id, n_gaps,
+        |    ROUND(sg::DOUBLE / n_gaps, 6) AS mean_gap_s,
+        |    ROUND((n_gaps::DOUBLE * sgg - sg::DOUBLE * sg) /
+        |      (sg::DOUBLE * sg), 6) AS cv2
+        |  FROM s)
+        |SELECT user_id, n_gaps, mean_gap_s, cv2,
+        |  CAST(rn AS BIGINT) AS rn
+        |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cv2, user_id) AS rn FROM r)
+        |WHERE rn <= 10
+        |ORDER BY rn""".stripMargin,
     "agg_bitmap_distinct" ->
       """WITH e AS (
         |  SELECT epoch_us(ts) // 86400000000 AS d, user_id FROM events)
