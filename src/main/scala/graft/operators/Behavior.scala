@@ -590,6 +590,62 @@ object Behavior {
         col("t"), col("df_welch"))
   }
 
+  /** Mann–Whitney U — the rank-based nonparametric twin of
+    * `behavior_ttest_revenue`, the test of record when the metric is
+    * heavy-tailed (revenue is): does one arm stochastically dominate the
+    * other, no normality assumed. Everything stays EXACT integers via the
+    * doubled-midrank trick: for value v with `lt` smaller values and `t`
+    * ties, 2·midrank = 2·lt + t + 1 — so per-arm rank sums, 2·U, and the
+    * tie-correction Σ(t³−t) are all integer arithmetic, and the only IEEE
+    * work is the final normal-approximation z (tie-corrected variance),
+    * re-rounded to 6. Midranks come from the VALUE HISTOGRAM (one hash-agg
+    * collapses users to distinct revenue values), so the cumulative
+    * window runs over |distinct values| rows, not |users| — the standard
+    * rank-statistic shape; at extreme cardinality the same prefix-sum
+    * lowers to the two-pass range-partitioned form.
+    *
+    * Output: n_a, n_b, u2_a (= 2·U_a, exact — U itself is half-integer
+    * under ties), z. Degenerate (all values tied) → NULL z. */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val firstView = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("v_us"))
+    val perUser = e.filter(col("event_type") === "purchase")
+      .join(firstView, "user_id")
+      .filter(col("ts_us") > col("v_us"))
+      .groupBy(col("user_id")).agg(sum(col("cents")).as("y0"))
+    val users = firstView.join(perUser, Seq("user_id"), "left")
+      .select((col("user_id") % 2).as("variant"),
+        coalesce(col("y0"), lit(0L)).as("y"))
+    val hist = users.groupBy(col("y"))
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("t_a"))
+    val wCumBefore = Window.orderBy(col("y"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist
+      .withColumn("lt", coalesce(sum(col("t")).over(wCumBefore), lit(0L)))
+      .withColumn("r2", lit(2L) * col("lt") + col("t") + lit(1L)) // 2·midrank
+    val s = ranked.agg(
+      sum(col("t")).as("n"),
+      sum(col("t_a")).as("n_a"),
+      sum(col("r2") * col("t_a")).as("r2sum_a"), // 2·(rank sum of arm A)
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie3")) // Σ(t³−t)
+    val nA = col("n_a").cast("double")
+    val nB = (col("n") - col("n_a")).cast("double")
+    val n = col("n").cast("double")
+    // U_a = R_a − n_a(n_a+1)/2, doubled to stay integer
+    val u2a = col("r2sum_a") - col("n_a") * (col("n_a") + lit(1L))
+    // var(U) with tie correction: (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n(n−1)))
+    val varU = nA * nB / lit(12.0) *
+      ((n + lit(1.0)) - col("tie3").cast("double") / (n * (n - lit(1.0))))
+    s.withColumn("u2_a", u2a)
+      .withColumn("z", when(varU > 0.0, round(
+        (u2a.cast("double") / lit(2.0) - nA * nB / lit(2.0)) / sqrt(varU), 6)))
+      .select(col("n_a"), (col("n") - col("n_a")).as("n_b"), col("u2_a"), col("z"))
+  }
+
   /** Sample-ratio mismatch check — the validity gate every experiment
     * platform runs BEFORE reading `behavior_ab_ztest`: a 50/50 split whose
     * realized arm sizes deviate beyond chance means broken bucketing, and
@@ -621,6 +677,7 @@ object Behavior {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_attribution_linear" -> (linearAttribution _),
     "behavior_ttest_revenue" -> (welchTtest _),
+    "behavior_mann_whitney" -> (mannWhitney _),
     "behavior_srm_check"  -> (srmCheck _),
     "behavior_cuped"      -> (cuped _),
     "events_attribution"  -> (lastTouchAttribution _),
@@ -669,6 +726,46 @@ object Behavior {
         |  CAST(SUM(credit_micro) AS BIGINT) AS credit_micro
         |FROM credited GROUP BY channel
         |ORDER BY channel""".stripMargin,
+    "behavior_mann_whitney" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |fv AS (
+        |  SELECT user_id, MIN(ts_us) AS v_us FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |pu AS (
+        |  SELECT e.user_id, SUM(cents) AS y0
+        |  FROM e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > fv.v_us
+        |  GROUP BY e.user_id),
+        |u AS (
+        |  SELECT fv.user_id % 2 AS variant, COALESCE(y0, 0) AS y
+        |  FROM fv LEFT JOIN pu ON fv.user_id = pu.user_id),
+        |hist AS (
+        |  SELECT y, CAST(COUNT(*) AS BIGINT) AS t,
+        |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t_a
+        |  FROM u GROUP BY y),
+        |ranked AS (
+        |  SELECT *, COALESCE(SUM(t) OVER (ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt
+        |  FROM hist),
+        |s AS (
+        |  SELECT CAST(SUM(t) AS BIGINT) AS n,
+        |    CAST(SUM(t_a) AS BIGINT) AS n_a,
+        |    CAST(SUM((2 * lt + t + 1) * t_a) AS BIGINT) AS r2sum_a,
+        |    CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+        |  FROM ranked)
+        |SELECT n_a, CAST(n - n_a AS BIGINT) AS n_b,
+        |  CAST(r2sum_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+        |  CASE WHEN n_a::DOUBLE * (n - n_a) / 12.0 *
+        |      ((n + 1.0) - tie3::DOUBLE / (n::DOUBLE * (n - 1.0))) > 0
+        |    THEN ROUND(
+        |      ((r2sum_a - n_a * (n_a + 1))::DOUBLE / 2.0
+        |        - n_a::DOUBLE * (n - n_a) / 2.0) /
+        |      sqrt(n_a::DOUBLE * (n - n_a) / 12.0 *
+        |        ((n + 1.0) - tie3::DOUBLE / (n::DOUBLE * (n - 1.0)))), 6)
+        |  END AS z
+        |FROM s""".stripMargin,
     "behavior_ttest_revenue" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,

@@ -69,6 +69,26 @@ object Sql {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Spark 4 EXECUTE IMMEDIATE (SPARK-44751): SQL-text-as-data — the
+    * statement lives in a session variable and runs with POSITIONAL `?`
+    * parameters bound at execution, the dynamic-SQL surface BI tools and
+    * stored procedures drive. The oracle is the same statement with the
+    * parameters textually inlined — exactly the binding the engine
+    * performs. Plan-wise the parameterized text compiles to the identical
+    * Catalyst plan as the literal query (params are literals after bind),
+    * so pushdown/codegen are unaffected. */
+  private def executeImmediate(spark: SparkSession, dir: String): DataFrame = {
+    Tables.table(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_stmt STRING")
+    spark.sql(
+      """SET VAR graft_stmt =
+        |  'SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |   FROM orders WHERE o_totalprice BETWEEN ? AND ?
+        |   GROUP BY o_orderstatus ORDER BY o_orderstatus'""".stripMargin)
+    spark.sql("EXECUTE IMMEDIATE graft_stmt USING 50000.0, 150000.0")
+  }
+
   private def run(spark: SparkSession, dir: String, sql: String,
                   tables: Seq[String]): DataFrame = {
     tables.foreach(t => Tables.table(spark, dir, t).createOrReplaceTempView(t))
@@ -229,6 +249,7 @@ object Sql {
       ((s, dir) => run(s, dir, groupByAllSql, Seq("lineitem"))),
     "sql_udf_scalar" -> (sqlUdfScalar _),
     "sql_session_variable" -> (sessionVariable _),
+    "sql_execute_immediate" -> (executeImmediate _),
     "sql_recursive_cte" ->
       ((s, dir) => run(s, dir, recursiveSql, Seq("customer"))),
     "sql_subquery_forms" ->
@@ -246,6 +267,11 @@ object Sql {
 
   val oracle: Map[String, String] = Map(
     "sql_groupby_all" -> groupByAllSql,
+    "sql_execute_immediate" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders WHERE o_totalprice BETWEEN 50000.0 AND 150000.0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the UDF body textually inlined — exactly the analyzer's own rewrite
     "sql_udf_scalar" ->
       """WITH b AS (
