@@ -744,6 +744,11 @@ object Aggregates {
     val digits = Tables.orders(spark, dir)
       .select(substring(floor(col("o_totalprice") * 100).cast("long")
         .cast("string"), 1, 1).cast("int").as("digit"))
+      // out-of-domain digits (0 for sub-cent amounts, '-' for negatives)
+      // drop out exactly as the oracle's INNER JOIN on the 9-row expected
+      // relation drops them — keeps engine and oracle symmetric on
+      // degenerate ledgers
+      .filter(col("digit").between(1, 9))
       .groupBy(col("digit"))
       .agg(count(lit(1)).as("n_orders"))
     val total = digits.agg(sum(col("n_orders")).as("n_total"))
@@ -795,7 +800,8 @@ object Aggregates {
         |      AS VARCHAR), 1, 1) AS INT) AS digit,
         |    CAST(COUNT(*) AS BIGINT) AS n_orders
         |  FROM orders
-        |  GROUP BY 1),
+        |  GROUP BY 1
+        |  HAVING digit BETWEEN 1 AND 9),
         |total AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS n_total FROM digits),
         |exp_tab AS (
         |  SELECT * FROM (VALUES (1, 30103), (2, 17609), (3, 12494), (4, 9691),

@@ -405,13 +405,17 @@ object Behavior {
         sum(when(col("variant") === 0, col("converted")).otherwise(0L)).as("conv_a"),
         sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
         sum(when(col("variant") === 1, col("converted")).otherwise(0L)).as("conv_b"))
-      .withColumn("rate_a_bp", expr("conv_a * 10000 DIV n_a"))
-      .withColumn("rate_b_bp", expr("conv_b * 10000 DIV n_b"))
+      // empty-arm guards: a degenerate log (all users on one parity) must
+      // yield NULL rates/z identically in both engines — Spark DIV returns
+      // NULL on /0 while DuckDB's integer // errors, so the CASE is mirrored
+      .withColumn("rate_a_bp", when(col("n_a") > 0, expr("conv_a * 10000 DIV n_a")))
+      .withColumn("rate_b_bp", when(col("n_b") > 0, expr("conv_b * 10000 DIV n_b")))
       .withColumn("p_pool",
         (col("conv_a") + col("conv_b")).cast("double") /
           (col("n_a") + col("n_b")).cast("double"))
-      .withColumn("z", // degenerate experiment (all or none convert) → NULL
-        when(col("p_pool") > 0.0 && col("p_pool") < 1.0, round(
+      .withColumn("z", // degenerate experiment (empty arm, all/none convert) → NULL
+        when(col("n_a") > 0 && col("n_b") > 0 &&
+          col("p_pool") > 0.0 && col("p_pool") < 1.0, round(
           (col("conv_a").cast("double") / col("n_a") -
             col("conv_b").cast("double") / col("n_b")) /
             sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
@@ -456,9 +460,12 @@ object Behavior {
     val s = users.agg(
       count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum(col("x") * col("y")).as("sxy"),
-      sum(col("x") * col("x")).as("sxx"),
-      sum(col("y") * col("y")).as("syy"),
+      // second moments in DECIMAL(38,0) (HUGEINT in the oracle) — exact at
+      // any plausible SF; the n·Σxy−ΣxΣy combinations below go IEEE only
+      // at the final ratio, same operands both engines
+      sum(col("x").cast("decimal(19,0)") * col("y")).as("sxy"),
+      sum(col("x").cast("decimal(19,0)") * col("x")).as("sxx"),
+      sum(col("y").cast("decimal(19,0)") * col("y")).as("syy"),
       sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
       sum(when(col("variant") === 0, col("x")).otherwise(0L)).as("sx_a"),
       sum(when(col("variant") === 0, col("y")).otherwise(0L)).as("sy_a"),
@@ -567,10 +574,16 @@ object Behavior {
     val s = users.agg(
       sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
       sum(when(col("variant") === 0, col("y")).otherwise(0L)).as("sy_a"),
-      sum(when(col("variant") === 0, col("y") * col("y")).otherwise(0L)).as("syy_a"),
+      // squared-cents sums lifted to DECIMAL(38,0) (HUGEINT in the oracle):
+      // y² passes 2⁶³ once per-user revenue exceeds ~$30B cents-squared
+      // territory, i.e. Σy² wraps at ~10⁹ users × $10⁴ — decimal keeps the
+      // moment exact at any plausible SF on both engines
+      sum(when(col("variant") === 0, col("y").cast("decimal(19,0)") * col("y"))
+        .otherwise(lit(0L))).as("syy_a"),
       sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
       sum(when(col("variant") === 1, col("y")).otherwise(0L)).as("sy_b"),
-      sum(when(col("variant") === 1, col("y") * col("y")).otherwise(0L)).as("syy_b"))
+      sum(when(col("variant") === 1, col("y").cast("decimal(19,0)") * col("y"))
+        .otherwise(lit(0L))).as("syy_b"))
     def meanC(sy: String, n: String) = col(sy).cast("double") / col(n)
     // sample variance, n−1 form: (Σy² − (Σy)²/n) / (n−1)
     def varC(syy: String, sy: String, n: String) =
@@ -599,10 +612,11 @@ object Behavior {
     * tie-correction Σ(t³−t) are all integer arithmetic, and the only IEEE
     * work is the final normal-approximation z (tie-corrected variance),
     * re-rounded to 6. Midranks come from the VALUE HISTOGRAM (one hash-agg
-    * collapses users to distinct revenue values), so the cumulative
-    * window runs over |distinct values| rows, not |users| — the standard
-    * rank-statistic shape; at extreme cardinality the same prefix-sum
-    * lowers to the two-pass range-partitioned form.
+    * collapses users to distinct revenue values), and the cumulative count
+    * of smaller values is a TWO-PASS range-partitioned prefix sum (local
+    * cumulate per range partition + broadcast partition offsets), so no
+    * single task ever sees more than its value range even when distinct
+    * cents values approach user count.
     *
     * Output: n_a, n_b, u2_a (= 2·U_a, exact — U itself is half-integer
     * under ties), z. Degenerate (all values tied) → NULL z. */
@@ -622,16 +636,42 @@ object Behavior {
     val hist = users.groupBy(col("y"))
       .agg(count(lit(1)).as("t"),
         sum(when(col("variant") === 0, 1L).otherwise(0L)).as("t_a"))
-    val wCumBefore = Window.orderBy(col("y"))
+    // two-pass range-partitioned prefix sum for `lt` (# users with smaller
+    // y): distinct revenue-cents values can approach user count at real
+    // scale, so a single unpartitioned cumulative window over the histogram
+    // would funnel everything through one task. Instead: range-shuffle the
+    // histogram on y, cumulate WITHIN each range partition, and add the
+    // broadcast per-partition offsets (whose own cumulative window runs
+    // over ≤ spark.sql.shuffle.partitions rows — bounded by config, not
+    // data). lt is partition-boundary-independent: offset + local prefix
+    // is the global prefix wherever the range splits fall.
+    val h = hist.repartitionByRange(col("y"))
+      .withColumn("pid", spark_partition_id().cast("long"))
+      .cache() // read twice (local prefix + offsets); must be the SAME
+               // partitioning both times (caller-release contract)
+    val wLocal = Window.partitionBy(col("pid")).orderBy(col("y"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = hist
-      .withColumn("lt", coalesce(sum(col("t")).over(wCumBefore), lit(0L)))
+    val wOff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = h.groupBy(col("pid")).agg(sum(col("t")).as("pt"))
+      .withColumn("off", coalesce(sum(col("pt")).over(wOff), lit(0L)))
+      .select(col("pid"), col("off"))
+    val ranked = h
+      .withColumn("lt_local", coalesce(sum(col("t")).over(wLocal), lit(0L)))
+      .join(broadcast(offsets), "pid")
+      .withColumn("lt", col("lt_local") + col("off"))
       .withColumn("r2", lit(2L) * col("lt") + col("t") + lit(1L)) // 2·midrank
+    // tie3 is lifted to DECIMAL(38,0) (HUGEINT in the oracle): the y=0 tie
+    // group spans all non-purchasing users, so t³ passes 2⁶³ once a tie
+    // group exceeds ~2.1M users — bigint would wrap silently in Spark while
+    // DuckDB errors. r2sum_a/u2_a stay bigint by schema contract: their
+    // bound is the total rank sum ~n², safe to n ≈ 3×10⁹ exposed users.
     val s = ranked.agg(
       sum(col("t")).as("n"),
       sum(col("t_a")).as("n_a"),
       sum(col("r2") * col("t_a")).as("r2sum_a"), // 2·(rank sum of arm A)
-      sum(col("t") * col("t") * col("t") - col("t")).as("tie3")) // Σ(t³−t)
+      sum(col("t").cast("decimal(19,0)") * col("t") * col("t") - col("t"))
+        .as("tie3")) // Σ(t³−t), exact to 10³⁸
     val nA = col("n_a").cast("double")
     val nB = (col("n") - col("n_a")).cast("double")
     val n = col("n").cast("double")
@@ -753,7 +793,7 @@ object Behavior {
         |  SELECT CAST(SUM(t) AS BIGINT) AS n,
         |    CAST(SUM(t_a) AS BIGINT) AS n_a,
         |    CAST(SUM((2 * lt + t + 1) * t_a) AS BIGINT) AS r2sum_a,
-        |    CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+        |    SUM(t::HUGEINT * t * t - t) AS tie3
         |  FROM ranked)
         |SELECT n_a, CAST(n - n_a AS BIGINT) AS n_b,
         |  CAST(r2sum_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
@@ -785,10 +825,10 @@ object Behavior {
         |  SELECT
         |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
         |    CAST(SUM(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
-        |    CAST(SUM(CASE WHEN variant = 0 THEN y * y ELSE 0 END) AS BIGINT) AS syy_a,
+        |    SUM(CASE WHEN variant = 0 THEN y::HUGEINT * y ELSE 0 END) AS syy_a,
         |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
         |    CAST(SUM(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b,
-        |    CAST(SUM(CASE WHEN variant = 1 THEN y * y ELSE 0 END) AS BIGINT) AS syy_b
+        |    SUM(CASE WHEN variant = 1 THEN y::HUGEINT * y ELSE 0 END) AS syy_b
         |  FROM u),
         |g AS (
         |  SELECT n_a, n_b,
@@ -847,9 +887,9 @@ object Behavior {
         |s AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
-        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
-        |    CAST(SUM(y * y) AS BIGINT) AS syy,
+        |    SUM(x::HUGEINT * y) AS sxy,
+        |    SUM(x::HUGEINT * x) AS sxx,
+        |    SUM(y::HUGEINT * y) AS syy,
         |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
         |    CAST(SUM(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
         |    CAST(SUM(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
@@ -919,9 +959,10 @@ object Behavior {
         |    CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
         |  FROM u)
         |SELECT n_a, conv_a, n_b, conv_b,
-        |  conv_a * 10000 // n_a AS rate_a_bp,
-        |  conv_b * 10000 // n_b AS rate_b_bp,
-        |  CASE WHEN (conv_a + conv_b) > 0 AND (conv_a + conv_b) < (n_a + n_b)
+        |  CASE WHEN n_a > 0 THEN conv_a * 10000 // n_a END AS rate_a_bp,
+        |  CASE WHEN n_b > 0 THEN conv_b * 10000 // n_b END AS rate_b_bp,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |      AND (conv_a + conv_b) > 0 AND (conv_a + conv_b) < (n_a + n_b)
         |    THEN ROUND((conv_a::DOUBLE / n_a - conv_b::DOUBLE / n_b) /
         |      sqrt(((conv_a + conv_b)::DOUBLE / (n_a + n_b)) *
         |        (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b)) *

@@ -797,7 +797,7 @@ object Similarity {
       .filter(col("vec_id") < cut).unionByName(newCodes)
     // planted probes: exact copies of three appended vectors, fresh ids
     val q = fresh.orderBy(col("vec_id")).limit(3)
-      .select((col("vec_id") + lit(1000000L)).as("q_id"), col("vn").as("qv"))
+      .select((col("vec_id") + lit(1L << 41)).as("q_id"), col("vn").as("qv"))
     serveIvfPqQueries(q, all, centroids, codebook, cells, codes,
       nprobe, refineT)
   }
@@ -925,8 +925,12 @@ object Similarity {
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
     val xs = explodedDecimal(spark, dir)
       .cache() // feeds centroid fit, twin synthesis, and the union
+    // twin ids live at +2^41: far above any plausible base vec_id domain
+    // (and distinct from Probe's 2^40 copy offset), so a synthetic twin can
+    // never collide with a genuine vector and corrupt the vnorm/assign
+    // joins or planted-pair accounting
     val twins = xs.filter(col("vec_id") % 8 === 0)
-      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("dim"),
+      .select((col("vec_id") + lit(1L << 41)).as("vec_id"), col("dim"),
         (col("x") + when(col("dim") === 1, lit(BigDecimal("0.01").setScale(6)))
           .otherwise(lit(BigDecimal("0").setScale(6))))
           .cast("decimal(18,6)").as("x"))
@@ -1019,7 +1023,7 @@ object Similarity {
         |    CAST(ROUND(embedding[dim]::DOUBLE, 6) AS DECIMAL(18,6)) AS x
         |  FROM x0),
         |twins AS (
-        |  SELECT vec_id + 1000000 AS vec_id, dim,
+        |  SELECT vec_id + 2199023255552 AS vec_id, dim,
         |    CAST(x + CASE WHEN dim = 1 THEN 0.010000 ELSE 0.000000 END
         |      AS DECIMAL(18,6)) AS x
         |  FROM xs WHERE vec_id % 8 = 0),
