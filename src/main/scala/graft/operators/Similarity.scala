@@ -802,6 +802,91 @@ object Similarity {
       nprobe, refineT)
   }
 
+  /** TOMBSTONE DELETE + COMPACTION — the index-MAINTENANCE path that
+    * closes the persisted index's lifecycle: append (`sim_index_append`)
+    * covered ingest, this covers retirement. A corpus that deduplicates
+    * (the `dedup_semdedup` losers are the natural production feed) or
+    * honors right-to-erasure must retire vectors from the index WITHOUT a
+    * full rebuild. Two standard mechanisms, both purely relational:
+    *
+    *  - TOMBSTONES (serve-time mask): deletes land as a `tombstones
+    *    (vec_id)` relation; serving anti-joins the `cells` relation once,
+    *    so dead ids never become candidates — codes and full vectors stay
+    *    untouched on disk. O(|deletes|) to apply, zero index rewrites;
+    *    the cost is one hash anti-join per serve, forever.
+    *  - COMPACTION (amortized rewrite): when a cell's tombstone share
+    *    crosses the threshold (1/5 here), its rows are rewritten without
+    *    the dead entries and its tombstones retired; cells below the
+    *    threshold keep their rows and stay masked by the residual
+    *    tombstone set. The rewrite touches ONLY qualifying cells —
+    *    O(Σ|hot cell|), not O(index) — which is exactly how LSM-style
+    *    index maintenance amortizes at 100 TB. The compacted generation
+    *    is persisted as plain parquet next to the index (scratch-path
+    *    keyed by the corpus fingerprint, AppendSpec-style isolation) and
+    *    SERVED FROM DISK, not from the in-memory lineage.
+    *
+    * The entry deletes every 5th vector, plants probe queries that are
+    * exact copies of three DELETED vectors (q_id = vec_id + 2^41), and
+    * serves them twice — over (full cells + tombstone mask) and over the
+    * persisted compacted generation (+ residual mask). Invariants gated
+    * by IndexMaintenanceSpec: no deleted id ever surfaces, the two
+    * phases return IDENTICAL results (compaction is a pure storage
+    * transform), and each probe's rank-1 matches the brute-force nearest
+    * SURVIVOR (recall-gated like the other trained entries). NOT
+    * oracle-able (trained quantizers): rows-only driver check. */
+  def indexDeleteCompact(spark: SparkSession, dir: String): DataFrame = {
+    val (idx, nprobe, refineT) = ensureIvfPqIndex(spark, dir)
+    val all = vectors(spark, dir)
+      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+      .select(col("vec_id"), col("vn"))
+    val centroids = spark.read.parquet(s"$idx/centroids")
+    val codebook = spark.read.parquet(s"$idx/codebook")
+    val cells0 = spark.read.parquet(s"$idx/cells")
+    val codes0 = spark.read.parquet(s"$idx/codes")
+    // the delete feed: every 5th vector (stand-in for dedup losers / RTBF)
+    val tombs = all.filter(col("vec_id") % 5 === 2).select(col("vec_id"))
+    val survivors = all.join(tombs, Seq("vec_id"), "left_anti")
+    // probes are copies of DELETED vectors: pre-delete their twin wins at
+    // rank 1 with cos ≈ 1, so "the dead id must not appear" is the
+    // sharpest possible check that the mask reaches candidate generation
+    val q = all.join(tombs, Seq("vec_id")).orderBy(col("vec_id")).limit(3)
+      .select((col("vec_id") + lit(1L << 41)).as("q_id"), col("vn").as("qv"))
+      .cache() // read by both serving phases
+    val maskedCells = cells0.join(tombs, Seq("vec_id"), "left_anti")
+    val phase1 = serveIvfPqQueries(q, survivors, centroids, codebook,
+      maskedCells, codes0, nprobe, refineT)
+    // compaction: cells at ≥ 1/5 dead are rewritten dead-row-free and
+    // their tombstones retired; the rest keep rows + residual tombstones
+    val cellStats = cells0
+      .join(tombs.withColumn("dead", lit(1L)), Seq("vec_id"), "left")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("dead"), lit(0L))).as("n_dead"))
+    val hot = cellStats.filter(col("n_dead") * 5 >= col("n"))
+      .select(col("cell"), lit(true).as("hot"))
+    val tagged = cells0.join(broadcast(hot), Seq("cell"), "left")
+      .join(tombs.withColumn("dead", lit(1L)), Seq("vec_id"), "left")
+    val gen1 = s"${idx}_gen1"
+    tagged.filter(!(col("hot").isNotNull && col("dead").isNotNull))
+      .select(col("vec_id"), col("cell"))
+      .write.mode("overwrite").parquet(s"$gen1/cells")
+    // codes of compacted-away rows go too (vec_id equi-join on hot∩dead)
+    codes0.join(tagged.filter(col("hot").isNotNull && col("dead").isNotNull)
+        .select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$gen1/codes")
+    tagged.filter(col("hot").isNull && col("dead").isNotNull)
+      .select(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$gen1/tombstones")
+    val cells1 = spark.read.parquet(s"$gen1/cells")
+      .join(spark.read.parquet(s"$gen1/tombstones"), Seq("vec_id"), "left_anti")
+    val phase2 = serveIvfPqQueries(q, survivors, centroids, codebook,
+      cells1, spark.read.parquet(s"$gen1/codes"), nprobe, refineT)
+    phase1.withColumn("phase", lit("tombstoned"))
+      .unionByName(phase2.withColumn("phase", lit("compacted")))
+      .select(col("phase"), col("q_id"), col("vec_id"), col("cos"), col("rn"))
+      .orderBy(col("phase"), col("q_id"), col("rn"))
+  }
+
   /** The n → (cells, nprobe, refineT) sizing rule, exposed so the spec
     * can pin the curve's shape without re-deriving it. */
   private[graft] def scaledIvfPqParams(n: Long): (Int, Int, Int) = {
@@ -999,6 +1084,7 @@ object Similarity {
     "sim_knn_ivfpq_tuned" -> (knnIvfPqScaled _),
     "sim_index_serve" -> (knnIvfPqServed _),
     "sim_index_append" -> (indexAppendServe _),
+    "sim_index_delete" -> (indexDeleteCompact _),
     "sim_label_centroids" -> (labelCentroids _),
     "sim_centroid_assign" -> (centroidAssign _),
     "sim_hybrid_rrf" -> (hybridRrf _),

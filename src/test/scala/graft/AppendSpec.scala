@@ -45,10 +45,10 @@ class AppendSpec extends SparkSpec {
     assert(byQuery.size == 3, s"expected 3 planted queries, got ${byQuery.size}")
     byQuery.foreach { case (qid, rows: Array[Row]) =>
       val top = rows.minBy(_.getAs[Long]("rn"))
-      // the planted query IS an appended vector (q_id = vec_id + 1e6);
+      // the planted query IS an appended vector (q_id = vec_id + 2^41);
       // its twin must come back first with cosine ~ 1 — proof the freshly
       // appended rows participate in cell probing, ADC, and exact refine
-      assert(top.getAs[Long]("vec_id") == qid - 1000000L,
+      assert(top.getAs[Long]("vec_id") == qid - (1L << 41),
         s"query $qid: twin not at rank 1 (got ${top.getAs[Long]("vec_id")})")
       assert(top.getAs[Double]("cos") > 0.999999,
         s"query $qid: twin cosine ${top.getAs[Double]("cos")}")

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** The tombstone-delete + compaction path (`sim_index_delete`): deleted
+  * vectors must be unreachable through EVERY serving phase, compaction
+  * must be a pure storage transform (identical results), and the serve
+  * must still find the true surviving neighbors. */
+class IndexMaintenanceSpec extends SparkSpec {
+
+  private lazy val served = Similarity.indexDeleteCompact(spark, sf0001).collect()
+
+  private def phase(name: String): Array[Row] =
+    served.filter(_.getAs[String]("phase") == name)
+
+  test("no deleted id ever surfaces in served results") {
+    assert(served.nonEmpty, "delete-compact serve returned nothing")
+    val dead = served.filter(r => r.getAs[Long]("vec_id") % 5 == 2)
+    assert(dead.isEmpty,
+      s"tombstoned ids surfaced: ${dead.map(_.getAs[Long]("vec_id")).toSet}")
+    // and the probes are planted copies of DELETED vectors, so their twin
+    // (which would win at cos ~ 1 pre-delete) being absent is the sharp
+    // form of the check
+    served.foreach { r =>
+      assert(r.getAs[Long]("q_id") - (1L << 41) != r.getAs[Long]("vec_id"),
+        "a probe's deleted twin came back")
+    }
+  }
+
+  test("compaction is a pure storage transform: phases return identical results") {
+    def key(rows: Array[Row]) = rows.map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("rn"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos"))).toSet
+    val (t, c) = (key(phase("tombstoned")), key(phase("compacted")))
+    assert(t.nonEmpty && t == c,
+      s"phase mismatch: tombstoned-only ${t -- c}, compacted-only ${c -- t}")
+  }
+
+  test("rank-1 results match brute-force nearest survivors (recall gate)") {
+    val all = Similarity.vectors(spark, sf0001)
+      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+      .select(col("vec_id"), col("vn"))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Double](1).toArray))
+    val survivors = all.filter(_._1 % 5 != 2)
+    val deleted = all.filter(_._1 % 5 == 2).sortBy(_._1).take(3)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    var hits = 0
+    deleted.foreach { case (vid, qv) =>
+      val want = survivors.maxBy(s => (dot(qv, s._2), -s._1))._1
+      val got = phase("tombstoned")
+        .filter(r => r.getAs[Long]("q_id") == vid + (1L << 41))
+        .minBy(_.getAs[Long]("rn")).getAs[Long]("vec_id")
+      if (got == want) hits += 1
+    }
+    assert(hits >= 2, s"only $hits/3 probes found their true surviving nearest")
+  }
+
+  test("compaction rewrites exactly the hot cells and retires their tombstones") {
+    val (idx, _, _) = Similarity.ensureIvfPqIndex(spark, sf0001)
+    // force a fresh run so the gen1 relations on disk match this corpus
+    Similarity.indexDeleteCompact(spark, sf0001).count()
+    val cells0 = spark.read.parquet(s"$idx/cells")
+    val cells1 = spark.read.parquet(s"${idx}_gen1/cells")
+    val tombs1 = spark.read.parquet(s"${idx}_gen1/tombstones")
+    val deadIds = cells0.filter(col("vec_id") % 5 === 2)
+    // residual tombstones are a subset of the original delete feed, and
+    // every residual tombstone's row is still present (mask, not rewrite)
+    assert(tombs1.join(deadIds, Seq("vec_id"), "left_anti").count() == 0)
+    assert(tombs1.join(cells1, Seq("vec_id")).count() == tombs1.count())
+    // every dead id is gone from gen1 one way or the other: either its
+    // row was compacted away or it is residual-tombstoned
+    val reachable = cells1.join(tombs1, Seq("vec_id"), "left_anti")
+    assert(reachable.join(deadIds, Seq("vec_id")).count() == 0)
+    // compaction only ever REMOVES rows, and removes only dead ones
+    assert(cells1.join(cells0, Seq("vec_id", "cell"), "left_anti").count() == 0)
+    assert(cells0.join(cells1, Seq("vec_id"), "left_anti")
+      .filter(col("vec_id") % 5 =!= 2).count() == 0)
+    // codes stay aligned with the surviving cell rows (PqM codes each)
+    val codes1 = spark.read.parquet(s"${idx}_gen1/codes")
+    assert(codes1.count() == cells1.count() * Similarity.PqM)
+  }
+}

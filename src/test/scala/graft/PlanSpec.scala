@@ -187,6 +187,7 @@ class PlanSpec extends SparkSpec {
         "events_resample_gapfill", "text_heavy_hitters",
         "sim_knn_quantized", "pipe_mixture_sample", "sim_knn_pq", "sim_knn_ivfpq",
         "sim_knn_ivfpq_tuned", "sim_index_serve", "sim_index_append",
+        "sim_index_delete",
         "agg_histogram", "etl_winsorize", "sim_range_search",
         "events_dow_seasonality", "text_bm25", "agg_pareto_bands",
         "pipe_class_balance", "ml_standardize_noleak",
