@@ -24,10 +24,12 @@ object Dedup {
   private val P = 1000000007L
   private val NumHashes = 8 // minhash signature length; 4 bands × 2 rows
 
-  /** doc_id + distinct 3-word shingles (guarded for <3-word docs; Spark's
-    * sequence() DESCENDS when stop<start, so the guard is not optional). */
-  private def shingled(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  /** doc_id + distinct 3-word shingles for an arbitrary (doc_id, text)
+    * relation (guarded for <3-word docs; Spark's sequence() DESCENDS when
+    * stop<start, so the guard is not optional). Shared by the batch
+    * entries and the streaming admission gate so both sides shingle
+    * identically by construction. */
+  private[graft] def shingleDocs(d: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     d.select(
       col("doc_id"),
@@ -36,6 +38,9 @@ object Dedup {
           i => array_join(slice(toks, i, lit(3)), " "))))
         .otherwise(array().cast("array<string>")).as("shingles"))
   }
+
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    shingleDocs(Tables.documents(spark, dir))
 
   private val shingledSql =
     """SELECT doc_id,
@@ -63,16 +68,24 @@ object Dedup {
     * pipeline's only wide stage. Docs with <3 words get null lanes, which
     * can never equal another band value, matching the explode
     * formulation's drop-the-doc behavior. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir).cache()
+  /** bands(doc_id, band_idx, band_val) from (doc_id, shingles) — the
+    * signature stage as a pure projection (no explode of shingles, no
+    * shuffle), shared by `minhashLsh`, the admission-gate entry, and the
+    * streaming gate. */
+  private[graft] def bandRelation(sh: DataFrame): DataFrame = {
     val sig = sh
       .select(col("doc_id"), transform(col("shingles"), g => md5(g)).as("hs"))
       .select(col("doc_id") +: (0 until NumHashes).map(i =>
         array_min(transform(col("hs"), h => substring(h, 4 * i + 1, 4))).as(s"s$i")): _*)
-    val bands = sig.select(col("doc_id"), explode(array(
+    sig.select(col("doc_id"), explode(array(
       (0 until NumHashes / 2).map(b =>
         struct(lit(b).as("band_idx"), concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("band_val"))): _*
     )).as("band")).select(col("doc_id"), col("band.band_idx"), col("band.band_val"))
+  }
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).cache()
+    val bands = bandRelation(sh)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val") &&
@@ -90,6 +103,65 @@ object Dedup {
       .filter(col("jaccard") >= 0.7)
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Admission verdicts for arriving docs against a STATIC near-dup
+    * index — the kernel both `dedup_admission_gate` (batch twin) and
+    * `streaming.NearDupGateStream` (per micro-batch) run, so batch and
+    * stream verdicts agree by construction. `arrSh` is the arrivals'
+    * (doc_id, shingles); `baseSh`/`baseBands` are the corpus index
+    * relations (`baseBands` pre-renamed to base_id). One band equi-join
+    * (work = Σ bucket², never |arrivals|·|corpus|) → exact-Jaccard verify
+    * ≥ 0.7 → best match by (jaccard desc, base_id) — the per-doc window
+    * partitions on doc_id, so no global shuffle point. Output: one row
+    * per arrival — (doc_id, verdict admit|reject, dup_of, jaccard). */
+  private[graft] def gateVerdicts(arrSh: DataFrame, baseSh: DataFrame,
+      baseBands: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val arrBands = bandRelation(arrSh)
+    val cand = arrBands.join(baseBands, Seq("band_idx", "band_val"))
+      .select(col("doc_id"), col("base_id")).distinct()
+    val verified = cand
+      .join(baseSh.select(col("doc_id").as("base_id"), col("shingles").as("sa")),
+        Seq("base_id"))
+      .join(arrSh.select(col("doc_id"), col("shingles").as("sb")), Seq("doc_id"))
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("n_inter")))
+      .filter(col("jaccard") >= 0.7)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("jaccard").desc, col("base_id"))
+    val best = verified.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("base_id").as("dup_of"), col("jaccard"))
+    arrSh.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_of").isNull, lit("admit")).otherwise(lit("reject")).as("verdict"),
+        col("dup_of"), col("jaccard"))
+  }
+
+  /** NEAR-DUP ADMISSION GATE, batch twin — the ingest-time counterpart of
+    * the pair entries: instead of enumerating duplicate PAIRS after the
+    * fact, decide per arriving document whether it may ENTER the corpus.
+    * Every 10th document (doc_id % 10 == 7) plays the day's arrivals; the
+    * rest are the standing corpus whose band index gates admission. A
+    * rejected arrival reports its best base match (highest Jaccard, ties
+    * to the lowest base id) — the provenance a data-curation pipeline
+    * logs with every drop. `streaming.NearDupGateStream` runs the
+    * IDENTICAL kernel per micro-batch (NearDupGateStreamSpec proves
+    * stream ≡ batch and slicing-invariance); this entry is the DuckDB-
+    * oracled anchor for both. Scale: the arrivals-side band join is the
+    * only wide stage — Σ bucket² like `dedup_minhash_lsh`, with the
+    * static index built once and reused across micro-batches online. */
+  def admissionGate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).cache()
+    val isArrival = col("doc_id") % 10 === 7
+    val baseSh = sh.filter(!isArrival)
+    val baseBands = bandRelation(baseSh)
+      .select(col("doc_id").as("base_id"), col("band_idx"), col("band_val"))
+    gateVerdicts(sh.filter(isArrival), baseSh, baseBands)
+      .orderBy(col("doc_id"))
   }
 
   /** Inverted-index pair volume guard: shingles shared by more than this
@@ -722,6 +794,7 @@ object Dedup {
     "dedup_cc_clusters"     -> (dedupClusters _),
     "dedup_cc_incremental"  -> (dedupIncremental _),
     "dedup_minhash_lsh"     -> (minhashLsh _),
+    "dedup_admission_gate"  -> (admissionGate _),
     "dedup_ngram_jaccard"   -> (ngramJaccard _),
     "dedup_ngram_prefix"    -> (ngramJaccardPrefix _),
     "dedup_containment"     -> (containmentPairs _),
@@ -869,6 +942,38 @@ object Dedup {
         |SELECT doc_a, doc_b, n_inter, jaccard FROM j
         |WHERE jaccard >= 0.7
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_admission_gate" ->
+      s"""WITH sh AS ($shingledSql),
+        |ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+        |sig AS (SELECT doc_id,
+        |    $sigSelect
+        |  FROM ex GROUP BY doc_id),
+        |bands AS (
+        |  $bandUnion),
+        |cand AS (
+        |  SELECT DISTINCT b.doc_id AS doc_id, a.doc_id AS base_id
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |  WHERE a.doc_id % 10 <> 7 AND b.doc_id % 10 = 7),
+        |v AS (
+        |  SELECT c.doc_id, c.base_id,
+        |    len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+        |      / (len(sa.shingles) + len(sb.shingles)
+        |         - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.base_id
+        |  JOIN sh sb ON sb.doc_id = c.doc_id),
+        |best AS (
+        |  SELECT doc_id, base_id, jaccard,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY jaccard DESC, base_id) AS rn
+        |  FROM v WHERE jaccard >= 0.7)
+        |SELECT d.doc_id,
+        |  CASE WHEN b.base_id IS NULL THEN 'admit' ELSE 'reject' END AS verdict,
+        |  b.base_id AS dup_of, b.jaccard AS jaccard
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "dedup_cc_survivors" ->
       s"""WITH RECURSIVE $minhashPairCtes,
         |pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.7),

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.Tables
+import graft.operators.Dedup
+
+/** ONLINE NEAR-DUP ADMISSION GATE: a stream of arriving documents judged
+  * against the standing corpus's MinHash band index — the ingest-time
+  * half of the dedup family. The batch entries enumerate duplicate pairs
+  * after the fact; a production pipeline wants each arriving document
+  * admitted or rejected AT THE DOOR, before it ever lands in the corpus,
+  * with the duplicate-of provenance logged on every drop.
+  *
+  * Shape: `foreachBatch` running the IDENTICAL relational kernel the
+  * batch twin (`dedup_admission_gate`) runs — [[Dedup.shingleDocs]] →
+  * [[Dedup.bandRelation]] → band equi-join against the STATIC index →
+  * exact-Jaccard verify ≥ 0.7 → best-match verdict — so stream and batch
+  * verdicts agree by construction (NearDupGateStreamSpec proves it, plus
+  * micro-batch-slicing invariance). Zero streaming state: each arrival is
+  * judged within its own micro-batch against the static index, so there
+  * is no watermark or state store, and replaying a batch reproduces its
+  * verdicts exactly (idempotent per doc_id) — the AnnServeStream /
+  * MergeSink foreachBatch pattern.
+  *
+  * Scale: the corpus-side band index and shingle sets are built ONCE at
+  * stream start and cached — per batch the work is the arrivals' pure-
+  * projection signatures plus a band equi-join whose output is Σ bucket²
+  * over colliding buckets, never |batch|·|corpus|. Admitted arrivals
+  * append to the index the same way `sim_index_append` appends codes:
+  * their (doc_id, band) rows are plain INSERTs against the same
+  * relations; this gate reads a FROZEN snapshot per start, the standard
+  * index-refresh cadence. */
+object NearDupGateStream {
+
+  /** Start gating. `docs` is a streaming DataFrame with columns
+    * `(doc_id: Long, text: String)`; arrival doc_ids must not collide
+    * with corpus doc_ids (use a high id range, as planted-probe entries
+    * do). `onBatch` receives each micro-batch's verdicts
+    * `(doc_id, verdict admit|reject, dup_of, jaccard)`. */
+  def start(docs: DataFrame, dir: String, checkpoint: String)
+           (onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    val spark = docs.sparkSession
+    val baseSh = Dedup.shingleDocs(Tables.documents(spark, dir)).cache()
+    val baseBands = Dedup.bandRelation(baseSh)
+      .select(col("doc_id").as("base_id"), col("band_idx"), col("band_val"))
+      .cache()
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val arrSh = Dedup.shingleDocs(batch).cache()
+        try onBatch(Dedup.gateVerdicts(arrSh, baseSh, baseBands), epoch)
+        finally arrSh.unpersist()
+      }
+      .start()
+  }
+}
