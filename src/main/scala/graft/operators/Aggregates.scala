@@ -725,6 +725,74 @@ object Aggregates {
       .orderBy(col("bin"))
   }
 
+  /** 12-hour slide of the 24-hour PSI windows, in epoch micros. */
+  private[graft] val PsiSlideUs = 12L * 3600 * 1000000
+  private[graft] val PsiWindowUs = 2 * PsiSlideUs
+  /** Reference/current cut: 2024-01-08T00:00Z — the events timeline's
+    * first week trains the reference histogram. */
+  private[graft] val PsiCutUs = 1704672000000000L
+
+  /** Per-window PSI against a frozen reference histogram — the kernel
+    * both `agg_psi_windows` (batch, oracled) and
+    * `streaming.PsiDriftStream` (per finalized window) run, so batch and
+    * stream monitors agree by construction. `curg` is
+    * (w_us, bin, n_cur) — windowed current counts; `ref` is (bin, n_ref).
+    * Laplace-smoothed shares, per-bin term round-6 → DECIMAL(18,6)
+    * (module libm rule), exact decimal sum per window → double. Scale:
+    * the window frame is |windows|·10 rows — time-bounded, not
+    * data-bounded; ref and its total are broadcast. */
+  private[graft] def psiAgainstRef(curg: DataFrame, ref: DataFrame): DataFrame = {
+    val spark = curg.sparkSession
+    val refFrame = spark.range(0, 10).select(col("id").as("bin"))
+      .join(ref, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n_ref"), lit(0L)).as("n_ref"))
+    val tr = refFrame.agg(sum(col("n_ref")).as("tr"))
+    val frame = curg.select(col("w_us")).distinct()
+      .crossJoin(broadcast(spark.range(0, 10).select(col("id").as("bin"))))
+      .join(curg, Seq("w_us", "bin"), "left")
+      .select(col("w_us"), col("bin"), coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tc = frame.groupBy(col("w_us")).agg(sum(col("n_cur")).as("tc"))
+    frame.join(tc, "w_us")
+      .join(broadcast(refFrame), "bin")
+      .crossJoin(broadcast(tr))
+      .withColumn("p", (col("n_ref") + lit(1L)).cast("double") / (col("tr") + lit(10L)).cast("double"))
+      .withColumn("q", (col("n_cur") + lit(1L)).cast("double") / (col("tc") + lit(10L)).cast("double"))
+      .withColumn("term", round((col("p") - col("q")) * log(col("p") / col("q")), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .groupBy(col("w_us"), col("tc"))
+      .agg(sum(col("term")).as("psi_d"))
+      .select(col("w_us").as("w_start_us"),
+        (col("w_us") + lit(PsiWindowUs)).as("w_end_us"),
+        col("tc").as("n_cur"),
+        col("psi_d").cast("double").as("psi"))
+  }
+
+  /** SLIDING-WINDOW PSI over the event stream — `agg_psi_drift`'s
+    * monitoring twin on the time axis: instead of one ref-vs-current
+    * snapshot, every 24-hour window (sliding 12 h, epoch-aligned — the
+    * exact alignment Spark's streaming `window()` uses, so the streaming
+    * twin shares window identity bit-for-bit) of post-cut events is
+    * scored against the frozen first-week reference histogram of event
+    * values. The window membership is ARITHMETIC — each event lands in
+    * its two covering windows via an explode over k ∈ {0,1} and
+    * `us − us % slide − k·slide` — fully portable to the DuckDB oracle,
+    * no engine window-function semantics involved. This is the
+    * drift-alert relation a model-serving pipeline pages on.
+    * Scale: one |windows|·10-bounded frame after a (w, bin) hash-agg on
+    * the scan — the agg is the only data-proportional stage. */
+  def psiWindows(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(unix_micros(col("ts")).as("us"),
+        least(floor(col("value") / 50).cast("long"), lit(9L)).as("bin"))
+    val ref = e.filter(col("us") < PsiCutUs)
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_ref"))
+    val curg = e.filter(col("us") >= PsiCutUs)
+      .select(col("us"), col("bin"), explode(array(lit(0L), lit(1L))).as("k"))
+      .withColumn("w_us", col("us") - col("us") % PsiSlideUs - col("k") * PsiSlideUs)
+      .groupBy(col("w_us"), col("bin")).agg(count(lit(1)).as("n_cur"))
+    psiAgainstRef(curg, ref).orderBy(col("w_start_us"))
+  }
+
   /** Benford first-digit audit — the classic fraud / fabricated-data
     * screen: naturally-occurring multi-magnitude amounts follow
     * P(d) = log₁₀(1+1/d), and a ledger that deviates hard was touched.
@@ -765,6 +833,7 @@ object Aggregates {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_benford_audit" -> (benfordAudit _),
     "agg_psi_drift" -> (psiDrift _),
+    "agg_psi_windows" -> (psiWindows _),
     "agg_dp_counts" -> (dpCounts _),
     "agg_basket_pairs" -> (basketPairs _),
     "agg_pareto_bands" -> (paretoBands _),
@@ -815,6 +884,46 @@ object Aggregates {
         |JOIN exp_tab e ON d.digit = e.digit
         |CROSS JOIN total t
         |ORDER BY digit""".stripMargin,
+    "agg_psi_windows" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS us,
+        |    LEAST(CAST(FLOOR(value / 50) AS BIGINT), 9) AS bin
+        |  FROM events),
+        |ref0 AS (
+        |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_ref FROM e
+        |  WHERE us < 1704672000000000 GROUP BY bin),
+        |ref AS (
+        |  SELECT r.range AS bin, COALESCE(ref0.n_ref, 0) AS n_ref
+        |  FROM range(10) r LEFT JOIN ref0 ON ref0.bin = r.range),
+        |tr AS (SELECT SUM(n_ref) AS tr FROM ref),
+        |curg AS (
+        |  SELECT (us - us % 43200000000) - k.k * 43200000000 AS w_us, bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n_cur
+        |  FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+        |  WHERE us >= 1704672000000000
+        |  GROUP BY 1, 2),
+        |frame AS (
+        |  SELECT w.w_us, r.range AS bin, COALESCE(c.n_cur, 0) AS n_cur
+        |  FROM (SELECT DISTINCT w_us FROM curg) w
+        |  CROSS JOIN range(10) r
+        |  LEFT JOIN curg c ON c.w_us = w.w_us AND c.bin = r.range),
+        |tc AS (SELECT w_us, CAST(SUM(n_cur) AS BIGINT) AS tc FROM frame GROUP BY w_us),
+        |terms AS (
+        |  SELECT f.w_us, tc.tc,
+        |    CAST(ROUND(
+        |      (CAST(ref.n_ref + 1 AS DOUBLE) / CAST(tr.tr + 10 AS DOUBLE)
+        |        - CAST(f.n_cur + 1 AS DOUBLE) / CAST(tc.tc + 10 AS DOUBLE))
+        |      * ln((CAST(ref.n_ref + 1 AS DOUBLE) / CAST(tr.tr + 10 AS DOUBLE))
+        |           / (CAST(f.n_cur + 1 AS DOUBLE) / CAST(tc.tc + 10 AS DOUBLE))), 6)
+        |      AS DECIMAL(18,6)) AS term
+        |  FROM frame f
+        |  JOIN ref ON ref.bin = f.bin
+        |  JOIN tc ON tc.w_us = f.w_us
+        |  CROSS JOIN tr)
+        |SELECT w_us AS w_start_us, w_us + 86400000000 AS w_end_us,
+        |  tc AS n_cur, CAST(SUM(term) AS DOUBLE) AS psi
+        |FROM terms GROUP BY w_us, tc
+        |ORDER BY w_start_us""".stripMargin,
     "agg_psi_drift" ->
       """WITH b AS (
         |  SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 9) AS bin,

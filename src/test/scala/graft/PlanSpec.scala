@@ -193,7 +193,8 @@ class PlanSpec extends SparkSpec {
         "pipe_class_balance", "ml_standardize_noleak",
         "pipe_dsir_weights", "pipe_dsir_resample", "pipe_temperature_mix",
         "pipe_ccnet_buckets", "sim_hybrid_rrf", "text_bpe_merges",
-        "text_bpe_encode", "agg_psi_drift", "events_survival_km",
+        "text_bpe_encode", "agg_psi_drift", "agg_psi_windows",
+        "events_survival_km",
         "behavior_rfm_segments", "agg_benford_audit", "pipe_quality_lr")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
