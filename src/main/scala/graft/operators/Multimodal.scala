@@ -955,6 +955,12 @@ private[graft] object WebmIndex {
   private val IdSimpleBlock = 0xA3L
   private val IdBlockGroup = 0xA0L
   private val IdBlock = 0xA1L
+  private val IdCues = 0x1C53BB6BL
+  private val IdCuePoint = 0xBBL
+  private val IdCueTime = 0xB3L
+  private val IdCueTrackPositions = 0xB7L
+  private val IdCueTrack = 0xF7L
+  private val IdCueClusterPosition = 0xF1L
 
   /** EBML varint at `p`: (value, encoded length). IDs keep the length
     * marker bit in the value (that's how Matroska IDs are quoted);
@@ -1011,31 +1017,108 @@ private[graft] object WebmIndex {
     try sampleIndexUnsafe(payload)
     catch { case scala.util.control.NonFatal(_) => None }
 
+  /** The first video (TrackType 1) track's number in a parsed Segment. */
+  private def videoTrackOf(payload: Array[Byte],
+                           seg: Vector[(Long, Int, Int)]): Option[Long] =
+    seg.collectFirst { case (IdTracks, ts, te) =>
+      children(payload, ts, te, allowUnknownToEnd = false).collect {
+        case (IdTrackEntry, es, ee) =>
+          val fields = children(payload, es, ee, allowUnknownToEnd = false)
+          val num = fields.collectFirst { case (IdTrackNumber, s, e) => uintPayload(payload, s, e) }.flatten
+          val typ = fields.collectFirst { case (IdTrackType, s, e) => uintPayload(payload, s, e) }.flatten
+          (num, typ)
+      }.collectFirst { case (Some(n), Some(1L)) => n }
+    }.flatten
+
+  /** The video track's unlaced frame ranges inside one Cluster payload. */
+  private def clusterBlocks(payload: Array[Byte], cs: Int, ce: Int,
+                            track: Long): Vector[(Long, Int)] =
+    children(payload, cs, ce, allowUnknownToEnd = false).flatMap {
+      case (IdSimpleBlock, bs, be) => blockFrame(payload, bs, be, track)
+      case (IdBlockGroup, gs, ge) =>
+        children(payload, gs, ge, allowUnknownToEnd = false).flatMap {
+          case (IdBlock, bs, be) => blockFrame(payload, bs, be, track)
+          case _ => Vector.empty
+        }
+      case _ => Vector.empty
+    }
+
   private def sampleIndexUnsafe(payload: Array[Byte]): Option[Vector[(Long, Int)]] = {
     val top = children(payload, 0, payload.length, allowUnknownToEnd = true)
     for {
       (_, segS, segE) <- top.collectFirst { case (IdSegment, s, e) => ((), s, e) }
       seg = children(payload, segS, segE, allowUnknownToEnd = false)
-      videoTrack <- seg.collectFirst { case (IdTracks, ts, te) =>
-        children(payload, ts, te, allowUnknownToEnd = false).collect {
-          case (IdTrackEntry, es, ee) =>
-            val fields = children(payload, es, ee, allowUnknownToEnd = false)
-            val num = fields.collectFirst { case (IdTrackNumber, s, e) => uintPayload(payload, s, e) }.flatten
-            val typ = fields.collectFirst { case (IdTrackType, s, e) => uintPayload(payload, s, e) }.flatten
-            (num, typ)
-        }.collectFirst { case (Some(n), Some(1L)) => n }
-      }.flatten
+      videoTrack <- videoTrackOf(payload, seg)
       frames = seg.collect { case (IdCluster, cs, ce) =>
-        children(payload, cs, ce, allowUnknownToEnd = false).flatMap {
-          case (IdSimpleBlock, bs, be) => blockFrame(payload, bs, be, videoTrack)
-          case (IdBlockGroup, gs, ge) =>
-            children(payload, gs, ge, allowUnknownToEnd = false).flatMap {
-              case (IdBlock, bs, be) => blockFrame(payload, bs, be, videoTrack)
-              case _ => Vector.empty
-            }
-          case _ => Vector.empty
-        }
+        clusterBlocks(payload, cs, ce, videoTrack)
       }.flatten
+      if frames.nonEmpty
+    } yield frames
+  }
+
+  /** SEEK CUES of the video track: (cue_time, absolute byte offset of the
+    * cue-pointed Cluster ELEMENT). CueClusterPosition is relative to the
+    * Segment payload start per the Matroska spec; a Cues element is how a
+    * player (or a byte-range-reading scan task) jumps into a multi-GB
+    * stream without walking every preceding cluster. */
+  def cueIndex(payload: Array[Byte]): Option[Vector[(Long, Long)]] =
+    try cueIndexUnsafe(payload)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def cueIndexUnsafe(payload: Array[Byte]): Option[Vector[(Long, Long)]] = {
+    val top = children(payload, 0, payload.length, allowUnknownToEnd = true)
+    for {
+      (segS, segE) <- top.collectFirst { case (IdSegment, s, e) => (s, e) }
+      seg = children(payload, segS, segE, allowUnknownToEnd = false)
+      videoTrack <- videoTrackOf(payload, seg)
+      (cuS, cuE) <- seg.collectFirst { case (IdCues, s, e) => (s, e) }
+      pts = children(payload, cuS, cuE, allowUnknownToEnd = false).collect {
+        case (IdCuePoint, ps, pe) =>
+          val kids = children(payload, ps, pe, allowUnknownToEnd = false)
+          val t = kids.collectFirst { case (IdCueTime, s, e) =>
+            uintPayload(payload, s, e) }.flatten
+          val pos = kids.collect { case (IdCueTrackPositions, s, e) =>
+            val f = children(payload, s, e, allowUnknownToEnd = false)
+            val trk = f.collectFirst { case (IdCueTrack, a, b) => uintPayload(payload, a, b) }.flatten
+            val cp = f.collectFirst { case (IdCueClusterPosition, a, b) => uintPayload(payload, a, b) }.flatten
+            (trk, cp)
+          }.collectFirst { case (Some(tk), Some(cp)) if tk == videoTrack => cp }
+          (t, pos)
+      }.collect { case (Some(t), Some(cp)) => (t, segS.toLong + cp) }
+      if pts.nonEmpty
+    } yield pts
+  }
+
+  /** CUE-DRIVEN sample index: walks ONLY the cue-pointed clusters instead
+    * of the whole Segment — the seek path a range-reading task takes into
+    * a large stream. A cue whose position does not land on a well-formed
+    * Cluster element inside the payload contributes nothing (never
+    * throws, never slices out of bounds). When every cluster is
+    * cue-pointed the result equals the full [[sampleIndex]] walk
+    * (WebmIndexSpec pins this). */
+  def sampleIndexViaCues(payload: Array[Byte]): Option[Vector[(Long, Int)]] =
+    try sampleIndexViaCuesUnsafe(payload)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def sampleIndexViaCuesUnsafe(payload: Array[Byte]): Option[Vector[(Long, Int)]] = {
+    val top = children(payload, 0, payload.length, allowUnknownToEnd = true)
+    for {
+      (segS, segE) <- top.collectFirst { case (IdSegment, s, e) => (s, e) }
+      seg = children(payload, segS, segE, allowUnknownToEnd = false)
+      videoTrack <- videoTrackOf(payload, seg)
+      cues <- cueIndexUnsafe(payload)
+      frames = cues.flatMap { case (_, off) =>
+        if (off < segS || off >= segE) Vector.empty
+        else (for {
+          (id, idLen) <- varint(payload, off.toInt, segE, keepMarker = true)
+          if id == IdCluster
+          (sz, szLen) <- varint(payload, off.toInt + idLen, segE, keepMarker = false)
+          if !unknownSize(sz, szLen)
+          cs = off.toInt + idLen + szLen
+          if sz >= 0 && cs + sz <= segE
+        } yield clusterBlocks(payload, cs, (cs + sz).toInt, videoTrack))
+          .getOrElse(Vector.empty)
+      }
       if frames.nonEmpty
     } yield frames
   }
@@ -1124,8 +1207,39 @@ private[graft] object AviIndex {
         }
       (mS, mE) <- top.collectFirst { case ("movi", s, e, true) => (s, e) }
       frames <- moviFrames(b, mS, mE, f"$vidsIdx%02d", depth = 0)
-      if frames.nonEmpty
-    } yield frames
+      // OpenDML (AVI 2.0): files past RIFF's 4 GiB ceiling continue in
+      // trailing `RIFF AVIX` extension chunks, each with its own movi
+      ext <- avixFrames(b, (declaredEnd + (u32(b, 4) & 1)).toInt, f"$vidsIdx%02d")
+      all = frames ++ ext
+      if all.nonEmpty
+    } yield all
+  }
+
+  /** Frames from trailing OpenDML `RIFF AVIX` extension chunks starting
+    * at `start`. Bytes that are not an AVIX header end the walk (trailing
+    * junk stays tolerated, as for the primary chunk); a chunk we COMMIT
+    * to — the AVIX tag matched — rejects the file on truncation or a
+    * malformed movi, the primary chunk's reject-don't-salvage policy. */
+  private def avixFrames(b: Array[Byte], start: Int,
+                         nn: String): Option[Vector[(Long, Int)]] = {
+    val acc = Vector.newBuilder[(Long, Int)]
+    var p = start
+    while (p + 12 <= b.length && tag(b, p) == "RIFF" && tag(b, p + 8) == "AVIX") {
+      val sz = u32(b, p + 4)
+      val end = p + 8 + sz
+      if (end > b.length || sz < 4) return None // truncated extension
+      val movi = for {
+        kids <- children(b, p + 12, end.toInt)
+        (s, e) <- kids.collectFirst { case ("movi", ms, me, true) => (ms, me) }
+        fs <- moviFrames(b, s, e, nn, depth = 0)
+      } yield fs
+      movi match {
+        case None => return None // AVIX without a well-formed movi
+        case Some(fs) => acc ++= fs
+      }
+      p = (end + (sz & 1)).toInt
+    }
+    Some(acc.result())
   }
 
   private def moviFrames(b: Array[Byte], s: Int, e: Int, nn: String,

@@ -117,6 +117,39 @@ class AviIndexSpec extends SparkSpec {
     assert(frames.map(_.n_bytes).count(_ == 8L * 6 * 3) == 3)
   }
 
+  private def avix(kids: Array[Byte]*): Array[Byte] = {
+    val body = "AVIX".getBytes("ISO-8859-1") ++ kids.flatten
+    "RIFF".getBytes("ISO-8859-1") ++ u32le(body.length) ++ body
+  }
+
+  test("OpenDML AVIX extension chunks contribute their movi frames in order") {
+    val extra = Vector(jpeg(8, 6, 0xffff00), jpeg(8, 6, 0x00ffff))
+    val file = buildAvi() ++
+      avix(list("movi", chunk("01dc", extra(0)))) ++
+      avix(list("movi", chunk("00wb", audio), chunk("01dc", extra(1))))
+    val idx = AviIndex.sampleIndex(file).getOrElse(fail("ODML file rejected"))
+    val expected = Vector(jpegs(0), rawFrame, jpegs(1), jpegs(2)) ++ extra
+    assert(idx.length == 6, "primary 4 + 2 extension frames")
+    idx.zip(expected).foreach { case ((off, sz), want) =>
+      assert(sz == want.length)
+      assert(file.slice(off.toInt, off.toInt + sz).toSeq == want.toSeq,
+        s"sliced bytes differ at offset $off")
+    }
+  }
+
+  test("a truncated or malformed AVIX rejects the file; trailing junk does not") {
+    val ext = avix(list("movi", chunk("01dc", jpegs(0))))
+    val odml = buildAvi() ++ ext
+    // committed-to extension truncated mid-chunk → reject, don't salvage
+    assert(AviIndex.sampleIndex(odml.dropRight(6)).isEmpty)
+    // an AVIX with no movi is malformed
+    assert(AviIndex.sampleIndex(buildAvi() ++
+      avix(chunk("JUNK", Array.fill[Byte](8)(0)))).isEmpty)
+    // non-AVIX trailing bytes stay tolerated: primary frames only
+    val junky = buildAvi() ++ "not a riff chunk".getBytes("ISO-8859-1")
+    assert(AviIndex.sampleIndex(junky).map(_.length).contains(4))
+  }
+
   test("truncated, non-AVI, and over-nested files are rejected, never thrown") {
     val avi = buildAvi()
     assert(AviIndex.sampleIndex(avi.dropRight(10)).isEmpty, "truncation accepted")

@@ -161,6 +161,13 @@ object DemuxProps extends Properties("graft.demux") {
   property("WebmIndex never throws and never indexes out of bounds") =
     forAll(genBytes) { bs => inBounds(bs, WebmIndex.sampleIndex(bs)) }
 
+  property("WebmIndex cue paths never throw and never index out of bounds") =
+    forAll(genBytes) { bs =>
+      WebmIndex.cueIndex(bs).forall(_.forall {
+        case (_, off) => off >= 0 && off <= bs.length
+      }) && inBounds(bs, WebmIndex.sampleIndexViaCues(bs))
+    }
+
   // ---- RIFF/AVI: noise arms + a generative conformant roundtrip ----
 
   /** Noise behind the RIFF/AVI magic with a PLAUSIBLE declared size, so
@@ -178,8 +185,24 @@ object DemuxProps extends Properties("graft.demux") {
     bb.array() ++ bs.toArray
   }
 
+  /** AVI-noise followed by an AVIX-tagged tail with adversarial declared
+    * size and random body — lands the fuzz in the OpenDML extension walk
+    * instead of the trailing-junk early exit. */
+  private val genAvixNoise: Gen[Array[Byte]] = for {
+    base <- genAviNoise
+    n <- Gen.chooseNum(0, 128)
+    body <- Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+    declared <- Gen.frequency(2 -> Gen.const(n + 4), 1 -> Gen.chooseNum(0, 512))
+  } yield {
+    val bb = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ISO-8859-1")).putInt(declared)
+      .put("AVIX".getBytes("ISO-8859-1"))
+    base ++ bb.array() ++ body.toArray
+  }
+
   property("AviIndex never throws and never indexes out of bounds") =
-    forAll(Gen.frequency(2 -> genAviNoise, 1 -> genBytes)) { bs =>
+    forAll(Gen.frequency(2 -> genAviNoise, 1 -> genAvixNoise, 1 -> genBytes)) { bs =>
       inBounds(bs, AviIndex.sampleIndex(bs))
     }
 
