@@ -636,30 +636,8 @@ object Behavior {
     val hist = users.groupBy(col("y"))
       .agg(count(lit(1)).as("t"),
         sum(when(col("variant") === 0, 1L).otherwise(0L)).as("t_a"))
-    // two-pass range-partitioned prefix sum for `lt` (# users with smaller
-    // y): distinct revenue-cents values can approach user count at real
-    // scale, so a single unpartitioned cumulative window over the histogram
-    // would funnel everything through one task. Instead: range-shuffle the
-    // histogram on y, cumulate WITHIN each range partition, and add the
-    // broadcast per-partition offsets (whose own cumulative window runs
-    // over ≤ spark.sql.shuffle.partitions rows — bounded by config, not
-    // data). lt is partition-boundary-independent: offset + local prefix
-    // is the global prefix wherever the range splits fall.
-    val h = hist.repartitionByRange(col("y"))
-      .withColumn("pid", spark_partition_id().cast("long"))
-      .cache() // read twice (local prefix + offsets); must be the SAME
-               // partitioning both times (caller-release contract)
-    val wLocal = Window.partitionBy(col("pid")).orderBy(col("y"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wOff = Window.orderBy(col("pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = h.groupBy(col("pid")).agg(sum(col("t")).as("pt"))
-      .withColumn("off", coalesce(sum(col("pt")).over(wOff), lit(0L)))
-      .select(col("pid"), col("off"))
-    val ranked = h
-      .withColumn("lt_local", coalesce(sum(col("t")).over(wLocal), lit(0L)))
-      .join(broadcast(offsets), "pid")
-      .withColumn("lt", col("lt_local") + col("off"))
+    val ranked = rangePrefixSums(hist, "y", Seq("t"))
+      .withColumn("lt", col("lt_t"))
       .withColumn("r2", lit(2L) * col("lt") + col("t") + lit(1L)) // 2·midrank
     // tie3 is lifted to DECIMAL(38,0) (HUGEINT in the oracle): the y=0 tie
     // group spans all non-purchasing users, so t³ passes 2⁶³ once a tie
@@ -684,6 +662,92 @@ object Behavior {
       .withColumn("z", when(varU > 0.0, round(
         (u2a.cast("double") / lit(2.0) - nA * nB / lit(2.0)) / sqrt(varU), 6)))
       .select(col("n_a"), (col("n") - col("n_a")).as("n_b"), col("u2_a"), col("z"))
+  }
+
+  /** Two-pass range-partitioned EXCLUSIVE prefix sums — the distributed
+    * form of `SUM(c) OVER (ORDER BY ord ROWS UNBOUNDED PRECEDING AND 1
+    * PRECEDING)`: distinct values can approach row count at real scale,
+    * so a single unpartitioned cumulative window would funnel everything
+    * through one task. Instead: range-shuffle on `ord`, cumulate WITHIN
+    * each range partition, and add broadcast per-partition offsets (whose
+    * own cumulative window runs over ≤ spark.sql.shuffle.partitions
+    * rows — bounded by config, not data). The result is partition-
+    * boundary-independent: offset + local prefix is the global prefix
+    * wherever the range splits fall. Adds `lt_<col>` per requested
+    * column; the input relation is cached for its two reads (the SAME
+    * partitioning both times — caller-release contract). Shared by the
+    * Mann-Whitney midranks and the KS-test CDFs. */
+  private def rangePrefixSums(hist: DataFrame, ord: String,
+      cols: Seq[String]): DataFrame = {
+    val h = hist.repartitionByRange(col(ord))
+      .withColumn("pid", spark_partition_id().cast("long"))
+      .cache()
+    val wLocal = Window.partitionBy(col("pid")).orderBy(col(ord))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val aggs = cols.map(c => sum(col(c)).as(s"pt_$c"))
+    val offsets = cols.foldLeft(
+      h.groupBy(col("pid")).agg(aggs.head, aggs.tail: _*))((d, c) =>
+        d.withColumn(s"off_$c", coalesce(sum(col(s"pt_$c")).over(wOff), lit(0L))))
+      .select(col("pid") +: cols.map(c => col(s"off_$c")): _*)
+    val local = cols.foldLeft(h)((d, c) =>
+      d.withColumn(s"loc_$c", coalesce(sum(col(c)).over(wLocal), lit(0L))))
+    cols.foldLeft(local.join(broadcast(offsets), "pid"))((d, c) =>
+        d.withColumn(s"lt_$c", col(s"loc_$c") + col(s"off_$c")))
+      .drop(cols.map(c => s"loc_$c") ++ cols.map(c => s"off_$c") :+ "pid": _*)
+  }
+
+  /** Two-sample Kolmogorov–Smirnov — the DISTRIBUTION-level companion of
+    * `behavior_mann_whitney`: MW asks "does one arm stochastically
+    * dominate", KS asks "do the two arms' revenue distributions differ
+    * ANYWHERE" (location, spread, or shape — the all-purpose A/B
+    * distribution check). D = max over values |F_a − F_b|, computed
+    * EXACTLY: per-arm inclusive CDF counts from the value histogram via
+    * the two-pass range-partitioned prefix sum, deviation kept as the
+    * integer |ca·n_b − cb·n_a| (no float CDFs), one max-agg. The only
+    * IEEE work is the final D = d_num/(n_a·n_b) and the asymptotic
+    * α=0.05 threshold c·√((n_a+n_b)/(n_a·n_b)), c = 1.358 — both single
+    * expressions on identical operands (re-rounded / compared
+    * identically in both engines). Integer bound: ca·n_b ≤ n_a·n_b
+    * overflows bigint past ~3×10⁹ users per arm — the documented
+    * experiment-scale bound shared with u2_a.
+    *
+    * Scale: per-user hash-agg → |distinct values| histogram → two-pass
+    * prefix (no unpartitioned data-sized window) → 1-row max. */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val firstView = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("v_us"))
+    val perUser = e.filter(col("event_type") === "purchase")
+      .join(firstView, "user_id")
+      .filter(col("ts_us") > col("v_us"))
+      .groupBy(col("user_id")).agg(sum(col("cents")).as("y0"))
+    val users = firstView.join(perUser, Seq("user_id"), "left")
+      .select((col("user_id") % 2).as("variant"),
+        coalesce(col("y0"), lit(0L)).as("y"))
+    val hist = users.groupBy(col("y"))
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("t_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("t_b"))
+    val cdf = rangePrefixSums(hist, "y", Seq("t_a", "t_b"))
+      .withColumn("ca", col("lt_t_a") + col("t_a")) // inclusive CDF counts
+      .withColumn("cb", col("lt_t_b") + col("t_b"))
+    // totals from the prefix output's cached base — NOT from hist, whose
+    // subtree would re-scan the event log a second time
+    val totals = cdf.agg(sum(col("t_a")).as("n_a"), sum(col("t_b")).as("n_b"))
+    val nab = col("n_a").cast("double") * col("n_b").cast("double")
+    cdf.crossJoin(broadcast(totals))
+      .withColumn("dev", abs(col("ca") * col("n_b") - col("cb") * col("n_a")))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("dev")).as("d_num"))
+      .withColumn("ks", round(col("d_num").cast("double") / nab, 6))
+      .withColumn("reject_05",
+        (col("d_num").cast("double") / nab >
+          lit(1.358) * sqrt((col("n_a") + col("n_b")).cast("double") / nab))
+          .cast("long"))
+      .select(col("n_a"), col("n_b"), col("d_num"), col("ks"), col("reject_05"))
   }
 
   /** Sample-ratio mismatch check — the validity gate every experiment
@@ -718,6 +782,7 @@ object Behavior {
     "events_attribution_linear" -> (linearAttribution _),
     "behavior_ttest_revenue" -> (welchTtest _),
     "behavior_mann_whitney" -> (mannWhitney _),
+    "behavior_ks_test"    -> (ksTest _),
     "behavior_srm_check"  -> (srmCheck _),
     "behavior_cuped"      -> (cuped _),
     "events_attribution"  -> (lastTouchAttribution _),
@@ -806,6 +871,47 @@ object Behavior {
         |        ((n + 1.0) - tie3::DOUBLE / (n::DOUBLE * (n - 1.0)))), 6)
         |  END AS z
         |FROM s""".stripMargin,
+    "behavior_ks_test" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |fv AS (
+        |  SELECT user_id, MIN(ts_us) AS v_us FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |pu AS (
+        |  SELECT e.user_id, SUM(cents) AS y0
+        |  FROM e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > fv.v_us
+        |  GROUP BY e.user_id),
+        |u AS (
+        |  SELECT fv.user_id % 2 AS variant, COALESCE(y0, 0) AS y
+        |  FROM fv LEFT JOIN pu ON fv.user_id = pu.user_id),
+        |hist AS (
+        |  SELECT y,
+        |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t_a,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t_b
+        |  FROM u GROUP BY y),
+        |cdf AS (
+        |  SELECT y, t_a, t_b,
+        |    SUM(t_a) OVER (ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |    SUM(t_b) OVER (ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+        |  FROM hist),
+        |tot AS (
+        |  SELECT CAST(SUM(t_a) AS BIGINT) AS n_a,
+        |    CAST(SUM(t_b) AS BIGINT) AS n_b FROM hist),
+        |d AS (
+        |  SELECT tot.n_a, tot.n_b,
+        |    CAST(MAX(abs(ca * tot.n_b - cb * tot.n_a)) AS BIGINT) AS d_num
+        |  FROM cdf CROSS JOIN tot
+        |  GROUP BY tot.n_a, tot.n_b)
+        |SELECT n_a, n_b, d_num,
+        |  ROUND(d_num::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE), 6) AS ks,
+        |  CAST(CASE WHEN d_num::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE)
+        |      > 1.358 * sqrt((n_a + n_b)::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE))
+        |    THEN 1 ELSE 0 END AS BIGINT) AS reject_05
+        |FROM d""".stripMargin,
     "behavior_ttest_revenue" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,

@@ -784,7 +784,40 @@ object Events {
       .orderBy(col("rn"))
   }
 
+  /** CUSUM level-shift detection over daily event volume — the classic
+    * change-point screen an ops/monitoring pipeline runs on ingestion
+    * counts: the cumulative sum of per-day deviations from the overall
+    * mean peaks AT the day the level shifted (Page's CUSUM, the offline
+    * max-|S| form). Everything stays EXACT integers by scaling out the
+    * mean's division: dev_j = n_j·D − T (D days, T total events), so
+    * S_i = Σ dev is an exact bigint prefix and the only IEEE work is the
+    * final normalized score S_peak/(D·T), re-rounded to 6. Peak day ties
+    * break to the EARLIEST day via one max(struct(|S|, −day)) — no second
+    * window pass. The cumulative window is unpartitioned but runs over
+    * the |days| relation — time-bounded aggregated input, the documented
+    * exception. Scale: one day-key hash-agg on the scan (partial
+    * map-side), then ≤|days| rows end to end. */
+  def cusumShift(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+      .groupBy(col("day_us")).agg(count(lit(1)).as("n"))
+    val tot = daily.agg(count(lit(1)).as("d"), sum(col("n")).as("total"))
+    val w = Window.orderBy(col("day_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(tot))
+      .withColumn("dev", col("n") * col("d") - col("total")) // n_j·D − T
+      .withColumn("s_i", sum(col("dev")).over(w))
+      .groupBy(col("d"), col("total"))
+      .agg(max(struct(abs(col("s_i")).as("a"), (-col("day_us")).as("nd"))).as("mx"))
+      .select(col("d").as("n_days"), col("total").as("total_events"),
+        (-col("mx.nd")).as("peak_day_us"), col("mx.a").as("cusum_peak"),
+        round(col("mx.a").cast("double") /
+          (col("d").cast("double") * col("total").cast("double")), 6)
+          .as("shift_score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_cusum_shift" -> (cusumShift _),
     "events_bot_suspects" -> (botSuspects _),
     "agg_bitmap_distinct" -> (bitmapDistinct _),
     "join_interval_chunked" -> (intervalChunked _),
@@ -830,6 +863,26 @@ object Events {
       |ORDER BY c.event_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "events_cusum_shift" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS d,
+        |    CAST(SUM(n) AS BIGINT) AS total FROM daily),
+        |s AS (
+        |  SELECT day_us, tot.d, tot.total,
+        |    SUM(n * tot.d - tot.total) OVER (ORDER BY day_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_i
+        |  FROM daily CROSS JOIN tot),
+        |p AS (
+        |  SELECT d, total, abs(s_i) AS a, day_us FROM s
+        |  ORDER BY a DESC, day_us ASC LIMIT 1)
+        |SELECT d AS n_days, total AS total_events, day_us AS peak_day_us,
+        |  CAST(a AS BIGINT) AS cusum_peak,
+        |  ROUND(a::DOUBLE / (d::DOUBLE * total), 6) AS shift_score
+        |FROM p""".stripMargin,
     "events_bot_suspects" ->
       """WITH g0 AS (
         |  SELECT user_id,

@@ -1500,7 +1500,45 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Jensen–Shannon divergence between the unigram token distributions of
+    * two corpus slices (doc_id parity as the stand-in for two DOMAINS —
+    * web vs books, yesterday vs today) — the symmetric, bounded (≤ ln 2
+    * nats) distribution-distance a mixture designer reads before setting
+    * sampling weights, and a drift monitor's vocabulary-level companion
+    * to `agg_psi_drift`. JS = ½·KL(p‖m) + ½·KL(q‖m), m = (p+q)/2,
+    * computed over the UNION vocabulary: p or q may be 0 at a token
+    * (m > 0 always — every vocab token occurs somewhere), so the per-side
+    * terms are 0-guarded. Per-token terms are tiny at corpus vocab sizes,
+    * so the libm lattice rounds at 9 decimals (not the usual 6) before
+    * the exact DECIMAL(18,9) sum — the same determinism argument, finer
+    * quantum. One |vocab|-key hash-agg (partial map-side) + a broadcast
+    * 1-row total; output is a single audit row. */
+  def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select((col("doc_id") % 2).as("arm"),
+        explode(filter(tokens(col("text")), t => length(t) > 0)).as("tok"))
+    val counts = toks.groupBy(col("tok"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c_b"))
+    val tot = counts.agg(sum(col("c_a")).as("na"), sum(col("c_b")).as("nb"))
+    val p = col("c_a").cast("double") / col("na").cast("double")
+    val q = col("c_b").cast("double") / col("nb").cast("double")
+    val m = (p + q) / lit(2.0)
+    counts.crossJoin(broadcast(tot))
+      .withColumn("term", round(
+        when(col("c_a") > 0, p * log(p / m)).otherwise(lit(0.0)) * lit(0.5) +
+          when(col("c_b") > 0, q * log(q / m)).otherwise(lit(0.0)) * lit(0.5), 9)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .groupBy(col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_vocab"), sum(col("term")).as("js_d"))
+      .select(col("na").as("n_tokens_a"), col("nb").as("n_tokens_b"),
+        col("n_vocab"),
+        col("js_d").cast("double").as("js_nats"),
+        round(col("js_d").cast("double") / lit(math.log(2.0)), 6).as("js_bits"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_js_divergence" -> (jsDivergence _),
     "pipe_weighted_sample" -> (weightedSample _),
     "text_conj_search" -> (conjunctiveSearch _),
     "pipe_cross_source_dupes" -> (crossSourceDupes _),
@@ -1547,6 +1585,35 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_js_divergence" ->
+      """WITH tok AS (
+        |  SELECT doc_id % 2 AS arm,
+        |    unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS tok
+        |  FROM documents),
+        |counts AS (
+        |  SELECT tok,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+        |  FROM tok GROUP BY tok),
+        |tot AS (
+        |  SELECT CAST(SUM(c_a) AS BIGINT) AS na,
+        |    CAST(SUM(c_b) AS BIGINT) AS nb FROM counts),
+        |terms AS (
+        |  SELECT na, nb,
+        |    CAST(ROUND(
+        |      0.5 * CASE WHEN c_a > 0 THEN (c_a::DOUBLE / na) *
+        |        ln((c_a::DOUBLE / na) /
+        |           ((c_a::DOUBLE / na + c_b::DOUBLE / nb) / 2.0)) ELSE 0.0 END +
+        |      0.5 * CASE WHEN c_b > 0 THEN (c_b::DOUBLE / nb) *
+        |        ln((c_b::DOUBLE / nb) /
+        |           ((c_a::DOUBLE / na + c_b::DOUBLE / nb) / 2.0)) ELSE 0.0 END, 9)
+        |      AS DECIMAL(18,9)) AS term
+        |  FROM counts CROSS JOIN tot)
+        |SELECT na AS n_tokens_a, nb AS n_tokens_b,
+        |  COUNT(*) AS n_vocab,
+        |  CAST(SUM(term) AS DOUBLE) AS js_nats,
+        |  ROUND(CAST(SUM(term) AS DOUBLE) / ln(2.0), 6) AS js_bits
+        |FROM terms GROUP BY na, nb""".stripMargin,
     "text_bpe_encode" ->
       """WITH wfreq AS (
         |  SELECT word, COUNT(*) AS cnt FROM (

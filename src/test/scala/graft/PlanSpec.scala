@@ -194,7 +194,8 @@ class PlanSpec extends SparkSpec {
         "pipe_dsir_weights", "pipe_dsir_resample", "pipe_temperature_mix",
         "pipe_ccnet_buckets", "sim_hybrid_rrf", "text_bpe_merges",
         "text_bpe_encode", "agg_psi_drift", "agg_psi_windows",
-        "events_survival_km",
+        "events_survival_km", "events_cusum_shift", "behavior_ks_test",
+        "text_js_divergence",
         "behavior_rfm_segments", "agg_benford_audit", "pipe_quality_lr")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
