@@ -1537,8 +1537,98 @@ object TextAnalysis {
         round(col("js_d").cast("double") / lit(math.log(2.0)), 6).as("js_bits"))
   }
 
+  /** Gopher quality rules (Rae et al. 2021, Appendix A) — the published
+    * rule set most open-corpus pipelines start from, applied per document
+    * and rolled up per (lang, source) slice so a curator sees WHICH rule
+    * kills WHICH slice. The computable-on-this-corpus subset, each rule
+    * an exact INTEGER comparison (divisions scaled out — no float
+    * thresholds anywhere):
+    *   R1 word count ∈ [50, 100k]
+    *   R2 mean word length ∈ [3, 10]       (3·W ≤ Σ|tok| ≤ 10·W)
+    *   R3 '#' or '…' symbol-to-word ratio ≤ 0.1   (10·count ≤ W)
+    *   R4 ≥80% of words contain a letter   (5·alpha ≥ 4·W)
+    *   R5 ≥2 distinct stopwords present    (Gopher's "stop word" filter)
+    * keep = all five. Scale: one projection over the scan (token counts
+    * are higher-order functions, no explode) + a |slices|-key hash-agg. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val d = Tables.documents(spark, dir)
+      .withColumn("toks", filter(tokens(col("text")), t => length(t) > 0))
+      .withColumn("w", size(col("toks")).cast("long"))
+      .withColumn("wchars",
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)))
+      .withColumn("n_hash",
+        (length(col("text")) - length(replace(col("text"), lit("#"), lit("")))).cast("long"))
+      .withColumn("n_ellipsis",
+        ((length(col("text")) - length(replace(col("text"), lit("..."), lit("")))) / 3).cast("long"))
+      .withColumn("n_alpha",
+        size(filter(col("toks"), t => t.rlike("[a-zA-Z]"))).cast("long"))
+      .withColumn("n_stopw",
+        size(array_intersect(array_distinct(col("toks")),
+          array(stop.map(lit(_)): _*))).cast("long"))
+      .withColumn("r1", (col("w") >= 50 && col("w") <= 100000).cast("long"))
+      .withColumn("r2",
+        (lit(3L) * col("w") <= col("wchars") &&
+          col("wchars") <= lit(10L) * col("w")).cast("long"))
+      .withColumn("r3",
+        (lit(10L) * col("n_hash") <= col("w") &&
+          lit(10L) * col("n_ellipsis") <= col("w")).cast("long"))
+      .withColumn("r4", (lit(5L) * col("n_alpha") >= lit(4L) * col("w")).cast("long"))
+      .withColumn("r5", (col("n_stopw") >= 2).cast("long"))
+      .withColumn("keep",
+        (col("r1") + col("r2") + col("r3") + col("r4") + col("r5") === 5).cast("long"))
+    d.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(lit(1L) - col("r1")).as("fail_wordcount"),
+        sum(lit(1L) - col("r2")).as("fail_wordlen"),
+        sum(lit(1L) - col("r3")).as("fail_symbols"),
+        sum(lit(1L) - col("r4")).as("fail_alpha"),
+        sum(lit(1L) - col("r5")).as("fail_stopwords"),
+        sum(col("keep")).as("n_keep"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** C4 cleaning rules (Raffel et al. 2020, §2.2) — the OTHER canonical
+    * published filter set, complementing [[gopherRules]]: C4 targets
+    * web-scrape artifacts where Gopher targets statistical gibberish.
+    * The document-level subset, all exact string predicates:
+    *   R1 no '{'            (code/JSON page)
+    *   R2 no "lorem ipsum"  (template placeholder, case-insensitive)
+    *   R3 no "javascript"   (enable-JS boilerplate, case-insensitive)
+    *   R4 ends with terminal punctuation (. ! ? ") after rtrim
+    *   R5 ≥3 sentence terminators (. ! ?) — the ≥3-sentences proxy
+    * keep = all five; per-(lang, source) rollup, same audit shape as the
+    * Gopher entry. One projection + one bounded hash-agg. */
+  def c4Filters(spark: SparkSession, dir: String): DataFrame = {
+    def occ(c: Column, s: String): Column =
+      ((length(c) - length(replace(c, lit(s), lit("")))) / s.length).cast("long")
+    val d = Tables.documents(spark, dir)
+      .withColumn("lo", lower(col("text")))
+      .withColumn("r1", (!col("text").contains("{")).cast("long"))
+      .withColumn("r2", (!col("lo").contains("lorem ipsum")).cast("long"))
+      .withColumn("r3", (!col("lo").contains("javascript")).cast("long"))
+      .withColumn("r4",
+        substring(rtrim(col("text")), -1, 1).isin(".", "!", "?", "\"").cast("long"))
+      .withColumn("r5",
+        (occ(col("text"), ".") + occ(col("text"), "!") + occ(col("text"), "?") >= 3)
+          .cast("long"))
+      .withColumn("keep",
+        (col("r1") + col("r2") + col("r3") + col("r4") + col("r5") === 5).cast("long"))
+    d.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(lit(1L) - col("r1")).as("fail_brace"),
+        sum(lit(1L) - col("r2")).as("fail_lorem"),
+        sum(lit(1L) - col("r3")).as("fail_js"),
+        sum(lit(1L) - col("r4")).as("fail_endpunct"),
+        sum(lit(1L) - col("r5")).as("fail_sentences"),
+        sum(col("keep")).as("n_keep"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_js_divergence" -> (jsDivergence _),
+    "text_gopher_rules" -> (gopherRules _),
+    "text_c4_filters" -> (c4Filters _),
     "pipe_weighted_sample" -> (weightedSample _),
     "text_conj_search" -> (conjunctiveSearch _),
     "pipe_cross_source_dupes" -> (crossSourceDupes _),
@@ -1585,6 +1675,64 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_c4_filters" ->
+      """WITH f AS (
+        |  SELECT lang, source,
+        |    CASE WHEN NOT contains(text, '{') THEN 1 ELSE 0 END AS r1,
+        |    CASE WHEN NOT contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END AS r2,
+        |    CASE WHEN NOT contains(lower(text), 'javascript') THEN 1 ELSE 0 END AS r3,
+        |    CASE WHEN right(rtrim(text), 1) IN ('.', '!', '?', '"')
+        |      THEN 1 ELSE 0 END AS r4,
+        |    CASE WHEN (length(text) - length(replace(text, '.', '')))
+        |        + (length(text) - length(replace(text, '!', '')))
+        |        + (length(text) - length(replace(text, '?', ''))) >= 3
+        |      THEN 1 ELSE 0 END AS r5
+        |  FROM documents)
+        |SELECT lang, source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(1 - r1) AS BIGINT) AS fail_brace,
+        |  CAST(SUM(1 - r2) AS BIGINT) AS fail_lorem,
+        |  CAST(SUM(1 - r3) AS BIGINT) AS fail_js,
+        |  CAST(SUM(1 - r4) AS BIGINT) AS fail_endpunct,
+        |  CAST(SUM(1 - r5) AS BIGINT) AS fail_sentences,
+        |  CAST(SUM(CASE WHEN r1 + r2 + r3 + r4 + r5 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+        |FROM f GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+    "text_gopher_rules" ->
+      """WITH d AS (
+        |  SELECT lang, source,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        |    CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_ellipsis,
+        |    text
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, source,
+        |    CAST(len(toks) AS BIGINT) AS w,
+        |    CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS wchars,
+        |    n_hash, n_ellipsis,
+        |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_intersect(list_distinct(toks),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stopw
+        |  FROM d),
+        |f AS (
+        |  SELECT lang, source,
+        |    CASE WHEN w >= 50 AND w <= 100000 THEN 1 ELSE 0 END AS r1,
+        |    CASE WHEN 3 * w <= wchars AND wchars <= 10 * w THEN 1 ELSE 0 END AS r2,
+        |    CASE WHEN 10 * n_hash <= w AND 10 * n_ellipsis <= w THEN 1 ELSE 0 END AS r3,
+        |    CASE WHEN 5 * n_alpha >= 4 * w THEN 1 ELSE 0 END AS r4,
+        |    CASE WHEN n_stopw >= 2 THEN 1 ELSE 0 END AS r5
+        |  FROM r)
+        |SELECT lang, source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(1 - r1) AS BIGINT) AS fail_wordcount,
+        |  CAST(SUM(1 - r2) AS BIGINT) AS fail_wordlen,
+        |  CAST(SUM(1 - r3) AS BIGINT) AS fail_symbols,
+        |  CAST(SUM(1 - r4) AS BIGINT) AS fail_alpha,
+        |  CAST(SUM(1 - r5) AS BIGINT) AS fail_stopwords,
+        |  CAST(SUM(CASE WHEN r1 + r2 + r3 + r4 + r5 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+        |FROM f GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
     "text_js_divergence" ->
       """WITH tok AS (
         |  SELECT doc_id % 2 AS arm,
