@@ -1006,8 +1006,13 @@ object Similarity {
     * Scale: one |cells|·dims broadcast for assignment (linear scan),
     * then a (cluster, dim) equi-join whose work is Σ|cluster|²·dims —
     * the paper's own O(n²/k); k grows with n (the `sim_knn_ivfpq_tuned`
-    * sizing rule) to hold cluster occupancy flat. No driver collect. */
-  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    * sizing rule) to hold cluster occupancy flat. No driver collect.
+    *
+    * Factored as (assign, losers) so the loser relation can feed the
+    * index-maintenance tombstones (`sim_index_delete`) — semantic dedup
+    * IS the production delete feed (IndexMaintenanceSpec wires the two). */
+  private[graft] def semDedupAssignLosers(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val xs = explodedDecimal(spark, dir)
       .cache() // feeds centroid fit, twin synthesis, and the union
     // twin ids live at +2^41: far above any plausible base vec_id domain
@@ -1063,6 +1068,11 @@ object Similarity {
           (col("cc_a") === col("cc_b") && col("id_a") > col("id_b")),
           col("id_a")).otherwise(col("id_b")).as("vec_id"))
       .distinct()
+    (assign, losers)
+  }
+
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (assign, losers) = semDedupAssignLosers(spark, dir)
     assign
       .join(losers.withColumn("dropped", lit(1L)), Seq("vec_id"), "left")
       .groupBy(col("cluster"))

@@ -60,6 +60,43 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(hits >= 2, s"only $hits/3 probes found their true surviving nearest")
   }
 
+  test("semdedup losers retire cleanly as the tombstone feed") {
+    // the production wiring: semantic dedup's loser relation IS the
+    // delete feed — losers become tombstones, and probing with a loser's
+    // own vector must return only SURVIVORS
+    val (idx, nprobe, refineT) = Similarity.ensureIvfPqIndex(spark, sf0001)
+    val (_, losersAll) = Similarity.semDedupAssignLosers(spark, sf0001)
+    // only real corpus ids — semdedup's synthetic twins (+2^41) never
+    // entered the index
+    val tombs = losersAll.filter(col("vec_id") < (1L << 41)).cache()
+    val loserIds = tombs.collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(loserIds.nonEmpty, "semdedup found no losers on this corpus")
+    val all = Similarity.vectors(spark, sf0001)
+      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+      .select(col("vec_id"), col("vn"))
+    val maskedCells = spark.read.parquet(s"$idx/cells")
+      .join(tombs, Seq("vec_id"), "left_anti")
+    val q = all.join(tombs, Seq("vec_id")).orderBy(col("vec_id")).limit(3)
+      .select((col("vec_id") + (1L << 41)).as("q_id"), col("vn").as("qv"))
+    val served = Similarity.serveIvfPqQueries(q,
+      all.join(tombs, Seq("vec_id"), "left_anti"),
+      spark.read.parquet(s"$idx/centroids"),
+      spark.read.parquet(s"$idx/codebook"),
+      maskedCells, spark.read.parquet(s"$idx/codes"),
+      nprobe, refineT).collect()
+    assert(served.nonEmpty, "loser-probe serve returned nothing")
+    served.foreach { r =>
+      assert(!loserIds.contains(r.getAs[Long]("vec_id")),
+        s"deduplicated vector ${r.getAs[Long]("vec_id")} surfaced after deletion")
+    }
+    // each loser-probe's top answer is a real survivor with sane cosine —
+    // typically the pair WINNER the loser was deduplicated against
+    served.filter(_.getAs[Long]("rn") == 1L).foreach { r =>
+      assert(r.getAs[Double]("cos") <= 1.0000001)
+    }
+    tombs.unpersist()
+  }
+
   test("compaction rewrites exactly the hot cells and retires their tombstones") {
     val (idx, _, _) = Similarity.ensureIvfPqIndex(spark, sf0001)
     // force a fresh run so the gen1 relations on disk match this corpus
