@@ -816,7 +816,47 @@ object Events {
           .as("shift_score"))
   }
 
+  /** EXACT-INTEGER EWMA over hourly event volume, per event type — the
+    * smoothing baseline an alerting pipeline compares live counts
+    * against. The recursive EWMA is unrolled to its finite half-life
+    * window with DYADIC weights: α = 1/2 gives weight 2^(W−1−k) to the
+    * count k hours back (W = 20), so the weighted sum and the weight
+    * total are exact bigints — no pow(), no float accumulation, no
+    * cross-engine libm exposure — and the smoothed value is emitted in
+    * integer MICRO-events via DIV. Counts older than W hours carry
+    * weight < 2^-20 of the newest in true EWMA: the truncation is below
+    * count resolution. The unroll is a bounded interval self-join
+    * (≤ W× expansion keyed on event_type) — the as-of family's shape, no
+    * window over raw data; partial windows (stream start) normalize by
+    * the weights actually present, exactly like a warm-up-aware EWMA.
+    * Scale: hour-key hash-agg on the scan, then |hours|·W bounded work. */
+  def ewmaHourly(spark: SparkSession, dir: String): DataFrame = {
+    val W = 20
+    val hourly = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) DIV 3600000000").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("n"))
+      .cache() // both sides of the bounded self-join
+    val past = hourly.select(col("event_type").as("et2"),
+      col("h").as("h2"), col("n").as("n2"))
+    hourly.join(past,
+        col("event_type") === col("et2") &&
+          col("h2") <= col("h") && col("h2") > col("h") - W)
+      .drop("et2")
+      .withColumn("wt", expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${W - 1} - (h - h2) AS INT))"))
+      .groupBy(col("event_type"), col("h"), col("n"))
+      .agg(sum(col("n2") * col("wt")).as("num"), sum(col("wt")).as("wsum"))
+      // quotient-then-remainder micro conversion: num·10⁶ would overflow
+      // bigint at ~10⁶ events/hour/type, but num%wsum < 2²⁰ never does
+      .withColumn("ewma_micro",
+        expr("(num DIV wsum) * 1000000 + (num % wsum) * 1000000 DIV wsum"))
+      .select(col("event_type"), col("h").as("hour_no"), col("n").as("n_events"),
+        col("ewma_micro"))
+      .orderBy(col("event_type"), col("hour_no"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ewma_hourly" -> (ewmaHourly _),
     "events_cusum_shift" -> (cusumShift _),
     "events_bot_suspects" -> (botSuspects _),
     "agg_bitmap_distinct" -> (bitmapDistinct _),
@@ -863,6 +903,24 @@ object Events {
       |ORDER BY c.event_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "events_ewma_hourly" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.event_type, a.h, a.n,
+        |    CAST(SUM(b.n * (1::BIGINT << CAST(19 - (a.h - b.h) AS INT))) AS BIGINT) AS num,
+        |    CAST(SUM(1::BIGINT << CAST(19 - (a.h - b.h) AS INT)) AS BIGINT) AS wsum
+        |  FROM hourly a JOIN hourly b
+        |    ON a.event_type = b.event_type
+        |   AND b.h <= a.h AND b.h > a.h - 20
+        |  GROUP BY 1, 2, 3)
+        |SELECT event_type, h AS hour_no, n AS n_events,
+        |  (num // wsum) * 1000000 + (num % wsum) * 1000000 // wsum AS ewma_micro
+        |FROM j
+        |ORDER BY event_type, hour_no""".stripMargin,
     "events_cusum_shift" ->
       """WITH daily AS (
         |  SELECT epoch_us(date_trunc('day', ts)) AS day_us,
