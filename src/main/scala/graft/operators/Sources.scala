@@ -98,6 +98,32 @@ object Sources {
       .orderBy(col("n_regionkey"))
   }
 
+  /** S1 breadth: XML roundtrip — Spark 4 ships the (formerly spark-xml)
+    * XML source in core, and enterprise feeds still arrive as XML. Same
+    * contract as the CSV/JSON paths: explicit schema on read (XML
+    * inference costs a full extra scan), row-tag framing, oracled against
+    * the same aggregate on the original parquet so any serialization or
+    * type-mapping loss hash-mismatches. Aggregates on customer (the
+    * largest of the small dims) so string escaping (&, <) in names/
+    * comments actually gets exercised by the writer/reader pair. */
+  def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.customer(spark, dir)
+    val out = Tables.scratchPath("xml", dir)
+    src.write.mode("overwrite").format("xml")
+      .option("rowTag", "customer").save(out)
+    spark.read.format("xml")
+      .option("rowTag", "customer")
+      .schema(src.schema) // explicit, never inferred
+      .load(out)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("sum_acctbal"),
+        min(col("c_name")).as("first_name"),
+        max(col("c_nationkey")).as("max_nation"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** PERMISSIVE corrupt-record handling — the half of S1's read contract
     * the clean roundtrips can't show: a JSON-lines source where every
     * third record is deterministically truncated mid-object. PERMISSIVE
@@ -413,6 +439,7 @@ object Sources {
     "src_text_roundtrip" -> (textRoundtrip _),
     "src_csv_roundtrip"    -> (csvRoundtrip _),
     "src_json_roundtrip"   -> (jsonRoundtrip _),
+    "src_xml_roundtrip"    -> (xmlRoundtrip _),
     "src_json_corrupt"     -> (jsonCorrupt _),
     "src_orc_roundtrip"    -> (orcRoundtrip _),
     "src_partitioned_prune" -> (partitionedPrune _),
@@ -490,6 +517,15 @@ object Sources {
         |FROM nation
         |GROUP BY n_regionkey
         |ORDER BY n_regionkey""".stripMargin,
+    "src_xml_roundtrip" ->
+      """SELECT c_mktsegment,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+        |  MIN(c_name) AS first_name,
+        |  MAX(c_nationkey) AS max_nation
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "src_partitioned_prune" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderpriority,
         |  COUNT(*) AS n_orders,
