@@ -855,8 +855,54 @@ object Events {
       .orderBy(col("event_type"), col("hour_no"))
   }
 
+  /** EWMA-baseline anomaly verdicts for `cur`(event_type, h, n) hours
+    * against `hist`(event_type, h, n) — STRICTLY-PRIOR hours only
+    * (d = h − h2 ∈ [1, W], dyadic weight 2^(W−d)), because an online
+    * detector may not let the current hour contaminate its own baseline.
+    * The spike test is division-free: n > 3·ewma_prev ⇔ n·wsum > 3·num,
+    * exact bigints end to end. Warm-up hours (no prior history) emit
+    * NULL baseline and false spike — LEFT join, never dropped. Shared by
+    * the oracled batch entry and `streaming.EwmaAnomalyStream`, so batch
+    * and stream verdicts agree by construction. */
+  private[graft] def ewmaPrevVerdicts(cur: DataFrame, hist: DataFrame): DataFrame = {
+    val W = 20
+    val past = hist.select(col("event_type").as("et2"),
+      col("h").as("h2"), col("n").as("n2"))
+    cur.join(past,
+        col("event_type") === col("et2") &&
+          col("h2") < col("h") && col("h2") >= col("h") - W, "left")
+      .withColumn("wt", expr(s"shiftleft(CAST(1 AS BIGINT), CAST($W - (h - h2) AS INT))"))
+      .groupBy(col("event_type"), col("h"), col("n"))
+      .agg(sum(col("n2") * col("wt")).as("num"), sum(col("wt")).as("wsum"))
+      .withColumn("ewma_prev_micro", when(col("wsum").isNotNull,
+        expr("(num DIV wsum) * 1000000 + (num % wsum) * 1000000 DIV wsum")))
+      .withColumn("is_spike",
+        coalesce(col("n") * col("wsum") > lit(3L) * col("num"), lit(false)))
+      .select(col("event_type"), col("h").as("hour_no"), col("n").as("n_events"),
+        col("ewma_prev_micro"), col("is_spike").cast("long").as("is_spike"))
+  }
+
+  /** ONLINE-SEMANTICS rate anomaly — the causal counterpart of
+    * `events_rate_anomaly` (whose z-test reads the WHOLE timeline's
+    * stats, a retrospective audit): each hour is judged only against the
+    * EWMA of its strictly-prior 20 hours, the decision an alerting
+    * system could actually have made at the time. `streaming.
+    * EwmaAnomalyStream` runs the IDENTICAL kernel per micro-batch over
+    * an accumulating finalized-hour store (EwmaAnomalyStreamSpec proves
+    * batch ≡ stream); this entry is the DuckDB-oracled anchor. */
+  def ewmaAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) DIV 3600000000").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("n"))
+      .cache() // both sides of the strictly-prior self-join
+    ewmaPrevVerdicts(hourly, hourly)
+      .orderBy(col("event_type"), col("hour_no"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_ewma_hourly" -> (ewmaHourly _),
+    "events_ewma_anomaly" -> (ewmaAnomaly _),
     "events_cusum_shift" -> (cusumShift _),
     "events_bot_suspects" -> (botSuspects _),
     "agg_bitmap_distinct" -> (bitmapDistinct _),
@@ -903,6 +949,27 @@ object Events {
       |ORDER BY c.event_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "events_ewma_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.event_type, a.h, a.n,
+        |    CAST(SUM(b.n * (1::BIGINT << CAST(20 - (a.h - b.h) AS INT))) AS BIGINT) AS num,
+        |    CAST(SUM(1::BIGINT << CAST(20 - (a.h - b.h) AS INT)) AS BIGINT) AS wsum
+        |  FROM hourly a LEFT JOIN hourly b
+        |    ON a.event_type = b.event_type
+        |   AND b.h < a.h AND b.h >= a.h - 20
+        |  GROUP BY 1, 2, 3)
+        |SELECT event_type, h AS hour_no, n AS n_events,
+        |  CASE WHEN wsum IS NOT NULL
+        |    THEN (num // wsum) * 1000000 + (num % wsum) * 1000000 // wsum
+        |  END AS ewma_prev_micro,
+        |  CAST(COALESCE(n * wsum > 3 * num, FALSE) AS BIGINT) AS is_spike
+        |FROM j
+        |ORDER BY event_type, hour_no""".stripMargin,
     "events_ewma_hourly" ->
       """WITH hourly AS (
         |  SELECT event_type,
