@@ -676,8 +676,9 @@ object Behavior {
     * wherever the range splits fall. Adds `lt_<col>` per requested
     * column; the input relation is cached for its two reads (the SAME
     * partitioning both times — caller-release contract). Shared by the
-    * Mann-Whitney midranks and the KS-test CDFs. */
-  private def rangePrefixSums(hist: DataFrame, ord: String,
+    * Mann-Whitney midranks, the KS-test CDFs, and the quality-classifier
+    * AUC (`TextAnalysis.qualityAuc`). */
+  private[graft] def rangePrefixSums(hist: DataFrame, ord: String,
       cols: Seq[String]): DataFrame = {
     val h = hist.repartitionByRange(col(ord))
       .withColumn("pid", spark_partition_id().cast("long"))

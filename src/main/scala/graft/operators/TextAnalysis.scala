@@ -1330,6 +1330,49 @@ object TextAnalysis {
         sum((col("pred") === col("y").cast("long")).cast("long")).as("n_correct"))
   }
 
+  /** EXACT ROC-AUC of the relational quality classifier — the
+    * threshold-free companion of `pipe_quality_lr`'s 0.5-threshold
+    * confusion counts: AUC is the probability a random positive outranks
+    * a random negative, which is EXACTLY the Mann–Whitney U statistic
+    * normalized — AUC = U/(n_pos·n_neg) — so the experimentation
+    * module's doubled-midrank machinery computes it with NO floats:
+    * score histogram (sigmoid outputs are already round-6 decimals, so
+    * ties are well-defined), two-pass range-partitioned prefix sums
+    * (`Behavior.rangePrefixSums` — no data-sized unpartitioned window
+    * even at 10⁶ distinct scores), 2·midrank = 2·lt + t + 1, and the
+    * final AUC in integer micro-units via `u2·500000 DIV (n_pos·n_neg)`
+    * (u2 = 2U absorbs the ½ from tied midranks). Degenerate labels
+    * (single class) → NULL AUC, mirrored in the oracle. Everything
+    * upstream replays `pipe_quality_lr`'s exact 3-step GD fit. */
+  def qualityAuc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = lrDocs(spark, dir)
+      .cache() // 3 GD steps + the scoring pass
+    val zero = lit(BigDecimal(0).setScale(6)).cast("decimal(18,6)")
+    val w0 = docs.sparkSession.range(1)
+      .select(zero.as("w0"), zero.as("w1"), zero.as("w2"))
+    val wFinal = lrStep(docs, lrStep(docs, lrStep(docs, w0)))
+    val hist = lrScore(docs, wFinal)
+      .groupBy(col("p").as("yv"))
+      .agg(count(lit(1)).as("t"), sum(col("y").cast("long")).as("t_a"))
+    val ranked = Behavior.rangePrefixSums(hist, "yv", Seq("t"))
+      .withColumn("lt", col("lt_t"))
+    val s = ranked.agg(
+      sum(col("t")).as("n"),
+      sum(col("t_a")).as("n_a"),
+      sum((lit(2L) * col("lt") + col("t") + lit(1L)) * col("t_a")).as("r2sum_a"))
+    // quotient-then-remainder micro conversion: u2 itself is safe to
+    // ~4×10⁹ docs, and (u2 % d)·5×10⁵ to a ~10¹³ pair product — past
+    // that an extreme-scale deployment lifts the remainder term to
+    // decimal(38), the CUPED stance
+    s.withColumn("u2", col("r2sum_a") - col("n_a") * (col("n_a") + lit(1L)))
+      .withColumn("n_neg", col("n") - col("n_a"))
+      .select(col("n_a").as("n_pos"), col("n_neg"), col("u2"),
+        when(col("n_a") > 0 && col("n_neg") > 0,
+          expr("(u2 DIV (n_a * n_neg)) * 500000" +
+            " + (u2 % (n_a * n_neg)) * 500000 DIV (n_a * n_neg)"))
+          .as("auc_micro"))
+  }
+
   /** Filter-threshold calibration sweep — the curve a corpus curator reads
     * BEFORE picking a quality cutoff (the FineWeb/Gopher methodology:
     * sweep the threshold, look at what survives, then freeze it). Score =
@@ -1637,6 +1680,7 @@ object TextAnalysis {
     "pipe_reason_codes" -> (reasonCodes _),
     "pipe_threshold_sweep" -> (thresholdSweep _),
     "pipe_quality_lr" -> (qualityLr _),
+    "pipe_quality_auc" -> (qualityAuc _),
     "text_repetition" -> (repetitionSignals _),
     "text_ngram_generator" -> (ngramGenerator _),
     "pipe_contamination" -> (contamination _),
@@ -1673,6 +1717,84 @@ object TextAnalysis {
     "text_bpe_merges" -> (bpeMerges _),
     "text_bpe_encode" -> (bpeEncode _)
   )
+
+  /** The pipe_quality_lr CTE chain (standardized features, 3 GD
+    * steps, final per-doc scores `pe` under weights `wd`), shared by
+    * the LR entry's oracle and the AUC entry's rank statistics. */
+  private lazy val qualityLrCtes: String =
+    """raw AS (
+        |  SELECT CAST(ROUND(nd::DOUBLE / n, 6) AS DECIMAL(18,6)) AS f1r,
+        |    CAST(ROUND(n_stop::DOUBLE / n, 6) AS DECIMAL(18,6)) AS f2r,
+        |    CAST(CASE WHEN n >= 55 THEN 1.000000 ELSE 0.000000 END
+        |      AS DECIMAL(18,6)) AS y
+        |  FROM (
+        |    SELECT
+        |      len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n,
+        |      len(list_distinct(
+        |        list_filter(string_split(text, ' '), x -> len(x) > 0))) AS nd,
+        |      len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the', 'a'))) AS n_stop
+        |    FROM documents)
+        |  WHERE n > 0),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |  SUM(f1r) AS s1, SUM(f1r * f1r) AS s11,
+        |  SUM(f2r) AS s2, SUM(f2r * f2r) AS s22 FROM raw),
+        |d AS (
+        |  SELECT
+        |    CAST(CASE WHEN (s11::DOUBLE / m - (s1::DOUBLE / m) * (s1::DOUBLE / m)) > 0
+        |      THEN ROUND((f1r::DOUBLE - s1::DOUBLE / m) /
+        |        sqrt(s11::DOUBLE / m - (s1::DOUBLE / m) * (s1::DOUBLE / m)), 6)
+        |      ELSE 0.0 END AS DECIMAL(18,6)) AS f1,
+        |    CAST(CASE WHEN (s22::DOUBLE / m - (s2::DOUBLE / m) * (s2::DOUBLE / m)) > 0
+        |      THEN ROUND((f2r::DOUBLE - s2::DOUBLE / m) /
+        |        sqrt(s22::DOUBLE / m - (s2::DOUBLE / m) * (s2::DOUBLE / m)), 6)
+        |      ELSE 0.0 END AS DECIMAL(18,6)) AS f2,
+        |    y
+        |  FROM raw, st),
+        |wa AS (SELECT CAST(0.000000 AS DECIMAL(18,6)) AS w0,
+        |  CAST(0.000000 AS DECIMAL(18,6)) AS w1,
+        |  CAST(0.000000 AS DECIMAL(18,6)) AS w2),
+        |pa AS (
+        |  SELECT d.*, CAST(ROUND(1.0 / (1.0 +
+        |    exp(-((w.w0 + w.w1 * d.f1 + w.w2 * d.f2)::DOUBLE))), 6)
+        |    AS DECIMAL(18,6)) AS p
+        |  FROM d, wa w),
+        |ga AS (SELECT COUNT(*) AS m, SUM(p - y) AS g0,
+        |  SUM((p - y) * f1) AS g1, SUM((p - y) * f2) AS g2 FROM pa),
+        |wb AS (SELECT
+        |  CAST(ROUND(w.w0::DOUBLE - 2.0 * g.g0::DOUBLE / g.m, 6) AS DECIMAL(18,6)) AS w0,
+        |  CAST(ROUND(w.w1::DOUBLE - 2.0 * g.g1::DOUBLE / g.m, 6) AS DECIMAL(18,6)) AS w1,
+        |  CAST(ROUND(w.w2::DOUBLE - 2.0 * g.g2::DOUBLE / g.m, 6) AS DECIMAL(18,6)) AS w2
+        |  FROM wa w, ga g),
+        |pb AS (
+        |  SELECT d.*, CAST(ROUND(1.0 / (1.0 +
+        |    exp(-((w.w0 + w.w1 * d.f1 + w.w2 * d.f2)::DOUBLE))), 6)
+        |    AS DECIMAL(18,6)) AS p
+        |  FROM d, wb w),
+        |gb AS (SELECT COUNT(*) AS m, SUM(p - y) AS g0,
+        |  SUM((p - y) * f1) AS g1, SUM((p - y) * f2) AS g2 FROM pb),
+        |wc AS (SELECT
+        |  CAST(ROUND(w.w0::DOUBLE - 2.0 * g.g0::DOUBLE / g.m, 6) AS DECIMAL(18,6)) AS w0,
+        |  CAST(ROUND(w.w1::DOUBLE - 2.0 * g.g1::DOUBLE / g.m, 6) AS DECIMAL(18,6)) AS w1,
+        |  CAST(ROUND(w.w2::DOUBLE - 2.0 * g.g2::DOUBLE / g.m, 6) AS DECIMAL(18,6)) AS w2
+        |  FROM wb w, gb g),
+        |pc AS (
+        |  SELECT d.*, CAST(ROUND(1.0 / (1.0 +
+        |    exp(-((w.w0 + w.w1 * d.f1 + w.w2 * d.f2)::DOUBLE))), 6)
+        |    AS DECIMAL(18,6)) AS p
+        |  FROM d, wc w),
+        |gc AS (SELECT COUNT(*) AS m, SUM(p - y) AS g0,
+        |  SUM((p - y) * f1) AS g1, SUM((p - y) * f2) AS g2 FROM pc),
+        |wd AS (SELECT
+        |  CAST(ROUND(w.w0::DOUBLE - 2.0 * g.g0::DOUBLE / g.m, 6) AS DECIMAL(18,6)) AS w0,
+        |  CAST(ROUND(w.w1::DOUBLE - 2.0 * g.g1::DOUBLE / g.m, 6) AS DECIMAL(18,6)) AS w1,
+        |  CAST(ROUND(w.w2::DOUBLE - 2.0 * g.g2::DOUBLE / g.m, 6) AS DECIMAL(18,6)) AS w2
+        |  FROM wc w, gc g),
+        |pe AS (
+        |  SELECT d.*, CAST(ROUND(1.0 / (1.0 +
+        |    exp(-((w.w0 + w.w1 * d.f1 + w.w2 * d.f2)::DOUBLE))), 6)
+        |    AS DECIMAL(18,6)) AS p
+        |  FROM d, wd w)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "text_c4_filters" ->
@@ -2165,79 +2287,7 @@ object TextAnalysis {
         |FROM r GROUP BY source, (running - 1) // 500
         |ORDER BY source, batch_id""".stripMargin,
     "pipe_quality_lr" ->
-      """WITH raw AS (
-        |  SELECT CAST(ROUND(nd::DOUBLE / n, 6) AS DECIMAL(18,6)) AS f1r,
-        |    CAST(ROUND(n_stop::DOUBLE / n, 6) AS DECIMAL(18,6)) AS f2r,
-        |    CAST(CASE WHEN n >= 55 THEN 1.000000 ELSE 0.000000 END
-        |      AS DECIMAL(18,6)) AS y
-        |  FROM (
-        |    SELECT
-        |      len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n,
-        |      len(list_distinct(
-        |        list_filter(string_split(text, ' '), x -> len(x) > 0))) AS nd,
-        |      len(list_filter(string_split(text, ' '),
-        |        x -> x IN ('the', 'a'))) AS n_stop
-        |    FROM documents)
-        |  WHERE n > 0),
-        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
-        |  SUM(f1r) AS s1, SUM(f1r * f1r) AS s11,
-        |  SUM(f2r) AS s2, SUM(f2r * f2r) AS s22 FROM raw),
-        |d AS (
-        |  SELECT
-        |    CAST(CASE WHEN (s11::DOUBLE / m - (s1::DOUBLE / m) * (s1::DOUBLE / m)) > 0
-        |      THEN ROUND((f1r::DOUBLE - s1::DOUBLE / m) /
-        |        sqrt(s11::DOUBLE / m - (s1::DOUBLE / m) * (s1::DOUBLE / m)), 6)
-        |      ELSE 0.0 END AS DECIMAL(18,6)) AS f1,
-        |    CAST(CASE WHEN (s22::DOUBLE / m - (s2::DOUBLE / m) * (s2::DOUBLE / m)) > 0
-        |      THEN ROUND((f2r::DOUBLE - s2::DOUBLE / m) /
-        |        sqrt(s22::DOUBLE / m - (s2::DOUBLE / m) * (s2::DOUBLE / m)), 6)
-        |      ELSE 0.0 END AS DECIMAL(18,6)) AS f2,
-        |    y
-        |  FROM raw, st),
-        |wa AS (SELECT CAST(0.000000 AS DECIMAL(18,6)) AS w0,
-        |  CAST(0.000000 AS DECIMAL(18,6)) AS w1,
-        |  CAST(0.000000 AS DECIMAL(18,6)) AS w2),
-        |pa AS (
-        |  SELECT d.*, CAST(ROUND(1.0 / (1.0 +
-        |    exp(-((w.w0 + w.w1 * d.f1 + w.w2 * d.f2)::DOUBLE))), 6)
-        |    AS DECIMAL(18,6)) AS p
-        |  FROM d, wa w),
-        |ga AS (SELECT COUNT(*) AS m, SUM(p - y) AS g0,
-        |  SUM((p - y) * f1) AS g1, SUM((p - y) * f2) AS g2 FROM pa),
-        |wb AS (SELECT
-        |  CAST(ROUND(w.w0::DOUBLE - 2.0 * g.g0::DOUBLE / g.m, 6) AS DECIMAL(18,6)) AS w0,
-        |  CAST(ROUND(w.w1::DOUBLE - 2.0 * g.g1::DOUBLE / g.m, 6) AS DECIMAL(18,6)) AS w1,
-        |  CAST(ROUND(w.w2::DOUBLE - 2.0 * g.g2::DOUBLE / g.m, 6) AS DECIMAL(18,6)) AS w2
-        |  FROM wa w, ga g),
-        |pb AS (
-        |  SELECT d.*, CAST(ROUND(1.0 / (1.0 +
-        |    exp(-((w.w0 + w.w1 * d.f1 + w.w2 * d.f2)::DOUBLE))), 6)
-        |    AS DECIMAL(18,6)) AS p
-        |  FROM d, wb w),
-        |gb AS (SELECT COUNT(*) AS m, SUM(p - y) AS g0,
-        |  SUM((p - y) * f1) AS g1, SUM((p - y) * f2) AS g2 FROM pb),
-        |wc AS (SELECT
-        |  CAST(ROUND(w.w0::DOUBLE - 2.0 * g.g0::DOUBLE / g.m, 6) AS DECIMAL(18,6)) AS w0,
-        |  CAST(ROUND(w.w1::DOUBLE - 2.0 * g.g1::DOUBLE / g.m, 6) AS DECIMAL(18,6)) AS w1,
-        |  CAST(ROUND(w.w2::DOUBLE - 2.0 * g.g2::DOUBLE / g.m, 6) AS DECIMAL(18,6)) AS w2
-        |  FROM wb w, gb g),
-        |pc AS (
-        |  SELECT d.*, CAST(ROUND(1.0 / (1.0 +
-        |    exp(-((w.w0 + w.w1 * d.f1 + w.w2 * d.f2)::DOUBLE))), 6)
-        |    AS DECIMAL(18,6)) AS p
-        |  FROM d, wc w),
-        |gc AS (SELECT COUNT(*) AS m, SUM(p - y) AS g0,
-        |  SUM((p - y) * f1) AS g1, SUM((p - y) * f2) AS g2 FROM pc),
-        |wd AS (SELECT
-        |  CAST(ROUND(w.w0::DOUBLE - 2.0 * g.g0::DOUBLE / g.m, 6) AS DECIMAL(18,6)) AS w0,
-        |  CAST(ROUND(w.w1::DOUBLE - 2.0 * g.g1::DOUBLE / g.m, 6) AS DECIMAL(18,6)) AS w1,
-        |  CAST(ROUND(w.w2::DOUBLE - 2.0 * g.g2::DOUBLE / g.m, 6) AS DECIMAL(18,6)) AS w2
-        |  FROM wc w, gc g),
-        |pe AS (
-        |  SELECT d.*, CAST(ROUND(1.0 / (1.0 +
-        |    exp(-((w.w0 + w.w1 * d.f1 + w.w2 * d.f2)::DOUBLE))), 6)
-        |    AS DECIMAL(18,6)) AS p
-        |  FROM d, wd w)
+      s"""WITH $qualityLrCtes
         |SELECT ROUND(w.w0::DOUBLE, 6) AS w0, ROUND(w.w1::DOUBLE, 6) AS w1,
         |  ROUND(w.w2::DOUBLE, 6) AS w2,
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -2247,6 +2297,29 @@ object TextAnalysis {
         |    = CAST(y AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
         |FROM pe, wd w
         |GROUP BY w.w0, w.w1, w.w2""".stripMargin,
+    "pipe_quality_auc" ->
+      s"""WITH $qualityLrCtes,
+        |hist AS (
+        |  SELECT p AS yv, CAST(COUNT(*) AS BIGINT) AS t,
+        |    CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS t_a
+        |  FROM pe GROUP BY p),
+        |ranked AS (
+        |  SELECT *, COALESCE(SUM(t) OVER (ORDER BY yv
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt
+        |  FROM hist),
+        |s AS (
+        |  SELECT CAST(SUM(t) AS BIGINT) AS n,
+        |    CAST(SUM(t_a) AS BIGINT) AS n_a,
+        |    CAST(SUM((2 * lt + t + 1) * t_a) AS BIGINT) AS r2sum_a
+        |  FROM ranked)
+        |SELECT n_a AS n_pos, CAST(n - n_a AS BIGINT) AS n_neg,
+        |  CAST(r2sum_a - n_a * (n_a + 1) AS BIGINT) AS u2,
+        |  CASE WHEN n_a > 0 AND n - n_a > 0 THEN
+        |    ((r2sum_a - n_a * (n_a + 1)) // (n_a * (n - n_a))) * 500000
+        |    + ((r2sum_a - n_a * (n_a + 1)) % (n_a * (n - n_a))) * 500000
+        |      // (n_a * (n - n_a))
+        |  END AS auc_micro
+        |FROM s""".stripMargin,
     "pipe_threshold_sweep" ->
       """WITH t AS (
         |  SELECT
