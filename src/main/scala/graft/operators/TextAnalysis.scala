@@ -1373,6 +1373,40 @@ object TextAnalysis {
           .as("auc_micro"))
   }
 
+  /** Calibration (reliability) table of the relational quality
+    * classifier — the third leg of the eval suite after the confusion
+    * counts (`pipe_quality_lr`) and the exact AUC (`pipe_quality_auc`):
+    * a model can rank perfectly yet lie about probabilities, and a data
+    * pipeline that THRESHOLDS on p needs the predicted-vs-empirical
+    * curve before trusting any cutoff. Scores bucket into deciles of p
+    * (floor(p·10), clamped — floor() explicitly on both engines: a bare
+    * decimal→bigint cast truncates in Spark but rounds in DuckDB);
+    * per-bucket mean predicted probability comes out in EXACT integer
+    * micro-units (Σp is an exact decimal of round-6 sigmoids, ×10⁶ is
+    * integral) against the empirical positive rate in basis points —
+    * integers end to end, no float compare on a bucket edge. */
+  def qualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = lrDocs(spark, dir)
+      .cache() // 3 GD steps + the scoring pass
+    val zero = lit(BigDecimal(0).setScale(6)).cast("decimal(18,6)")
+    val w0 = docs.sparkSession.range(1)
+      .select(zero.as("w0"), zero.as("w1"), zero.as("w2"))
+    val wFinal = lrStep(docs, lrStep(docs, lrStep(docs, w0)))
+    lrScore(docs, wFinal)
+      .withColumn("bucket",
+        least(floor(col("p") * lit(10)).cast("long"), lit(9L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("y").cast("long")).as("n_pos"),
+        sum(col("p")).as("sum_p"))
+      .withColumn("mean_p_micro",
+        expr("CAST(sum_p * 1000000 AS BIGINT) DIV n_docs"))
+      .withColumn("pos_rate_bp", expr("n_pos * 10000 DIV n_docs"))
+      .select(col("bucket"), col("n_docs"), col("n_pos"),
+        col("mean_p_micro"), col("pos_rate_bp"))
+      .orderBy(col("bucket"))
+  }
+
   /** Filter-threshold calibration sweep — the curve a corpus curator reads
     * BEFORE picking a quality cutoff (the FineWeb/Gopher methodology:
     * sweep the threshold, look at what survives, then freeze it). Score =
@@ -1681,6 +1715,7 @@ object TextAnalysis {
     "pipe_threshold_sweep" -> (thresholdSweep _),
     "pipe_quality_lr" -> (qualityLr _),
     "pipe_quality_auc" -> (qualityAuc _),
+    "pipe_quality_calibration" -> (qualityCalibration _),
     "text_repetition" -> (repetitionSignals _),
     "text_ngram_generator" -> (ngramGenerator _),
     "pipe_contamination" -> (contamination _),
@@ -2320,6 +2355,16 @@ object TextAnalysis {
         |      // (n_a * (n - n_a))
         |  END AS auc_micro
         |FROM s""".stripMargin,
+    "pipe_quality_calibration" ->
+      s"""WITH $qualityLrCtes
+        |SELECT LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
+        |  CAST(SUM(p) * 1000000 AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_p_micro,
+        |  CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) * 10000 // CAST(COUNT(*) AS BIGINT) AS pos_rate_bp
+        |FROM pe
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
     "pipe_threshold_sweep" ->
       """WITH t AS (
         |  SELECT

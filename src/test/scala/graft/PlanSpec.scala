@@ -197,7 +197,7 @@ class PlanSpec extends SparkSpec {
         "events_survival_km", "events_cusum_shift", "behavior_ks_test",
         "text_js_divergence",
         "behavior_rfm_segments", "agg_benford_audit", "pipe_quality_lr",
-        "pipe_quality_auc")
+        "pipe_quality_auc", "pipe_quality_calibration")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
