@@ -887,6 +887,54 @@ object Similarity {
       .orderBy(col("phase"), col("q_id"), col("rn"))
   }
 
+  /** Health metrics of an IVF index's cell assignment — the kernel of
+    * [[indexHealth]], factored over the two relations so the spec can
+    * feed it doctored assignments. One |cells|-key hash-agg + a 1-row
+    * rollup; rebuild_flag is integer arithmetic on exact counts. */
+  private[graft] def healthOf(cells: DataFrame, centroids: DataFrame): DataFrame = {
+    val occ = centroids.select(col("cell"))
+      .join(cells.groupBy(col("cell")).agg(count(lit(1)).as("occ")),
+        Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("occ"), lit(0L)).as("occ"))
+    occ.agg(
+        sum(col("occ")).as("n_vecs"),
+        count(lit(1)).as("k_cells"),
+        sum(when(col("occ") > 0, 1L).otherwise(0L)).as("n_occupied"),
+        max(col("occ")).as("max_occ"))
+      .withColumn("n_empty", col("k_cells") - col("n_occupied"))
+      .withColumn("mean_occ_micro", expr("n_vecs * 1000000 DIV k_cells"))
+      // skew = max/mean in micro; division-free flag: max·k > 4·n ⇔
+      // max > 4·mean, and empty share > 1/2 ⇔ 2·empty > k
+      .withColumn("skew_micro",
+        when(col("n_vecs") > 0, expr("max_occ * k_cells * 1000000 DIV n_vecs")))
+      .withColumn("rebuild_flag",
+        (col("max_occ") * col("k_cells") > lit(4L) * col("n_vecs") ||
+          lit(2L) * col("n_empty") > col("k_cells")).cast("long"))
+      .select(col("n_vecs"), col("k_cells"), col("n_occupied"), col("n_empty"),
+        col("max_occ"), col("mean_occ_micro"), col("skew_micro"),
+        col("rebuild_flag"))
+  }
+
+  /** INDEX HEALTH / REBUILD TRIGGER — the operational readout that closes
+    * the persisted index's lifecycle (build → serve → append → delete →
+    * compact → MONITOR): appends encode against FROZEN quantizers
+    * (`sim_index_append`), so as the corpus drifts, new vectors pile into
+    * the cells nearest yesterday's centroids — occupancy skews, per-probe
+    * candidate counts balloon, and recall/latency degrade until a
+    * rebuild refits the quantizers. This entry emits the numbers that
+    * decision reads: total/occupied/empty cells, max and mean occupancy,
+    * the max/mean skew ratio in micro-units, and a division-free
+    * `rebuild_flag` (max > 4× mean occupancy, or over half the cells
+    * empty — both integer comparisons on exact counts). NOT oracle-able
+    * (reads the trained index): rows-only driver check + spec gates on a
+    * fresh index (healthy) and a doctored all-one-cell assignment
+    * (flagged). */
+  def indexHealth(spark: SparkSession, dir: String): DataFrame = {
+    val (idx, _, _) = ensureIvfPqIndex(spark, dir)
+    healthOf(spark.read.parquet(s"$idx/cells"),
+      spark.read.parquet(s"$idx/centroids"))
+  }
+
   /** The n → (cells, nprobe, refineT) sizing rule, exposed so the spec
     * can pin the curve's shape without re-deriving it. */
   private[graft] def scaledIvfPqParams(n: Long): (Int, Int, Int) = {
@@ -1095,6 +1143,7 @@ object Similarity {
     "sim_index_serve" -> (knnIvfPqServed _),
     "sim_index_append" -> (indexAppendServe _),
     "sim_index_delete" -> (indexDeleteCompact _),
+    "sim_index_health" -> (indexHealth _),
     "sim_label_centroids" -> (labelCentroids _),
     "sim_centroid_assign" -> (centroidAssign _),
     "sim_hybrid_rrf" -> (hybridRrf _),

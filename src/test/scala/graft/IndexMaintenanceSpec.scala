@@ -97,6 +97,29 @@ class IndexMaintenanceSpec extends SparkSpec {
     tombs.unpersist()
   }
 
+  test("index health reads healthy on a fresh build and flags a skewed one") {
+    import spark.implicits._
+    val (idx, _, _) = Similarity.ensureIvfPqIndex(spark, sf0001)
+    val cells = spark.read.parquet(s"$idx/cells")
+    val centroids = spark.read.parquet(s"$idx/centroids")
+    val fresh = Similarity.indexHealth(spark, sf0001).head()
+    // bookkeeping invariants: counts add up against the index relations
+    assert(fresh.getAs[Long]("n_vecs") == cells.count())
+    assert(fresh.getAs[Long]("k_cells") == centroids.count())
+    assert(fresh.getAs[Long]("n_occupied") + fresh.getAs[Long]("n_empty") ==
+      fresh.getAs[Long]("k_cells"))
+    // a just-trained KMeans assignment is balanced: no rebuild signal
+    assert(fresh.getAs[Long]("rebuild_flag") == 0L,
+      s"fresh index flagged for rebuild: $fresh")
+    // doctored assignment: every vector piled into cell 0 — the shape a
+    // drifted corpus produces after long append-only operation
+    val skewed = cells.select(col("vec_id"), lit(0).as("cell"))
+    val bad = Similarity.healthOf(skewed, centroids).head()
+    assert(bad.getAs[Long]("rebuild_flag") == 1L, s"skewed index not flagged: $bad")
+    assert(bad.getAs[Long]("n_empty") == bad.getAs[Long]("k_cells") - 1)
+    assert(bad.getAs[Long]("max_occ") == bad.getAs[Long]("n_vecs"))
+  }
+
   test("compaction rewrites exactly the hot cells and retires their tombstones") {
     val (idx, _, _) = Similarity.ensureIvfPqIndex(spark, sf0001)
     // force a fresh run so the gen1 relations on disk match this corpus
