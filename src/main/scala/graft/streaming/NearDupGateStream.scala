@@ -56,4 +56,58 @@ object NearDupGateStream {
       }
       .start()
   }
+
+  /** The GROWING-INDEX variant — the full production shape: admitted
+    * arrivals JOIN the index, so a duplicate of something admitted five
+    * minutes ago is rejected like a duplicate of the standing corpus
+    * ([[start]]'s frozen snapshot would admit it). Each batch's admitted
+    * docs append their shingle sets to a plain-parquet store
+    * (`sim_index_append`'s INSERT-rows pattern; dedup-on-read by doc_id
+    * keeps replays idempotent), and later batches judge against
+    * base ∪ store, with the store side's bands re-derived from the pure
+    * signature projection (cheap: |admitted| rows, no corpus rescan).
+    *
+    * Intra-batch semantics are deliberately STREAM-STATIC: two copies
+    * arriving in the SAME micro-batch are both judged against the
+    * pre-batch index (both admit if novel) — the sequential tie-break
+    * between them belongs to the downstream exact-digest CDC merge
+    * (MergeSink), not the probabilistic gate; the spec pins both this
+    * and the cross-batch rejection. */
+  def startGrowing(docs: DataFrame, dir: String, storeDir: String,
+                   checkpoint: String)
+                  (onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    val spark = docs.sparkSession
+    val baseSh = Dedup.shingleDocs(Tables.documents(spark, dir)).cache()
+    val baseBands = Dedup.bandRelation(baseSh) // corpus signatures ONCE
+      .select(col("doc_id").as("base_id"), col("band_idx"), col("band_val"))
+      .cache()
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val arrSh = Dedup.shingleDocs(batch).cache()
+        try {
+          val storePath = s"$storeDir/admitted_sh"
+          val stored =
+            try spark.read.parquet(storePath).dropDuplicates("doc_id")
+            catch { case _: Throwable => // first batch: store absent
+              spark.emptyDataFrame.sparkSession
+                .createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  arrSh.schema)
+            }
+          val indexSh = baseSh.select(col("doc_id"), col("shingles"))
+            .unionByName(stored.select(col("doc_id"), col("shingles")))
+          val indexBands = baseBands.unionByName(Dedup.bandRelation(stored)
+            .select(col("doc_id").as("base_id"), col("band_idx"), col("band_val")))
+          val verdicts = Dedup.gateVerdicts(arrSh, indexSh, indexBands).cache()
+          val admitted = verdicts.filter(col("verdict") === "admit")
+            .select(col("doc_id"))
+            .join(arrSh, Seq("doc_id"))
+          admitted.write.mode("append").parquet(storePath)
+          onBatch(verdicts, epoch)
+          verdicts.unpersist()
+          ()
+        } finally arrSh.unpersist()
+      }
+      .start()
+  }
 }

@@ -78,6 +78,47 @@ class NearDupGateStreamSpec extends SparkSpec {
     baseSh.unpersist()
   }
 
+  private def runGrowing(chunks: Seq[Seq[Arrival]]): Map[Long, (String, Option[Long])] = {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val mem = MemoryStream[Arrival]
+    val store = Files.createTempDirectory("neardup_grow_store").toString
+    val ckpt = Files.createTempDirectory("neardup_grow_ckpt").toString
+    val q = NearDupGateStream.startGrowing(mem.toDF(), sf0001, store, ckpt) { (batch, _) =>
+      out.synchronized { out ++= batch.collect() }
+    }
+    try {
+      chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[String]("verdict"),
+        Option(r.getAs[java.lang.Long]("dup_of")).map(Long2long))).toMap
+  }
+
+  test("growing index: admitted docs gate later arrivals; same-batch copies stay stream-static") {
+    val fresh = Arrival(IdBase + 10, "qwpv mlkt znrx bhgd cfsy wuje")
+    val copyOfFresh = Arrival(IdBase + 11, fresh.text)
+    // cross-batch: the copy arrives AFTER its original was admitted —
+    // the grown index must reject it with provenance pointing at the
+    // admitted doc (a frozen-snapshot gate would admit it)
+    val cross = runGrowing(Seq(Seq(fresh), Seq(copyOfFresh)))
+    assert(cross(fresh.doc_id)._1 == "admit", "novel doc rejected")
+    assert(cross(copyOfFresh.doc_id) == ("reject", Some(fresh.doc_id)),
+      s"copy of an admitted doc not rejected against it: ${cross(copyOfFresh.doc_id)}")
+    // same-batch: both judged against the pre-batch index (stream-static
+    // intra-batch semantics — the documented contract; downstream exact-
+    // digest CDC owns the within-batch tie-break)
+    val same = runGrowing(Seq(Seq(fresh, copyOfFresh)))
+    assert(same(fresh.doc_id)._1 == "admit")
+    assert(same(copyOfFresh.doc_id)._1 == "admit",
+      "same-batch copy was rejected — intra-batch semantics changed")
+    // and corpus duplicates are still rejected through the grown index
+    val corpusCopy = arrivals.head
+    val mixed = runGrowing(Seq(Seq(fresh), Seq(corpusCopy)))
+    assert(mixed(corpusCopy.doc_id)._1 == "reject")
+  }
+
   test("exact copies are rejected with jaccard 1; fresh and tiny docs admitted") {
     val verdicts = runStream(Seq(arrivals)).toSeq.sortBy(_._1)
       .map(v => v._1 -> v).toMap
