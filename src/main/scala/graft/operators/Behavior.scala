@@ -675,7 +675,9 @@ object Behavior {
     * boundary-independent: offset + local prefix is the global prefix
     * wherever the range splits fall. Adds `lt_<col>` per requested
     * column; the input relation is cached for its two reads (the SAME
-    * partitioning both times — caller-release contract). Shared by the
+    * partitioning both times; released by Verify/Bench's per-entry
+    * `spark.catalog.clearCache()`, the repo-wide cache contract every
+    * intra-query cache site relies on). Shared by the
     * Mann-Whitney midranks, the KS-test CDFs, and the quality-classifier
     * AUC (`TextAnalysis.qualityAuc`). */
   private[graft] def rangePrefixSums(hist: DataFrame, ord: String,
@@ -739,15 +741,19 @@ object Behavior {
     // subtree would re-scan the event log a second time
     val totals = cdf.agg(sum(col("t_a")).as("n_a"), sum(col("t_b")).as("n_b"))
     val nab = col("n_a").cast("double") * col("n_b").cast("double")
+    // empty-arm guards, the abZtest stance: a single-parity log must
+    // yield NULL ks/reject identically in both engines, not a NaN whose
+    // comparison ordering each engine picks for itself
     cdf.crossJoin(broadcast(totals))
       .withColumn("dev", abs(col("ca") * col("n_b") - col("cb") * col("n_a")))
       .groupBy(col("n_a"), col("n_b"))
       .agg(max(col("dev")).as("d_num"))
-      .withColumn("ks", round(col("d_num").cast("double") / nab, 6))
-      .withColumn("reject_05",
+      .withColumn("ks", when(col("n_a") > 0 && col("n_b") > 0,
+        round(col("d_num").cast("double") / nab, 6)))
+      .withColumn("reject_05", when(col("n_a") > 0 && col("n_b") > 0,
         (col("d_num").cast("double") / nab >
           lit(1.358) * sqrt((col("n_a") + col("n_b")).cast("double") / nab))
-          .cast("long"))
+          .cast("long")))
       .select(col("n_a"), col("n_b"), col("d_num"), col("ks"), col("reject_05"))
   }
 
@@ -908,10 +914,12 @@ object Behavior {
         |  FROM cdf CROSS JOIN tot
         |  GROUP BY tot.n_a, tot.n_b)
         |SELECT n_a, n_b, d_num,
-        |  ROUND(d_num::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE), 6) AS ks,
-        |  CAST(CASE WHEN d_num::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE)
-        |      > 1.358 * sqrt((n_a + n_b)::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE))
-        |    THEN 1 ELSE 0 END AS BIGINT) AS reject_05
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    ROUND(d_num::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE), 6) END AS ks,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(CASE WHEN d_num::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE)
+        |        > 1.358 * sqrt((n_a + n_b)::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE))
+        |      THEN 1 ELSE 0 END AS BIGINT) END AS reject_05
         |FROM d""".stripMargin,
     "behavior_ttest_revenue" ->
       """WITH e AS (

@@ -119,7 +119,12 @@ object Dedup {
       baseBands: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val arrBands = bandRelation(arrSh)
+    // self-exclusion: an arrival never matches its OWN id in the index —
+    // load-bearing for replay idempotence in the growing stream gate,
+    // where an at-least-once re-run judges a doc against a store that
+    // already holds it (a no-op for the batch entry's disjoint id sets)
     val cand = arrBands.join(baseBands, Seq("band_idx", "band_val"))
+      .filter(col("doc_id") =!= col("base_id"))
       .select(col("doc_id"), col("base_id")).distinct()
     val verified = cand
       .join(baseSh.select(col("doc_id").as("base_id"), col("shingles").as("sa")),

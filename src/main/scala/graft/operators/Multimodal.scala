@@ -1084,7 +1084,14 @@ private[graft] object WebmIndex {
             (trk, cp)
           }.collectFirst { case (Some(tk), Some(cp)) if tk == videoTrack => cp }
           (t, pos)
-      }.collect { case (Some(t), Some(cp)) => (t, segS.toLong + cp) }
+      }.collect {
+        // bound the seek table itself: a position past the segment (or a
+        // ≥2⁶³ uint that wrapped negative) is a malformed cue — dropped
+        // here so cueIndex never hands out an offset a byte-range read
+        // would seek past EOF with
+        case (Some(t), Some(cp))
+          if cp >= 0 && cp < segE.toLong - segS => (t, segS.toLong + cp)
+      }
       if pts.nonEmpty
     } yield pts
   }

@@ -866,6 +866,8 @@ object Similarity {
       .select(col("cell"), lit(true).as("hot"))
     val tagged = cells0.join(broadcast(hot), Seq("cell"), "left")
       .join(tombs.withColumn("dead", lit(1L)), Seq("vec_id"), "left")
+      .cache() // read by all three gen1 writes — uncached, each write
+               // would re-run the cells0 joins (3 passes instead of 1)
     val gen1 = s"${idx}_gen1"
     tagged.filter(!(col("hot").isNotNull && col("dead").isNotNull))
       .select(col("vec_id"), col("cell"))
@@ -877,6 +879,7 @@ object Similarity {
     tagged.filter(col("hot").isNull && col("dead").isNotNull)
       .select(col("vec_id"))
       .write.mode("overwrite").parquet(s"$gen1/tombstones")
+    tagged.unpersist()
     val cells1 = spark.read.parquet(s"$gen1/cells")
       .join(spark.read.parquet(s"$gen1/tombstones"), Seq("vec_id"), "left_anti")
     val phase2 = serveIvfPqQueries(q, survivors, centroids, codebook,

@@ -87,24 +87,26 @@ object NearDupGateStream {
         val arrSh = Dedup.shingleDocs(batch).cache()
         try {
           val storePath = s"$storeDir/admitted_sh"
+          // probe existence rather than catching read errors: a corrupt
+          // or unreadable store must FAIL the batch, not silently degrade
+          // the gate to a frozen base-only index
           val stored =
-            try spark.read.parquet(storePath).dropDuplicates("doc_id")
-            catch { case _: Throwable => // first batch: store absent
-              spark.emptyDataFrame.sparkSession
-                .createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                  arrSh.schema)
-            }
+            if (new java.io.File(storePath).exists())
+              spark.read.parquet(storePath).dropDuplicates("doc_id")
+            else spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], arrSh.schema)
           val indexSh = baseSh.select(col("doc_id"), col("shingles"))
             .unionByName(stored.select(col("doc_id"), col("shingles")))
           val indexBands = baseBands.unionByName(Dedup.bandRelation(stored)
             .select(col("doc_id").as("base_id"), col("band_idx"), col("band_val")))
           val verdicts = Dedup.gateVerdicts(arrSh, indexSh, indexBands).cache()
-          val admitted = verdicts.filter(col("verdict") === "admit")
-            .select(col("doc_id"))
-            .join(arrSh, Seq("doc_id"))
-          admitted.write.mode("append").parquet(storePath)
-          onBatch(verdicts, epoch)
-          verdicts.unpersist()
+          try {
+            val admitted = verdicts.filter(col("verdict") === "admit")
+              .select(col("doc_id"))
+              .join(arrSh, Seq("doc_id"))
+            admitted.write.mode("append").parquet(storePath)
+            onBatch(verdicts, epoch)
+          } finally verdicts.unpersist()
           ()
         } finally arrSh.unpersist()
       }

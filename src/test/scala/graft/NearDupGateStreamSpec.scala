@@ -117,6 +117,13 @@ class NearDupGateStreamSpec extends SparkSpec {
     val corpusCopy = arrivals.head
     val mixed = runGrowing(Seq(Seq(fresh), Seq(corpusCopy)))
     assert(mixed(corpusCopy.doc_id)._1 == "reject")
+    // replay idempotence: the SAME doc (same id) re-delivered after its
+    // admission landed in the store — the at-least-once re-execution
+    // shape — must re-admit, not reject against itself (self-exclusion
+    // in the candidate join)
+    val replayed = runGrowing(Seq(Seq(fresh), Seq(fresh)))
+    assert(replayed(fresh.doc_id)._1 == "admit",
+      s"re-delivered doc rejected against itself: ${replayed(fresh.doc_id)}")
   }
 
   test("exact copies are rejected with jaccard 1; fresh and tiny docs admitted") {
