@@ -134,4 +134,29 @@ class DedupConsistencySpec extends SparkSpec {
     assert(prefPairs < fullPairs,
       s"prefix filter does not shrink the candidate join: $prefPairs >= $fullPairs")
   }
+
+  test("admission gate examines band-bounded candidates, not arrivals x corpus") {
+    import org.apache.spark.sql.functions._
+    // the gate's whole scale claim: the band equi-join bounds the pairs
+    // the exact-Jaccard verify touches by Σ(bucket collisions), which on
+    // a mostly-novel arrival stream is a tiny fraction of the all-pairs
+    // |arrivals|·|corpus| a naive gate would score
+    val sh = Dedup.shingleDocs(Tables.documents(spark, sf)).cache()
+    val isArr = col("doc_id") % 10 === 7
+    val arrBands = Dedup.bandRelation(sh.filter(isArr))
+    val baseBands = Dedup.bandRelation(sh.filter(!isArr))
+      .select(col("doc_id").as("base_id"), col("band_idx"), col("band_val"))
+    val candidates = arrBands.join(baseBands, Seq("band_idx", "band_val"))
+      .filter(col("doc_id") =!= col("base_id"))
+      .select(col("doc_id"), col("base_id")).distinct().count()
+    val nArr = sh.filter(isArr).count()
+    val nBase = sh.filter(!isArr).count()
+    val allPairs = nArr * nBase
+    info(f"gate candidates: $candidates of $allPairs all-pairs " +
+      f"(${candidates.toDouble / allPairs * 100}%.2f%%)")
+    assert(candidates > 0, "fixture has no near-dup collisions to measure")
+    assert(candidates * 10 < allPairs,
+      s"band join examined >10% of all pairs: $candidates vs $allPairs")
+    sh.unpersist()
+  }
 }
