@@ -145,6 +145,40 @@ object Behavior {
       .orderBy(col("cohort_month"), col("month_offset"))
   }
 
+  /** Cohort LTV curves — the revenue companion of `cohort_retention`'s
+    * activity matrix: for each acquisition cohort (first-order month),
+    * cumulative revenue by month offset, absolute and per acquired
+    * customer — THE curve payback-period and LTV/CAC decisions read.
+    * Revenue stays exact integer cents (floor(price·100), the identical
+    * double math both engines run); the cumulative window partitions by
+    * cohort over the |cohorts|·|offsets| AGGREGATED relation (the module
+    * window stance), and per-user LTV is integer DIV by the acquired
+    * headcount — no float anywhere after the cents conversion.
+    * Scale: two per-customer/hash aggs on the scan + a time-bounded
+    * windowed rollup. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("m_idx"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val first = o.groupBy(col("o_custkey")).agg(min(col("m_idx")).as("cohort_idx"))
+    val sizes = first.groupBy(col("cohort_idx"))
+      .agg(count(lit(1)).as("n_cohort_users"))
+    val g = o.join(first, "o_custkey")
+      .groupBy(col("cohort_idx"), (col("m_idx") - col("cohort_idx")).as("month_offset"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
+    val w = Window.partitionBy(col("cohort_idx")).orderBy(col("month_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+      .join(sizes, "cohort_idx")
+      .withColumn("ltv_cents_per_user", expr("cum_rev_cents DIV n_cohort_users"))
+      .select(col("cohort_idx"), col("month_offset"), col("n_orders"),
+        col("rev_cents"), col("cum_rev_cents"), col("n_cohort_users"),
+        col("ltv_cents_per_user"))
+      .orderBy(col("cohort_idx"), col("month_offset"))
+  }
+
   /** SCD-2 compaction of the per-customer order-status history: collapse
     * consecutive same-status orders into validity intervals
     * [valid_from, valid_to) with NULL valid_to on the open (current) run —
@@ -801,6 +835,7 @@ object Behavior {
     "typed_longest_streak" -> (longestStreak _),
     "events_funnel"       -> (funnel _),
     "cohort_retention"    -> (cohortRetention _),
+    "behavior_cohort_ltv" -> (cohortLtv _),
     "scd2_status_history" -> (scd2StatusHistory _),
     "join_scd2_pointintime" -> (scd2PointInTime _)
   )
@@ -878,6 +913,34 @@ object Behavior {
         |        ((n + 1.0) - tie3::DOUBLE / (n::DOUBLE * (n - 1.0)))), 6)
         |  END AS z
         |FROM s""".stripMargin,
+    "behavior_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m_idx,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |f AS (
+        |  SELECT o_custkey, MIN(m_idx) AS cohort_idx FROM o GROUP BY o_custkey),
+        |sz AS (
+        |  SELECT cohort_idx, CAST(COUNT(*) AS BIGINT) AS n_cohort_users
+        |  FROM f GROUP BY cohort_idx),
+        |g AS (
+        |  SELECT f.cohort_idx, o.m_idx - f.cohort_idx AS month_offset,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(SUM(o.cents) AS BIGINT) AS rev_cents
+        |  FROM o JOIN f ON o.o_custkey = f.o_custkey
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT *, SUM(rev_cents) OVER (PARTITION BY cohort_idx
+        |    ORDER BY month_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev_cents
+        |  FROM g)
+        |SELECT c.cohort_idx, c.month_offset, c.n_orders, c.rev_cents,
+        |  CAST(c.cum_rev_cents AS BIGINT) AS cum_rev_cents,
+        |  sz.n_cohort_users,
+        |  CAST(c.cum_rev_cents AS BIGINT) // sz.n_cohort_users AS ltv_cents_per_user
+        |FROM c JOIN sz ON c.cohort_idx = sz.cohort_idx
+        |ORDER BY c.cohort_idx, c.month_offset""".stripMargin,
     "behavior_ks_test" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
