@@ -404,6 +404,192 @@ object Behavior {
       .orderBy(col("channel"))
   }
 
+  /** Fixed iteration count for the Markov-attribution absorption fixed
+    * point — compile-time constant so the Spark loop and the generated
+    * oracle CTE chain can never drift apart. */
+  private val MarkovIters = 12
+
+  /** Markov removal-effect attribution (Anderl et al. 2014) — the
+    * data-driven third member of the attribution family. Last-touch
+    * (`events_attribution`) and linear (`events_attribution_linear`)
+    * impose a credit RULE; this one learns it: per-user journeys over the
+    * same click/view touch alphabet become a first-order Markov chain
+    * (START → touches → CONV/NULL absorbing), and a channel's credit is
+    * its REMOVAL EFFECT — the relative drop in P(conv from START) when
+    * every transition through that channel is redirected to the NULL
+    * sink. Journey = each user's events up to and including their FIRST
+    * purchase (or all events + a terminal →NULL edge if they never
+    * convert), ordered by the family's total key (ts_us, is_p, event_id).
+    *
+    * Cross-engine determinism: the whole computation is exact integer
+    * arithmetic — transition probabilities in ppm (`cnt·1e6 div out_total`),
+    * absorption probabilities iterated `MarkovIters` times in micro units
+    * (`p' = cppm + (Σ ppm·p) div 1e6`, all operands positive so Spark's
+    * truncating `div` ≡ DuckDB's flooring `//`), removal and credit shares
+    * in ppm — the `graph_pagerank` integer-fixed-point rule; no floats
+    * anywhere. A fixed unrolled iteration count (not convergence-to-ε)
+    * keeps the plan static and the oracle expressible as a generated CTE
+    * chain; truncation is monotone, so removed-variant absorption never
+    * exceeds the full chain's and removal effects stay in [0, 1e6].
+    *
+    * Scale: journey/transition extraction is one window pass over events
+    * partitioned by user (the lastTouch shape — bounded partitions, one
+    * shuffle); both transition emission paths come out of ONE
+    * conditionally-sized `explode` (no self-union, no second scan). The
+    * chain itself is |channels+3|² rows — the variant matrices and state
+    * base are cached once and reused across all `MarkovIters` joins, so
+    * the events table is scanned exactly once no matter the iteration
+    * count. Products stay < 1e12·|states| ≪ 2⁶³ up to ~10¹² events. */
+  def markovAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        col("event_type"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("is_p"))
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("is_p"), col("event_id"))
+    val journeys = e
+      .withColumn("prior_p",
+        sum(col("is_p")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0))
+          - col("is_p"))
+      .filter(col("prior_p") === 0)
+      .withColumn("dst",
+        when(col("is_p") === 1, lit("CONV")).otherwise(col("event_type")))
+    val wDesc = Window.partitionBy(col("user_id"))
+      .orderBy(desc("ts_us"), desc("is_p"), desc("event_id"))
+    val marked = journeys
+      .withColumn("src", coalesce(lag(col("dst"), 1).over(wOrd), lit("START")))
+      .withColumn("rn_desc", row_number().over(wDesc))
+      .withColumn("has_conv", max(col("is_p")).over(Window.partitionBy(col("user_id"))))
+    // non-converting users emit their terminal →NULL edge from the same row
+    val transitions = marked.select(explode(
+        when(col("rn_desc") === 1 && col("has_conv") === 0,
+          array(struct(col("src"), col("dst")),
+            struct(col("dst").as("src"), lit("NULL").as("dst"))))
+          .otherwise(array(struct(col("src"), col("dst"))))).as("t"))
+      .select(col("t.src").as("src"), col("t.dst").as("dst"))
+    val ppmAll = transitions.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("tot", sum(col("c")).over(Window.partitionBy(col("src"))))
+      .withColumn("ppm", expr("c * 1000000 div tot"))
+    // ONE cache point: everything downstream (variant matrices, state base,
+    // all MarkovIters iteration joins) derives from this ≲30-row relation,
+    // so the events table is scanned exactly once regardless of iterations
+    val variants = ppmAll
+      .withColumn("removed", explode(array(lit("_full_"), lit("click"), lit("view"))))
+      .filter(col("src") =!= col("removed") && col("dst") =!= col("removed"))
+      .cache()
+    val moveM = variants.filter(!col("dst").isin("CONV", "NULL"))
+      .select(col("removed"), col("src"), col("dst"), col("ppm"))
+    val conv = variants.filter(col("dst") === "CONV")
+      .select(col("removed"), col("src").as("node"), col("ppm").as("cppm"))
+    val base = variants.select(col("removed"), col("src").as("node")).distinct()
+      .join(conv, Seq("removed", "node"), "left")
+      .select(col("removed"), col("node"),
+        coalesce(col("cppm"), lit(0L)).as("cppm"))
+    var r = base.select(col("removed"), col("node"), col("cppm").as("p"))
+    for (_ <- 2 to MarkovIters) {
+      val contrib = moveM
+        .join(broadcast(r.select(col("removed"), col("node").as("dst"), col("p"))),
+          Seq("removed", "dst"))
+        .groupBy(col("removed"), col("src"))
+        .agg(expr("sum(ppm * p) div 1000000").as("contrib"))
+      r = base
+        .join(broadcast(contrib.withColumnRenamed("src", "node")),
+          Seq("removed", "node"), "left")
+        .select(col("removed"), col("node"),
+          (col("cppm") + coalesce(col("contrib"), lit(0L))).as("p"))
+    }
+    val res = r.filter(col("node") === "START").select(col("removed"), col("p"))
+    val fullP = res.filter(col("removed") === "_full_")
+      .select(col("p").as("p_full"), lit(1).as("k"))
+    res.filter(col("removed") =!= "_full_")
+      .withColumn("k", lit(1))
+      .join(broadcast(fullP), "k")
+      .select(col("removed").as("channel"), col("p_full"),
+        when(col("p_full") > 0,
+          lit(1000000L) - expr("p * 1000000 div p_full"))
+          .otherwise(lit(0L)).as("removal_ppm"))
+      .withColumn("sum_r", sum(col("removal_ppm")).over(Window.partitionBy(lit(1))))
+      .select(col("channel"), col("p_full").as("p_full_ppm"), col("removal_ppm"),
+        when(col("sum_r") > 0, expr("removal_ppm * 1000000 div sum_r"))
+          .otherwise(lit(0L)).as("credit_ppm"))
+      .orderBy(col("channel"))
+  }
+
+  /** DuckDB oracle for `events_attribution_markov`: the same journey →
+    * transition-ppm → removal-variant pipeline, with the `MarkovIters`
+    * fixed-point unrolled as a generated chain of `it{k}` CTEs (standard
+    * SQL forbids aggregation inside a recursive CTE term, and an unrolled
+    * chain is bit-identical to the Spark loop by construction). */
+  private def markovOracleSql: String = {
+    val iters = (2 to MarkovIters).map { k =>
+      s"""it$k AS (
+         |  SELECT b.removed, b.node, b.cppm,
+         |    b.cppm + COALESCE(c.contrib, 0) AS p
+         |  FROM base b LEFT JOIN (
+         |    SELECT m.removed, m.src, SUM(m.ppm * r.p) // 1000000 AS contrib
+         |    FROM mv m JOIN it${k - 1} r ON m.removed = r.removed AND m.dst = r.node
+         |    GROUP BY m.removed, m.src) c
+         |  ON b.removed = c.removed AND b.node = c.src),""".stripMargin
+    }.mkString("\n")
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+       |  FROM events
+       |  WHERE event_type IN ('click', 'view', 'purchase')),
+       |j AS (
+       |  SELECT user_id, ts_us, event_id, is_p,
+       |    CASE WHEN is_p = 1 THEN 'CONV' ELSE event_type END AS dst,
+       |    SUM(is_p) OVER (PARTITION BY user_id ORDER BY ts_us, is_p, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - is_p AS prior_p
+       |  FROM e),
+       |m0 AS (
+       |  SELECT user_id, ts_us, event_id, is_p, dst FROM j WHERE prior_p = 0),
+       |mk AS (
+       |  SELECT dst,
+       |    COALESCE(LAG(dst) OVER (PARTITION BY user_id
+       |      ORDER BY ts_us, is_p, event_id), 'START') AS src,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY ts_us DESC, is_p DESC, event_id DESC) AS rn_desc,
+       |    MAX(is_p) OVER (PARTITION BY user_id) AS has_conv
+       |  FROM m0),
+       |tr AS (
+       |  SELECT src, dst FROM mk
+       |  UNION ALL
+       |  SELECT dst AS src, 'NULL' AS dst FROM mk
+       |  WHERE rn_desc = 1 AND has_conv = 0),
+       |cnt AS (SELECT src, dst, COUNT(*) AS c FROM tr GROUP BY src, dst),
+       |pm AS (
+       |  SELECT src, dst, c * 1000000 // SUM(c) OVER (PARTITION BY src) AS ppm
+       |  FROM cnt),
+       |vm AS (
+       |  SELECT v.removed, p.src, p.dst, p.ppm
+       |  FROM pm p CROSS JOIN (VALUES ('_full_'), ('click'), ('view')) v(removed)
+       |  WHERE p.src <> v.removed AND p.dst <> v.removed),
+       |mv AS (SELECT * FROM vm WHERE dst NOT IN ('CONV', 'NULL')),
+       |cv AS (SELECT removed, src AS node, ppm AS cppm FROM vm WHERE dst = 'CONV'),
+       |base AS (
+       |  SELECT s.removed, s.node, COALESCE(cv.cppm, 0) AS cppm
+       |  FROM (SELECT DISTINCT removed, src AS node FROM vm) s
+       |  LEFT JOIN cv ON s.removed = cv.removed AND s.node = cv.node),
+       |it1 AS (SELECT removed, node, cppm, cppm AS p FROM base),
+       |$iters
+       |res AS (SELECT removed, p FROM it$MarkovIters WHERE node = 'START'),
+       |fp AS (SELECT p AS p_full FROM res WHERE removed = '_full_'),
+       |ch AS (
+       |  SELECT r.removed AS channel, f.p_full,
+       |    CASE WHEN f.p_full > 0 THEN 1000000 - (r.p * 1000000 // f.p_full)
+       |      ELSE 0 END AS removal_ppm
+       |  FROM res r CROSS JOIN fp f WHERE r.removed <> '_full_')
+       |SELECT channel, CAST(p_full AS BIGINT) AS p_full_ppm,
+       |  CAST(removal_ppm AS BIGINT) AS removal_ppm,
+       |  CAST(CASE WHEN SUM(removal_ppm) OVER () > 0
+       |    THEN removal_ppm * 1000000 // SUM(removal_ppm) OVER () ELSE 0 END
+       |    AS BIGINT) AS credit_ppm
+       |FROM ch ORDER BY channel""".stripMargin
+  }
+
   /** Two-proportion z-test — the A/B experiment readout: users split by
     * `user_id % 2`, exposure = first 'view', conversion = a purchase
     * strictly after that first view and within 24 h (a windowed funnel
@@ -821,6 +1007,7 @@ object Behavior {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_attribution_linear" -> (linearAttribution _),
+    "events_attribution_markov" -> (markovAttribution _),
     "behavior_ttest_revenue" -> (welchTtest _),
     "behavior_mann_whitney" -> (mannWhitney _),
     "behavior_ks_test"    -> (ksTest _),
@@ -841,6 +1028,7 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_attribution_markov" -> markovOracleSql,
     "events_attribution_linear" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,

@@ -197,7 +197,12 @@ class PlanSpec extends SparkSpec {
         "events_survival_km", "events_cusum_shift", "behavior_ks_test",
         "text_js_divergence",
         "behavior_rfm_segments", "agg_benford_audit", "pipe_quality_lr",
-        "pipe_quality_auc", "pipe_quality_calibration")
+        "pipe_quality_auc", "pipe_quality_calibration",
+        // 2-row readout ⋈ broadcast 1-row baseline: the constant-key join
+        // folds to a broadcast nested loop over O(|channels|) rows
+        "events_attribution_markov",
+        // |X|·|Y|-cell audit ⋈ broadcast 1-row decimal total (psi shape)
+        "agg_mutual_info")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
