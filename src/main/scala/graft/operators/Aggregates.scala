@@ -725,6 +725,54 @@ object Aggregates {
       .orderBy(col("bin"))
   }
 
+  /** Mutual information between two categorical columns — the
+    * feature-selection staple (how much knowing l_returnflag tells you
+    * about l_linestatus), and the dependence probe a training-data
+    * pipeline runs before dropping "redundant" label columns. Emits the
+    * per-cell audit relation (joint count, both marginals, per-cell MI
+    * contribution) with the MI total in nats on every row — the
+    * `agg_psi_drift` report shape. Cells with zero joint count
+    * contribute 0 (lim p→0 of p·ln p) and are correctly absent from the
+    * grouped relation.
+    *
+    * Determinism: joint/marginal counts are exact longs (marginals as
+    * window sums over the |X|·|Y|-cell grouped relation — no second
+    * scan); the per-cell term p_xy·ln(c_xy·n / (c_x·c_y)) is one IEEE
+    * chain on identical operands in both engines, round-9 →
+    * DECIMAL(18,9) (the module's libm-lattice rule at the JS-divergence
+    * precision, since balanced cells give tiny terms), and the total is
+    * the exact order-free decimal sum. The log's operands are lifted to
+    * double BEFORE multiplying (c_xy·n as longs overflows past ~3·10⁹
+    * rows; the double product is deterministic and loses nothing the
+    * round-9 lattice would keep).
+    *
+    * Scale: ONE map-side-partial hash-agg over the scan reading two
+    * dictionary columns; everything after runs on the |X|·|Y| grouped
+    * relation (window sums + a 1-row broadcast total). Nothing but the
+    * first agg touches data volume. */
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val joint = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("x"), col("l_linestatus").as("y"))
+      .agg(count(lit(1)).as("c_xy"))
+    val withM = joint
+      .withColumn("c_x", sum(col("c_xy")).over(Window.partitionBy(col("x"))))
+      .withColumn("c_y", sum(col("c_xy")).over(Window.partitionBy(col("y"))))
+      .withColumn("n", sum(col("c_xy")).over(Window.partitionBy(lit(1))))
+      .withColumn("mi_term",
+        round((col("c_xy").cast("double") / col("n").cast("double")) *
+          log((col("c_xy").cast("double") * col("n").cast("double")) /
+            (col("c_x").cast("double") * col("c_y").cast("double"))), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .cache() // read twice: total fold + per-cell output
+    val total = withM.agg(sum(col("mi_term")).as("t"))
+    withM.crossJoin(broadcast(total))
+      .select(col("x").as("returnflag"), col("y").as("linestatus"),
+        col("c_xy"), col("c_x"), col("c_y"), col("n").as("n_rows"),
+        col("mi_term").cast("double").as("mi_term"),
+        col("t").cast("double").as("mi_nats"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
   /** 12-hour slide of the 24-hour PSI windows, in epoch micros. */
   private[graft] val PsiSlideUs = 12L * 3600 * 1000000
   private[graft] val PsiWindowUs = 2 * PsiSlideUs
@@ -833,6 +881,7 @@ object Aggregates {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_benford_audit" -> (benfordAudit _),
     "agg_psi_drift" -> (psiDrift _),
+    "agg_mutual_info" -> (mutualInfo _),
     "agg_psi_windows" -> (psiWindows _),
     "agg_dp_counts" -> (dpCounts _),
     "agg_basket_pairs" -> (basketPairs _),
@@ -884,6 +933,28 @@ object Aggregates {
         |JOIN exp_tab e ON d.digit = e.digit
         |CROSS JOIN total t
         |ORDER BY digit""".stripMargin,
+    "agg_mutual_info" ->
+      """WITH joint AS (
+        |  SELECT l_returnflag AS x, l_linestatus AS y, COUNT(*) AS c_xy
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (
+        |  SELECT x, y, c_xy,
+        |    SUM(c_xy) OVER (PARTITION BY x) AS c_x,
+        |    SUM(c_xy) OVER (PARTITION BY y) AS c_y,
+        |    SUM(c_xy) OVER () AS n
+        |  FROM joint),
+        |t AS (
+        |  SELECT x, y, c_xy, c_x, c_y, n,
+        |    CAST(ROUND((c_xy::DOUBLE / n::DOUBLE) *
+        |      ln((c_xy::DOUBLE * n::DOUBLE) / (c_x::DOUBLE * c_y::DOUBLE)), 9)
+        |      AS DECIMAL(18,9)) AS mi_term
+        |  FROM m)
+        |SELECT x AS returnflag, y AS linestatus,
+        |  CAST(c_xy AS BIGINT) AS c_xy, CAST(c_x AS BIGINT) AS c_x,
+        |  CAST(c_y AS BIGINT) AS c_y, CAST(n AS BIGINT) AS n_rows,
+        |  CAST(mi_term AS DOUBLE) AS mi_term,
+        |  CAST(SUM(mi_term) OVER () AS DOUBLE) AS mi_nats
+        |FROM t ORDER BY returnflag, linestatus""".stripMargin,
     "agg_psi_windows" ->
       """WITH e AS (
         |  SELECT epoch_us(ts) AS us,

@@ -170,6 +170,87 @@ object Similarity {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** MMR rerank constants: candidate pool depth per query, picks per
+    * query, and λ = 0.7 (relevance weight; 1−λ penalizes redundancy). */
+  private[graft] val MmrCand = 20
+  private[graft] val MmrK = 5
+
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR'98)
+    * — the diversity pass that completes the retrieval family: brute/ANN
+    * arms produce CANDIDATES, `sim_hybrid_rrf` fuses arms, and MMR picks
+    * the final slate so near-duplicate hits don't crowd it. Per query:
+    * top-`MmrCand` by exact cosine (the `sim_knn_brute` scoring shape),
+    * then `MmrK` greedy picks maximizing
+    * `λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s)` (step 1's penalty term is
+    * the max over the empty set, i.e. 0). Emits (q_id, pos, vec_id,
+    * rel_cos, mmr_score) — pos is the diversity-adjusted rank.
+    *
+    * Determinism: every similarity is the codegen'd sequential-fold dot
+    * (bit-reproducible by the oracle's list_reduce), MAX over a set of
+    * identical doubles is order-free, and `0.7·rel − 0.3·maxsim` is one
+    * identical IEEE chain in both engines — so the greedy argmax (ties
+    * broken by vec_id) picks the same document everywhere; no rounding
+    * needed anywhere. The greedy loop is unrolled `MmrK` times (driver
+    * loop over bounded DataFrames / generated CTE chain in the oracle —
+    * the `events_attribution_markov` fixed-unroll rule).
+    *
+    * Scale: this is the serving-side shape done relationally — candidate
+    * generation is the only corpus-sized work (one broadcast-query scan);
+    * the pairwise-sim relation is |Q|·MmrCand² rows and every greedy step
+    * is a join + window over ≤|Q|·MmrCand rows, all constant in corpus
+    * size. cand/pair are cached once; the corpus is scanned exactly once
+    * however many picks are made. */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val lam = lit(0.7)
+    val pen = lit(0.3)
+    val all = vectors(spark, dir).cache() // both sides derive from it
+    val q = all.filter(col("vec_id") < QueryBudget)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = broadcast(q).join(all, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("v"), col("nrm"),
+        VectorOps.cosine(VectorOps.dot(col("qv"), col("v")), col("qn"), col("nrm")).as("rel"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("vec_id"))
+    val cand = scored.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= MmrCand)
+      .select(col("q_id"), col("vec_id"), col("v"), col("nrm"), col("rel"))
+      .cache()
+    val ca = cand.select(col("q_id"), col("vec_id").as("a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val cb = cand.select(col("q_id"), col("vec_id").as("b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val pair = ca.join(cb, Seq("q_id")).filter(col("a") =!= col("b"))
+      .select(col("q_id"), col("a"), col("b"),
+        VectorOps.cosine(VectorOps.dot(col("va"), col("vb")), col("na"), col("nb")).as("sim"))
+      .cache()
+    val slim = cand.select(col("q_id"), col("vec_id"), col("rel"))
+    var sel = slim
+      .withColumn("pk", row_number().over(wq))
+      .filter(col("pk") === 1)
+      .select(col("q_id"), col("vec_id"), col("rel"),
+        (col("rel") * lam).as("mmr"), lit(1L).as("pos"))
+    var rem = slim.join(sel.select(col("q_id"), col("vec_id")),
+      Seq("q_id", "vec_id"), "left_anti")
+    for (t <- 2 to MmrK) {
+      val maxsim = pair
+        .join(sel.select(col("q_id"), col("vec_id").as("b")), Seq("q_id", "b"))
+        .groupBy(col("q_id"), col("a").as("vec_id"))
+        .agg(max(col("sim")).as("maxsim"))
+      val pick = rem.join(maxsim, Seq("q_id", "vec_id"))
+        .withColumn("mmr", col("rel") * lam - col("maxsim") * pen)
+        .withColumn("pk", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("mmr").desc, col("vec_id"))))
+        .filter(col("pk") === 1)
+        .select(col("q_id"), col("vec_id"), col("rel"), col("mmr"),
+          lit(t.toLong).as("pos"))
+      sel = sel.unionByName(pick)
+      rem = rem.join(pick.select(col("q_id"), col("vec_id")),
+        Seq("q_id", "vec_id"), "left_anti")
+    }
+    sel.select(col("q_id"), col("pos"), col("vec_id"),
+        col("rel").as("rel_cos"), col("mmr").as("mmr_score"))
+      .orderBy(col("q_id"), col("pos"))
+  }
+
   /** LSH-bucketed top-3: query probes only its sign bucket. NO broadcast
     * hint — the equi-join on `bucket` is AQE's to plan (broadcast at small
     * sf, shuffle at scale). */
@@ -1150,8 +1231,69 @@ object Similarity {
     "sim_label_centroids" -> (labelCentroids _),
     "sim_centroid_assign" -> (centroidAssign _),
     "sim_hybrid_rrf" -> (hybridRrf _),
+    "sim_mmr_rerank" -> (mmrRerank _),
     "dedup_semdedup" -> (semDedup _)
   )
+
+  /** DuckDB oracle for `sim_mmr_rerank`: same candidate scoring as the
+    * knn_brute oracle, then the `MmrK` greedy picks unrolled as generated
+    * pen/pick/sel/rem CTE blocks (the markov fixed-unroll rule — greedy
+    * selection is inherently sequential, and the unrolled chain replays
+    * the Spark driver loop step for step). */
+  private def mmrOracleSql: String = {
+    val steps = (2 to MmrK).map { t =>
+      s"""pen$t AS (
+         |  SELECT p.q_id, p.a AS vec_id, MAX(p.sim) AS maxsim
+         |  FROM pair p JOIN sel${t - 1} s ON p.q_id = s.q_id AND p.b = s.vec_id
+         |  GROUP BY p.q_id, p.a),
+         |pick$t AS (
+         |  SELECT q_id, vec_id, rel, mmr, CAST($t AS BIGINT) AS pos FROM (
+         |    SELECT r.q_id, r.vec_id, r.rel,
+         |      r.rel * 0.7 - n.maxsim * 0.3 AS mmr,
+         |      ROW_NUMBER() OVER (PARTITION BY r.q_id
+         |        ORDER BY r.rel * 0.7 - n.maxsim * 0.3 DESC, r.vec_id) AS pk
+         |    FROM rem${t - 1} r JOIN pen$t n
+         |      ON r.q_id = n.q_id AND r.vec_id = n.vec_id)
+         |  WHERE pk = 1),
+         |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM pick$t),
+         |rem$t AS (
+         |  SELECT r.* FROM rem${t - 1} r
+         |  WHERE NOT EXISTS (SELECT 1 FROM pick$t p
+         |    WHERE p.q_id = r.q_id AND p.vec_id = r.vec_id)),""".stripMargin
+    }.mkString("\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, sqrt(${dotSql.format("v", "v")}) AS nrm FROM e),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, a.vec_id, a.v, a.nrm,
+       |    ${dotSql.format("q.v", "a.v")} / (q.nrm * a.nrm) AS rel
+       |  FROM n q JOIN n a ON q.vec_id < $QueryBudget AND q.vec_id <> a.vec_id),
+       |cand AS (
+       |  SELECT q_id, vec_id, v, nrm, rel FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY rel DESC, vec_id) AS rn
+       |    FROM scored) WHERE rn <= $MmrCand),
+       |pair AS (
+       |  SELECT c1.q_id, c1.vec_id AS a, c2.vec_id AS b,
+       |    ${dotSql.format("c1.v", "c2.v")} / (c1.nrm * c2.nrm) AS sim
+       |  FROM cand c1 JOIN cand c2
+       |    ON c1.q_id = c2.q_id AND c1.vec_id <> c2.vec_id),
+       |sel1 AS (
+       |  SELECT q_id, vec_id, rel, rel * 0.7 AS mmr, CAST(1 AS BIGINT) AS pos
+       |  FROM (
+       |    SELECT q_id, vec_id, rel, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY rel DESC, vec_id) AS pk
+       |    FROM cand) WHERE pk = 1),
+       |rem1 AS (
+       |  SELECT c.q_id, c.vec_id, c.rel FROM cand c
+       |  WHERE NOT EXISTS (SELECT 1 FROM sel1 s
+       |    WHERE s.q_id = c.q_id AND s.vec_id = c.vec_id)),
+       |$steps
+       |fin AS (SELECT * FROM sel$MmrK)
+       |SELECT q_id, pos, vec_id, rel AS rel_cos, mmr AS mmr_score
+       |FROM fin ORDER BY q_id, pos""".stripMargin
+  }
 
   private val dotSql =
     "list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(%s, %s), z -> z[1] * z[2])), (x, y) -> x + y)"
@@ -1358,6 +1500,7 @@ object Similarity {
         |FROM n q JOIN n a ON q.vec_id < $QueryBudget AND q.vec_id <> a.vec_id
         |WHERE ${dotSql.format("q.v", "a.v")} / (q.nrm * a.nrm) >= 0.25
         |ORDER BY q_id, cos DESC, a.vec_id""".stripMargin,
+    "sim_mmr_rerank" -> mmrOracleSql,
     "sim_knn_brute" ->
       s"""WITH e AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -202,7 +202,9 @@ class PlanSpec extends SparkSpec {
         // folds to a broadcast nested loop over O(|channels|) rows
         "events_attribution_markov",
         // |X|·|Y|-cell audit ⋈ broadcast 1-row decimal total (psi shape)
-        "agg_mutual_info")
+        "agg_mutual_info",
+        // knn_brute's bounded broadcast-query non-equi scoring scan
+        "sim_mmr_rerank")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
