@@ -773,6 +773,60 @@ object Aggregates {
       .orderBy(col("returnflag"), col("linestatus"))
   }
 
+  /** χ² test of independence + Cramér's V over the same
+    * returnflag×linestatus contingency table as `agg_mutual_info` — MI
+    * answers "how many bits do the columns share", χ² answers "is the
+    * dependence statistically significant and how strong" (the pair a
+    * feature-audit report prints together). Unlike MI, χ² sums over the
+    * FULL |X|·|Y| grid — empty cells still contribute (o−e)²/e through
+    * their expected count — so the cell frame is the marginal-cross-join
+    * completion of the observed cells.
+    *
+    * Determinism: counts/marginals exact longs; e = c_x·c_y/n and the
+    * (o−e)²/e term are identical IEEE chains (explicit `(o−e)·(o−e)`,
+    * never pow — libm pow is not guaranteed correctly rounded), per-cell
+    * term round-6 → DECIMAL(18,6) (module lattice rule; χ² terms are
+    * O(n)-sized so 6 fractional digits is plenty), totals as exact
+    * decimal sums. V = √(χ²/(n·min(|X|−1,|Y|−1))) is one IEEE chain on
+    * the decimal total, round-6, NULL on a degenerate 1-level column
+    * (mirrored CASE, the ab_ztest empty-arm rule).
+    *
+    * Scale: identical to `agg_mutual_info` — one map-side-partial
+    * hash-agg over the scan; the frame/totals run on the |X|·|Y| grid
+    * (two tiny broadcasts). */
+  def chi2Independence(spark: SparkSession, dir: String): DataFrame = {
+    val joint = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("x"), col("l_linestatus").as("y"))
+      .agg(count(lit(1)).as("c"))
+    val mx = joint.groupBy(col("x")).agg(sum(col("c")).as("c_x"))
+    val my = joint.groupBy(col("y")).agg(sum(col("c")).as("c_y"))
+    val st = joint.agg(countDistinct(col("x")).as("nx"),
+      countDistinct(col("y")).as("ny"), sum(col("c")).as("n"))
+    val cells = mx.crossJoin(broadcast(my))
+      .join(joint, Seq("x", "y"), "left")
+      .select(col("x"), col("y"), col("c_x"), col("c_y"),
+        coalesce(col("c"), lit(0L)).as("c_xy"))
+      .crossJoin(broadcast(st))
+      .withColumn("e",
+        (col("c_x").cast("double") * col("c_y").cast("double")) / col("n").cast("double"))
+      .withColumn("chi2_term",
+        round((col("c_xy").cast("double") - col("e")) *
+          (col("c_xy").cast("double") - col("e")) / col("e"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+    cells
+      .withColumn("chi2", sum(col("chi2_term")).over(Window.partitionBy(lit(1))))
+      .select(col("x").as("returnflag"), col("y").as("linestatus"),
+        col("c_xy"), round(col("e"), 6).as("expected"),
+        col("chi2_term").cast("double").as("chi2_term"),
+        col("chi2").cast("double").as("chi2_total"),
+        ((col("nx") - 1) * (col("ny") - 1)).as("dof"),
+        when(col("nx") > 1 && col("ny") > 1,
+          round(sqrt(col("chi2").cast("double") /
+            (col("n").cast("double") * least(col("nx") - 1, col("ny") - 1).cast("double"))), 6))
+          .as("cramers_v"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
   /** 12-hour slide of the 24-hour PSI windows, in epoch micros. */
   private[graft] val PsiSlideUs = 12L * 3600 * 1000000
   private[graft] val PsiWindowUs = 2 * PsiSlideUs
@@ -882,6 +936,7 @@ object Aggregates {
     "agg_benford_audit" -> (benfordAudit _),
     "agg_psi_drift" -> (psiDrift _),
     "agg_mutual_info" -> (mutualInfo _),
+    "agg_chi2_independence" -> (chi2Independence _),
     "agg_psi_windows" -> (psiWindows _),
     "agg_dp_counts" -> (dpCounts _),
     "agg_basket_pairs" -> (basketPairs _),
@@ -933,6 +988,37 @@ object Aggregates {
         |JOIN exp_tab e ON d.digit = e.digit
         |CROSS JOIN total t
         |ORDER BY digit""".stripMargin,
+    "agg_chi2_independence" ->
+      """WITH joint AS (
+        |  SELECT l_returnflag AS x, l_linestatus AS y, COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS c_x FROM joint GROUP BY x),
+        |my AS (SELECT y, CAST(SUM(c) AS BIGINT) AS c_y FROM joint GROUP BY y),
+        |st AS (
+        |  SELECT CAST(COUNT(DISTINCT x) AS BIGINT) AS nx,
+        |    CAST(COUNT(DISTINCT y) AS BIGINT) AS ny,
+        |    CAST(SUM(c) AS BIGINT) AS n
+        |  FROM joint),
+        |cells AS (
+        |  SELECT f.x, f.y, f.c_x, f.c_y, COALESCE(j.c, 0) AS c_xy,
+        |    (f.c_x::DOUBLE * f.c_y::DOUBLE) / s.n::DOUBLE AS e,
+        |    s.nx, s.ny, s.n
+        |  FROM (SELECT mx.x, my.y, mx.c_x, my.c_y FROM mx CROSS JOIN my) f
+        |  LEFT JOIN joint j ON j.x = f.x AND j.y = f.y
+        |  CROSS JOIN st s),
+        |t AS (
+        |  SELECT *, CAST(ROUND((c_xy::DOUBLE - e) * (c_xy::DOUBLE - e) / e, 6)
+        |    AS DECIMAL(18,6)) AS chi2_term
+        |  FROM cells)
+        |SELECT x AS returnflag, y AS linestatus, CAST(c_xy AS BIGINT) AS c_xy,
+        |  ROUND(e, 6) AS expected,
+        |  CAST(chi2_term AS DOUBLE) AS chi2_term,
+        |  CAST(SUM(chi2_term) OVER () AS DOUBLE) AS chi2_total,
+        |  (nx - 1) * (ny - 1) AS dof,
+        |  CASE WHEN nx > 1 AND ny > 1 THEN
+        |    ROUND(sqrt(CAST(SUM(chi2_term) OVER () AS DOUBLE) /
+        |      (n::DOUBLE * LEAST(nx - 1, ny - 1)::DOUBLE)), 6) END AS cramers_v
+        |FROM t ORDER BY returnflag, linestatus""".stripMargin,
     "agg_mutual_info" ->
       """WITH joint AS (
         |  SELECT l_returnflag AS x, l_linestatus AS y, COUNT(*) AS c_xy

@@ -900,8 +900,58 @@ object Events {
       .orderBy(col("event_type"), col("hour_no"))
   }
 
+  /** Autocorrelation function of hourly event volume at lags 1–24 — the
+    * seasonality probe run before picking an anomaly baseline (a strong
+    * lag-24 peak says "daily cycle: compare to yesterday's hour, not to
+    * the EWMA"); completes the time-series family next to
+    * `events_ewma_hourly` / `events_cusum_shift` / `events_dow_
+    * seasonality`. Missing hours count 0, so the series is the
+    * gap-filled regular grid (the resample rule) — ACF over only
+    * observed hours would alias gaps into correlation.
+    *
+    * Determinism: with n hours and S total events, the centered term is
+    * n·yₜ−S (exact long, ×n clears the rational mean); r_k =
+    * Σ Zₜ·Zₜ₋ₖ / Σ Zₜ² where the products are decimal(19,0)-seeded →
+    * decimal(38,0)/HUGEINT exact sums (the Mann-Whitney moment rule,
+    * good to ~10³⁶ per term), and r_k is ONE IEEE division of the two
+    * exact sums, round-6. Lags past the series length simply emit no
+    * row in either engine (empty join group).
+    *
+    * Scale: hour-key hash-agg on the scan, then everything runs on the
+    * |hours| grid: the lag expansion is a bounded 24× explode and the
+    * lag join is an hour-key equi-join of the grid to itself — no
+    * window over raw data, no quadratic pass. */
+  def autocorrHourly(spark: SparkSession, dir: String): DataFrame = {
+    val hc = Tables.events(spark, dir)
+      .select(expr("unix_micros(date_trunc('hour', ts)) DIV 3600000000").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("y"))
+    val bounds = hc.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val series = bounds.select(explode(sequence(col("h0"), col("h1"))).as("h"))
+      .join(hc, Seq("h"), "left")
+      .select(col("h"), coalesce(col("y"), lit(0L)).as("y"))
+    val st = series.agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    val z = series.crossJoin(broadcast(st))
+      .select(col("h"), (col("n") * col("y") - col("s"))
+        .cast(org.apache.spark.sql.types.DecimalType(19, 0)).as("z"))
+      .cache() // reused: denominator fold + the 24-lag self-join, both sides
+    val den = z.agg(sum(col("z") * col("z")).as("den"))
+    val lagged = z
+      .withColumn("k", explode(sequence(lit(1), lit(24))))
+      .select(col("k"), (col("h") - col("k")).as("h_prev"), col("z"))
+    val pairs = lagged
+      .join(z.select(col("h").as("h_prev"), col("z").as("z_prev")), Seq("h_prev"))
+    pairs.groupBy(col("k"))
+      .agg(sum(col("z") * col("z_prev")).as("num"), count(lit(1)).as("n_terms"))
+      .crossJoin(broadcast(den))
+      .select(col("k").cast("long").as("lag"), col("n_terms"),
+        when(col("den") > 0,
+          round(col("num").cast("double") / col("den").cast("double"), 6)).as("acf"))
+      .orderBy(col("lag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_ewma_hourly" -> (ewmaHourly _),
+    "events_acf_hourly" -> (autocorrHourly _),
     "events_ewma_anomaly" -> (ewmaAnomaly _),
     "events_cusum_shift" -> (cusumShift _),
     "events_bot_suspects" -> (botSuspects _),
@@ -970,6 +1020,35 @@ object Events {
         |  CAST(COALESCE(n * wsum > 3 * num, FALSE) AS BIGINT) AS is_spike
         |FROM j
         |ORDER BY event_type, hour_no""".stripMargin,
+    "events_acf_hourly" ->
+      """WITH hc AS (
+        |  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+        |    COUNT(*) AS y
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hc),
+        |series AS (
+        |  SELECT r.h, COALESCE(hc.y, 0) AS y
+        |  FROM (SELECT unnest(range(b.h0, b.h1 + 1)) AS h FROM b) r
+        |  LEFT JOIN hc ON hc.h = r.h),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s
+        |  FROM series),
+        |z AS (
+        |  SELECT h, (st.n * y - st.s)::HUGEINT AS z
+        |  FROM series CROSS JOIN st),
+        |den AS (SELECT SUM(z * z) AS den FROM z),
+        |lags AS (SELECT unnest(range(1, 25)) AS k),
+        |pairs AS (
+        |  SELECT lg.k, a.z * p.z AS prod
+        |  FROM z a CROSS JOIN lags lg
+        |  JOIN z p ON p.h = a.h - lg.k),
+        |nums AS (
+        |  SELECT k, SUM(prod) AS num, CAST(COUNT(*) AS BIGINT) AS n_terms
+        |  FROM pairs GROUP BY k)
+        |SELECT CAST(k AS BIGINT) AS lag, n_terms,
+        |  CASE WHEN d.den > 0
+        |    THEN ROUND(num::DOUBLE / d.den::DOUBLE, 6) END AS acf
+        |FROM nums CROSS JOIN den d ORDER BY lag""".stripMargin,
     "events_ewma_hourly" ->
       """WITH hourly AS (
         |  SELECT event_type,

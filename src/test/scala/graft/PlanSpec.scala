@@ -204,7 +204,9 @@ class PlanSpec extends SparkSpec {
         // |X|·|Y|-cell audit ⋈ broadcast 1-row decimal total (psi shape)
         "agg_mutual_info",
         // knn_brute's bounded broadcast-query non-equi scoring scan
-        "sim_mmr_rerank")
+        "sim_mmr_rerank",
+        // grid-frame ⋈ broadcast 1-row stats/denominator (psi shape)
+        "agg_chi2_independence", "events_acf_hourly")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
