@@ -1702,7 +1702,86 @@ object TextAnalysis {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Relational multinomial Naive Bayes — the second trained-in-plan
+    * classifier next to `pipe_quality_lr`'s logistic regression: language
+    * ID learned from unigram counts (train = doc_id%5≠0, test = the %5=0
+    * fold), Laplace-smoothed, evaluated as a confusion matrix with
+    * accuracy. Where `text_langid` HAND-CODES the n-gram heuristic, this
+    * entry LEARNS the same decision from the training fold — the
+    * supervised/heuristic contrast a pipeline A/Bs when labels exist.
+    *
+    * NB is the ideal relational learner: training IS aggregation (class
+    * priors = one doc-count; likelihoods = one (class,word) count), and
+    * scoring IS a join + sum. Determinism: every log term —
+    * ln((T_cw+1)/(TT_c+V)) and the prior ln(N_c/N) — is one IEEE chain
+    * on exact longs, round-9 → DECIMAL(18,9) (module libm-lattice rule);
+    * a doc's class score is prior + Σ tf·term, an exact decimal sum, so
+    * the argmax (ties → lang asc) compares exact decimals, not floats.
+    * Out-of-vocabulary test tokens are dropped before scoring (the
+    * standard production choice — smoothing covers UNSEEN-CLASS words,
+    * vocab membership covers unseen words); test docs with no in-vocab
+    * tokens still classify by prior alone via the doc-frame left join.
+    *
+    * Scale: two hash-aggs over the token stream (the word_count shape),
+    * then scoring joins keyed on (class, word) with |classes|-bounded
+    * fan-out; the final window is per-test-doc over |classes| rows.
+    * Nothing driver-side, no iteration — one pass to train, one to
+    * score. */
+  def naiveBayes(spark: SparkSession, dir: String): DataFrame = {
+    val dec9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("text"))
+    val toks = d.select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+    val train = toks.filter(col("doc_id") % 5 =!= 0)
+    val test = toks.filter(col("doc_id") % 5 === 0)
+    val classDocs = d.filter(col("doc_id") % 5 =!= 0)
+      .groupBy(col("lang").as("c")).agg(count(lit(1)).as("n_docs"))
+    val nTrain = classDocs.agg(sum(col("n_docs")).as("n_train"))
+    val tokClass = train.groupBy(col("lang").as("c"), col("word"))
+      .agg(count(lit(1)).as("t_cw"))
+    val classToks = tokClass.groupBy(col("c")).agg(sum(col("t_cw")).as("tt_c"))
+    val vocab = tokClass.select(col("word")).distinct()
+    val vocabSize = vocab.agg(count(lit(1)).as("v"))
+    val testTf = test.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .join(vocab, Seq("word")) // drop OOV before the class fan-out
+    val expanded = testTf
+      .crossJoin(broadcast(classDocs.select(col("c"))))
+      .join(tokClass, Seq("c", "word"), "left")
+      .join(broadcast(classToks), Seq("c"))
+      .crossJoin(broadcast(vocabSize))
+      .withColumn("contrib",
+        col("tf").cast(org.apache.spark.sql.types.DecimalType(10, 0)) *
+          round(log((coalesce(col("t_cw"), lit(0L)) + 1).cast("double") /
+            (col("tt_c") + col("v")).cast("double")), 9).cast(dec9))
+    val tokenScore = expanded.groupBy(col("doc_id"), col("c"))
+      .agg(sum(col("contrib")).as("tok_score"))
+    val priors = classDocs.crossJoin(broadcast(nTrain))
+      .select(col("c"),
+        round(log(col("n_docs").cast("double") / col("n_train").cast("double")), 9)
+          .cast(dec9).as("prior9"))
+    val framed = d.filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("lang"))
+      .crossJoin(broadcast(priors))
+      .join(tokenScore, Seq("doc_id", "c"), "left")
+      .select(col("doc_id"), col("lang"), col("c"),
+        expr("prior9 + coalesce(tok_score, 0)").as("score"))
+    val pred = framed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("c"))))
+      .filter(col("rn") === 1)
+    pred.groupBy(col("lang").as("true_lang"), col("c").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_test", sum(col("n_docs")).over(Window.partitionBy(lit(1))))
+      .withColumn("n_correct",
+        sum(when(col("true_lang") === col("pred_lang"), col("n_docs")).otherwise(0L))
+          .over(Window.partitionBy(lit(1))))
+      .withColumn("accuracy_ppm", expr("n_correct * 1000000 div n_test"))
+      .orderBy(col("true_lang"), col("pred_lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_naive_bayes" -> (naiveBayes _),
     "text_js_divergence" -> (jsDivergence _),
     "text_gopher_rules" -> (gopherRules _),
     "text_c4_filters" -> (c4Filters _),
@@ -1832,6 +1911,68 @@ object TextAnalysis {
         |  FROM d, wd w)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ml_naive_bayes" ->
+      """WITH d AS (SELECT doc_id, lang, text FROM documents),
+        |tok AS (
+        |  SELECT doc_id, lang, word FROM (
+        |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM d)
+        |  WHERE length(word) > 0),
+        |cd AS (
+        |  SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM d WHERE doc_id % 5 <> 0 GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_train FROM cd),
+        |tc AS (
+        |  SELECT lang AS c, word, CAST(COUNT(*) AS BIGINT) AS t_cw
+        |  FROM tok WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+        |ct AS (SELECT c, CAST(SUM(t_cw) AS BIGINT) AS tt_c FROM tc GROUP BY c),
+        |vb AS (SELECT DISTINCT word FROM tc),
+        |vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vb),
+        |ttf AS (
+        |  SELECT t.doc_id, t.word, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tok t JOIN vb ON vb.word = t.word
+        |  WHERE t.doc_id % 5 = 0 GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT f.doc_id, cls.c, f.tf, COALESCE(tc.t_cw, 0) AS t_cw,
+        |    ct.tt_c, vs.v
+        |  FROM ttf f
+        |  CROSS JOIN (SELECT c FROM cd) cls
+        |  LEFT JOIN tc ON tc.c = cls.c AND tc.word = f.word
+        |  JOIN ct ON ct.c = cls.c
+        |  CROSS JOIN vs),
+        |ts AS (
+        |  SELECT doc_id, c,
+        |    SUM(tf::DECIMAL(10,0) *
+        |      ROUND(ln((t_cw + 1)::DOUBLE / (tt_c + v)::DOUBLE), 9)::DECIMAL(18,9))
+        |      AS tok_score
+        |  FROM ex GROUP BY 1, 2),
+        |pri AS (
+        |  SELECT cd.c,
+        |    ROUND(ln(cd.n_docs::DOUBLE / nt.n_train::DOUBLE), 9)::DECIMAL(18,9)
+        |      AS prior9
+        |  FROM cd CROSS JOIN nt),
+        |fr AS (
+        |  SELECT td.doc_id, td.lang, p.c,
+        |    p.prior9 + COALESCE(ts.tok_score, 0) AS score
+        |  FROM (SELECT doc_id, lang FROM d WHERE doc_id % 5 = 0) td
+        |  CROSS JOIN pri p
+        |  LEFT JOIN ts ON ts.doc_id = td.doc_id AND ts.c = p.c),
+        |pred AS (
+        |  SELECT doc_id, lang, c FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, c) AS rn
+        |    FROM fr) WHERE rn = 1),
+        |conf AS (
+        |  SELECT lang AS true_lang, c AS pred_lang,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM pred GROUP BY 1, 2)
+        |SELECT true_lang, pred_lang, n_docs,
+        |  CAST(SUM(n_docs) OVER () AS BIGINT) AS n_test,
+        |  CAST(SUM(CASE WHEN true_lang = pred_lang THEN n_docs ELSE 0 END)
+        |    OVER () AS BIGINT) AS n_correct,
+        |  CAST(SUM(CASE WHEN true_lang = pred_lang THEN n_docs ELSE 0 END)
+        |    OVER () * 1000000
+        |    // SUM(n_docs) OVER () AS BIGINT) AS accuracy_ppm
+        |FROM conf ORDER BY true_lang, pred_lang""".stripMargin,
     "text_c4_filters" ->
       """WITH f AS (
         |  SELECT lang, source,

@@ -206,7 +206,9 @@ class PlanSpec extends SparkSpec {
         // knn_brute's bounded broadcast-query non-equi scoring scan
         "sim_mmr_rerank",
         // grid-frame ⋈ broadcast 1-row stats/denominator (psi shape)
-        "agg_chi2_independence", "events_acf_hourly")
+        "agg_chi2_independence", "events_acf_hourly",
+        // |classes|/1-row broadcast fan-outs in train/score joins
+        "ml_naive_bayes")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
