@@ -827,6 +827,95 @@ object Aggregates {
       .orderBy(col("returnflag"), col("linestatus"))
   }
 
+  /** Shared Spark-SQL/DuckDB binary-entropy fragment H(pos/n) in nats —
+    * identical text runs in both engines (bigint/bigint `/` is double
+    * division in both, `ln` exists in both), which is what makes the
+    * stump's gain a bit-identical IEEE chain. */
+  private def entropyH(pos: String, n: String): String =
+    s"CASE WHEN $pos = 0 OR $pos = $n THEN 0.0 ELSE " +
+      s"-(($pos / $n) * ln($pos / $n)) - " +
+      s"((($n - $pos) / $n) * ln((($n - $pos)) / $n)) END"
+
+  /** Information-gain expression over the candidate-split counts; ONE
+    * shared formula string (Spark `expr` ≡ DuckDB SQL). */
+  private def stumpGainSql: String =
+    s"ROUND(${entropyH("pos_tot", "n_tot")} - " +
+      s"(n_left / n_tot) * ${entropyH("pos_left", "n_left")} - " +
+      s"(n_right / n_tot) * ${entropyH("pos_right", "n_right")}, 9)"
+
+  /** Decision stump trained relationally — the third in-plan learner
+    * (after `pipe_quality_lr`'s GD and `ml_naive_bayes`' counting): the
+    * best single split `feature ≤ threshold` predicting
+    * l_returnflag = 'R', by information gain. This is one boosting/tree
+    * round's split search expressed as SQL, and the supervised sequel to
+    * `agg_mutual_info`'s unsupervised dependence probe. Candidate
+    * thresholds are the per-feature VIGINTILES (19 cuts), located
+    * exactly: distinct (feature, value) counts, a per-feature cumulative
+    * window over those, and a row matches cut i when position i·n/20
+    * falls inside its cumulative span — no sampling, no approx
+    * percentile, so both engines pick identical cuts. Emits the full
+    * candidate audit (split counts + gain) ranked by gain; row rk=1 is
+    * the trained stump.
+    *
+    * Determinism: all counts exact longs; the gain
+    * H(parent) − Σ(w·H(child)) is ONE shared formula string evaluated by
+    * both engines (bigint `/` is double division in both; `ln` in both),
+    * round-9 → DECIMAL(18,9), so the ranking compares exact decimals
+    * with (feature, threshold) tie-break. Empty/pure children hit the
+    * CASE guards identically.
+    *
+    * Scale: one 3× unpivot projection + one (feature, value) hash-agg;
+    * the cumulative window runs over DISTINCT values per feature (the
+    * exact-percentile cost anywhere — bounded for discrete features,
+    * and the continuous one is the same sort a quantile needs); the
+    * candidate relation is ≤ 19·|features| rows, where the gain math
+    * and the global rank window live. */
+  def decisionStump(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"),
+        col("l_quantity").cast("double").as("quantity"),
+        col("l_discount").cast("double").as("discount"),
+        col("l_extendedprice").cast("double").as("extendedprice"))
+    val unpiv = li.select(col("y"), explode(array(
+        struct(lit("discount").as("feature"), col("discount").as("value")),
+        struct(lit("extendedprice").as("feature"), col("extendedprice").as("value")),
+        struct(lit("quantity").as("feature"), col("quantity").as("value"))))
+        .as("f"))
+      .select(col("f.feature").as("feature"), col("f.value").as("value"), col("y"))
+    val dv = unpiv.groupBy(col("feature"), col("value"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val wCum = Window.partitionBy(col("feature")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy(col("feature"))
+    val cum = dv
+      .withColumn("cum_n", sum(col("n")).over(wCum))
+      .withColumn("cum_pos", sum(col("pos")).over(wCum))
+      .withColumn("n_tot", sum(col("n")).over(wTot))
+      .withColumn("pos_tot", sum(col("pos")).over(wTot))
+    val cands = cum
+      .withColumn("i", explode(sequence(lit(1), lit(19))))
+      .withColumn("p_i", expr("i * n_tot DIV 20"))
+      .filter(col("p_i") >= 1 &&
+        col("p_i") > col("cum_n") - col("n") && col("p_i") <= col("cum_n") &&
+        col("cum_n") < col("n_tot")) // a full-left "split" is no split
+      .select(col("feature"), col("value").as("threshold"),
+        col("cum_n").as("n_left"), col("cum_pos").as("pos_left"),
+        (col("n_tot") - col("cum_n")).as("n_right"),
+        (col("pos_tot") - col("cum_pos")).as("pos_right"),
+        col("n_tot"), col("pos_tot"))
+      .distinct()
+    cands
+      .withColumn("gain",
+        expr(stumpGainSql).cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("gain").desc, col("feature"), col("threshold"))).cast("long"))
+      .select(col("feature"), col("threshold"), col("n_left"), col("pos_left"),
+        col("n_right"), col("pos_right"),
+        col("gain").cast("double").as("gain"), col("rk"))
+      .orderBy(col("rk"))
+  }
+
   /** 12-hour slide of the 24-hour PSI windows, in epoch micros. */
   private[graft] val PsiSlideUs = 12L * 3600 * 1000000
   private[graft] val PsiWindowUs = 2 * PsiSlideUs
@@ -937,6 +1026,7 @@ object Aggregates {
     "agg_psi_drift" -> (psiDrift _),
     "agg_mutual_info" -> (mutualInfo _),
     "agg_chi2_independence" -> (chi2Independence _),
+    "ml_decision_stump" -> (decisionStump _),
     "agg_psi_windows" -> (psiWindows _),
     "agg_dp_counts" -> (dpCounts _),
     "agg_basket_pairs" -> (basketPairs _),
@@ -988,6 +1078,45 @@ object Aggregates {
         |JOIN exp_tab e ON d.digit = e.digit
         |CROSS JOIN total t
         |ORDER BY digit""".stripMargin,
+    "ml_decision_stump" ->
+      s"""WITH li AS (
+        |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+        |    l_quantity::DOUBLE AS quantity, l_discount::DOUBLE AS discount,
+        |    l_extendedprice::DOUBLE AS extendedprice
+        |  FROM lineitem),
+        |unp AS (
+        |  SELECT 'discount' AS feature, discount AS value, y FROM li
+        |  UNION ALL SELECT 'extendedprice', extendedprice, y FROM li
+        |  UNION ALL SELECT 'quantity', quantity, y FROM li),
+        |dv AS (
+        |  SELECT feature, value, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS pos
+        |  FROM unp GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT feature, value, n, pos,
+        |    SUM(n) OVER (PARTITION BY feature ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+        |    SUM(pos) OVER (PARTITION BY feature ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+        |    SUM(n) OVER (PARTITION BY feature) AS n_tot,
+        |    SUM(pos) OVER (PARTITION BY feature) AS pos_tot
+        |  FROM dv),
+        |cand AS (
+        |  SELECT DISTINCT feature, value AS threshold,
+        |    CAST(cum_n AS BIGINT) AS n_left, CAST(cum_pos AS BIGINT) AS pos_left,
+        |    CAST(n_tot - cum_n AS BIGINT) AS n_right,
+        |    CAST(pos_tot - cum_pos AS BIGINT) AS pos_right,
+        |    CAST(n_tot AS BIGINT) AS n_tot, CAST(pos_tot AS BIGINT) AS pos_tot
+        |  FROM cum CROSS JOIN (SELECT unnest(range(1, 20)) AS i) g
+        |  WHERE i * n_tot // 20 >= 1 AND i * n_tot // 20 > cum_n - n
+        |    AND i * n_tot // 20 <= cum_n AND cum_n < n_tot),
+        |sc AS (
+        |  SELECT *, $stumpGainSql::DECIMAL(18,9) AS gain FROM cand)
+        |SELECT feature, threshold, n_left, pos_left, n_right, pos_right,
+        |  CAST(gain AS DOUBLE) AS gain,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY gain DESC, feature, threshold)
+        |    AS BIGINT) AS rk
+        |FROM sc ORDER BY rk""".stripMargin,
     "agg_chi2_independence" ->
       """WITH joint AS (
         |  SELECT l_returnflag AS x, l_linestatus AS y, COUNT(*) AS c
