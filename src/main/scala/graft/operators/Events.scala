@@ -949,9 +949,48 @@ object Events {
       .orderBy(col("lag"))
   }
 
+  /** Seasonal-naive forecast backtest — the baseline every forecasting
+    * system must beat, and the action `events_acf_hourly` points at (a
+    * lag-24 ACF peak says "predict each hour from the same hour
+    * yesterday"): forecast ŷ_h = y_{h−24} for every hour in the grid's
+    * final day, scored per-hour and in aggregate (MAE in micro-events,
+    * sMAPE in ppm). Zero-volume hour pairs emit sMAPE 0 via a mirrored
+    * CASE (0/0 convention). All integers — counts, |errors|, and the
+    * DIV-scaled ratios — so the backtest hash-matches with no float
+    * caveats.
+    *
+    * Scale: the same hour-key hash-agg + gap-filled grid as the ACF
+    * entry; the forecast join is a 24-row-bounded hour-key equi-join and
+    * the aggregate window runs over ≤24 audit rows. */
+  def snaiveBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val hc = Tables.events(spark, dir)
+      .select(expr("unix_micros(date_trunc('hour', ts)) DIV 3600000000").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("y"))
+    val bounds = hc.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val series = bounds.select(explode(sequence(col("h0"), col("h1"))).as("h"))
+      .join(hc, Seq("h"), "left")
+      .select(col("h"), coalesce(col("y"), lit(0L)).as("y"))
+      .cache() // actuals + forecast legs + the h1 bound all read it
+    val hmax = series.agg(max(col("h")).as("h1"))
+    val lastDay = series.crossJoin(broadcast(hmax))
+      .filter(col("h") > col("h1") - 24)
+    val audit = lastDay
+      .join(series.select((col("h") + 24).as("h"), col("y").as("f")), Seq("h"))
+      .select(col("h").as("hour_no"), col("y").as("actual"), col("f").as("forecast"),
+        abs(col("y") - col("f")).as("abs_err"),
+        when(col("y") + col("f") > 0,
+          expr("abs(y - f) * 2000000 DIV (y + f)")).otherwise(0L).as("smape_ppm"))
+    val tot = audit.agg(
+      expr("sum(abs_err) * 1000000 DIV count(1)").as("mae_micro"),
+      expr("sum(smape_ppm) DIV count(1)").as("smape_mean_ppm"))
+    audit.crossJoin(broadcast(tot))
+      .orderBy(col("hour_no"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_ewma_hourly" -> (ewmaHourly _),
     "events_acf_hourly" -> (autocorrHourly _),
+    "events_snaive_backtest" -> (snaiveBacktest _),
     "events_ewma_anomaly" -> (ewmaAnomaly _),
     "events_cusum_shift" -> (cusumShift _),
     "events_bot_suspects" -> (botSuspects _),
@@ -1020,6 +1059,34 @@ object Events {
         |  CAST(COALESCE(n * wsum > 3 * num, FALSE) AS BIGINT) AS is_spike
         |FROM j
         |ORDER BY event_type, hour_no""".stripMargin,
+    "events_snaive_backtest" ->
+      """WITH hc AS (
+        |  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+        |    COUNT(*) AS y
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hc),
+        |series AS (
+        |  SELECT r.h, COALESCE(hc.y, 0) AS y
+        |  FROM (SELECT unnest(range(b.h0, b.h1 + 1)) AS h FROM b) r
+        |  LEFT JOIN hc ON hc.h = r.h),
+        |hm AS (SELECT MAX(h) AS h1 FROM series),
+        |audit AS (
+        |  SELECT s.h AS hour_no, s.y AS actual, p.y AS forecast,
+        |    abs(s.y - p.y) AS abs_err,
+        |    CASE WHEN s.y + p.y > 0
+        |      THEN abs(s.y - p.y) * 2000000 // (s.y + p.y) ELSE 0 END AS smape_ppm
+        |  FROM series s CROSS JOIN hm
+        |  JOIN series p ON p.h = s.h - 24
+        |  WHERE s.h > hm.h1 - 24),
+        |tot AS (
+        |  SELECT SUM(abs_err) * 1000000 // COUNT(*) AS mae_micro,
+        |    SUM(smape_ppm) // COUNT(*) AS smape_mean_ppm
+        |  FROM audit)
+        |SELECT hour_no, actual, forecast, CAST(abs_err AS BIGINT) AS abs_err,
+        |  CAST(smape_ppm AS BIGINT) AS smape_ppm,
+        |  CAST(t.mae_micro AS BIGINT) AS mae_micro,
+        |  CAST(t.smape_mean_ppm AS BIGINT) AS smape_mean_ppm
+        |FROM audit CROSS JOIN tot t ORDER BY hour_no""".stripMargin,
     "events_acf_hourly" ->
       """WITH hc AS (
         |  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,

@@ -102,15 +102,25 @@ object Graph {
     * (deg, id) comparison key. Both bounds are runtime-enforced in the
     * key projection (raise_error branch): an out-of-bounds graph fails
     * loudly instead of returning a plausible undercount. */
-  def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame =
+    triangleCountsCore(spark, dir).orderBy(desc("n_triangles"), col("s_suppkey"))
+
+  /** Co-supply undirected edge list (u < v by id), the sparsified
+    * full-quantity slice — shared by `graph_triangles` and
+    * `graph_clustering_coeff`. */
+  private def cosupplyPairs(spark: SparkSession, dir: String): DataFrame = {
     val ps = Tables.lineitem(spark, dir)
       .filter(col("l_quantity") > 49)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
       .distinct()
-    // undirected edge list, one row per pair (u < v by id)
-    val e = ps.as("a").join(ps.as("b"),
+    ps.as("a").join(ps.as("b"),
         col("a.p") === col("b.p") && col("a.s") < col("b.s"))
       .select(col("a.s").as("u"), col("b.s").as("v"))
+      .distinct()
+  }
+
+  private[graft] def triangleCountsCore(spark: SparkSession, dir: String): DataFrame = {
+    val e = cosupplyPairs(spark, dir)
       .distinct()
     val deg = e.select(col("u").as("n"))
       .unionByName(e.select(col("v").as("n")))
@@ -144,7 +154,49 @@ object Graph {
         col("b") === col("e3.src") && col("c") === col("e3.dst"), "leftsemi")
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("s_suppkey"))
       .groupBy(col("s_suppkey")).agg(count(lit(1)).as("n_triangles"))
-      .orderBy(desc("n_triangles"), col("s_suppkey"))
+  }
+
+  /** Local clustering coefficient + global transitivity over the
+    * co-supply graph — the cohesion readout `graph_triangles` feeds:
+    * per node, C_v = 2T_v/(d_v(d_v−1)) in ppm (how close v's
+    * neighborhood is to a clique), plus the graph-level transitivity
+    * 3·|triangles|/|wedges| and mean local coefficient on every row.
+    * Top-20 by (coeff, suppkey); triangle-free nodes and degree-1 nodes
+    * emit 0 through the same mirrored CASE. The degree-ordered triangle
+    * core is reused as-is (its count relation is orientation-invariant),
+    * so the oracle's plain id-ordered closure matches by construction.
+    *
+    * Scale: degrees are one hash-agg over the pair list; the per-node
+    * relation is |suppliers|-bounded, totals are a 1-row aggregate
+    * broadcast back (NOT a single-partition window over all nodes), and
+    * the final top-20 is a TakeOrdered. Integer throughout: d < 2²³
+    * (triangle zkey bound) keeps d·(d−1) and the ppm scalings far from
+    * bigint range. */
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val und = cosupplyPairs(spark, dir)
+    val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val tri = triangleCountsCore(spark, dir)
+      .select(col("s_suppkey").as("n"), col("n_triangles"))
+    val perNode = deg.join(tri, Seq("n"), "left")
+      .select(col("n").as("s_suppkey"), col("d").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_tri"))
+      .withColumn("coeff_ppm",
+        when(col("degree") >= 2,
+          expr("n_tri * 2000000 DIV (degree * (degree - 1))")).otherwise(0L))
+    val tot = perNode.agg(
+      sum(col("n_tri")).as("tri3"),
+      sum(col("degree") * (col("degree") - 1)).as("wedges2"),
+      count(lit(1)).as("n_nodes"),
+      sum(col("coeff_ppm")).as("csum"))
+    perNode.crossJoin(broadcast(tot))
+      .select(col("s_suppkey"), col("degree"), col("n_tri").as("n_triangles"),
+        col("coeff_ppm"),
+        when(col("wedges2") > 0, expr("tri3 * 2000000 DIV wedges2"))
+          .otherwise(0L).as("transitivity_ppm"),
+        expr("csum DIV n_nodes").as("avg_coeff_ppm"))
+      .orderBy(desc("coeff_ppm"), col("s_suppkey"))
+      .limit(20)
   }
 
   /** Hop-distance horizon for the BFS entry: 4 bounded rounds keeps the
@@ -356,6 +408,7 @@ object Graph {
     "graph_sssp_weighted" -> (ssspWeighted _),
     "graph_kcore"      -> (kcore _),
     "graph_pagerank"   -> (pagerank _),
+    "graph_clustering_coeff" -> (clusteringCoeff _),
     "graph_degree_hist" -> (degreeHistogram _),
     "graph_triangles"  -> (triangleCounts _),
     "graph_khop_distance" -> (khopDistance _),
@@ -483,6 +536,46 @@ object Graph {
          |FROM deg
          |GROUP BY d
          |ORDER BY degree""".stripMargin,
+    "graph_clustering_coeff" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+        |  FROM lineitem WHERE l_quantity > 49),
+        |e AS (
+        |  SELECT DISTINCT a.s AS u, b.s AS v
+        |  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+        |deg AS (
+        |  SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |    SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY n),
+        |t AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tc AS (
+        |  SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        |    SELECT a AS s_suppkey FROM t
+        |    UNION ALL SELECT b FROM t
+        |    UNION ALL SELECT c FROM t)
+        |  GROUP BY s_suppkey),
+        |pn AS (
+        |  SELECT deg.n AS s_suppkey, deg.d AS degree,
+        |    COALESCE(tc.n_tri, 0) AS n_tri,
+        |    CASE WHEN deg.d >= 2
+        |      THEN COALESCE(tc.n_tri, 0) * 2000000 // (deg.d * (deg.d - 1))
+        |      ELSE 0 END AS coeff_ppm
+        |  FROM deg LEFT JOIN tc ON tc.s_suppkey = deg.n),
+        |tot AS (
+        |  SELECT SUM(n_tri) AS tri3, SUM(degree * (degree - 1)) AS wedges2,
+        |    CAST(COUNT(*) AS BIGINT) AS n_nodes, SUM(coeff_ppm) AS csum
+        |  FROM pn)
+        |SELECT pn.s_suppkey, pn.degree, pn.n_tri AS n_triangles,
+        |  CAST(pn.coeff_ppm AS BIGINT) AS coeff_ppm,
+        |  CAST(CASE WHEN t2.wedges2 > 0 THEN t2.tri3 * 2000000 // t2.wedges2
+        |    ELSE 0 END AS BIGINT) AS transitivity_ppm,
+        |  CAST(t2.csum // t2.n_nodes AS BIGINT) AS avg_coeff_ppm
+        |FROM pn CROSS JOIN tot t2
+        |ORDER BY coeff_ppm DESC, s_suppkey LIMIT 20""".stripMargin,
     "graph_triangles" ->
       """WITH ps AS (
         |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s

@@ -1702,6 +1702,79 @@ object TextAnalysis {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Count-Min sketch over the corpus word stream — the MERGEABLE
+    * frequency sketch next to `text_heavy_hitters`' Misra–Gries (MG
+    * keeps candidates; CMS answers point queries for ANY word with a
+    * one-sided error bound). Depth 4 × width 64; lane buckets from the
+    * module's portable 60-bit md5 idiom (`md5(word#lane)`), so both
+    * engines hash identically — no murmur/xxhash divergence. Builds the
+    * 256-cell sketch from the per-word count relation (ONE token
+    * hash-agg feeds both the sketch and the truth side), then point-
+    * queries the true top-10 words: est = min over lanes of the hit
+    * cell, and the emitted `overcount = est − true ≥ 0` exhibits the
+    * CMS guarantee live under the oracle's hash gate.
+    *
+    * Scale: the sketch build is exactly the aggregation CMS exists for —
+    * a 4·|vocab|-row lane expansion collapsing into 256 cells with
+    * map-side partials (the sketch IS the partial-agg state; executors
+    * merge 256-long arrays, never the vocabulary); the query side is a
+    * 40-row broadcast join. */
+  def cmsSketch(spark: SparkSession, dir: String): DataFrame = {
+    val laneBucket =
+      expr("cast(conv(substring(md5(concat(word, '#', cast(j as string))), 1, 15), 16, 10) as bigint) % 64")
+    val wc = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .cache() // sketch build + truth top-10 both read it
+    val sketch = wc
+      .withColumn("j", explode(sequence(lit(1), lit(4))))
+      .withColumn("bucket", laneBucket)
+      .groupBy(col("j"), col("bucket")).agg(sum(col("n")).as("cnt"))
+    val top = wc.orderBy(desc("n"), col("word")).limit(10)
+    top
+      .withColumn("j", explode(sequence(lit(1), lit(4))))
+      .withColumn("bucket", laneBucket)
+      .join(broadcast(sketch), Seq("j", "bucket"))
+      .groupBy(col("word"), col("n"))
+      .agg(min(col("cnt")).as("est_n"))
+      .select(col("word"), col("n").as("true_n"), col("est_n"),
+        (col("est_n") - col("n")).as("overcount"))
+      .orderBy(desc("true_n"), col("word"))
+  }
+
+  /** Flesch reading-ease report per source — the classic readability
+    * quality signal (Gopher/C4-style rule sets gate on it) computed with
+    * a deterministic vowel-group syllable heuristic (`[aeiouy]+` runs —
+    * no dictionary, portable to both engines' regex). The fixture's
+    * synthetic text has no sentence punctuation, so each document is
+    * one "sentence" (words-per-sentence ≡ words-per-doc) — stated
+    * rather than faked. The score enters the integer lattice whole:
+    * wps/spw in exact milli via DIV, then
+    * `206835 − 1015·wps_milli DIV 1000 − 84600·spw_milli DIV 1000`
+    * (all operands positive, truncation mirrored) — no floats at all.
+    *
+    * Scale: one token-stream pass with a per-token regexp count,
+    * collapsing map-side into the |sources|-row report. */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(col("source"), regexp_count(col("word"), lit("[aeiouy]+")).cast("long").as("syl"))
+    val docs = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"), sum(col("syl")).as("n_syllables"))
+      .join(docs, Seq("source"))
+      .withColumn("wps_milli", expr("n_words * 1000 DIV n_docs"))
+      .withColumn("spw_milli", expr("n_syllables * 1000 DIV n_words"))
+      .withColumn("flesch_milli",
+        expr("206835 - 1015 * wps_milli DIV 1000 - 84600 * spw_milli DIV 1000"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_syllables"),
+        col("wps_milli"), col("spw_milli"), col("flesch_milli"))
+      .orderBy(col("source"))
+  }
+
   /** Relational multinomial Naive Bayes — the second trained-in-plan
     * classifier next to `pipe_quality_lr`'s logistic regression: language
     * ID learned from unigram counts (train = doc_id%5≠0, test = the %5=0
@@ -1782,6 +1855,8 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_naive_bayes" -> (naiveBayes _),
+    "text_cms_sketch" -> (cmsSketch _),
+    "text_readability" -> (readability _),
     "text_js_divergence" -> (jsDivergence _),
     "text_gopher_rules" -> (gopherRules _),
     "text_c4_filters" -> (c4Filters _),
@@ -1911,6 +1986,55 @@ object TextAnalysis {
         |  FROM d, wd w)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "text_cms_sketch" ->
+      """WITH w AS (
+        |  SELECT word FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) > 0),
+        |wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY word),
+        |lanes AS (
+        |  SELECT word, n, j,
+        |    CAST(('0x' || substr(md5(word || '#' || CAST(j AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 64 AS bucket
+        |  FROM wc CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS j) g),
+        |sk AS (SELECT j, bucket, SUM(n) AS cnt FROM lanes GROUP BY 1, 2),
+        |top AS (SELECT word, n FROM wc ORDER BY n DESC, word LIMIT 10),
+        |q AS (
+        |  SELECT t.word, t.n, g.j,
+        |    CAST(('0x' || substr(md5(t.word || '#' || CAST(g.j AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 64 AS bucket
+        |  FROM top t CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS j) g),
+        |e AS (
+        |  SELECT q.word, q.n, MIN(sk.cnt) AS est_n
+        |  FROM q JOIN sk ON sk.j = q.j AND sk.bucket = q.bucket
+        |  GROUP BY q.word, q.n)
+        |SELECT word, n AS true_n, CAST(est_n AS BIGINT) AS est_n,
+        |  CAST(est_n - n AS BIGINT) AS overcount
+        |FROM e ORDER BY true_n DESC, word""".stripMargin,
+    "text_readability" ->
+      """WITH w AS (
+        |  SELECT source, word FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) > 0),
+        |s AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |    CAST(SUM(len(regexp_extract_all(word, '[aeiouy]+'))) AS BIGINT)
+        |      AS n_syllables
+        |  FROM w GROUP BY source),
+        |d AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY source),
+        |m AS (
+        |  SELECT s.source, d.n_docs, s.n_words, s.n_syllables,
+        |    s.n_words * 1000 // d.n_docs AS wps_milli,
+        |    s.n_syllables * 1000 // s.n_words AS spw_milli
+        |  FROM s JOIN d ON d.source = s.source)
+        |SELECT source, n_docs, n_words, n_syllables,
+        |  CAST(wps_milli AS BIGINT) AS wps_milli,
+        |  CAST(spw_milli AS BIGINT) AS spw_milli,
+        |  CAST(206835 - 1015 * wps_milli // 1000 - 84600 * spw_milli // 1000
+        |    AS BIGINT) AS flesch_milli
+        |FROM m ORDER BY source""".stripMargin,
     "ml_naive_bayes" ->
       """WITH d AS (SELECT doc_id, lang, text FROM documents),
         |tok AS (

@@ -208,7 +208,9 @@ class PlanSpec extends SparkSpec {
         // grid-frame ⋈ broadcast 1-row stats/denominator (psi shape)
         "agg_chi2_independence", "events_acf_hourly",
         // |classes|/1-row broadcast fan-outs in train/score joins
-        "ml_naive_bayes")
+        "ml_naive_bayes",
+        // audit relation ⋈ broadcast 1-row totals (psi shape)
+        "events_snaive_backtest", "graph_clustering_coeff")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
