@@ -351,12 +351,52 @@ object Joins {
       .limit(100)
   }
 
+  /** TPC-H Q5-shaped snowflake — the canonical multi-dimension OLAP query
+    * the 5-way `join_inner_revenue` stops short of: lineitem ⋈ orders ⋈
+    * customer ⋈ supplier ⋈ nation ⋈ region with the LOCAL-SUPPLIER
+    * co-location predicate (c_nationkey = s_nationkey — revenue only
+    * where the customer's and line supplier's nations coincide), a
+    * selective region filter and a one-year order window. Per-nation
+    * revenue, descending — the exact Q5 readout.
+    *
+    * Scale: declared flat and left to Catalyst — the date filter pushes
+    * into the orders scan, the region filter prunes nation before its
+    * broadcast, nation/region are constant-size broadcasts, and the
+    * co-location predicate rides the supplier equi-join as a residual.
+    * Supplier is deliberately UNHINTED: it scales with SF (unlike
+    * nation/region), so the broadcast-vs-shuffle call belongs to
+    * AQE's runtime stats, not a compile-time hint that would pin a
+    * 100 TB deployment to broadcasting a fact-scaled dimension.
+    * Revenue via the exact-decimal `drevenue` rule, so even the
+    * DESC-by-revenue ordering compares engine-identical doubles. */
+  def snowflakeQ5(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_geo_grid" -> (geoGridJoin _),
     "join_late_dim"           -> (lateDimReconcile _),
     "join_collated_ci"        -> (collatedCiSegments _),
     "join_nullsafe_segments"  -> (nullsafeSegments _),
     "join_inner_revenue"      -> (innerRevenue _),
+    "join_snowflake_q5"       -> (snowflakeQ5 _),
     "join_left_nation"        -> (leftNationCustomers _),
     "join_semi_active_cust"   -> (semiActiveCustomers _),
     "join_anti_unsold_parts"  -> (antiUnsoldParts _),
@@ -368,6 +408,23 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_snowflake_q5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
     "join_geo_grid" ->
       """WITH pts AS (
         |  SELECT c_custkey AS id,

@@ -270,6 +270,37 @@ object Similarity {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** LSH recall@3 against brute-force truth — the eval harness run
+    * BEFORE shipping any ANN configuration ("measure, don't guess"
+    * applied to the index itself): per budget query, how many of the
+    * exact top-3 (`sim_knn_brute`'s scoring, truncated to 3) the
+    * sign-bucket LSH arm (`sim_knn_lsh`) actually surfaced, in exact
+    * integer ppm, with the corpus-level mean on every row. The spec
+    * suite already gates recall thresholds; this entry makes the
+    * measurement itself a first-class oracled relation — both arms are
+    * bit-deterministic, so even a QUALITY metric of an approximate
+    * index hash-matches DuckDB.
+    *
+    * Scale: the truth arm is the budgeted O(|Q|·n) scan, the candidate
+    * arm is bucket-pruned; everything downstream runs on two |Q|·3-row
+    * relations. */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = knnBrute(spark, dir).filter(col("rn") <= 3)
+      .select(col("q_id"), col("vec_id"))
+    val cand = knnLsh(spark, dir)
+      .select(col("q_id").as("q2"), col("vec_id").as("v2"))
+    val perQ = truth
+      .join(cand, truth("q_id") === cand("q2") && truth("vec_id") === cand("v2"),
+        "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("v2").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .withColumn("recall_ppm", expr("hits * 1000000 DIV n_truth"))
+    val tot = perQ.agg(
+      expr("sum(hits) * 1000000 DIV sum(n_truth)").as("mean_recall_ppm"))
+    perQ.crossJoin(broadcast(tot)).orderBy(col("q_id"))
+  }
+
   /** RANGE (radius) search — the similarity query top-k can't answer:
     * ALL corpus vectors within a cosine radius of each budget query
     * (τ = 0.25), however many or few that is. Top-k returns k rows even
@@ -1232,6 +1263,7 @@ object Similarity {
     "sim_centroid_assign" -> (centroidAssign _),
     "sim_hybrid_rrf" -> (hybridRrf _),
     "sim_mmr_rerank" -> (mmrRerank _),
+    "sim_lsh_recall" -> (lshRecall _),
     "dedup_semdedup" -> (semDedup _)
   )
 
@@ -1501,6 +1533,47 @@ object Similarity {
         |WHERE ${dotSql.format("q.v", "a.v")} / (q.nrm * a.nrm) >= 0.25
         |ORDER BY q_id, cos DESC, a.vec_id""".stripMargin,
     "sim_mmr_rerank" -> mmrOracleSql,
+    "sim_lsh_recall" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(${dotSql.format("v", "v")}) AS nrm,
+        |    $bucketSql AS bucket
+        |  FROM e),
+        |bs AS (
+        |  SELECT q.vec_id AS q_id, a.vec_id,
+        |    ${dotSql.format("q.v", "a.v")} / (q.nrm * a.nrm) AS cos
+        |  FROM n q JOIN n a ON q.vec_id < $QueryBudget AND q.vec_id <> a.vec_id),
+        |truth AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id) AS rn
+        |    FROM bs) WHERE rn <= 3),
+        |ls AS (
+        |  SELECT q.vec_id AS q_id, a.vec_id,
+        |    ${dotSql.format("q.v", "a.v")} / (q.nrm * a.nrm) AS cos
+        |  FROM n q JOIN n a ON q.bucket = a.bucket
+        |    AND q.vec_id < $QueryBudget AND q.vec_id <> a.vec_id),
+        |cand AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id) AS rn
+        |    FROM ls) WHERE rn <= 3),
+        |perq AS (
+        |  SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+        |    CAST(SUM(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS hits
+        |  FROM truth t LEFT JOIN cand c
+        |    ON c.q_id = t.q_id AND c.vec_id = t.vec_id
+        |  GROUP BY t.q_id),
+        |tot AS (
+        |  SELECT SUM(hits) * 1000000 // SUM(n_truth) AS mean_recall_ppm
+        |  FROM perq)
+        |SELECT q_id, n_truth, hits,
+        |  CAST(hits * 1000000 // n_truth AS BIGINT) AS recall_ppm,
+        |  CAST(t2.mean_recall_ppm AS BIGINT) AS mean_recall_ppm
+        |FROM perq CROSS JOIN tot t2 ORDER BY q_id""".stripMargin,
     "sim_knn_brute" ->
       s"""WITH e AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

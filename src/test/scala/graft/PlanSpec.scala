@@ -210,7 +210,9 @@ class PlanSpec extends SparkSpec {
         // |classes|/1-row broadcast fan-outs in train/score joins
         "ml_naive_bayes",
         // audit relation ⋈ broadcast 1-row totals (psi shape)
-        "events_snaive_backtest", "graph_clustering_coeff")
+        "events_snaive_backtest", "graph_clustering_coeff",
+        // brute-truth arm's bounded non-equi scan + 1-row mean broadcast
+        "sim_lsh_recall")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
