@@ -778,6 +778,107 @@ object Behavior {
     * → NULL t rather than a division error.
     *
     * Scale: per-user hash-agg + 1-row rollup, the A4 stance. */
+  /** Half-sample replication CI for mean exposed-user revenue — the
+    * resampling answer when no closed-form variance is trusted (the
+    * production cousin of the bootstrap, deterministic by construction):
+    * 16 replicates, replicate b keeping the users whose portable 60-bit
+    * md5 has bit b set (~half each, independent across b), Var(θ̂) ≈
+    * (1/B)·Σ(θ_b−θ̂)² (random-halves replication; balanced BRR needs a
+    * design matrix — documented simplification), CI = θ̂ ± 1.96·SE.
+    * Emits the 16-row replicate audit with the overall mean/SE/CI on
+    * every row.
+    *
+    * Determinism: per-replicate sums are exact longs off ONE cached
+    * per-user relation; each θ_b is one IEEE division round-6, the dev²
+    * terms are chains on those round-6 values re-entering the lattice
+    * (round-6 → DECIMAL), and the 16-term variance sum is the exact
+    * decimal fold — never a float sum across rows. Scale: one per-user
+    * hash-agg, a 16× bounded bit-explode collapsing straight back to 16
+    * rows, two 1-row broadcasts. */
+  def halfsampleCi(spark: SparkSession, dir: String): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val firstView = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("v_us"))
+    val spend = e.filter(col("event_type") === "purchase")
+      .join(firstView, "user_id")
+      .filter(col("ts_us") > col("v_us"))
+      .groupBy(col("user_id")).agg(sum(col("cents")).as("y0"))
+    val users = firstView.join(spend, Seq("user_id"), "left")
+      .select(col("user_id"), coalesce(col("y0"), lit(0L)).as("y"),
+        expr("cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)")
+          .as("h"))
+      .cache() // overall fold + the 16-replicate expansion
+    val overall = users.agg(count(lit(1)).as("n_all"), sum(col("y")).as("sy_all"))
+      .select(col("n_all"), col("sy_all"),
+        round(col("sy_all").cast("double") / col("n_all"), 6).as("mean_all"))
+    val reps = users
+      .withColumn("b", explode(sequence(lit(0), lit(15))))
+      .filter(expr("(h div shiftleft(cast(1 as bigint), b)) % 2 = 1"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_b"), sum(col("y")).as("sy_b"))
+      .withColumn("mean_b", round(col("sy_b").cast("double") / col("n_b"), 6))
+      .crossJoin(broadcast(overall))
+      .cache() // audit output + the variance fold
+    val varFold = reps.agg(
+      sum(round((col("mean_b") - col("mean_all")) * (col("mean_b") - col("mean_all")), 6)
+        .cast(dec6)).as("ss"),
+      count(lit(1)).as("nb"))
+      .select(round(sqrt(col("ss").cast("double") / col("nb")), 6).as("se"))
+    reps.crossJoin(broadcast(varFold))
+      .select(col("b").cast("long").as("replicate"), col("n_b"), col("sy_b"),
+        col("mean_b"), col("n_all"), col("mean_all"), col("se"),
+        round(col("mean_all") - lit(1.96) * col("se"), 6).as("ci_lo"),
+        round(col("mean_all") + lit(1.96) * col("se"), 6).as("ci_hi"))
+      .orderBy(col("replicate"))
+  }
+
+  /** Power / MDE calculator off the live exposure relation — the
+    * DESIGN-side member of the experimentation suite (SRM/z/t/MW/KS/CUPED
+    * read results out; this one says what the NEXT experiment can even
+    * detect): from the observed baseline conversion rate p̂ and exposed
+    * population, (a) the minimum detectable absolute lift at the current
+    * n/2-per-arm allocation, and (b) required per-arm n for target
+    * relative lifts {1,2,5,10}% — both from the standard two-proportion
+    * normal-approximation identity n = (z_{α/2}+z_β)²·2p̂(1−p̂)/Δ²
+    * (α=0.05 two-sided, 80% power; the z constants are literals, no
+    * quantile function needed). One exposure hash-agg → a 1-row stats
+    * relation → a 4-row bounded explode; every output re-enters the
+    * lattice via round-6/ceil-to-long, IEEE chains on exact counts
+    * identical in both engines. */
+  def powerMde(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val firstView = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("v_us"))
+    val converted = e.filter(col("event_type") === "purchase")
+      .join(firstView, "user_id")
+      .filter(col("ts_us") > col("v_us") &&
+        col("ts_us") <= col("v_us") + lit(86400000000L))
+      .select(col("user_id")).distinct().withColumn("c", lit(1L))
+    val st = firstView.join(converted, Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n_exposed"),
+        sum(coalesce(col("c"), lit(0L))).as("n_conv"))
+      .withColumn("p", col("n_conv").cast("double") / col("n_exposed"))
+    // z_{0.025} + z_{0.20} — fixed design constants (α=0.05 two-sided, 80% power)
+    val zsum = lit(1.959964) + lit(0.841621)
+    st.withColumn("lift_pct", explode(array(lit(1L), lit(2L), lit(5L), lit(10L))))
+      .select(col("n_exposed"), col("n_conv"),
+        expr("n_conv * 10000 DIV n_exposed").as("p_bp"),
+        col("lift_pct"),
+        when(col("p") > 0 && col("p") < 1,
+          ceil(zsum * zsum * lit(2.0) * col("p") * (lit(1.0) - col("p")) /
+            ((col("p") * col("lift_pct") / 100.0) *
+             (col("p") * col("lift_pct") / 100.0))).cast("long"))
+          .as("n_per_arm_required"),
+        when(col("p") > 0 && col("p") < 1 && col("n_exposed") >= 2,
+          round(zsum * sqrt(lit(2.0) * col("p") * (lit(1.0) - col("p")) /
+            (col("n_exposed").cast("double") / 2.0)), 6)).as("mde_abs"))
+      .orderBy(col("lift_pct"))
+  }
+
   def welchTtest(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"),
@@ -1009,6 +1110,8 @@ object Behavior {
     "events_attribution_linear" -> (linearAttribution _),
     "events_attribution_markov" -> (markovAttribution _),
     "behavior_ttest_revenue" -> (welchTtest _),
+    "behavior_halfsample_ci" -> (halfsampleCi _),
+    "behavior_power_mde" -> (powerMde _),
     "behavior_mann_whitney" -> (mannWhitney _),
     "behavior_ks_test"    -> (ksTest _),
     "behavior_srm_check"  -> (srmCheck _),
@@ -1029,6 +1132,77 @@ object Behavior {
 
   val oracle: Map[String, String] = Map(
     "events_attribution_markov" -> markovOracleSql,
+    "behavior_halfsample_ci" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |fv AS (
+        |  SELECT user_id, MIN(ts_us) AS v_us FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |sp AS (
+        |  SELECT e.user_id, CAST(SUM(e.cents) AS BIGINT) AS y0
+        |  FROM e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > fv.v_us
+        |  GROUP BY e.user_id),
+        |u AS (
+        |  SELECT fv.user_id, COALESCE(sp.y0, 0) AS y,
+        |    CAST(('0x' || substr(md5(CAST(fv.user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM fv LEFT JOIN sp ON fv.user_id = sp.user_id),
+        |ov AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+        |    CAST(SUM(y) AS BIGINT) AS sy_all,
+        |    ROUND(SUM(y)::DOUBLE / COUNT(*), 6) AS mean_all
+        |  FROM u),
+        |reps AS (
+        |  SELECT b, CAST(COUNT(*) AS BIGINT) AS n_b,
+        |    CAST(SUM(y) AS BIGINT) AS sy_b,
+        |    ROUND(SUM(y)::DOUBLE / COUNT(*), 6) AS mean_b
+        |  FROM u CROSS JOIN (SELECT unnest(range(0, 16)) AS b) g
+        |  WHERE (h // (1::BIGINT << b)) % 2 = 1
+        |  GROUP BY b),
+        |rv AS (
+        |  SELECT ROUND(sqrt(
+        |    SUM(CAST(ROUND((r.mean_b - o.mean_all) * (r.mean_b - o.mean_all), 6)
+        |      AS DECIMAL(18,6)))::DOUBLE / COUNT(*)), 6) AS se
+        |  FROM reps r CROSS JOIN ov o)
+        |SELECT CAST(r.b AS BIGINT) AS replicate, r.n_b, r.sy_b, r.mean_b,
+        |  o.n_all, o.mean_all, v.se,
+        |  ROUND(o.mean_all - 1.96 * v.se, 6) AS ci_lo,
+        |  ROUND(o.mean_all + 1.96 * v.se, 6) AS ci_hi
+        |FROM reps r CROSS JOIN ov o CROSS JOIN rv v
+        |ORDER BY replicate""".stripMargin,
+    "behavior_power_mde" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |fv AS (
+        |  SELECT user_id, MIN(ts_us) AS v_us FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |conv AS (
+        |  SELECT DISTINCT e.user_id FROM e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > fv.v_us
+        |    AND e.ts_us <= fv.v_us + 86400000000),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_exposed,
+        |    CAST(SUM(CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_conv
+        |  FROM fv LEFT JOIN conv c ON fv.user_id = c.user_id),
+        |s2 AS (SELECT *, n_conv::DOUBLE / n_exposed AS p FROM st)
+        |SELECT n_exposed, n_conv,
+        |  CAST(n_conv * 10000 // n_exposed AS BIGINT) AS p_bp,
+        |  CAST(g.lift_pct AS BIGINT) AS lift_pct,
+        |  CASE WHEN p > 0 AND p < 1 THEN
+        |    CAST(ceil((1.959964 + 0.841621) * (1.959964 + 0.841621) * 2.0
+        |      * p * (1.0 - p) /
+        |      ((p * g.lift_pct / 100.0) * (p * g.lift_pct / 100.0)))
+        |      AS BIGINT) END AS n_per_arm_required,
+        |  CASE WHEN p > 0 AND p < 1 AND n_exposed >= 2 THEN
+        |    ROUND((1.959964 + 0.841621) *
+        |      sqrt(2.0 * p * (1.0 - p) / (n_exposed::DOUBLE / 2.0)), 6)
+        |    END AS mde_abs
+        |FROM s2 CROSS JOIN (SELECT unnest([1, 2, 5, 10]) AS lift_pct) g
+        |ORDER BY lift_pct""".stripMargin,
     "events_attribution_linear" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,

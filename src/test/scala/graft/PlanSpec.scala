@@ -212,7 +212,9 @@ class PlanSpec extends SparkSpec {
         // audit relation ⋈ broadcast 1-row totals (psi shape)
         "events_snaive_backtest", "graph_clustering_coeff",
         // brute-truth arm's bounded non-equi scan + 1-row mean broadcast
-        "sim_lsh_recall")
+        "sim_lsh_recall",
+        // 16-row replicate audit ⋈ broadcast 1-row overall/variance folds
+        "behavior_halfsample_ci")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
