@@ -470,6 +470,58 @@ object Etl {
       .orderBy(col("host"), col("lang"))
   }
 
+  /** URL canonicalization + dedup — the crawl-frontier step BEFORE any
+    * content dedup runs (the same page arrives as case-variant hosts,
+    * utm-tagged links, trailing-slash and fragment variants; fetching
+    * each wastes the crawler and poisons per-domain stats). Deterministic
+    * messy variants are planted from doc_id arithmetic (case %3, slash
+    * %5, utm %2, fragment %7 over a %400 page key), then canonicalized
+    * relationally: host lowercased, path trailing-slash-stripped,
+    * `utm_*` params dropped while REAL params (lang) survive, fragment
+    * discarded — all with portable regex/array ops, no UDF. Report:
+    * top-15 canonical URLs by variant count + the global collapse audit
+    * (raw vs canonical counts, dedup ppm) on every row.
+    *
+    * Scale: one projection (regex + list ops, codegen-friendly) + one
+    * canonical-key hash-agg + a 1-row broadcast; the frontier never
+    * all-pairs — canonicalization IS the blocking key. */
+  def urlCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val raw = expr(
+      "concat('https://', " +
+        "CASE WHEN doc_id % 3 = 0 THEN concat(upper(source), '.EXAMPLE.COM') " +
+        "ELSE concat(source, '.example.com') END, " +
+        "'/docs/', cast(doc_id % 400 as string), " +
+        "CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END, " +
+        "CASE WHEN doc_id % 2 = 0 THEN concat('?utm_source=feed&lang=', lang) " +
+        "ELSE concat('?lang=', lang) END, " +
+        "CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END)")
+    val canon = expr(
+      "concat('https://', " +
+        "lower(regexp_extract(raw, '^https://([^/]+)', 1)), " +
+        "regexp_replace(regexp_extract(raw, '^https://[^/]+([^?#]*)', 1), '/$', ''), " +
+        "CASE WHEN array_join(filter(split(regexp_extract(raw, '\\\\?([^#]*)', 1), '&'), " +
+        "p -> NOT startswith(p, 'utm_')), '&') <> '' " +
+        "THEN concat('?', array_join(filter(split(regexp_extract(raw, '\\\\?([^#]*)', 1), '&'), " +
+        "p -> NOT startswith(p, 'utm_')), '&')) ELSE '' END)")
+    val canonized = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .withColumn("raw", raw)
+      .withColumn("canonical", canon)
+    val groups = canonized.groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n_fetches"),
+        countDistinct(col("raw")).as("n_variants"))
+      .cache() // top-15 output + the 1-row collapse audit
+    val tot = groups.agg(
+      sum(col("n_fetches")).as("n_raw_total"),
+      count(lit(1)).as("n_canonical_total"))
+      .select(col("n_raw_total"), col("n_canonical_total"),
+        expr("(n_raw_total - n_canonical_total) * 1000000 DIV n_raw_total")
+          .as("dedup_ppm"))
+    groups.crossJoin(broadcast(tot))
+      .orderBy(desc("n_variants"), col("canonical"))
+      .limit(15)
+  }
+
   /** Winsorization — the robust-preprocessing clip every feature pipeline
     * runs before scaling (outliers squash a StandardScaler's variance):
     * values are clipped to the exact [p5, p95] band. The band is a 1-row
@@ -670,6 +722,7 @@ object Etl {
     "etl_try_cast" -> (tryCasts _),
     "etl_winsorize" -> (winsorize _),
     "etl_parse_url" -> (parseUrl _),
+    "etl_url_canonical" -> (urlCanonical _),
     "etl_table_checksum" -> (tableChecksum _),
     "etl_date_arithmetic" -> (dateArithmetic _),
     "etl_array_hof"      -> (arrayHof _),
@@ -832,6 +885,44 @@ object Etl {
         |  COUNT(CASE WHEN clipped <> raw THEN 1 END) AS n_clipped
         |FROM c GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "etl_url_canonical" ->
+      """WITH r AS (
+        |  SELECT 'https://' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN upper(source) || '.EXAMPLE.COM'
+        |      ELSE source || '.example.com' END ||
+        |    '/docs/' || CAST(doc_id % 400 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&lang=' || lang
+        |      ELSE '?lang=' || lang END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END AS raw
+        |  FROM documents),
+        |c AS (
+        |  SELECT raw, 'https://' ||
+        |    lower(regexp_extract(raw, '^https://([^/]+)', 1)) ||
+        |    regexp_replace(regexp_extract(raw, '^https://[^/]+([^?#]*)', 1),
+        |      '/$', '') ||
+        |    CASE WHEN array_to_string(list_filter(
+        |        string_split(regexp_extract(raw, '\?([^#]*)', 1), '&'),
+        |        p -> NOT starts_with(p, 'utm_')), '&') <> ''
+        |      THEN '?' || array_to_string(list_filter(
+        |        string_split(regexp_extract(raw, '\?([^#]*)', 1), '&'),
+        |        p -> NOT starts_with(p, 'utm_')), '&')
+        |      ELSE '' END AS canonical
+        |  FROM r),
+        |g AS (
+        |  SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_fetches,
+        |    CAST(COUNT(DISTINCT raw) AS BIGINT) AS n_variants
+        |  FROM c GROUP BY canonical),
+        |tot AS (
+        |  SELECT CAST(SUM(n_fetches) AS BIGINT) AS n_raw_total,
+        |    CAST(COUNT(*) AS BIGINT) AS n_canonical_total
+        |  FROM g)
+        |SELECT g.canonical, g.n_fetches, g.n_variants,
+        |  t.n_raw_total, t.n_canonical_total,
+        |  CAST((t.n_raw_total - t.n_canonical_total) * 1000000 // t.n_raw_total
+        |    AS BIGINT) AS dedup_ppm
+        |FROM g CROSS JOIN tot t
+        |ORDER BY n_variants DESC, canonical LIMIT 15""".stripMargin,
     "etl_parse_url" ->
       """WITH u AS (
         |  SELECT 'https://' || source || '.example.com/docs/' || doc_id

@@ -214,7 +214,9 @@ class PlanSpec extends SparkSpec {
         // brute-truth arm's bounded non-equi scan + 1-row mean broadcast
         "sim_lsh_recall",
         // 16-row replicate audit ⋈ broadcast 1-row overall/variance folds
-        "behavior_halfsample_ci")
+        "behavior_halfsample_ci",
+        // canonical-group relation ⋈ broadcast 1-row collapse audit
+        "etl_url_canonical")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
