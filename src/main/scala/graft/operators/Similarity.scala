@@ -228,8 +228,16 @@ object Similarity {
       .filter(col("pk") === 1)
       .select(col("q_id"), col("vec_id"), col("rel"),
         (col("rel") * lam).as("mmr"), lit(1L).as("pos"))
+    // per-step eager localCheckpoint (the dedup_cc/khop iterative rule):
+    // pick_t references rem_{t-1} AND sel_{t-1}, and sel/rem reference
+    // every earlier pick — uncheckpointed, the logical plan DOUBLES per
+    // step and analysis cost goes exponential in MmrK (measured 13.3 s
+    // at sf0.1, ~10× the executed work). Truncating at each ≤|Q|·MmrCand
+    // relation keeps planning linear; the materialized rows are tiny.
     var rem = slim.join(sel.select(col("q_id"), col("vec_id")),
       Seq("q_id", "vec_id"), "left_anti")
+      .localCheckpoint(true)
+    sel = sel.localCheckpoint(true)
     for (t <- 2 to MmrK) {
       val maxsim = pair
         .join(sel.select(col("q_id"), col("vec_id").as("b")), Seq("q_id", "b"))
@@ -242,9 +250,11 @@ object Similarity {
         .filter(col("pk") === 1)
         .select(col("q_id"), col("vec_id"), col("rel"), col("mmr"),
           lit(t.toLong).as("pos"))
+        .localCheckpoint(true)
       sel = sel.unionByName(pick)
       rem = rem.join(pick.select(col("q_id"), col("vec_id")),
         Seq("q_id", "vec_id"), "left_anti")
+        .localCheckpoint(true)
     }
     sel.select(col("q_id"), col("pos"), col("vec_id"),
         col("rel").as("rel_cos"), col("mmr").as("mmr_score"))
