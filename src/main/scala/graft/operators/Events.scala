@@ -987,10 +987,91 @@ object Events {
       .orderBy(col("hour_no"))
   }
 
+  /** Growth accounting — the per-period new/retained/resurrected/churned
+    * ledger (WEEKLY here — the fixture timeline spans weeks, not months,
+    * so weeks are the granularity with real lifecycle dynamics) every consumer-product dashboard leads with (and the quick
+    * ratio (new+resurrected)/churned read off it); the LIFECYCLE view
+    * next to `cohort_retention`'s cohort grid and `events_dau_
+    * stickiness`'s intensity ratio. A user-week is active on any event;
+    * a user is NEW in their first week, RETAINED when also active the
+    * previous week, RESURRECTED otherwise, and counts as CHURNED in
+    * week w+1 when active in w but not w+1 (capped at the timeline's
+    * last week — no phantom post-horizon churn).
+    *
+    * Scale: one distinct (user, week) hash-agg over the scan, then
+    * lag/lead windows over each user's week list (bounded by the
+    * timeline, not the event count) and a |months|-row rollup. All
+    * integer counts; the quick ratio is integer ppm with an
+    * empty-churn guard mirrored in both engines. */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) DIV 604800000000").as("m"), col("user_id"))
+      .distinct()
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("m"))
+    val marked = act
+      .withColumn("f", min(col("m")).over(Window.partitionBy(col("user_id"))))
+      .withColumn("prev_m", lag(col("m"), 1).over(wU))
+      .withColumn("next_m", lead(col("m"), 1).over(wU))
+      .cache() // status rollup + churn rollup + the horizon fold
+    val horizon = marked.agg(max(col("m")).as("m_max"))
+    val statuses = marked.groupBy(col("m")).agg(
+      sum(when(col("m") === col("f"), 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("m") =!= col("f") && col("prev_m") === col("m") - 1, 1L)
+        .otherwise(0L)).as("n_retained"),
+      sum(when(col("m") =!= col("f") &&
+        (col("prev_m").isNull || col("prev_m") < col("m") - 1), 1L)
+        .otherwise(0L)).as("n_resurrected"))
+    val churn = marked.crossJoin(broadcast(horizon))
+      .filter((col("next_m").isNull || col("next_m") > col("m") + 1) &&
+        col("m") + 1 <= col("m_max"))
+      .groupBy((col("m") + 1).as("m")).agg(count(lit(1)).as("n_churned"))
+    statuses.join(churn, Seq("m"), "full_outer")
+      .select(col("m").as("week_no"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .withColumn("quick_ratio_ppm",
+        when(col("n_churned") > 0,
+          expr("(n_new + n_resurrected) * 1000000 DIV n_churned")))
+      .orderBy(col("week_no"))
+  }
+
+  /** Hourly OHLC candles over event value — the financial-style
+    * resample (open/high/low/close) that generalizes beyond tickers to
+    * any metric stream; the shape `events_tumbling_hour` (counts) and
+    * `agg_time_weighted_avg` don't cover. Open/close are the values at
+    * the hour's FIRST/LAST event under the family's total (ts, event_id)
+    * key — picked by conditional aggregation over two row_number
+    * windows, identical in both engines; high/low are plain min/max.
+    * Values pass through untouched (no arithmetic), so doubles compare
+    * bitwise.
+    *
+    * Scale: windows partition by hour — bounded partitions — then one
+    * hour-key hash-agg; output is |hours| rows. */
+  def ohlcHourly(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(expr("unix_micros(date_trunc('hour', ts)) DIV 3600000000").as("h"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value"))
+    val wAsc = Window.partitionBy(col("h")).orderBy(col("ts_us"), col("event_id"))
+    val wDesc = Window.partitionBy(col("h")).orderBy(desc("ts_us"), desc("event_id"))
+    e.withColumn("rn_o", row_number().over(wAsc))
+      .withColumn("rn_c", row_number().over(wDesc))
+      .groupBy(col("h").as("hour_no"))
+      .agg(max(when(col("rn_o") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn_c") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("hour_no"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_ewma_hourly" -> (ewmaHourly _),
     "events_acf_hourly" -> (autocorrHourly _),
     "events_snaive_backtest" -> (snaiveBacktest _),
+    "events_growth_accounting" -> (growthAccounting _),
+    "events_ohlc_hourly" -> (ohlcHourly _),
     "events_ewma_anomaly" -> (ewmaAnomaly _),
     "events_cusum_shift" -> (cusumShift _),
     "events_bot_suspects" -> (botSuspects _),
@@ -1059,6 +1140,60 @@ object Events {
         |  CAST(COALESCE(n * wsum > 3 * num, FALSE) AS BIGINT) AS is_spike
         |FROM j
         |ORDER BY event_type, hour_no""".stripMargin,
+    "events_growth_accounting" ->
+      """WITH act AS (
+        |  SELECT DISTINCT epoch_us(ts) // 604800000000 AS m, user_id
+        |  FROM events),
+        |mk AS (
+        |  SELECT m, user_id,
+        |    MIN(m) OVER (PARTITION BY user_id) AS f,
+        |    LAG(m) OVER (PARTITION BY user_id ORDER BY m) AS prev_m,
+        |    LEAD(m) OVER (PARTITION BY user_id ORDER BY m) AS next_m
+        |  FROM act),
+        |hz AS (SELECT MAX(m) AS m_max FROM mk),
+        |st AS (
+        |  SELECT m,
+        |    CAST(SUM(CASE WHEN m = f THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |    CAST(SUM(CASE WHEN m <> f AND prev_m = m - 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_retained,
+        |    CAST(SUM(CASE WHEN m <> f AND (prev_m IS NULL OR prev_m < m - 1)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM mk GROUP BY m),
+        |ch AS (
+        |  SELECT mk.m + 1 AS m, CAST(COUNT(*) AS BIGINT) AS n_churned
+        |  FROM mk CROSS JOIN hz
+        |  WHERE (mk.next_m IS NULL OR mk.next_m > mk.m + 1)
+        |    AND mk.m + 1 <= hz.m_max
+        |  GROUP BY mk.m + 1),
+        |j AS (
+        |  SELECT COALESCE(st.m, ch.m) AS week_no,
+        |    COALESCE(st.n_new, 0) AS n_new,
+        |    COALESCE(st.n_retained, 0) AS n_retained,
+        |    COALESCE(st.n_resurrected, 0) AS n_resurrected,
+        |    COALESCE(ch.n_churned, 0) AS n_churned
+        |  FROM st FULL OUTER JOIN ch ON st.m = ch.m)
+        |SELECT week_no, n_new, n_retained, n_resurrected, n_churned,
+        |  CASE WHEN n_churned > 0
+        |    THEN (n_new + n_resurrected) * 1000000 // n_churned
+        |  END AS quick_ratio_ppm
+        |FROM j ORDER BY week_no""".stripMargin,
+    "events_ohlc_hourly" ->
+      """WITH e AS (
+        |  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+        |    epoch_us(ts) AS ts_us, event_id, value
+        |  FROM events),
+        |r AS (
+        |  SELECT h, value,
+        |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY ts_us, event_id) AS rn_o,
+        |    ROW_NUMBER() OVER (PARTITION BY h
+        |      ORDER BY ts_us DESC, event_id DESC) AS rn_c
+        |  FROM e)
+        |SELECT h AS hour_no,
+        |  MAX(CASE WHEN rn_o = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MAX(CASE WHEN rn_c = 1 THEN value END) AS close,
+        |  COUNT(*) AS n_events
+        |FROM r GROUP BY h ORDER BY hour_no""".stripMargin,
     "events_snaive_backtest" ->
       """WITH hc AS (
         |  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,

@@ -216,7 +216,9 @@ class PlanSpec extends SparkSpec {
         // 16-row replicate audit ⋈ broadcast 1-row overall/variance folds
         "behavior_halfsample_ci",
         // canonical-group relation ⋈ broadcast 1-row collapse audit
-        "etl_url_canonical")
+        "etl_url_canonical",
+        // user-month activity ⋈ broadcast 1-row timeline horizon
+        "events_growth_accounting")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
