@@ -1104,6 +1104,138 @@ object Similarity {
     centroidCells(explodedDecimal(spark, dir))
       .orderBy(col("label"), col("dim"))
 
+  /** Lloyd iteration count / cluster count for the oracled k-means —
+    * compile-time constants shared by the Spark loop and the generated
+    * oracle CTE chain (the markov fixed-unroll rule). */
+  private val LloydRounds = 2
+  private val LloydK = 8
+
+  /** Cosine argmax assignment of every vector to its nearest centroid —
+    * the kernel each Lloyd round (and the final readout) runs. `cent` is
+    * (cl, dim, c) with round-6 DECIMAL components, so dots and squared
+    * norms are exact decimal sums and the cosine is one IEEE chain on
+    * identical operands; ties break to the lowest cluster id. */
+  private def assignToCents(xs: DataFrame, cent: DataFrame): DataFrame = {
+    val cnorm = cent.groupBy(col("cl"))
+      .agg(sum(col("c") * col("c")).cast("double").as("c_sq"))
+    val vnorm = xs.groupBy(col("vec_id"))
+      .agg(sum(col("x") * col("x")).cast("double").as("v_sq"))
+    val dots = xs.join(broadcast(cent), "dim")
+      .groupBy(col("vec_id"), col("cl"))
+      .agg(sum(col("x") * col("c")).cast("double").as("dot"))
+    dots.join(vnorm, "vec_id").join(broadcast(cnorm), "cl")
+      .withColumn("cos", col("dot") / sqrt(col("v_sq") * col("c_sq")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cl"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cl"))
+  }
+
+  /** Fully-oracled Lloyd's k-means — closing the trained-ANN family's
+    * one residual: MLlib's KMeans is inherently un-oracle-able (its fit
+    * is JVM-internal), so the IVF entries are recall-gated; THIS entry
+    * trains the same kind of coarse quantizer entirely relationally and
+    * hash-matches DuckDB. K = `LloydK` clusters seeded from the first K
+    * vectors (deterministic — k-means++ would need a random stream),
+    * `LloydRounds` unrolled Lloyd rounds of cosine-argmax assignment +
+    * centroid re-estimation, then the final assignment readout: per
+    * (cluster, dim ≤ 4) centroid values with member counts.
+    *
+    * Determinism: components and centroids live on the round-6 DECIMAL
+    * lattice (the `sim_label_centroids` rule), so every dot/norm is an
+    * exact decimal sum, the re-estimated mean is one IEEE division
+    * re-entering the lattice via round-6, and assignment compares
+    * identical doubles with cluster-id ties. A cluster that loses all
+    * members simply drops from the next round's centroid relation —
+    * identically in both engines (standard Lloyd's empty-cluster
+    * behavior, documented not patched).
+    *
+    * Scale: each round is the data-parallel Lloyd layout — a broadcast
+    * K·dims centroid relation joined through the exploded components
+    * (n·dims·K work), one (vec, cl) hash-agg, one (cl, dim) hash-agg;
+    * K rounds = K linear passes, no driver state. Per-round centroid
+    * relations are cached: they are K·dims rows but each rebuild costs
+    * a corpus pass × the 3 reads a round makes of them. */
+  def kmeansLloyd(spark: SparkSession, dir: String): DataFrame = {
+    val xs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+        round(col("col"), 6).cast("decimal(18,6)").as("x"))
+      .cache() // seeds, norms, and every round's dots/update all read it
+    var cent = xs.filter(col("vec_id") < LloydK)
+      .select(col("vec_id").cast("long").as("cl"), col("dim"), col("x").as("c"))
+    for (_ <- 1 to LloydRounds) {
+      val asg = assignToCents(xs, cent)
+      cent = xs.join(asg, "vec_id")
+        .groupBy(col("cl"), col("dim"))
+        .agg(round(sum(col("x")).cast("double") / count(lit(1)), 6)
+          .cast("decimal(18,6)").as("c"))
+        .cache()
+    }
+    val sizes = assignToCents(xs, cent)
+      .groupBy(col("cl")).agg(count(lit(1)).as("n_members"))
+    cent.filter(col("dim") <= 4)
+      .join(sizes, Seq("cl"))
+      .select(col("cl").as("cluster_id"), col("dim"),
+        col("c").cast("double").as("centroid"), col("n_members"))
+      .orderBy(col("cluster_id"), col("dim"))
+  }
+
+  /** DuckDB oracle for `sim_kmeans_lloyd`: the `LloydRounds` rounds
+    * unrolled as generated cn/d/a/cent CTE blocks. */
+  private def kmeansOracleSql: String = {
+    def roundBlock(r: Int): String =
+      s"""cn$r AS (
+         |  SELECT cl, CAST(SUM(c * c) AS DOUBLE) AS c_sq
+         |  FROM cent$r GROUP BY cl),
+         |d$r AS (
+         |  SELECT x.vec_id, c.cl, CAST(SUM(x.xr * c.c) AS DOUBLE) AS dot
+         |  FROM x JOIN cent$r c ON c.dim = x.dim
+         |  GROUP BY x.vec_id, c.cl),
+         |a$r AS (
+         |  SELECT vec_id, cl FROM (
+         |    SELECT d.vec_id, d.cl,
+         |      ROW_NUMBER() OVER (PARTITION BY d.vec_id
+         |        ORDER BY d.dot / sqrt(vn.v_sq * cn.c_sq) DESC, d.cl) AS rn
+         |    FROM d$r d
+         |    JOIN vn ON vn.vec_id = d.vec_id
+         |    JOIN cn$r cn ON cn.cl = d.cl) WHERE rn = 1),""".stripMargin
+    val rounds = (1 to LloydRounds).map { r =>
+      roundBlock(r) + "\n" +
+        s"""cent${r + 1} AS (
+           |  SELECT a.cl, x.dim,
+           |    CAST(ROUND(CAST(SUM(x.xr) AS DOUBLE) / COUNT(*), 6)
+           |      AS DECIMAL(18,6)) AS c
+           |  FROM x JOIN a$r a ON a.vec_id = x.vec_id
+           |  GROUP BY a.cl, x.dim),""".stripMargin
+    }.mkString("\n")
+    val fin = LloydRounds + 1
+    s"""WITH x0 AS (
+       |  SELECT vec_id, embedding,
+       |    unnest(generate_series(1, len(embedding))) AS dim
+       |  FROM embeddings),
+       |x AS (
+       |  SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+       |    CAST(ROUND(embedding[dim]::DOUBLE, 6) AS DECIMAL(18,6)) AS xr
+       |  FROM x0),
+       |vn AS (
+       |  SELECT vec_id, CAST(SUM(xr * xr) AS DOUBLE) AS v_sq
+       |  FROM x GROUP BY vec_id),
+       |cent1 AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS cl, dim, xr AS c
+       |  FROM x WHERE vec_id < $LloydK),
+       |$rounds
+       |${roundBlock(fin)}
+       |sizes AS (
+       |  SELECT cl, CAST(COUNT(*) AS BIGINT) AS n_members
+       |  FROM a$fin GROUP BY cl)
+       |SELECT c.cl AS cluster_id, c.dim, CAST(c.c AS DOUBLE) AS centroid,
+       |  s.n_members
+       |FROM cent$fin c JOIN sizes s ON s.cl = c.cl
+       |WHERE c.dim <= 4
+       |ORDER BY cluster_id, dim""".stripMargin
+  }
+
   /** Nearest-centroid assignment — prototype classification over the
     * centroid matrix: every vector is scored against each label's centroid
     * by cosine and assigned to the best one; output is the label-vs-
@@ -1270,6 +1402,7 @@ object Similarity {
     "sim_index_delete" -> (indexDeleteCompact _),
     "sim_index_health" -> (indexHealth _),
     "sim_label_centroids" -> (labelCentroids _),
+    "sim_kmeans_lloyd" -> (kmeansLloyd _),
     "sim_centroid_assign" -> (centroidAssign _),
     "sim_hybrid_rrf" -> (hybridRrf _),
     "sim_mmr_rerank" -> (mmrRerank _),
@@ -1543,6 +1676,7 @@ object Similarity {
         |WHERE ${dotSql.format("q.v", "a.v")} / (q.nrm * a.nrm) >= 0.25
         |ORDER BY q_id, cos DESC, a.vec_id""".stripMargin,
     "sim_mmr_rerank" -> mmrOracleSql,
+    "sim_kmeans_lloyd" -> kmeansOracleSql,
     "sim_lsh_recall" ->
       s"""WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
