@@ -1156,12 +1156,18 @@ object Similarity {
     * K rounds = K linear passes, no driver state. Per-round centroid
     * relations are cached: they are K·dims rows but each rebuild costs
     * a corpus pass × the 3 reads a round makes of them. */
-  def kmeansLloyd(spark: SparkSession, dir: String): DataFrame = {
-    val xs = Tables.embeddings(spark, dir)
+  /** Round-6 decimal component relation (vec_id, dim, x) — the exact
+    * substrate the Lloyd fit and its IVF serving path share. */
+  private def vecComponents(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
       .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
         round(col("col"), 6).cast("decimal(18,6)").as("x"))
-      .cache() // seeds, norms, and every round's dots/update all read it
+
+  /** The `LloydRounds` Lloyd rounds; returns the final (cl, dim, c)
+    * centroid relation (cached — each rebuild is a corpus pass and a
+    * round reads it three times). */
+  private def lloydFit(xs: DataFrame): DataFrame = {
     var cent = xs.filter(col("vec_id") < LloydK)
       .select(col("vec_id").cast("long").as("cl"), col("dim"), col("x").as("c"))
     for (_ <- 1 to LloydRounds) {
@@ -1172,6 +1178,13 @@ object Similarity {
           .cast("decimal(18,6)").as("c"))
         .cache()
     }
+    cent
+  }
+
+  def kmeansLloyd(spark: SparkSession, dir: String): DataFrame = {
+    val xs = vecComponents(spark, dir)
+      .cache() // seeds, norms, and every round's dots/update all read it
+    val cent = lloydFit(xs)
     val sizes = assignToCents(xs, cent)
       .groupBy(col("cl")).agg(count(lit(1)).as("n_members"))
     cent.filter(col("dim") <= 4)
@@ -1181,9 +1194,69 @@ object Similarity {
       .orderBy(col("cluster_id"), col("dim"))
   }
 
+  /** IVF top-5 search over the RELATIONAL Lloyd quantizer — the fully-
+    * oracled IVF twin of `sim_knn_ivf` (whose MLlib fit forces a recall
+    * gate): every stage — quantizer training, corpus cell assignment,
+    * query probing (nprobe = 2), candidate scoring — is relational on
+    * the round-6 decimal lattice, so the ENTIRE index lifecycle
+    * hash-matches DuckDB, closing the trained-ANN family's last
+    * no-oracle residual. Candidates are the probed cells' members
+    * (cluster-pruned — never the full corpus); scoring is exact decimal
+    * dots with the usual identical-IEEE cosine and (cos desc, vec_id)
+    * order.
+    *
+    * Scale: the inherited Lloyd passes + a |Q|·nprobe cell probe and a
+    * per-pair component join bounded by Σ probed-cell sizes · dims —
+    * the IVF pruning shape, not O(|Q|·n). */
+  def knnIvfLloyd(spark: SparkSession, dir: String): DataFrame = {
+    val xs = vecComponents(spark, dir).cache()
+    val cent = lloydFit(xs)
+    val asg = assignToCents(xs, cent)
+    val qProbe = assignTopCents(xs.filter(col("vec_id") < QueryBudget), cent, 2)
+      .select(col("vec_id").as("q_id"), col("cl"))
+    val candPairs = qProbe.join(asg, Seq("cl"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+    val vnorm = xs.groupBy(col("vec_id"))
+      .agg(sum(col("x") * col("x")).cast("double").as("sq"))
+    val qx = xs.select(col("vec_id").as("q_id"), col("dim"), col("x").as("xq"))
+    val dots = candPairs
+      .join(xs, "vec_id")
+      .join(qx, Seq("q_id", "dim"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("xq") * col("x")).cast("double").as("dot"))
+    dots
+      .join(vnorm.select(col("vec_id").as("q_id"), col("sq").as("q_sq")), "q_id")
+      .join(vnorm, "vec_id")
+      .withColumn("cos", col("dot") / sqrt(col("q_sq") * col("sq")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id")))
+        .cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** `assignToCents` generalized to the top-k cells (IVF probing). */
+  private def assignTopCents(xs: DataFrame, cent: DataFrame, k: Int): DataFrame = {
+    val cnorm = cent.groupBy(col("cl"))
+      .agg(sum(col("c") * col("c")).cast("double").as("c_sq"))
+    val vnorm = xs.groupBy(col("vec_id"))
+      .agg(sum(col("x") * col("x")).cast("double").as("v_sq"))
+    val dots = xs.join(broadcast(cent), "dim")
+      .groupBy(col("vec_id"), col("cl"))
+      .agg(sum(col("x") * col("c")).cast("double").as("dot"))
+    dots.join(vnorm, "vec_id").join(broadcast(cnorm), "cl")
+      .withColumn("cos", col("dot") / sqrt(col("v_sq") * col("c_sq")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cl"))))
+      .filter(col("rn") <= k)
+      .select(col("vec_id"), col("cl"))
+  }
+
   /** DuckDB oracle for `sim_kmeans_lloyd`: the `LloydRounds` rounds
     * unrolled as generated cn/d/a/cent CTE blocks. */
-  private def kmeansOracleSql: String = {
+  private def kmeansChainSql: String = {
     def roundBlock(r: Int): String =
       s"""cn$r AS (
          |  SELECT cl, CAST(SUM(c * c) AS DOUBLE) AS c_sq
@@ -1210,7 +1283,7 @@ object Similarity {
            |  GROUP BY a.cl, x.dim),""".stripMargin
     }.mkString("\n")
     val fin = LloydRounds + 1
-    s"""WITH x0 AS (
+    s"""x0 AS (
        |  SELECT vec_id, embedding,
        |    unnest(generate_series(1, len(embedding))) AS dim
        |  FROM embeddings),
@@ -1225,16 +1298,57 @@ object Similarity {
        |  SELECT CAST(vec_id AS BIGINT) AS cl, dim, xr AS c
        |  FROM x WHERE vec_id < $LloydK),
        |$rounds
-       |${roundBlock(fin)}
+       |${roundBlock(fin)}""".stripMargin
+  }
+
+  private def lloydFin: Int = LloydRounds + 1
+
+  private def kmeansOracleSql: String =
+    s"""WITH $kmeansChainSql
        |sizes AS (
        |  SELECT cl, CAST(COUNT(*) AS BIGINT) AS n_members
-       |  FROM a$fin GROUP BY cl)
+       |  FROM a$lloydFin GROUP BY cl)
        |SELECT c.cl AS cluster_id, c.dim, CAST(c.c AS DOUBLE) AS centroid,
        |  s.n_members
-       |FROM cent$fin c JOIN sizes s ON s.cl = c.cl
+       |FROM cent$lloydFin c JOIN sizes s ON s.cl = c.cl
        |WHERE c.dim <= 4
        |ORDER BY cluster_id, dim""".stripMargin
-  }
+
+  /** DuckDB oracle for `sim_knn_ivf_lloyd`: the Lloyd chain + query
+    * probing (top-2 cells over the final round's scored relation,
+    * restricted to the query budget) + exact-decimal candidate scoring
+    * within probed cells. */
+  private def ivfLloydOracleSql: String =
+    s"""WITH $kmeansChainSql
+       |qp AS (
+       |  SELECT vec_id AS q_id, cl FROM (
+       |    SELECT d.vec_id, d.cl,
+       |      ROW_NUMBER() OVER (PARTITION BY d.vec_id
+       |        ORDER BY d.dot / sqrt(vn.v_sq * cn.c_sq) DESC, d.cl) AS rn
+       |    FROM d$lloydFin d
+       |    JOIN vn ON vn.vec_id = d.vec_id
+       |    JOIN cn$lloydFin cn ON cn.cl = d.cl
+       |    WHERE d.vec_id < $QueryBudget) WHERE rn <= 2),
+       |cp AS (
+       |  SELECT DISTINCT qp.q_id, a.vec_id
+       |  FROM qp JOIN a$lloydFin a ON a.cl = qp.cl
+       |  WHERE a.vec_id <> qp.q_id),
+       |dots AS (
+       |  SELECT cp.q_id, cp.vec_id, CAST(SUM(xq.xr * xv.xr) AS DOUBLE) AS dot
+       |  FROM cp
+       |  JOIN x xv ON xv.vec_id = cp.vec_id
+       |  JOIN x xq ON xq.vec_id = cp.q_id AND xq.dim = xv.dim
+       |  GROUP BY cp.q_id, cp.vec_id),
+       |sc AS (
+       |  SELECT d.q_id, d.vec_id,
+       |    d.dot / sqrt(qn.v_sq * vn2.v_sq) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY d.q_id
+       |      ORDER BY d.dot / sqrt(qn.v_sq * vn2.v_sq) DESC, d.vec_id) AS rn
+       |  FROM dots d
+       |  JOIN vn qn ON qn.vec_id = d.q_id
+       |  JOIN vn vn2 ON vn2.vec_id = d.vec_id)
+       |SELECT q_id, vec_id, cos, CAST(rn AS BIGINT) AS rn
+       |FROM sc WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
   /** Nearest-centroid assignment — prototype classification over the
     * centroid matrix: every vector is scored against each label's centroid
@@ -1403,6 +1517,7 @@ object Similarity {
     "sim_index_health" -> (indexHealth _),
     "sim_label_centroids" -> (labelCentroids _),
     "sim_kmeans_lloyd" -> (kmeansLloyd _),
+    "sim_knn_ivf_lloyd" -> (knnIvfLloyd _),
     "sim_centroid_assign" -> (centroidAssign _),
     "sim_hybrid_rrf" -> (hybridRrf _),
     "sim_mmr_rerank" -> (mmrRerank _),
@@ -1677,6 +1792,7 @@ object Similarity {
         |ORDER BY q_id, cos DESC, a.vec_id""".stripMargin,
     "sim_mmr_rerank" -> mmrOracleSql,
     "sim_kmeans_lloyd" -> kmeansOracleSql,
+    "sim_knn_ivf_lloyd" -> ivfLloydOracleSql,
     "sim_lsh_recall" ->
       s"""WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
