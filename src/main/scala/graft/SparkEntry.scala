@@ -34,6 +34,7 @@ object SparkEntry {
       (Events.queries, Events.oracle),
       (Behavior.queries, Behavior.oracle),
       (Graph.queries, Graph.oracle),
+      (Recommend.queries, Recommend.oracle),
       (Layout.queries, Layout.oracle),
       (Multimodal.queries, Multimodal.oracle),
       (Sql.queries, Sql.oracle),

@@ -623,6 +623,38 @@ object Events {
       .orderBy(col("user_id"), col("island"))
   }
 
+  /** Peak concurrency by sweep-line — the "max simultaneous open
+    * intervals" statistic (max concurrent sessions/streams/locks) over
+    * the same per-user value-length purchase intervals as
+    * `events_interval_coalesce`: stack (+1 at start, −1 at end), order
+    * by (time, delta) so half-open semantics release an ending interval
+    * before an equal-timestamp start joins, running-sum the deltas, take
+    * the per-user max. Ties among equal (t, delta) rows permute which ROW
+    * carries which running value but never the SET of values a partition
+    * produces, so the per-user MAX is deterministic with no further
+    * tiebreak — the classic sweep-line argument.
+    *
+    * Scale: one user_id-partitioned window + one hash-agg on the SAME
+    * key — a single shuffle; output is |users|-bounded. */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) +
+          (col("value").cast("decimal(18,2)") * 100).cast("long") * 1000000L).as("e_us"))
+    val pts = iv.select(col("user_id"), col("s_us").as("t"), lit(1L).as("delta"))
+      .unionByName(iv.select(col("user_id"), col("e_us").as("t"), lit(-1L).as("delta")))
+    val sweep = Window.partitionBy(col("user_id")).orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts
+      .withColumn("open", sum(col("delta")).over(sweep))
+      .groupBy(col("user_id"))
+      .agg(expr("count(1) div 2").as("n_intervals"),
+        max(col("open")).as("peak_concurrency"))
+      .orderBy(col("user_id"))
+  }
+
   /** Rate-limiter audit — burst detection over a trailing value-based
     * window: an event is throttled when its user's trailing-hour count
     * (RANGE frame on epoch seconds, peers enter together so tie order
@@ -1080,6 +1112,7 @@ object Events {
     "events_dau_stickiness" -> (dauStickiness _),
     "events_rate_limiter" -> (rateLimiter _),
     "events_interval_coalesce" -> (intervalCoalesce _),
+    "events_peak_concurrency" -> (peakConcurrency _),
     "events_dow_seasonality" -> (dowSeasonality _),
     "win_reset_running_sum" -> (resetRunningSum _),
     "agg_time_weighted_avg" -> (timeWeightedAvg _),
@@ -1419,6 +1452,24 @@ object Events {
         |  MAX(e_us) AS end_us, COUNT(*) AS n_intervals
         |FROM g GROUP BY user_id, island
         |ORDER BY user_id, island""".stripMargin,
+    "events_peak_concurrency" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s_us,
+        |    epoch_us(ts) + CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * 1000000 AS e_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |pts AS (
+        |  SELECT user_id, s_us AS t, 1::BIGINT AS delta FROM iv
+        |  UNION ALL
+        |  SELECT user_id, e_us AS t, -1::BIGINT AS delta FROM iv),
+        |sw AS (
+        |  SELECT user_id, delta,
+        |    SUM(delta) OVER (PARTITION BY user_id ORDER BY t, delta
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+        |  FROM pts)
+        |SELECT user_id, COUNT(*) // 2 AS n_intervals,
+        |  CAST(MAX(open) AS BIGINT) AS peak_concurrency
+        |FROM sw GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "events_dow_seasonality" ->
       """WITH e AS (
         |  SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -64,6 +65,58 @@ object Graph {
     }
     r.select(col("node"), (col("r") / lit(1000000.0)).as("rank"))
       .orderBy(desc("rank"), col("node")).limit(25)
+  }
+
+  /** HITS (Kleinberg's hubs-and-authorities) on the DIRECTED bipartite
+    * supplier→part graph — the link-analysis twin of `graph_pagerank`
+    * for asymmetric roles: suppliers are pure hubs (they only point),
+    * parts pure authorities (they are only pointed at), so the mutual
+    * reinforcement a(p)=Σh(s), h(s)=Σa(p) ranks parts by the strength of
+    * the supplier set behind them and suppliers by the strength of their
+    * catalog. Two full (authority, hub) rounds from uniform hubs,
+    * SUM-normalized each half-step.
+    *
+    * Determinism: the whole iteration is fixed-point micro-units with
+    * `x * 1e6 DIV total` sum-normalization (all operands positive —
+    * Spark's truncating DIV ≡ DuckDB's flooring `//`), so every score is
+    * an exact BIGINT in both engines; no float appears anywhere. Long
+    * bound: `raw·1e6` needs raw < 9.2e12, i.e. per-node weighted degree
+    * sums below ~9e6 micro-mass — holds far past the test SFs since the
+    * normalized mass totals ~1e6 across the whole side.
+    *
+    * Scale: per half-step one edge-key equi-join + hash-agg (the
+    * pagerank shuffle shape) and a broadcast 1-row total (the A4
+    * pattern); the edge list is cached once for its 4 reads (repo
+    * cache contract: Verify/Bench clearCache between entries). Top-15
+    * per side via a per-side rank window (partitioned by node_type). */
+  def hits(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+      .distinct()
+      .cache()
+    def normalized(raw: DataFrame, key: String, v: String): DataFrame = {
+      val tot = raw.agg(sum(col(v)).as("tot"))
+      raw.crossJoin(broadcast(tot))
+        .select(col(key), expr(s"$v * 1000000 DIV tot").as(v))
+    }
+    var h = e.select(col("s")).distinct().withColumn("h", lit(1000000L))
+    var a: DataFrame = null
+    for (_ <- 1 to 2) {
+      a = normalized(
+        e.join(h, "s").groupBy(col("p")).agg(sum(col("h")).as("a")), "p", "a")
+      h = normalized(
+        e.join(a, "p").groupBy(col("s")).agg(sum(col("a")).as("h")), "s", "h")
+    }
+    val auth = a.select(lit("authority").as("node_type"),
+      col("p").as("node_id"), col("a").as("score_mu"))
+    val hub = h.select(lit("hub").as("node_type"),
+      col("s").as("node_id"), col("h").as("score_mu"))
+    auth.unionByName(hub)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("node_type"))
+          .orderBy(col("score_mu").desc, col("node_id"))).cast("long"))
+      .filter(col("rk") <= 15)
+      .orderBy(col("node_type"), col("rk"))
   }
 
   /** Degree distribution — the first diagnostic run on any production
@@ -408,6 +461,7 @@ object Graph {
     "graph_sssp_weighted" -> (ssspWeighted _),
     "graph_kcore"      -> (kcore _),
     "graph_pagerank"   -> (pagerank _),
+    "graph_hits"       -> (hits _),
     "graph_clustering_coeff" -> (clusteringCoeff _),
     "graph_degree_hist" -> (degreeHistogram _),
     "graph_triangles"  -> (triangleCounts _),
@@ -494,6 +548,30 @@ object Graph {
          |SELECT node, r / 1000000.0 AS rank FROM r3
          |ORDER BY rank DESC, node
          |LIMIT 25""".stripMargin,
+    "graph_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+        |h0 AS (SELECT DISTINCT s, 1000000::BIGINT AS h FROM e),
+        |a1r AS (SELECT p, SUM(h) AS a FROM e JOIN h0 USING (s) GROUP BY p),
+        |a1 AS (SELECT p, CAST(a * 1000000 // (SELECT SUM(a) FROM a1r) AS BIGINT) AS a FROM a1r),
+        |h1r AS (SELECT s, SUM(a) AS h FROM e JOIN a1 USING (p) GROUP BY s),
+        |h1 AS (SELECT s, CAST(h * 1000000 // (SELECT SUM(h) FROM h1r) AS BIGINT) AS h FROM h1r),
+        |a2r AS (SELECT p, SUM(h) AS a FROM e JOIN h1 USING (s) GROUP BY p),
+        |a2 AS (SELECT p, CAST(a * 1000000 // (SELECT SUM(a) FROM a2r) AS BIGINT) AS a FROM a2r),
+        |h2r AS (SELECT s, SUM(a) AS h FROM e JOIN a2 USING (p) GROUP BY s),
+        |h2 AS (SELECT s, CAST(h * 1000000 // (SELECT SUM(h) FROM h2r) AS BIGINT) AS h FROM h2r),
+        |sides AS (
+        |  SELECT 'authority' AS node_type, p AS node_id, a AS score_mu FROM a2
+        |  UNION ALL
+        |  SELECT 'hub' AS node_type, s AS node_id, h AS score_mu FROM h2),
+        |rk AS (
+        |  SELECT node_type, node_id, score_mu,
+        |    ROW_NUMBER() OVER (PARTITION BY node_type
+        |      ORDER BY score_mu DESC, node_id) AS rk
+        |  FROM sides)
+        |SELECT node_type, node_id, score_mu, rk FROM rk
+        |WHERE rk <= 15
+        |ORDER BY node_type, rk""".stripMargin,
     "graph_common_neighbors" ->
       """WITH ps AS (
         |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Market-basket and item–item collaborative filtering over the order
+  * graph — the recommendation leg next to `agg_basket_pairs`' raw
+  * co-occurrence counts: association RULES (confidence/lift, the
+  * "customers who bought A also bought B" scorer) and item–item COSINE
+  * over the customer–part incidence matrix (the classic neighborhood CF
+  * of Sarwar et al., WWW'01, re-expressed relationally).
+  *
+  * Scale stance (both entries): candidates come ONLY from an equi-join on
+  * the shared basket key (orderkey / custkey) — cost Σ|basket|², the
+  * standard co-occurrence bound — never an all-pairs item join. Item
+  * marginals are a hash-agg; the candidate relation joins them twice by
+  * item key. Top-k is TakeOrderedAndProject. At 100 TB the only added
+  * knob is a hot-basket cap (drop pathological |basket| > B baskets, the
+  * usual co-occurrence guard), which the data here doesn't need.
+  *
+  * Determinism: supports are exact longs; confidence/lift are exact
+  * integer micro/ppm units via DIV (all operands positive, so Spark's
+  * truncating `div` ≡ DuckDB's flooring `//`); cosine is the module libm
+  * rule — ONE shared `ROUND(co / sqrt(na*nb), 6)` formula string, cast to
+  * DECIMAL(18,6) in both engines. Long bounds: `n_ab·N·1e6` needs
+  * |pairs-per-basket sum| · |baskets| < 9.2e12 — holds through sf10; at
+  * warehouse scale lift the product to DECIMAL(38,0) (HUGEINT), the
+  * repo-wide overflow rule. */
+object Recommend {
+
+  /** Association rules a→b with support/confidence/lift over order
+    * baskets. Pair candidates from the orderkey equi-join (a < b keeps
+    * one undirected candidate; both rule directions are emitted from it),
+    * top-20 rules by lift with full tie-break. */
+  def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .cache() // feeds marginals AND the pair self-join (2×; released by
+               // Verify/Bench's per-entry clearCache, the repo contract)
+    val nBaskets = op.select(col("o")).distinct().agg(count(lit(1)).as("n_baskets"))
+    val marg = op.groupBy(col("p")).agg(count(lit(1)).as("n_item"))
+    val pairs = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+    // both rule directions from each undirected pair
+    val rules = pairs.select(col("pa").as("antecedent"), col("pb").as("consequent"), col("n_ab"))
+      .unionByName(pairs.select(col("pb").as("antecedent"), col("pa").as("consequent"), col("n_ab")))
+      .join(marg.select(col("p").as("antecedent"), col("n_item").as("n_ante")), "antecedent")
+      .join(marg.select(col("p").as("consequent"), col("n_item").as("n_cons")), "consequent")
+      .crossJoin(broadcast(nBaskets))
+    rules
+      .withColumn("conf_ppm", expr("n_ab * 1000000 DIV n_ante"))
+      .withColumn("lift_ppm", expr("n_ab * n_baskets * 1000000 DIV (n_ante * n_cons)"))
+      .select(col("antecedent"), col("consequent"), col("n_ab"), col("n_ante"),
+        col("n_cons"), col("n_baskets"), col("conf_ppm"), col("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("conf_ppm").desc,
+        col("antecedent"), col("consequent"))
+      .limit(20)
+  }
+
+  /** Item–item cosine similarity over the binary customer×part incidence
+    * matrix (a customer "rates" a part by having ever ordered it):
+    * cos(a,b) = |Ua ∩ Ub| / √(|Ua|·|Ub|). Top-25 part pairs. */
+  def itemCosine(spark: SparkSession, dir: String): DataFrame = {
+    val cp = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+      .cache() // marginals + self-join (repo cache contract)
+    val marg = cp.groupBy(col("p")).agg(count(lit(1)).as("n_users"))
+    val co = cp.as("a").join(cp.as("b"),
+        col("a.c") === col("b.c") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
+      .agg(count(lit(1)).as("co_users"))
+    co
+      .join(marg.select(col("p").as("part_a"), col("n_users").as("n_a")), "part_a")
+      .join(marg.select(col("p").as("part_b"), col("n_users").as("n_b")), "part_b")
+      .withColumn("cosine",
+        expr("ROUND(co_users / sqrt(n_a * n_b), 6)")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .select(col("part_a"), col("part_b"), col("co_users"), col("n_a"),
+        col("n_b"), col("cosine").cast("double").as("cosine"))
+      .orderBy(col("cosine").desc, col("co_users").desc,
+        col("part_a"), col("part_b"))
+      .limit(25)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rec_assoc_rules" -> (assocRules _),
+    "rec_item_cosine" -> (itemCosine _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "rec_assoc_rules" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |nb AS (SELECT COUNT(DISTINCT o) AS n_baskets FROM op),
+        |marg AS (SELECT p, COUNT(*) AS n_item FROM op GROUP BY p),
+        |pairs AS (
+        |  SELECT a.p AS pa, b.p AS pb, COUNT(*) AS n_ab
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY a.p, b.p),
+        |rules AS (
+        |  SELECT pa AS antecedent, pb AS consequent, n_ab FROM pairs
+        |  UNION ALL
+        |  SELECT pb AS antecedent, pa AS consequent, n_ab FROM pairs),
+        |j AS (
+        |  SELECT r.antecedent, r.consequent, r.n_ab,
+        |    ma.n_item AS n_ante, mc.n_item AS n_cons, nb.n_baskets
+        |  FROM rules r
+        |  JOIN marg ma ON ma.p = r.antecedent
+        |  JOIN marg mc ON mc.p = r.consequent
+        |  CROSS JOIN nb)
+        |SELECT antecedent, consequent, n_ab, n_ante, n_cons, n_baskets,
+        |  n_ab * 1000000 // n_ante AS conf_ppm,
+        |  n_ab * n_baskets * 1000000 // (n_ante * n_cons) AS lift_ppm
+        |FROM j
+        |ORDER BY lift_ppm DESC, conf_ppm DESC, antecedent, consequent
+        |LIMIT 20""".stripMargin,
+    "rec_item_cosine" ->
+      """WITH cp AS (
+        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |marg AS (SELECT p, COUNT(*) AS n_users FROM cp GROUP BY p),
+        |co AS (
+        |  SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS co_users
+        |  FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
+        |  GROUP BY a.p, b.p)
+        |SELECT co.part_a, co.part_b, co_users, ma.n_users AS n_a,
+        |  mb.n_users AS n_b,
+        |  CAST(CAST(ROUND(co_users / sqrt(ma.n_users * mb.n_users), 6)
+        |    AS DECIMAL(18,6)) AS DOUBLE) AS cosine
+        |FROM co
+        |JOIN marg ma ON ma.p = co.part_a
+        |JOIN marg mb ON mb.p = co.part_b
+        |ORDER BY cosine DESC, co_users DESC, part_a, part_b
+        |LIMIT 25""".stripMargin
+  )
+}

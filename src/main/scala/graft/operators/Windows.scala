@@ -212,7 +212,38 @@ object Windows {
       .orderBy(col("part"), col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Peak-to-trough drawdown over the daily revenue series — the ops/
+    * finance curve behind "how far below our best day are we": daily
+    * purchase revenue vs its running peak, per-day drawdown in cents and
+    * basis points, plus the running maximum drawdown so the final row
+    * carries the headline number. The unpartitioned window is legal by
+    * the module rule: it sits on the DAILY AGGREGATE (O(|days|) rows,
+    * ~90 here and bounded by calendar at any corpus size), never on raw
+    * events — the one user_id-free shuffle is |days|-sized.
+    *
+    * Determinism: revenue is exact cents (`decimal(18,2)·100 → long`,
+    * the events-module money rule); dd_bp is integer `x·10000 DIV peak`
+    * with a `peak > 0` guard mirrored in the oracle (Spark DIV NULL vs
+    * DuckDB `//` error on a zero-cent opening day). */
+  def peakDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .as("rev_cents"))
+    val cum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("peak_cents", max(col("rev_cents")).over(cum))
+      .withColumn("dd_cents", col("peak_cents") - col("rev_cents"))
+      .withColumn("dd_bp", when(col("peak_cents") > 0,
+        expr("dd_cents * 10000 DIV peak_cents")))
+      .withColumn("max_dd_cents", max(col("dd_cents")).over(cum))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_peak_drawdown" -> (peakDrawdown _),
     "win_rolling_beta" -> (rollingBeta _),
     "win_rank_topn"      -> (rankTopNations _),
     "win_grand_avg_diff" -> (grandAvgDiff _),
@@ -225,6 +256,25 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_peak_drawdown" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS rev_cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |curve AS (
+        |  SELECT day, rev_cents,
+        |    MAX(rev_cents) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_cents
+        |  FROM daily)
+        |SELECT day, rev_cents, peak_cents,
+        |  peak_cents - rev_cents AS dd_cents,
+        |  CASE WHEN peak_cents > 0
+        |    THEN (peak_cents - rev_cents) * 10000 // peak_cents END AS dd_bp,
+        |  MAX(peak_cents - rev_cents) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_dd_cents
+        |FROM curve
+        |ORDER BY day""".stripMargin,
     "win_rolling_beta" ->
       """WITH x AS (
         |  SELECT l_partkey AS part, l_orderkey, l_linenumber,

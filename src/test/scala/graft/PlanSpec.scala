@@ -113,6 +113,11 @@ class PlanSpec extends SparkSpec {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // CacheManager is context-shared: rec_assoc_rules caches a relation
+      // whose canonical plan matches this entry's self-join side, and a
+      // residual registration would swap both sides to InMemoryRelation
+      // and hide the ReusedExchange this test pins. Pin the fresh shape.
+      spark.catalog.clearCache()
       val p = plan(Aggregates.basketPairs(spark, sf0001))
       assert(p.contains("ReusedExchange"),
         s"self-join sides no longer share an exchange:\n$p")
@@ -213,6 +218,10 @@ class PlanSpec extends SparkSpec {
         "events_snaive_backtest", "graph_clustering_coeff",
         // brute-truth arm's bounded non-equi scan + 1-row mean broadcast
         "sim_lsh_recall",
+        // rule relation ⋈ broadcast 1-row basket total (A4 pattern)
+        "rec_assoc_rules",
+        // per-half-step score ⋈ broadcast 1-row sum-normalizer (A4)
+        "graph_hits",
         // 16-row replicate audit ⋈ broadcast 1-row overall/variance folds
         "behavior_halfsample_ci",
         // canonical-group relation ⋈ broadcast 1-row collapse audit
