@@ -344,6 +344,100 @@ object Graph {
       .limit(20)
   }
 
+  /** Adamic–Adar link prediction over the same sparsified co-supply graph —
+    * commonNeighbors' weighted refinement (Adamic & Adar 2003): a shared
+    * neighbor is evidence inversely proportional to how promiscuous it is,
+    * score(u,v) = Σ_{m ∈ Γ(u)∩Γ(v)} 1/ln(deg m). Same wedge enumeration and
+    * scale levers as graph_common_neighbors (sparsified slice; in
+    * production a hub df-cap — a hot middle contributes deg² candidate
+    * pairs AND the least information per the 1/ln weighting, so capping it
+    * is doubly right).
+    *
+    * Determinism: the per-middle weight is the one libm call, rounded to
+    * the DECIMAL(18,9) lattice BEFORE summation (decimal sums are
+    * order-free exact; the rounding absorbs last-ulp ln differences — the
+    * text_js_divergence rule); the ORDER BY key is the final DOUBLE cast
+    * in both engines so limit-boundary ties resolve identically. Middles
+    * always have deg ≥ 2 (a wedge needs two distinct spokes), so
+    * ln(deg) ≥ ln 2 > 0. Plan: degree hash-agg + two equi-joins on the
+    * middle + hash-agg + left-anti + TakeOrderedAndProject. */
+  def adamicAdar(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 49)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    val e = ps.as("a").join(ps.as("b"),
+        col("a.p") === col("b.p") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("u"), col("b.s").as("v"))
+      .distinct()
+    val und = e.select(col("u").as("m"), col("v").as("x"))
+      .unionByName(e.select(col("v").as("m"), col("u").as("x")))
+      .cache() // real 3x reuse: the degree agg plus both wedge legs
+    val w = und.groupBy(col("m")).agg(count(lit(1)).as("d"))
+      // deg-1 nodes can never be wedge middles, and ln(1) = 0 would trip
+      // ANSI divide-by-zero during the weight projection — drop them here
+      .filter(col("d") >= 2)
+      .select(col("m").as("wm"),
+        round(lit(1.0) / log(col("d").cast("double")), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("aa_w"))
+    val pairs = und.as("t1").join(und.as("t2"),
+        col("t1.m") === col("t2.m") && col("t1.x") < col("t2.x"))
+      .join(w, col("t1.m") === col("wm"))
+      .groupBy(col("t1.x").as("sa"), col("t2.x").as("sc"))
+      .agg(count(lit(1)).as("n_common"), sum(col("aa_w")).as("aa_dec"))
+    pairs.join(e, pairs("sa") === e("u") && pairs("sc") === e("v"), "left_anti")
+      .select(col("sa"), col("sc"), col("n_common"),
+        col("aa_dec").cast("double").as("aa_score"))
+      .orderBy(desc("aa_score"), col("sa"), col("sc"))
+      .limit(20)
+  }
+
+  /** Label-propagation community detection (Raghavan et al. 2007) on the
+    * sparsified co-supply graph — the near-linear community primitive next
+    * to dedup_cc's connectivity: labels start as node ids and each
+    * SYNCHRONOUS round every node adopts the label most frequent among its
+    * neighbors (ties → smallest label, the deterministic variant — the
+    * async/random-order original is irreproducible by construction). A
+    * FIXED round budget keeps the plan static and the oracle an unrolled
+    * CTE chain; fixed-depth LPA is the standard scalable form (each extra
+    * round refines, none invalidates).
+    *
+    * Scale: per round one edge-key equi-join + (node,label) hash-agg +
+    * an argmax window PARTITIONED BY node (never global); the edge list
+    * is cached once for its LpaRounds+1 reads. Lineage grows linearly in
+    * rounds (each round references the previous labels once), so no
+    * checkpoint is needed at this depth. Output: every node with its
+    * final label and community size — all-integer, fully deterministic. */
+  private val LpaRounds = 4
+
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 49)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    val e = ps.as("a").join(ps.as("b"),
+        col("a.p") === col("b.p") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("u"), col("b.s").as("v"))
+      .distinct()
+    val und = e.select(col("u").as("m"), col("v").as("x"))
+      .unionByName(e.select(col("v").as("m"), col("u").as("x")))
+      .cache() // real reuse: init + one read per round
+    var lab = und.select(col("m").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to LpaRounds) {
+      lab = und.join(lab, und("x") === lab("node"))
+        .groupBy(col("m"), col("label")).agg(count(lit(1)).as("nv"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("m")).orderBy(col("nv").desc, col("label"))))
+        .filter(col("rk") === 1)
+        .select(col("m").as("node"), col("label"))
+    }
+    val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("comm_size"))
+    lab.join(sizes, "label")
+      .select(col("node"), col("label"), col("comm_size"))
+      .orderBy(col("node"))
+  }
+
   /** Bounded-hop weighted shortest path (Bellman–Ford relaxation) — the
     * "cheapest procurement path within 4 hops" companion to khopDistance's
     * hop counting. Edge weight = cents of the cheapest lineitem price ever
@@ -466,7 +560,9 @@ object Graph {
     "graph_degree_hist" -> (degreeHistogram _),
     "graph_triangles"  -> (triangleCounts _),
     "graph_khop_distance" -> (khopDistance _),
-    "graph_common_neighbors" -> (commonNeighbors _)
+    "graph_common_neighbors" -> (commonNeighbors _),
+    "graph_adamic_adar" -> (adamicAdar _),
+    "graph_label_prop" -> (labelPropagation _)
   )
 
   private val edgeCtes =
@@ -517,7 +613,74 @@ object Graph {
        |ORDER BY node""".stripMargin
   }
 
+  /** One synchronous LPA round: neighbor-label votes + per-node argmax
+    * (count desc, label asc). MATERIALIZED for the same reason as peelCte:
+    * each round reads the previous labels once but the chain would
+    * otherwise inline 4-deep. */
+  private def lpaCte(prev: String, cur: String): String =
+    s"""$cur AS MATERIALIZED (
+       |  SELECT m AS node, label FROM (
+       |    SELECT und.m, l.label,
+       |      ROW_NUMBER() OVER (PARTITION BY und.m
+       |        ORDER BY COUNT(*) DESC, l.label) AS rk
+       |    FROM und JOIN $prev l ON und.x = l.node
+       |    GROUP BY und.m, l.label)
+       |  WHERE rk = 1)""".stripMargin
+
+  private val lpaOracle: String = {
+    val rounds = (0 until 4)
+      .map(i => lpaCte(s"l$i", s"l${i + 1}"))
+      .mkString(",\n")
+    s"""WITH ps AS (
+       |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+       |  FROM lineitem WHERE l_quantity > 49),
+       |e AS (
+       |  SELECT DISTINCT a.s AS u, b.s AS v
+       |  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+       |und AS MATERIALIZED (
+       |  SELECT u AS m, v AS x FROM e
+       |  UNION ALL
+       |  SELECT v AS m, u AS x FROM e),
+       |l0 AS (SELECT DISTINCT m AS node, m AS label FROM und),
+       |$rounds,
+       |sz AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS comm_size
+       |       FROM l4 GROUP BY label)
+       |SELECT l4.node, l4.label, sz.comm_size
+       |FROM l4 JOIN sz USING (label)
+       |ORDER BY node""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "graph_adamic_adar" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+        |  FROM lineitem WHERE l_quantity > 49),
+        |e AS (
+        |  SELECT DISTINCT a.s AS u, b.s AS v
+        |  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+        |und AS MATERIALIZED (
+        |  SELECT u AS m, v AS x FROM e
+        |  UNION ALL
+        |  SELECT v AS m, u AS x FROM e),
+        |w AS (
+        |  SELECT m,
+        |    CAST(ROUND(1.0 / ln(CAST(COUNT(*) AS DOUBLE)), 9)
+        |      AS DECIMAL(18,9)) AS aa_w
+        |  FROM und GROUP BY m
+        |  HAVING COUNT(*) >= 2),
+        |pr AS (
+        |  SELECT t1.x AS sa, t2.x AS sc, COUNT(*) AS n_common,
+        |    CAST(SUM(w.aa_w) AS DOUBLE) AS aa_score
+        |  FROM und t1
+        |  JOIN und t2 ON t1.m = t2.m AND t1.x < t2.x
+        |  JOIN w ON w.m = t1.m
+        |  GROUP BY t1.x, t2.x)
+        |SELECT sa, sc, n_common, aa_score FROM pr
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM e WHERE e.u = pr.sa AND e.v = pr.sc)
+        |ORDER BY aa_score DESC, sa, sc
+        |LIMIT 20""".stripMargin,
+    "graph_label_prop" -> lpaOracle,
     "graph_sssp_weighted" ->
       """WITH RECURSIVE e0 AS (
         |  SELECT l_suppkey AS s, l_partkey AS p,

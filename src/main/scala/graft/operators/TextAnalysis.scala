@@ -1853,7 +1853,63 @@ object TextAnalysis {
       .orderBy(col("true_lang"), col("pred_lang"))
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010) — the unsupervised
+    * keyphrase scorer corpus curators run before topic labeling: candidate
+    * phrases are maximal stopword-free token runs, each word scores
+    * deg(w)/freq(w) over the candidate set (deg = Σ phrase length across
+    * the word's occurrences — frequency plus co-occurrence), and a phrase
+    * scores the sum of its member word scores. Candidates are capped at 4
+    * tokens (the usual implementation cap; also bounds phrase-string width
+    * at corpus scale).
+    *
+    * Determinism: everything is integer — word scores on the ppm lattice
+    * via overflow-safe quotient-then-remainder division (`deg/freq ≤ 4`
+    * by the cap, so the remainder path needs freq < 9.2e12 occurrences of
+    * one word — documented bound), phrase scores exact BIGINT sums of ppm
+    * terms, top-20 tie-broken by phrase text.
+    *
+    * Scale: phrase assembly is a per-doc running sum (window PARTITIONED
+    * BY doc_id — never global) + a (doc, run)-key hash-agg; word stats and
+    * phrase scoring run over the DISTINCT-phrase relation (vocabulary-
+    * sized, cached for its two readers), not the corpus. */
+  def rakeKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+      .withColumn("is_stop", col("word").isin(stop: _*).cast("long"))
+    val phrases = toks
+      .withColumn("grp", sum(col("is_stop")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("is_stop") === 0)
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("len"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          s => s.getField("word"))).as("phrase"))
+      .filter(col("len") <= 4)
+    val occ = phrases.groupBy(col("phrase"), col("len"))
+      .agg(count(lit(1)).as("n_occ"))
+      .cache() // real 2x reuse: word stats + phrase scoring
+    val members = occ.select(col("phrase"), col("len"), col("n_occ"),
+      explode(split(col("phrase"), " ")).as("word"))
+    val wscores = members.groupBy(col("word"))
+      .agg(sum(col("n_occ")).as("freq"),
+        sum(col("len") * col("n_occ")).as("deg"))
+      .select(col("word"),
+        (expr("deg DIV freq") * lit(1000000L) +
+          expr("(deg % freq) * 1000000 DIV freq")).as("wscore_ppm"))
+    members.join(wscores, "word")
+      .groupBy(col("phrase"), col("len"), col("n_occ"))
+      .agg(sum(col("wscore_ppm")).as("score_ppm"))
+      .select(col("phrase"), col("len").as("n_words"), col("n_occ"),
+        col("score_ppm"))
+      .orderBy(desc("score_ppm"), col("phrase"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rake_keywords" -> (rakeKeywords _),
     "ml_naive_bayes" -> (naiveBayes _),
     "text_cms_sketch" -> (cmsSketch _),
     "text_readability" -> (readability _),
@@ -2155,6 +2211,49 @@ object TextAnalysis {
         |  CAST(SUM(CASE WHEN r1 + r2 + r3 + r4 + r5 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
         |FROM f GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
+    "text_rake_keywords" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tok0 AS (
+        |  SELECT doc_id, unnest(toks) AS word,
+        |    unnest(generate_series(1, len(toks))) AS pos
+        |  FROM base),
+        |tok AS (
+        |  SELECT doc_id, pos, word,
+        |    CASE WHEN word IN ('the', 'a') THEN 1 ELSE 0 END AS is_stop
+        |  FROM tok0 WHERE length(word) > 0),
+        |grp AS (
+        |  SELECT doc_id, pos, word, is_stop,
+        |    SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM tok),
+        |ph AS (
+        |  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS len,
+        |    string_agg(word, ' ' ORDER BY pos) AS phrase
+        |  FROM grp WHERE is_stop = 0
+        |  GROUP BY doc_id, g
+        |  HAVING COUNT(*) <= 4),
+        |occ AS (
+        |  SELECT phrase, len, CAST(COUNT(*) AS BIGINT) AS n_occ
+        |  FROM ph GROUP BY phrase, len),
+        |mem AS (
+        |  SELECT phrase, len, n_occ,
+        |    unnest(string_split(phrase, ' ')) AS word
+        |  FROM occ),
+        |ws AS (
+        |  SELECT word, CAST(SUM(n_occ) AS BIGINT) AS freq,
+        |    CAST(SUM(len * n_occ) AS BIGINT) AS deg
+        |  FROM mem GROUP BY word),
+        |wsc AS (
+        |  SELECT word,
+        |    (deg // freq) * 1000000 + ((deg % freq) * 1000000) // freq
+        |      AS wscore_ppm
+        |  FROM ws)
+        |SELECT m.phrase, m.len AS n_words, m.n_occ,
+        |  CAST(SUM(w.wscore_ppm) AS BIGINT) AS score_ppm
+        |FROM mem m JOIN wsc w USING (word)
+        |GROUP BY m.phrase, m.len, m.n_occ
+        |ORDER BY score_ppm DESC, m.phrase
+        |LIMIT 20""".stripMargin,
     "text_js_divergence" ->
       """WITH tok AS (
         |  SELECT doc_id % 2 AS arm,
