@@ -390,7 +390,46 @@ object Joins {
       .orderBy(desc("revenue"), col("n_name"))
   }
 
+  /** TPC-H Q7-shaped volume shipping — the BIDIRECTIONAL trade readout
+    * between two named nations (who shipped what to whom, by year) that
+    * Q5's local-supplier snowflake can't answer: supplier nation and
+    * customer nation are DIFFERENT dimension roles joined from the same
+    * nation table twice, restricted to the (A→B, B→A) pair and a two-year
+    * ship window. Per (supp_nation, cust_nation, year) revenue.
+    *
+    * Scale: the nation pair is a 2-row broadcast on each role, the date
+    * filter pushes into the lineitem scan, and the fact⋈fact
+    * lineitem⋈orders shuffle happens once on the join key; the two
+    * aliased nation joins are residual-free equi-joins. Revenue via the
+    * exact-decimal `drevenue` rule; year cast to BIGINT on both sides
+    * (Spark `year()` is INT, DuckDB's is BIGINT). */
+  def volumeQ7(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n1 = Tables.nation(spark, dir).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n1), s("s_nationkey") === col("nk1"))
+      .join(broadcast(n2), c("c_nationkey") === col("nk2"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_volume_q7" -> (volumeQ7 _),
     "join_geo_grid" -> (geoGridJoin _),
     "join_late_dim"           -> (lateDimReconcile _),
     "join_collated_ci"        -> (collatedCiSegments _),
@@ -408,6 +447,26 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_volume_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n1.n_name, n2.n_name, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "join_snowflake_q5" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *

@@ -1501,7 +1501,55 @@ object Similarity {
       .orderBy(col("cluster"))
   }
 
+  /** k-NN majority-vote classifier over the labeled embeddings — the
+    * similarity stack's CLASSIFICATION leg (Fix & Hodges 1951; Cover &
+    * Hart 1967): the simplest model a curator runs to check whether
+    * labels are recoverable from the embedding geometry at all. Test set
+    * = the fixed query budget (vec_id < QueryBudget), train = the rest;
+    * each test vector takes its 5 nearest TRAIN neighbors by exact cosine
+    * (the knnBrute arithmetic — bit-exact vs the oracle's list_reduce)
+    * and the majority label wins, ties to the smaller label. Output: one
+    * verdict row per test vector plus the corpus accuracy in ppm (the
+    * accuracy window runs over the |Q|-row verdict relation — the
+    * documented-tiny unpartitioned-window exception, same as
+    * text_langid's evaluator).
+    *
+    * Scale: |Q| is constant, so scoring is one O(|Q|·n) linear scan with
+    * the query side broadcast — identical to sim_knn_brute's budget
+    * contract; train/test never shuffles. */
+  def knnClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val all = vectors(spark, dir).cache() // both sides derive from it
+    val q = all.filter(col("vec_id") < QueryBudget)
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val train = all.filter(col("vec_id") >= QueryBudget)
+    val scored = broadcast(q).join(train, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("true_label"), col("vec_id"), col("label"),
+        VectorOps.cosine(VectorOps.dot(col("qv"), col("v")),
+          col("qn"), col("nrm")).as("cos"))
+    val knn = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val votes = scored.withColumn("rn", row_number().over(knn))
+      .filter(col("rn") <= 5)
+      .groupBy(col("q_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("nv"))
+    votes.withColumn("vr", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("nv").desc, col("label"))))
+      .filter(col("vr") === 1)
+      .select(col("q_id"), col("true_label"), col("label").as("pred_label"),
+        col("nv").as("n_votes"))
+      .withColumn("n_test", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("n_correct",
+        sum(when(col("true_label") === col("pred_label"), 1L).otherwise(0L))
+          .over(Window.partitionBy(lit(1))))
+      .withColumn("accuracy_ppm", expr("n_correct * 1000000 div n_test"))
+      .select(col("q_id"), col("true_label"), col("pred_label"),
+        col("n_votes"), col("accuracy_ppm"))
+      .orderBy(col("q_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_knn_classifier" -> (knnClassifier _),
     "sim_knn_brute" -> (knnBrute _),
     "sim_range_search" -> (rangeSearch _),
     "sim_knn_lsh"   -> (knnLsh _),
@@ -1834,6 +1882,42 @@ object Similarity {
         |  CAST(hits * 1000000 // n_truth AS BIGINT) AS recall_ppm,
         |  CAST(t2.mean_recall_ppm AS BIGINT) AS mean_recall_ppm
         |FROM perq CROSS JOIN tot t2 ORDER BY q_id""".stripMargin,
+    "ml_knn_classifier" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, v,
+        |    sqrt(${dotSql.format("v", "v")}) AS nrm
+        |  FROM e),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, q.label AS true_label,
+        |    a.vec_id, a.label,
+        |    ${dotSql.format("q.v", "a.v")} / (q.nrm * a.nrm) AS cos
+        |  FROM n q JOIN n a
+        |    ON q.vec_id < $QueryBudget AND a.vec_id >= $QueryBudget),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+        |  FROM scored),
+        |votes AS (
+        |  SELECT q_id, true_label, label, CAST(COUNT(*) AS BIGINT) AS nv
+        |  FROM r WHERE rn <= 5
+        |  GROUP BY q_id, true_label, label),
+        |pred AS (
+        |  SELECT q_id, true_label, label AS pred_label, nv AS n_votes,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY nv DESC, label) AS vr
+        |  FROM votes),
+        |p AS (
+        |  SELECT q_id, true_label, pred_label, n_votes FROM pred WHERE vr = 1),
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+        |    CAST(SUM(CASE WHEN true_label = pred_label THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_correct
+        |  FROM p)
+        |SELECT p.q_id, p.true_label, p.pred_label, p.n_votes,
+        |  n_correct * 1000000 // n_test AS accuracy_ppm
+        |FROM p CROSS JOIN tot
+        |ORDER BY q_id""".stripMargin,
     "sim_knn_brute" ->
       s"""WITH e AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

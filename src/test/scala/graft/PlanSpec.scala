@@ -227,7 +227,9 @@ class PlanSpec extends SparkSpec {
         // canonical-group relation ⋈ broadcast 1-row collapse audit
         "etl_url_canonical",
         // user-month activity ⋈ broadcast 1-row timeline horizon
-        "events_growth_accounting")
+        "events_growth_accounting",
+        // knn_brute's bounded broadcast-query non-equi scoring scan
+        "ml_knn_classifier")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
