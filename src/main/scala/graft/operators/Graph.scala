@@ -94,7 +94,15 @@ object Graph {
       .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
       .distinct()
       .cache()
-    def normalized(raw: DataFrame, key: String, v: String): DataFrame = {
+    // Each half-step's raw scores are CACHED before normalization: the
+    // 1-row sum-normalizer and the fused projection both read them, and
+    // without the cache that double read compounds down the a→h→a→h chain
+    // into 2^half-steps re-evaluations of the edge join (measured 15.2 s
+    // vs 1.4 s at sf0.1 — the sim_mmr_rerank lineage lesson applied to
+    // mutual reinforcement). Node-sized relations; Verify/Bench clearCache
+    // between entries per the repo cache contract.
+    def normalized(raw0: DataFrame, key: String, v: String): DataFrame = {
+      val raw = raw0.cache()
       val tot = raw.agg(sum(col(v)).as("tot"))
       raw.crossJoin(broadcast(tot))
         .select(col(key), expr(s"$v * 1000000 DIV tot").as(v))
