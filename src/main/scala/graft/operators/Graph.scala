@@ -98,9 +98,11 @@ object Graph {
     // 1-row sum-normalizer and the fused projection both read them, and
     // without the cache that double read compounds down the a→h→a→h chain
     // into 2^half-steps re-evaluations of the edge join (measured 15.2 s
-    // vs 1.4 s at sf0.1 — the sim_mmr_rerank lineage lesson applied to
-    // mutual reinforcement). Node-sized relations; Verify/Bench clearCache
-    // between entries per the repo cache contract.
+    // vs 4.0 s at sf0.1 — the sim_mmr_rerank lineage lesson applied to
+    // mutual reinforcement; the remaining cost is the honest 4 passes over
+    // the cached edge list, one per half-step, pagerank's in-family cost).
+    // Node-sized relations; Verify/Bench clearCache between entries per
+    // the repo cache contract.
     def normalized(raw0: DataFrame, key: String, v: String): DataFrame = {
       val raw = raw0.cache()
       val tot = raw.agg(sum(col(v)).as("tot"))
