@@ -1106,7 +1106,60 @@ object Behavior {
       .select(col("n_a"), col("n_b"), col("chi2"), col("srm_flag"))
   }
 
+  /** Difference-in-differences — the quasi-experimental estimator for
+    * launches WITHOUT randomization (a rollout flipped mid-timeline):
+    * arms by `user_id % 2` (the suite's parity convention), periods split
+    * at the timeline midpoint, outcome = purchase revenue cents per
+    * ACTIVE user (any event in the cell defines membership, so both
+    * never-purchasers and the arm's size changes are priced in). The
+    * estimate is (treat_post − treat_pre) − (ctrl_post − ctrl_pre) on
+    * per-user means — parallel-trends differencing removes both the arm
+    * level gap and the secular period shift.
+    *
+    * Determinism: everything integer — cents are exact, per-cell means in
+    * micro-cents via overflow-safe quotient-then-remainder DIV with the
+    * empty-cell CASE mirrored (Spark DIV → NULL, DuckDB // errors), the
+    * DiD estimate an exact subtraction of four such means (NULL if any
+    * cell is empty). Scale: one per-(arm, period, user) hash-agg over
+    * the scan, a 4-row rollup, and the A4 broadcast of the 1-row
+    * estimate back over the cells — no windows, no second scan. */
+  def diffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    val split = lit("2024-01-16").cast("timestamp")
+    val per = Tables.events(spark, dir)
+      .select((col("user_id") % 2).as("arm"),
+        when(col("ts") < split, "pre").otherwise("post").as("period"),
+        col("user_id"),
+        when(col("event_type") === "purchase",
+          floor(col("value") * 100).cast("long")).otherwise(0L).as("cents"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+      .groupBy(col("arm"), col("period"), col("user_id"))
+      .agg(sum(col("cents")).as("cents"), sum(col("p")).as("n_p"))
+    val cells = per.groupBy(col("arm"), col("period"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_p")).as("n_purchases"),
+        sum(col("cents")).as("revenue_cents"))
+      .withColumn("mean_microcents", when(col("n_users") > 0,
+        expr("(revenue_cents DIV n_users) * 1000000 + " +
+          "(revenue_cents % n_users) * 1000000 DIV n_users")))
+    val est = cells.agg(
+      sum(when(col("arm") === 1 && col("period") === "post",
+        col("mean_microcents"))).as("tp"),
+      sum(when(col("arm") === 1 && col("period") === "pre",
+        col("mean_microcents"))).as("tr"),
+      sum(when(col("arm") === 0 && col("period") === "post",
+        col("mean_microcents"))).as("cp"),
+      sum(when(col("arm") === 0 && col("period") === "pre",
+        col("mean_microcents"))).as("cr"))
+      .select(((col("tp") - col("tr")) - (col("cp") - col("cr")))
+        .as("did_microcents"))
+    cells.crossJoin(broadcast(est))
+      .select(col("arm"), col("period"), col("n_users"), col("n_purchases"),
+        col("revenue_cents"), col("mean_microcents"), col("did_microcents"))
+      .orderBy(col("arm"), col("period").desc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "behavior_diff_in_diff" -> (diffInDiff _),
     "events_attribution_linear" -> (linearAttribution _),
     "events_attribution_markov" -> (markovAttribution _),
     "behavior_ttest_revenue" -> (welchTtest _),
@@ -1131,6 +1184,37 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    "behavior_diff_in_diff" ->
+      """WITH per AS (
+        |  SELECT user_id % 2 AS arm,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'pre' ELSE 'post' END
+        |      AS period,
+        |    user_id,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS cents,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_p
+        |  FROM events GROUP BY 1, 2, 3),
+        |cells AS (
+        |  SELECT arm, period, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(n_p) AS BIGINT) AS n_purchases,
+        |    CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+        |    CAST(CASE WHEN COUNT(*) > 0 THEN
+        |      (SUM(cents) // COUNT(*)) * 1000000 +
+        |        (SUM(cents) % COUNT(*)) * 1000000 // COUNT(*)
+        |    END AS BIGINT) AS mean_microcents
+        |  FROM per GROUP BY arm, period),
+        |est AS (
+        |  SELECT CAST(
+        |    (SUM(CASE WHEN arm = 1 AND period = 'post' THEN mean_microcents END)
+        |     - SUM(CASE WHEN arm = 1 AND period = 'pre' THEN mean_microcents END))
+        |    - (SUM(CASE WHEN arm = 0 AND period = 'post' THEN mean_microcents END)
+        |       - SUM(CASE WHEN arm = 0 AND period = 'pre' THEN mean_microcents END))
+        |    AS BIGINT) AS did_microcents
+        |  FROM cells)
+        |SELECT arm, period, n_users, n_purchases, revenue_cents,
+        |  mean_microcents, did_microcents
+        |FROM cells CROSS JOIN est
+        |ORDER BY arm, period DESC""".stripMargin,
     "events_attribution_markov" -> markovOracleSql,
     "behavior_halfsample_ci" ->
       """WITH e AS (

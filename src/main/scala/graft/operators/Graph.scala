@@ -448,6 +448,62 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** Degree assortativity (Newman 2002) of the sparsified co-supply
+    * graph — THE one-number topology summary read before trusting any
+    * epidemic/robustness intuition: the Pearson correlation of endpoint
+    * degrees over every directed edge (both directions, the standard
+    * undirected convention). Positive = hubs link hubs (social), negative
+    * = hub-and-spoke (technological/bipartite projections, the expected
+    * sign here).
+    *
+    * Determinism: the agg_corr_manual rule — all five moment sums are
+    * EXACT decimal sums of integer degrees (products DECIMAL-seeded so
+    * nothing wraps), converted to double once, formula in double, round-6
+    * absorbing the single- vs double-rounded decimal→double conversion.
+    * Scale: one degree hash-agg + two equi-joins decorating the edge list
+    * + a 1-row global agg — one pass over edges, no window, no all-pairs
+    * anywhere. Output: a 1-row audit (n directed edges, mean degree in
+    * ppm, assortativity r). */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ps = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 49)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    val e = ps.as("a").join(ps.as("b"),
+        col("a.p") === col("b.p") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("u"), col("b.s").as("v"))
+      .distinct()
+    val und = e.select(col("u").as("m"), col("v").as("x"))
+      .unionByName(e.select(col("v").as("m"), col("u").as("x")))
+      .cache() // real 3x reuse: degree agg + both endpoint decorations
+    val deg = und.groupBy(col("m")).agg(count(lit(1)).as("d"))
+    val dd = und
+      .join(deg.select(col("m").as("m1"), col("d").as("dm")), col("m") === col("m1"))
+      .join(deg.select(col("m").as("m2"), col("d").as("dx")), col("x") === col("m2"))
+      .select(col("dm"),
+        col("dm").cast(DecimalType(18, 0)).as("jx"),
+        col("dx").cast(DecimalType(18, 0)).as("jy"))
+    dd.agg(
+        count(lit(1)).as("n_directed_edges"),
+        sum(col("dm")).as("sum_deg"),
+        sum(col("jx")).cast("double").as("sx"),
+        sum(col("jy")).cast("double").as("sy"),
+        sum(col("jx") * col("jx")).cast("double").as("sxx"),
+        sum(col("jy") * col("jy")).cast("double").as("syy"),
+        sum(col("jx") * col("jy")).cast("double").as("sxy"))
+      .select(col("n_directed_edges"),
+        // exact-long mean (never the double sum: double→BIGINT casts
+        // truncate in Spark and round in DuckDB), quotient-then-remainder
+        expr("(sum_deg DIV n_directed_edges) * 1000000 + " +
+          "(sum_deg % n_directed_edges) * 1000000 DIV n_directed_edges")
+          .as("mean_degree_ppm"),
+        round((col("n_directed_edges") * col("sxy") - col("sx") * col("sy"))
+          / sqrt((col("n_directed_edges") * col("sxx") - col("sx") * col("sx"))
+            * (col("n_directed_edges") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("assortativity"))
+  }
+
   /** Bounded-hop weighted shortest path (Bellman–Ford relaxation) — the
     * "cheapest procurement path within 4 hops" companion to khopDistance's
     * hop counting. Edge weight = cents of the cheapest lineitem price ever
@@ -572,7 +628,8 @@ object Graph {
     "graph_khop_distance" -> (khopDistance _),
     "graph_common_neighbors" -> (commonNeighbors _),
     "graph_adamic_adar" -> (adamicAdar _),
-    "graph_label_prop" -> (labelPropagation _)
+    "graph_label_prop" -> (labelPropagation _),
+    "graph_assortativity" -> (assortativity _)
   )
 
   private val edgeCtes =
@@ -691,6 +748,42 @@ object Graph {
         |ORDER BY aa_score DESC, sa, sc
         |LIMIT 20""".stripMargin,
     "graph_label_prop" -> lpaOracle,
+    "graph_assortativity" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+        |  FROM lineitem WHERE l_quantity > 49),
+        |e AS (
+        |  SELECT DISTINCT a.s AS u, b.s AS v
+        |  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+        |und AS MATERIALIZED (
+        |  SELECT u AS m, v AS x FROM e
+        |  UNION ALL
+        |  SELECT v AS m, u AS x FROM e),
+        |deg AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY m),
+        |dd AS (
+        |  SELECT d1.d AS dm,
+        |    CAST(d1.d AS DECIMAL(18,0)) AS jx,
+        |    CAST(d2.d AS DECIMAL(18,0)) AS jy
+        |  FROM und
+        |  JOIN deg d1 ON und.m = d1.m
+        |  JOIN deg d2 ON und.x = d2.m),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_directed_edges,
+        |    CAST(SUM(dm) AS BIGINT) AS sum_deg,
+        |    CAST(SUM(jx) AS DOUBLE) AS sx,
+        |    CAST(SUM(jy) AS DOUBLE) AS sy,
+        |    CAST(SUM(jx * jx) AS DOUBLE) AS sxx,
+        |    CAST(SUM(jy * jy) AS DOUBLE) AS syy,
+        |    CAST(SUM(jx * jy) AS DOUBLE) AS sxy
+        |  FROM dd)
+        |SELECT n_directed_edges,
+        |  (sum_deg // n_directed_edges) * 1000000 +
+        |    (sum_deg % n_directed_edges) * 1000000 // n_directed_edges
+        |    AS mean_degree_ppm,
+        |  ROUND((n_directed_edges * sxy - sx * sy)
+        |    / sqrt((n_directed_edges * sxx - sx * sx)
+        |      * (n_directed_edges * syy - sy * sy)), 6) AS assortativity
+        |FROM s""".stripMargin,
     "graph_sssp_weighted" ->
       """WITH RECURSIVE e0 AS (
         |  SELECT l_suppkey AS s, l_partkey AS p,

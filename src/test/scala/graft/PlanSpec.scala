@@ -229,7 +229,9 @@ class PlanSpec extends SparkSpec {
         // user-month activity ⋈ broadcast 1-row timeline horizon
         "events_growth_accounting",
         // knn_brute's bounded broadcast-query non-equi scoring scan
-        "ml_knn_classifier")
+        "ml_knn_classifier",
+        // 4-cell readout ⋈ broadcast 1-row DiD estimate (A4 pattern)
+        "behavior_diff_in_diff")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
