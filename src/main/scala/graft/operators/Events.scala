@@ -1098,7 +1098,30 @@ object Events {
       .orderBy(col("hour_no"))
   }
 
+  /** Day-of-week × hour activity heatmap — the first calendar view an
+    * analyst renders over any event log (staffing, batch-window choice,
+    * anomaly triage). Two-stage distinct users per cell (per-(cell, user)
+    * partial then rollup — no countDistinct Expand), event share in ppm
+    * against the broadcast-window total (the ≤168-row grid is the
+    * documented-tiny window exception; the `·1e6 DIV` share carries the
+    * usual <9.2e12-events long bound). dow is 0=Sunday in BOTH engines
+    * (Spark dayofweek() is 1-based, DuckDB's 0-based — the −1 is the
+    * mirror). */
+  def calendarHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .select((dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hr"), col("user_id"))
+      .groupBy(col("dow"), col("hr"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    per.groupBy(col("dow"), col("hr"))
+      .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_users"))
+      .withColumn("share_ppm", expr("n_events * 1000000 DIV " +
+        "sum(n_events) OVER (PARTITION BY 1)"))
+      .orderBy(col("dow"), col("hr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_calendar_heatmap" -> (calendarHeatmap _),
     "events_ewma_hourly" -> (ewmaHourly _),
     "events_acf_hourly" -> (autocorrHourly _),
     "events_snaive_backtest" -> (snaiveBacktest _),
@@ -1152,6 +1175,20 @@ object Events {
       |ORDER BY c.event_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "events_calendar_heatmap" ->
+      """WITH per AS (
+        |  SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+        |    CAST(hour(ts) AS BIGINT) AS hr, user_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |cells AS (
+        |  SELECT dow, hr, CAST(SUM(n) AS BIGINT) AS n_events,
+        |    CAST(COUNT(*) AS BIGINT) AS n_users
+        |  FROM per GROUP BY dow, hr)
+        |SELECT dow, hr, n_events, n_users,
+        |  CAST(n_events * 1000000 // SUM(n_events) OVER () AS BIGINT)
+        |    AS share_ppm
+        |FROM cells ORDER BY dow, hr""".stripMargin,
     "events_ewma_anomaly" ->
       """WITH hourly AS (
         |  SELECT event_type,

@@ -420,18 +420,22 @@ object Graph {
     * final label and community size — all-integer, fully deterministic. */
   private val LpaRounds = 4
 
-  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+  /** The sparsified co-supply pair list (u < v, distinct) shared by the
+    * community/link-prediction entries. */
+  private def coSupplyPairs(spark: SparkSession, dir: String): DataFrame = {
     val ps = Tables.lineitem(spark, dir)
       .filter(col("l_quantity") > 49)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
       .distinct()
-    val e = ps.as("a").join(ps.as("b"),
+    ps.as("a").join(ps.as("b"),
         col("a.p") === col("b.p") && col("a.s") < col("b.s"))
       .select(col("a.s").as("u"), col("b.s").as("v"))
       .distinct()
-    val und = e.select(col("u").as("m"), col("v").as("x"))
-      .unionByName(e.select(col("v").as("m"), col("u").as("x")))
-      .cache() // real reuse: init + one read per round
+  }
+
+  /** The synchronous LPA loop over a both-directions (m, x) edge
+    * relation — shared by graph_label_prop and graph_modularity. */
+  private def lpaLabels(und: DataFrame): DataFrame = {
     var lab = und.select(col("m").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (_ <- 1 to LpaRounds) {
@@ -442,10 +446,67 @@ object Graph {
         .filter(col("rk") === 1)
         .select(col("m").as("node"), col("label"))
     }
+    lab
+  }
+
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val e = coSupplyPairs(spark, dir)
+    val und = e.select(col("u").as("m"), col("v").as("x"))
+      .unionByName(e.select(col("v").as("m"), col("u").as("x")))
+      .cache() // real reuse: init + one read per round
+    val lab = lpaLabels(und)
     val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("comm_size"))
     lab.join(sizes, "label")
       .select(col("node"), col("label"), col("comm_size"))
       .orderBy(col("node"))
+  }
+
+  /** Modularity of the LPA partition (Newman & Girvan 2004) — the number
+    * that tells you whether graph_label_prop's communities are REAL:
+    * Q = Σ_c [e_c/m − (deg_c/2m)²] compares each community's internal
+    * edge share against the configuration-model expectation from its
+    * degree mass; Q ≈ 0 means the "communities" are what random wiring
+    * gives you anyway.
+    *
+    * Determinism: counts and degree sums are exact longs; each
+    * community's term is ONE identical IEEE chain (explicit d·d, never
+    * pow) rounded to the DECIMAL(18,9) lattice, and Q is the order-free
+    * exact decimal sum of those terms, broadcast back over the
+    * per-community audit rows (A4). Scale: the LPA loop's own cost plus
+    * two label-decorating equi-joins and |labels|-key hash-aggs. */
+  def modularityQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = coSupplyPairs(spark, dir).cache() // edge count + internal-edge join
+    val und = e.select(col("u").as("m"), col("v").as("x"))
+      .unionByName(e.select(col("v").as("m"), col("u").as("x")))
+      .cache() // degree agg + one read per LPA round
+    val lab = lpaLabels(und).cache() // both endpoint decorations + degree side
+    val mcnt = e.agg(count(lit(1)).as("m_edges"))
+    val internal = e
+      .join(lab.select(col("node").as("u"), col("label").as("lu")), "u")
+      .join(lab.select(col("node").as("v"), col("label").as("lv")), "v")
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("label")).agg(count(lit(1)).as("n_internal_edges"))
+    val degMass = und.groupBy(col("m")).agg(count(lit(1)).as("d"))
+      .join(lab, col("m") === lab("node"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("deg_sum"))
+    val comm = degMass.join(internal, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"), col("deg_sum"),
+        coalesce(col("n_internal_edges"), lit(0L)).as("n_internal_edges"))
+      .crossJoin(broadcast(mcnt))
+      .withColumn("term", round(
+        col("n_internal_edges").cast("double") / col("m_edges").cast("double")
+          - (col("deg_sum").cast("double") / (lit(2.0) * col("m_edges")))
+            * (col("deg_sum").cast("double") / (lit(2.0) * col("m_edges"))), 9)
+        .cast(DecimalType(18, 9)))
+    val q = comm.agg(sum(col("term")).as("qdec"))
+      .select(col("qdec").cast("double").as("modularity_q"))
+    comm.crossJoin(broadcast(q))
+      .select(col("label"), col("n_nodes"), col("n_internal_edges"),
+        col("deg_sum"), col("term").cast("double").as("term"),
+        col("modularity_q"))
+      .orderBy(col("label"))
   }
 
   /** Degree assortativity (Newman 2002) of the sparsified co-supply
@@ -629,6 +690,7 @@ object Graph {
     "graph_common_neighbors" -> (commonNeighbors _),
     "graph_adamic_adar" -> (adamicAdar _),
     "graph_label_prop" -> (labelPropagation _),
+    "graph_modularity" -> (modularityQ _),
     "graph_assortativity" -> (assortativity _)
   )
 
@@ -694,14 +756,17 @@ object Graph {
        |    GROUP BY und.m, l.label)
        |  WHERE rk = 1)""".stripMargin
 
-  private val lpaOracle: String = {
+  /** Shared LPA CTE chain (edges + 4 unrolled rounds, final labels in
+    * `l4`) — prefix of both the graph_label_prop and graph_modularity
+    * oracles. */
+  private val lpaCtePrefix: String = {
     val rounds = (0 until 4)
       .map(i => lpaCte(s"l$i", s"l${i + 1}"))
       .mkString(",\n")
-    s"""WITH ps AS (
+    s"""ps AS (
        |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s
        |  FROM lineitem WHERE l_quantity > 49),
-       |e AS (
+       |e AS MATERIALIZED (
        |  SELECT DISTINCT a.s AS u, b.s AS v
        |  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
        |und AS MATERIALIZED (
@@ -709,13 +774,49 @@ object Graph {
        |  UNION ALL
        |  SELECT v AS m, u AS x FROM e),
        |l0 AS (SELECT DISTINCT m AS node, m AS label FROM und),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  private val lpaOracle: String =
+    s"""WITH $lpaCtePrefix,
        |sz AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS comm_size
        |       FROM l4 GROUP BY label)
        |SELECT l4.node, l4.label, sz.comm_size
        |FROM l4 JOIN sz USING (label)
        |ORDER BY node""".stripMargin
-  }
+
+  private val modularityOracle: String =
+    s"""WITH $lpaCtePrefix,
+       |mc AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM e),
+       |internal AS (
+       |  SELECT lu.label, CAST(COUNT(*) AS BIGINT) AS n_internal_edges
+       |  FROM e
+       |  JOIN l4 lu ON e.u = lu.node
+       |  JOIN l4 lv ON e.v = lv.node
+       |  WHERE lu.label = lv.label
+       |  GROUP BY lu.label),
+       |deg AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY m),
+       |dm AS (
+       |  SELECT l4.label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |    CAST(SUM(deg.d) AS BIGINT) AS deg_sum
+       |  FROM deg JOIN l4 ON deg.m = l4.node
+       |  GROUP BY l4.label),
+       |comm AS (
+       |  SELECT dm.label, dm.n_nodes,
+       |    CAST(COALESCE(i.n_internal_edges, 0) AS BIGINT) AS n_internal_edges,
+       |    dm.deg_sum,
+       |    CAST(ROUND(
+       |      CAST(COALESCE(i.n_internal_edges, 0) AS DOUBLE) / m_edges
+       |      - (CAST(dm.deg_sum AS DOUBLE) / (2.0 * m_edges))
+       |        * (CAST(dm.deg_sum AS DOUBLE) / (2.0 * m_edges)), 9)
+       |      AS DECIMAL(18,9)) AS term
+       |  FROM dm LEFT JOIN internal i ON dm.label = i.label
+       |  CROSS JOIN mc),
+       |qv AS (SELECT CAST(SUM(term) AS DOUBLE) AS modularity_q FROM comm)
+       |SELECT label, n_nodes, n_internal_edges, deg_sum,
+       |  CAST(term AS DOUBLE) AS term, modularity_q
+       |FROM comm CROSS JOIN qv
+       |ORDER BY label""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "graph_adamic_adar" ->
@@ -748,6 +849,7 @@ object Graph {
         |ORDER BY aa_score DESC, sa, sc
         |LIMIT 20""".stripMargin,
     "graph_label_prop" -> lpaOracle,
+    "graph_modularity" -> modularityOracle,
     "graph_assortativity" ->
       """WITH ps AS (
         |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s

@@ -1908,7 +1908,55 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Zipf-law fit — the corpus-health check read before trusting token
+    * statistics: natural corpora follow freq ∝ rank^(−s) with s ≈ 1, so a
+    * slope far from −1 (or a poor R²) flags template spam, dedup failure,
+    * or synthetic text. OLS of ln(freq) on ln(rank) over the top-32
+    * tokens (the head is where Zipf holds and where a bounded
+    * TakeOrderedAndProject keeps the fit corpus-size-independent).
+    *
+    * Determinism: both ln() calls round to the DECIMAL(18,9) lattice,
+    * products stay decimal so the five moment sums are exact; the
+    * slope/intercept/R² divisions are the only IEEE ops, round-6 (the
+    * corr_manual rule). The 32-row rank window is the documented-tiny
+    * unpartitioned exception. Scale: one token hash-agg (map-side
+    * partial) + top-32 + a 1-row fit. */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val top = Tables.documents(spark, dir)
+      .select(explode(filter(tokens(col("text")), t => length(t) > 0)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(32)
+    val pts = top
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("freq").desc, col("word"))).cast("long"))
+      .select(
+        round(log(col("rank").cast("double")), 9).cast(DecimalType(18, 9)).as("x"),
+        round(log(col("freq").cast("double")), 9).cast(DecimalType(18, 9)).as("y"))
+    pts.agg(
+        count(lit(1)).as("n_points"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"))
+      .select(col("n_points"),
+        round((col("n_points") * col("sxy") - col("sx") * col("sy"))
+          / (col("n_points") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("zipf_slope"),
+        round((col("sy") - col("sx") *
+          ((col("n_points") * col("sxy") - col("sx") * col("sy"))
+            / (col("n_points") * col("sxx") - col("sx") * col("sx"))))
+          / col("n_points"), 6).as("intercept"),
+        round(((col("n_points") * col("sxy") - col("sx") * col("sy"))
+          * (col("n_points") * col("sxy") - col("sx") * col("sy")))
+          / ((col("n_points") * col("sxx") - col("sx") * col("sx"))
+            * (col("n_points") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("r2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf_fit" -> (zipfFit _),
     "text_rake_keywords" -> (rakeKeywords _),
     "ml_naive_bayes" -> (naiveBayes _),
     "text_cms_sketch" -> (cmsSketch _),
@@ -2211,6 +2259,41 @@ object TextAnalysis {
         |  CAST(SUM(CASE WHEN r1 + r2 + r3 + r4 + r5 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
         |FROM f GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
+    "text_zipf_fit" ->
+      """WITH freqs AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(list_filter(string_split(text, ' '),
+        |      x -> length(x) > 0)) AS word
+        |    FROM documents)
+        |  GROUP BY word),
+        |top AS (
+        |  SELECT word, freq FROM freqs
+        |  ORDER BY freq DESC, word LIMIT 32),
+        |pts AS (
+        |  SELECT
+        |    CAST(ROUND(ln(CAST(ROW_NUMBER() OVER
+        |      (ORDER BY freq DESC, word) AS DOUBLE)), 9)
+        |      AS DECIMAL(18,9)) AS x,
+        |    CAST(ROUND(ln(CAST(freq AS DOUBLE)), 9)
+        |      AS DECIMAL(18,9)) AS y
+        |  FROM top),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+        |    CAST(SUM(x) AS DOUBLE) AS sx,
+        |    CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(y * y) AS DOUBLE) AS syy,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy
+        |  FROM pts)
+        |SELECT n_points,
+        |  ROUND((n_points * sxy - sx * sy)
+        |    / (n_points * sxx - sx * sx), 6) AS zipf_slope,
+        |  ROUND((sy - sx * ((n_points * sxy - sx * sy)
+        |    / (n_points * sxx - sx * sx))) / n_points, 6) AS intercept,
+        |  ROUND(((n_points * sxy - sx * sy) * (n_points * sxy - sx * sy))
+        |    / ((n_points * sxx - sx * sx) * (n_points * syy - sy * sy)), 6)
+        |    AS r2
+        |FROM s""".stripMargin,
     "text_rake_keywords" ->
       """WITH base AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -231,7 +231,9 @@ class PlanSpec extends SparkSpec {
         // knn_brute's bounded broadcast-query non-equi scoring scan
         "ml_knn_classifier",
         // 4-cell readout ⋈ broadcast 1-row DiD estimate (A4 pattern)
-        "behavior_diff_in_diff")
+        "behavior_diff_in_diff",
+        // |labels|-row audit ⋈ broadcast 1-row edge total + 1-row Q (A4 ×2)
+        "graph_modularity")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
