@@ -1158,7 +1158,72 @@ object Behavior {
       .orderBy(col("arm"), col("period").desc)
   }
 
+  /** Ratio-metric z-test via the delta method — THE trap the rest of the
+    * suite can't catch: revenue-per-event (and every per-session /
+    * per-pageview metric) is a ratio of two user-level sums, so its
+    * variance is NOT the naive per-row variance (rows within a user are
+    * correlated); the delta method (Deng et al., KDD'18 practice) expands
+    * var(x̄/ȳ) ≈ (vx − 2R·cxy + R²·vy) / (n·ȳ²) from user-level moments.
+    * Arms by the suite's parity convention; x = user purchase cents,
+    * y = user event count.
+    *
+    * Determinism: all six per-arm moment sums are exact (second moments
+    * DECIMAL(19,0)-seeded → DECIMAL(38,0), HUGEINT in the oracle — the
+    * CUPED rule); ratios/variances/z are one IEEE chain on identical
+    * operands, structured identically in both engines, round-6 at the
+    * three outputs only. Degenerate guards (arm size ≤ 1, empty
+    * denominator, zero variance) → NULL, mirrored. Scale: one per-user
+    * hash-agg + a 1-row rollup — the ab_ztest shape. */
+  def ratioDelta(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .select(col("user_id"),
+        when(col("event_type") === "purchase",
+          floor(col("value") * 100).cast("long")).otherwise(0L).as("cents"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("cents")).as("x"), count(lit(1)).as("y"))
+      .select((col("user_id") % 2).as("v"), col("x"), col("y"))
+    def moments(i: Int, suf: String) = Seq(
+      sum(when(col("v") === i, 1L).otherwise(0L)).as(s"n_$suf"),
+      sum(when(col("v") === i, col("x")).otherwise(0L)).as(s"sx_$suf"),
+      sum(when(col("v") === i, col("y")).otherwise(0L)).as(s"sy_$suf"),
+      sum(when(col("v") === i, col("x").cast("decimal(19,0)") * col("x")))
+        .as(s"sxx_$suf"),
+      sum(when(col("v") === i, col("y").cast("decimal(19,0)") * col("y")))
+        .as(s"syy_$suf"),
+      sum(when(col("v") === i, col("x").cast("decimal(19,0)") * col("y")))
+        .as(s"sxy_$suf"))
+    val aggs = moments(0, "a") ++ moments(1, "b")
+    val s = per.agg(aggs.head, aggs.tail: _*)
+    def d(c: String) = col(c).cast("double")
+    def r(suf: String) = d(s"sx_$suf") / d(s"sy_$suf")
+    def mv(n: String, s2: String, s1: String) =
+      (d(n) * col(s2) - d(s1) * d(s1)) / (d(n) * (d(n) - lit(1.0)))
+    def mc(n: String, sxy: String, sx: String, sy: String) =
+      (d(n) * col(sxy) - d(sx) * d(sy)) / (d(n) * (d(n) - lit(1.0)))
+    def varR(suf: String) = {
+      val rr = r(suf)
+      (mv(s"n_$suf", s"sxx_$suf", s"sx_$suf")
+        - lit(2.0) * rr * mc(s"n_$suf", s"sxy_$suf", s"sx_$suf", s"sy_$suf")
+        + rr * rr * mv(s"n_$suf", s"syy_$suf", s"sy_$suf")) /
+        (d(s"n_$suf") * (d(s"sy_$suf") / d(s"n_$suf"))
+          * (d(s"sy_$suf") / d(s"n_$suf")))
+    }
+    val ok = col("n_a") > 1 && col("n_b") > 1 &&
+      col("sy_a") > 0 && col("sy_b") > 0
+    // vsum only under the guard: CaseWhen is lazy, so the inner divisions
+    // (by n·(n−1) and sy) never run on a degenerate log where they would
+    // trip ANSI divide-by-zero; NULL > 0.0 is NULL → the outer whens fall
+    // through to NULL, matching the oracle's CASE chain
+    val vsum = when(ok, varR("a") + varR("b"))
+    s.select(col("n_a"), col("n_b"),
+      when(col("sy_a") > 0, round(r("a"), 6)).as("ratio_a"),
+      when(col("sy_b") > 0, round(r("b"), 6)).as("ratio_b"),
+      when(vsum > 0.0, round(sqrt(vsum), 6)).as("se"),
+      when(vsum > 0.0, round((r("a") - r("b")) / sqrt(vsum), 6)).as("z"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "behavior_ratio_delta" -> (ratioDelta _),
     "behavior_diff_in_diff" -> (diffInDiff _),
     "events_attribution_linear" -> (linearAttribution _),
     "events_attribution_markov" -> (markovAttribution _),
@@ -1184,6 +1249,65 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    "behavior_ratio_delta" ->
+      """WITH per AS (
+        |  SELECT user_id % 2 AS v,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |s AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN v = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+        |    CAST(SUM(CASE WHEN v = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+        |    SUM(CASE WHEN v = 0 THEN x::HUGEINT * x END) AS sxx_a,
+        |    SUM(CASE WHEN v = 0 THEN y::HUGEINT * y END) AS syy_a,
+        |    SUM(CASE WHEN v = 0 THEN x::HUGEINT * y END) AS sxy_a,
+        |    CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN v = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+        |    CAST(SUM(CASE WHEN v = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b,
+        |    SUM(CASE WHEN v = 1 THEN x::HUGEINT * x END) AS sxx_b,
+        |    SUM(CASE WHEN v = 1 THEN y::HUGEINT * y END) AS syy_b,
+        |    SUM(CASE WHEN v = 1 THEN x::HUGEINT * y END) AS sxy_b
+        |  FROM per),
+        |vv AS (
+        |  SELECT *,
+        |    CASE WHEN n_a > 1 AND sy_a > 0 THEN
+        |    ((n_a::DOUBLE * sxx_a - sx_a::DOUBLE * sx_a)
+        |        / (n_a::DOUBLE * (n_a::DOUBLE - 1.0))
+        |      - 2.0 * (sx_a::DOUBLE / sy_a)
+        |        * ((n_a::DOUBLE * sxy_a - sx_a::DOUBLE * sy_a)
+        |          / (n_a::DOUBLE * (n_a::DOUBLE - 1.0)))
+        |      + (sx_a::DOUBLE / sy_a) * (sx_a::DOUBLE / sy_a)
+        |        * ((n_a::DOUBLE * syy_a - sy_a::DOUBLE * sy_a)
+        |          / (n_a::DOUBLE * (n_a::DOUBLE - 1.0))))
+        |      / (n_a::DOUBLE * (sy_a::DOUBLE / n_a) * (sy_a::DOUBLE / n_a))
+        |      END AS var_a,
+        |    CASE WHEN n_b > 1 AND sy_b > 0 THEN
+        |    ((n_b::DOUBLE * sxx_b - sx_b::DOUBLE * sx_b)
+        |        / (n_b::DOUBLE * (n_b::DOUBLE - 1.0))
+        |      - 2.0 * (sx_b::DOUBLE / sy_b)
+        |        * ((n_b::DOUBLE * sxy_b - sx_b::DOUBLE * sy_b)
+        |          / (n_b::DOUBLE * (n_b::DOUBLE - 1.0)))
+        |      + (sx_b::DOUBLE / sy_b) * (sx_b::DOUBLE / sy_b)
+        |        * ((n_b::DOUBLE * syy_b - sy_b::DOUBLE * sy_b)
+        |          / (n_b::DOUBLE * (n_b::DOUBLE - 1.0))))
+        |      / (n_b::DOUBLE * (sy_b::DOUBLE / n_b) * (sy_b::DOUBLE / n_b))
+        |      END AS var_b
+        |  FROM s)
+        |SELECT n_a, n_b,
+        |  CASE WHEN sy_a > 0 THEN ROUND(sx_a::DOUBLE / sy_a, 6) END AS ratio_a,
+        |  CASE WHEN sy_b > 0 THEN ROUND(sx_b::DOUBLE / sy_b, 6) END AS ratio_b,
+        |  CASE WHEN n_a > 1 AND n_b > 1 AND sy_a > 0 AND sy_b > 0
+        |      AND var_a + var_b > 0.0
+        |    THEN ROUND(sqrt(var_a + var_b), 6) END AS se,
+        |  CASE WHEN n_a > 1 AND n_b > 1 AND sy_a > 0 AND sy_b > 0
+        |      AND var_a + var_b > 0.0
+        |    THEN ROUND((sx_a::DOUBLE / sy_a - sx_b::DOUBLE / sy_b)
+        |      / sqrt(var_a + var_b), 6) END AS z
+        |FROM vv""".stripMargin,
     "behavior_diff_in_diff" ->
       """WITH per AS (
         |  SELECT user_id % 2 AS arm,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -88,12 +89,69 @@ object Recommend {
       .limit(25)
   }
 
+  /** Sequential next-item recommendation — the TEMPORAL member of the
+    * family: assoc rules and item-cosine score what sells TOGETHER; this
+    * scores what sells NEXT ("customers who bought A came back for B"),
+    * from consecutive order pairs per customer (orderdate order, orderkey
+    * tie-break). Transition candidates come from two orderkey equi-joins
+    * against the adjacent-order relation — cost Σ|basket_k|·|basket_k+1|
+    * over adjacent pairs, the sequential analogue of the co-occurrence
+    * bound, never an all-pairs item join; the adjacency window is
+    * per-customer (never global). Confidence in exact ppm (positive DIV);
+    * top-20 transitions by count with full tie-break. */
+  def nextPart(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c")).orderBy(col("o_orderdate"), col("o"))
+    val nxt = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("c"), col("o_orderkey").as("o"), col("o_orderdate"))
+      .withColumn("o_next", lead(col("o"), 1).over(w))
+      .filter(col("o_next").isNotNull)
+      .select(col("o"), col("o_next"))
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      .cache() // both transition legs (repo cache contract)
+    val trans = nxt
+      .join(op.select(col("ok").as("o"), col("p").as("p_from")), "o")
+      .join(op.select(col("ok").as("o_next"), col("p").as("p_to")), "o_next")
+      .groupBy(col("p_from"), col("p_to"))
+      .agg(count(lit(1)).as("n_trans"))
+    val fromTot = trans.groupBy(col("p_from")).agg(sum(col("n_trans")).as("n_from"))
+    trans.join(fromTot, "p_from")
+      .withColumn("conf_ppm", expr("n_trans * 1000000 DIV n_from"))
+      .select(col("p_from"), col("p_to"), col("n_trans"), col("n_from"),
+        col("conf_ppm"))
+      .orderBy(col("n_trans").desc, col("p_from"), col("p_to"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rec_assoc_rules" -> (assocRules _),
-    "rec_item_cosine" -> (itemCosine _)
+    "rec_item_cosine" -> (itemCosine _),
+    "rec_next_part" -> (nextPart _)
   )
 
   val oracle: Map[String, String] = Map(
+    "rec_next_part" ->
+      """WITH nxt0 AS (
+        |  SELECT o_orderkey AS o,
+        |    LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS o_next
+        |  FROM orders),
+        |nx AS (SELECT o, o_next FROM nxt0 WHERE o_next IS NOT NULL),
+        |op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |trans AS (
+        |  SELECT f.p AS p_from, t.p AS p_to, CAST(COUNT(*) AS BIGINT) AS n_trans
+        |  FROM nx
+        |  JOIN op f ON nx.o = f.ok
+        |  JOIN op t ON nx.o_next = t.ok
+        |  GROUP BY f.p, t.p),
+        |ft AS (
+        |  SELECT p_from, CAST(SUM(n_trans) AS BIGINT) AS n_from
+        |  FROM trans GROUP BY p_from)
+        |SELECT t.p_from, t.p_to, t.n_trans, ft.n_from,
+        |  t.n_trans * 1000000 // ft.n_from AS conf_ppm
+        |FROM trans t JOIN ft USING (p_from)
+        |ORDER BY n_trans DESC, p_from, p_to
+        |LIMIT 20""".stripMargin,
     "rec_assoc_rules" ->
       """WITH op AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
