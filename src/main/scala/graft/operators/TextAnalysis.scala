@@ -1955,7 +1955,62 @@ object TextAnalysis {
           .as("r2"))
   }
 
+  /** T5-style span corruption (Raffel et al. 2020, §3.1.4) — the
+    * denoising-objective EXAMPLE BUILDER: deterministic span starts
+    * (md5(doc:pos) % 10 == 0, the geo_grid hash-uniform idiom — no RNG,
+    * so the same corpus always yields the same examples), each start
+    * masking a 3-token span over the surviving token stream; overlapping
+    * starts merge into one span (single sentinel, the documented merge
+    * rule). Output per doc: the INPUT side (unmasked tokens with each
+    * span replaced by its ordinal sentinel <Xk>) and the TARGET side
+    * (each sentinel followed by the tokens it hides) — exactly the
+    * encoder/decoder pair a T5 pretraining batch feeds.
+    *
+    * Determinism: mask selection is pure hash arithmetic; both sides are
+    * rebuilt by ordered aggregation over (position-keyed) token structs,
+    * all-integer ordering keys. Scale: one projection + three per-doc
+    * windows (PARTITIONED BY doc — never global) + one per-doc hash-agg;
+    * output is |docs| rows. */
+  def spanCorruption(spark: SparkSession, dir: String): DataFrame = {
+    val spanLen = 3
+    val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val m = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+      .withColumn("is_start",
+        (conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("pos").cast("string"))), 1, 8), 16, 10).cast("long") % 10 === 0)
+          .cast("long"))
+      .withColumn("m",
+        max(col("is_start")).over(wdoc.rowsBetween(-(spanLen - 1), 0)))
+      .withColumn("begin",
+        (col("m") === 1 &&
+          coalesce(lag(col("m"), 1).over(wdoc), lit(0L)) === 0).cast("long"))
+      .withColumn("sid", sum(col("begin")).over(wdoc))
+    val sentinel = concat(lit("<X"), col("sid").cast("string"), lit(">"))
+    def ordered(arr: Column) =
+      concat_ws(" ", transform(array_sort(arr), s => s.getField("t")))
+    m.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("m")).as("n_masked"),
+        sum(col("begin")).as("n_spans"),
+        ordered(collect_list(
+          when(col("m") === 0, struct((col("pos") * 2).as("k"), col("word").as("t")))
+            .when(col("begin") === 1,
+              struct((col("pos") * 2).as("k"), sentinel.as("t")))))
+          .as("input_text"),
+        ordered(concat(
+          collect_list(when(col("begin") === 1,
+            struct((col("pos") * 2).as("k"), sentinel.as("t")))),
+          collect_list(when(col("m") === 1,
+            struct((col("pos") * 2 + 1).as("k"), col("word").as("t"))))))
+          .as("target_text"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_span_corruption" -> (spanCorruption _),
     "text_zipf_fit" -> (zipfFit _),
     "text_rake_keywords" -> (rakeKeywords _),
     "ml_naive_bayes" -> (naiveBayes _),
@@ -2259,6 +2314,52 @@ object TextAnalysis {
         |  CAST(SUM(CASE WHEN r1 + r2 + r3 + r4 + r5 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
         |FROM f GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
+    "pipe_span_corruption" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tok0 AS (
+        |  SELECT doc_id, unnest(toks) AS word,
+        |    unnest(generate_series(0, len(toks) - 1)) AS pos
+        |  FROM base),
+        |tok AS (
+        |  SELECT doc_id, pos, word,
+        |    CASE WHEN (('0x' || substr(md5(doc_id || ':' || pos), 1, 8))::BIGINT
+        |        % 10) = 0
+        |      THEN 1 ELSE 0 END AS is_start
+        |  FROM tok0 WHERE length(word) > 0),
+        |mm AS (
+        |  SELECT *, MAX(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m
+        |  FROM tok),
+        |bb AS (
+        |  SELECT *, CASE WHEN m = 1 AND COALESCE(LAG(m) OVER (
+        |      PARTITION BY doc_id ORDER BY pos), 0) = 0
+        |    THEN 1 ELSE 0 END AS bg
+        |  FROM mm),
+        |ss AS (
+        |  SELECT *, SUM(bg) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+        |  FROM bb),
+        |inp AS (
+        |  SELECT doc_id,
+        |    string_agg(CASE WHEN m = 0 THEN word
+        |      WHEN bg = 1 THEN '<X' || sid || '>' END, ' ' ORDER BY pos)
+        |      AS input_text,
+        |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(m) AS BIGINT) AS n_masked,
+        |    CAST(SUM(bg) AS BIGINT) AS n_spans
+        |  FROM ss GROUP BY doc_id),
+        |tgt0 AS (
+        |  SELECT doc_id, pos * 2 AS k, '<X' || sid || '>' AS t
+        |  FROM ss WHERE bg = 1
+        |  UNION ALL
+        |  SELECT doc_id, pos * 2 + 1, word FROM ss WHERE m = 1),
+        |tgt AS (
+        |  SELECT doc_id, string_agg(t, ' ' ORDER BY k) AS target_text
+        |  FROM tgt0 GROUP BY doc_id)
+        |SELECT i.doc_id, i.n_tokens, i.n_masked, i.n_spans, i.input_text,
+        |  COALESCE(t.target_text, '') AS target_text
+        |FROM inp i LEFT JOIN tgt t USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "text_zipf_fit" ->
       """WITH freqs AS (
         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
