@@ -170,6 +170,74 @@ object Similarity {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Hard negatives kept per query after the false-negative guard. */
+  private[graft] val NegK = 8
+
+  /** Hard-negative mining for retrieval/embedding training (the DPR
+    * recipe, Karpukhin et al. 2020) — the TRAINING-DATA side of the
+    * retrieval family: a contrastive batch needs, per query, negatives
+    * that are lexically CLOSE but not relevant, and the standard source
+    * is the BM25 top-k minus the positive. The known failure mode is the
+    * FALSE NEGATIVE — an unlabeled duplicate of the positive mined as a
+    * "negative" poisons training — so candidates whose normalized
+    * fingerprint equals the positive's are dropped, with the per-query
+    * drop count emitted as the audit column. Positive = the query's own
+    * source doc (the fixture's query contract); negatives = top-NegK
+    * surviving BM25 candidates.
+    *
+    * Scale: the BM25 arm is sim_hybrid_rrf's (vocabulary-pruned token
+    * stream via broadcast semi-join, |Q|·ArmDepth candidates); the guard
+    * adds one doc_id equi-join against the fingerprint projection and
+    * per-query windows over ≤ArmDepth rows. Determinism: BM25 term in
+    * integer micro-units (the text_bm25 rule), fingerprints exact md5,
+    * ranks fully tie-broken. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toksC = filter(split(col("text"), " "), t => length(t) > 0)
+    val docs = d.select(col("doc_id"), toksC.as("toks"),
+      md5(trim(lower(col("text")))).as("fp"))
+      .cache() // tf stream + corpus stats + both fingerprint sides
+    val qterms = docs.filter(col("doc_id") < QueryBudget)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(slice(col("toks"), 1, 3))).as("word"))
+    val tf = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("word"))
+      .join(broadcast(qterms.select(col("word")).distinct()), Seq("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n"),
+      sum(size(col("toks"))).cast("double").as("total_dl"))
+    val lexScore = broadcast(qterms).join(tf, Seq("word"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(broadcast(dfreq), Seq("word"))
+      .crossJoin(broadcast(stats))
+      .withColumn("term_micro",
+        round(log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / (col("total_dl") / col("n")))) *
+          1000000).cast("long"))
+      .groupBy(col("q_id"), col("doc_id")).agg(sum(col("term_micro")).as("s_lex"))
+    val wl = Window.partitionBy(col("q_id")).orderBy(col("s_lex").desc, col("doc_id"))
+    val cand = lexScore.withColumn("r_lex", row_number().over(wl).cast("long"))
+      .filter(col("r_lex") <= ArmDepth)
+    val qfp = docs.filter(col("doc_id") < QueryBudget)
+      .select(col("doc_id").as("q_id"), col("fp").as("q_fp"))
+    val guarded = cand
+      .join(broadcast(qfp), "q_id")
+      .join(docs.select(col("doc_id"), col("fp")), "doc_id")
+      .withColumn("is_dup", (col("fp") === col("q_fp")).cast("long"))
+    guarded
+      .withColumn("n_dup_filtered",
+        sum(col("is_dup")).over(Window.partitionBy(col("q_id"))))
+      .filter(col("is_dup") === 0)
+      .withColumn("neg_rank", row_number().over(wl).cast("long"))
+      .filter(col("neg_rank") <= NegK)
+      .select(col("q_id"), col("neg_rank"), col("doc_id"), col("s_lex"),
+        col("n_dup_filtered"))
+      .orderBy(col("q_id"), col("neg_rank"))
+  }
+
   /** MMR rerank constants: candidate pool depth per query, picks per
     * query, and λ = 0.7 (relevance weight; 1−λ penalizes redundancy). */
   private[graft] val MmrCand = 20
@@ -1568,6 +1636,7 @@ object Similarity {
     "sim_knn_ivf_lloyd" -> (knnIvfLloyd _),
     "sim_centroid_assign" -> (centroidAssign _),
     "sim_hybrid_rrf" -> (hybridRrf _),
+    "pipe_hard_negatives" -> (hardNegatives _),
     "sim_mmr_rerank" -> (mmrRerank _),
     "sim_lsh_recall" -> (lshRecall _),
     "dedup_semdedup" -> (semDedup _)
@@ -1711,6 +1780,60 @@ object Similarity {
         |FROM assign s LEFT JOIN losers l ON s.vec_id = l.vec_id
         |GROUP BY s.cluster
         |ORDER BY cluster""".stripMargin,
+    "pipe_hard_negatives" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks,
+        |    md5(trim(lower(text))) AS fp
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(len(toks)) AS DOUBLE) AS total_dl FROM t),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        |qt AS (
+        |  SELECT doc_id AS q_id, unnest(list_distinct(toks[1:3])) AS word
+        |  FROM t WHERE doc_id < $QueryBudget),
+        |w AS (SELECT doc_id, unnest(toks) AS word FROM t),
+        |tf AS (
+        |  SELECT doc_id, word, COUNT(*) AS tf FROM w
+        |  WHERE word IN (SELECT word FROM qt) GROUP BY doc_id, word),
+        |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+        |lexterm AS (
+        |  SELECT qt.q_id, tf.doc_id,
+        |    CAST(ROUND( ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+        |      (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (stats.total_dl / stats.n))) *
+        |      1000000 ) AS BIGINT) AS term_micro
+        |  FROM qt JOIN tf USING (word) JOIN df USING (word)
+        |       JOIN dl ON tf.doc_id = dl.doc_id, stats
+        |  WHERE tf.doc_id <> qt.q_id),
+        |lexs AS (
+        |  SELECT q_id, doc_id, CAST(SUM(term_micro) AS BIGINT) AS s_lex
+        |  FROM lexterm GROUP BY q_id, doc_id),
+        |cand AS (
+        |  SELECT q_id, doc_id, s_lex FROM (
+        |    SELECT q_id, doc_id, s_lex,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY s_lex DESC, doc_id) AS rn
+        |    FROM lexs)
+        |  WHERE rn <= $ArmDepth),
+        |g AS (
+        |  SELECT c.q_id, c.doc_id, c.s_lex,
+        |    CASE WHEN f.fp = qf.fp THEN 1 ELSE 0 END AS is_dup
+        |  FROM cand c
+        |  JOIN t f ON c.doc_id = f.doc_id
+        |  JOIN t qf ON c.q_id = qf.doc_id),
+        |gg AS (
+        |  SELECT *, CAST(SUM(is_dup) OVER (PARTITION BY q_id) AS BIGINT)
+        |    AS n_dup_filtered
+        |  FROM g)
+        |SELECT q_id, CAST(rn AS BIGINT) AS neg_rank, doc_id, s_lex,
+        |  n_dup_filtered
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY q_id ORDER BY s_lex DESC, doc_id) AS rn
+        |  FROM gg WHERE is_dup = 0)
+        |WHERE rn <= $NegK
+        |ORDER BY q_id, neg_rank""".stripMargin,
     "sim_hybrid_rrf" ->
       s"""WITH t AS (
         |  SELECT doc_id,

@@ -233,7 +233,9 @@ class PlanSpec extends SparkSpec {
         // 4-cell readout ⋈ broadcast 1-row DiD estimate (A4 pattern)
         "behavior_diff_in_diff",
         // |labels|-row audit ⋈ broadcast 1-row edge total + 1-row Q (A4 ×2)
-        "graph_modularity")
+        "graph_modularity",
+        // BM25 arm's broadcast 1-row corpus stats (the text_bm25 A4 shape)
+        "pipe_hard_negatives")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
