@@ -435,7 +435,7 @@ object Graph {
 
   /** The synchronous LPA loop over a both-directions (m, x) edge
     * relation — shared by graph_label_prop and graph_modularity. */
-  private def lpaLabels(und: DataFrame): DataFrame = {
+  private[graft] def lpaLabels(und: DataFrame): DataFrame = {
     var lab = und.select(col("m").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (_ <- 1 to LpaRounds) {

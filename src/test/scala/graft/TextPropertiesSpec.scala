@@ -4,6 +4,8 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
+import graft.operators.TextAnalysis
+
 /** Property tests (SURVEY.md §5): invariants of the text pipeline over
   * generated corpora, driven by seeded ScalaCheck generators (the
   * scalatest/scalacheck bridge isn't in the offline cache, so sampling is
@@ -35,6 +37,42 @@ class TextPropertiesSpec extends SparkSpec {
       assert(summed == total)
       val localTotal = docs.map(_.split(" ").count(_.nonEmpty)).sum
       assert(total == localTotal, "Spark tokenization disagrees with local split")
+    }
+  }
+
+  test("RAKE invariants: no stopword ever enters a phrase, lengths capped, scores consistent") {
+    val rows = TextAnalysis.queries("text_rake_keywords")(spark, sf0001).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val phrase = r.getString(0)
+      val nWords = r.getLong(1)
+      val words = phrase.split(" ")
+      assert(words.length.toLong == nWords, s"n_words mismatch: $r")
+      assert(nWords >= 1 && nWords <= 4, s"cap violated: $r")
+      assert(!words.exists(Set("the", "a")), s"stopword in phrase: $phrase")
+      // deg/freq ∈ [1, 4] per word under the cap → phrase score in
+      // [n·1e6, n·4e6]
+      val score = r.getLong(3)
+      assert(score >= nWords * 1000000L && score <= nWords * 4000000L,
+        s"score outside the deg/freq band: $r")
+    }
+  }
+
+  test("span corruption: sides partition the tokens and sentinels agree") {
+    val rows = TextAnalysis.queries("pipe_span_corruption")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTok, nMask, nSpans) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val inp = r.getString(4).split(" ").filter(_.nonEmpty)
+      val tgt = r.getString(5).split(" ").filter(_.nonEmpty)
+      val inpSent = inp.count(_.startsWith("<X"))
+      val tgtSent = tgt.count(_.startsWith("<X"))
+      assert(inpSent == nSpans && tgtSent == nSpans, s"sentinel counts: $r")
+      // input keeps (n_tokens − n_masked) words + one sentinel per span;
+      // target holds the n_masked words + its sentinels
+      assert(inp.length.toLong == nTok - nMask + nSpans, s"input side: $r")
+      assert(tgt.length.toLong == nMask + nSpans, s"target side: $r")
     }
   }
 
