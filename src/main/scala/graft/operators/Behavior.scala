@@ -1222,7 +1222,87 @@ object Behavior {
       when(vsum > 0.0, round((r("a") - r("b")) / sqrt(vsum), 6)).as("z"))
   }
 
+  /** Shapley channel order is fixed and alphabetical; the coalition
+    * lattice below is a pure function of it. */
+  private val ShapChannels = Seq("click", "error", "signup", "view")
+
+  /** (channel, S, S∪{channel}, |S|!·(n−|S|−1)!) for every channel and
+    * every subset S of the other n−1 channels — 32 literal rows; the
+    * Shapley weights sum to n! = 24 per channel. */
+  private val shapTriples: Seq[(String, String, String, Long)] = {
+    val fact = Array(1L, 1L, 2L, 6L)
+    for {
+      c <- ShapChannels
+      rest = ShapChannels.filterNot(_ == c)
+      bits <- 0 until 8
+    } yield {
+      val s = rest.zipWithIndex.collect {
+        case (ch, i) if (bits & (1 << i)) != 0 => ch
+      }
+      val w = fact(s.size) * fact(ShapChannels.size - s.size - 1)
+      (c, s.sorted.mkString(","), (s :+ c).sorted.mkString(","), w)
+    }
+  }
+
+  private val shapValuesSql: String = shapTriples
+    .map { case (c, s, t, w) => s"('$c', '$s', '$t', $w)" }
+    .mkString(", ")
+
+  /** Exact Shapley-value attribution (Shapley 1953; the Zhao et al. 2018
+    * data-driven MTA formulation) — the game-theoretic third member next
+    * to last-touch/linear (rule-based) and Markov removal effects
+    * (model-based): each channel's credit is its average marginal lift in
+    * conversion rate over every coalition of the other channels,
+    * Σ_S |S|!(n−|S|−1)!/n! · [v(S∪c) − v(S)]. With the fixture's 4-channel
+    * alphabet the lattice is 16 coalitions / 32 marginals — ENUMERATED
+    * EXACTLY as a literal relation, no sampling. v(S) = conversion rate
+    * among users whose pre-purchase touch set is exactly S (unobserved
+    * coalitions contribute 0 — documented small-sample convention).
+    *
+    * Determinism: v in exact ppm (positive DIV), marginals and the
+    * factorial-weighted sum are pure BIGINT arithmetic in units of
+    * ppm×24 (dividing by 24 would be a NEGATIVE integer division — the
+    * trunc-vs-floor trap — so the integer column stays ×24 and only the
+    * display column divides, one IEEE op round-6). Scale: one distinct
+    * (user, channel) projection, one per-user set-fold, a |coalitions|-key
+    * hash-agg, and broadcast joins against the 32-row lattice. */
+  def shapleyAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val fp = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    val tch = e.filter(col("event_type").isin(ShapChannels: _*))
+      .join(fp, Seq("user_id"), "left")
+      .filter(col("p_ts").isNull || col("ts") < col("p_ts"))
+      .select(col("user_id"), col("event_type")).distinct()
+    val sets = tch.groupBy(col("user_id"))
+      .agg(array_join(array_sort(collect_set(col("event_type"))), ",").as("s_key"))
+    val j = e.select(col("user_id")).distinct()
+      .join(sets, Seq("user_id"), "left")
+      .join(fp.select(col("user_id"), lit(1L).as("conv")), Seq("user_id"), "left")
+      .select(coalesce(col("s_key"), lit("")).as("s_key"),
+        coalesce(col("conv"), lit(0L)).as("conv"))
+    val coal = j.groupBy(col("s_key"))
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+      .withColumn("v_ppm", expr("n_conv * 1000000 DIV n_users"))
+    val lat = spark.sql(
+      s"SELECT * FROM (VALUES $shapValuesSql) AS t(channel, s_key, t_key, w)")
+    lat
+      .join(broadcast(coal.select(col("s_key"), col("v_ppm").as("v_s"))),
+        Seq("s_key"), "left")
+      .join(broadcast(coal.select(col("s_key").as("t_key"), col("v_ppm").as("v_t"))),
+        Seq("t_key"), "left")
+      .select(col("channel"),
+        (col("w") * (coalesce(col("v_t"), lit(0L)) - coalesce(col("v_s"), lit(0L))))
+          .as("contrib"))
+      .groupBy(col("channel"))
+      .agg(sum(col("contrib")).as("shap_x24_ppm"))
+      .withColumn("shap_ppm",
+        round(col("shap_x24_ppm").cast("double") / lit(24.0), 6))
+      .orderBy(col("channel"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_attribution_shapley" -> (shapleyAttribution _),
     "behavior_ratio_delta" -> (ratioDelta _),
     "behavior_diff_in_diff" -> (diffInDiff _),
     "events_attribution_linear" -> (linearAttribution _),
@@ -1249,6 +1329,44 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_attribution_shapley" ->
+      s"""WITH fp AS (
+        |  SELECT user_id, MIN(ts) AS p_ts FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id),
+        |tch AS (
+        |  SELECT DISTINCT e.user_id, e.event_type
+        |  FROM events e LEFT JOIN fp ON e.user_id = fp.user_id
+        |  WHERE e.event_type IN ('click', 'error', 'signup', 'view')
+        |    AND (fp.p_ts IS NULL OR e.ts < fp.p_ts)),
+        |sets AS (
+        |  SELECT user_id, string_agg(event_type, ',' ORDER BY event_type)
+        |    AS s_key
+        |  FROM tch GROUP BY user_id),
+        |au AS (SELECT DISTINCT user_id FROM events),
+        |j AS (
+        |  SELECT COALESCE(s.s_key, '') AS s_key,
+        |    CASE WHEN fp.user_id IS NOT NULL THEN 1 ELSE 0 END AS conv
+        |  FROM au
+        |  LEFT JOIN sets s ON au.user_id = s.user_id
+        |  LEFT JOIN fp ON au.user_id = fp.user_id),
+        |coal AS (
+        |  SELECT s_key, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(conv) AS BIGINT) AS n_conv,
+        |    CAST(SUM(conv) * 1000000 // COUNT(*) AS BIGINT) AS v_ppm
+        |  FROM j GROUP BY s_key),
+        |lat AS (
+        |  SELECT * FROM (VALUES $shapValuesSql)
+        |    AS t(channel, s_key, t_key, w)),
+        |d AS (
+        |  SELECT lat.channel,
+        |    lat.w * (COALESCE(ct.v_ppm, 0) - COALESCE(cs.v_ppm, 0)) AS contrib
+        |  FROM lat
+        |  LEFT JOIN coal cs ON lat.s_key = cs.s_key
+        |  LEFT JOIN coal ct ON lat.t_key = ct.s_key)
+        |SELECT channel, CAST(SUM(contrib) AS BIGINT) AS shap_x24_ppm,
+        |  ROUND(CAST(SUM(contrib) AS DOUBLE) / 24.0, 6) AS shap_ppm
+        |FROM d GROUP BY channel
+        |ORDER BY channel""".stripMargin,
     "behavior_ratio_delta" ->
       """WITH per AS (
         |  SELECT user_id % 2 AS v,
