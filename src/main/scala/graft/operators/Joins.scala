@@ -428,7 +428,66 @@ object Joins {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
+  /** TPC-H Q3-shaped shipping priority — the classic "unshipped orders by
+    * potential revenue" readout: orders from one market segment placed
+    * before a cutoff whose lineitems ship after it, ranked by revenue,
+    * top 10. The shape the reference's own top-k SQL (03:26-152) reaches
+    * for; here it exercises fact⋈fact⋈dim with filters on ALL THREE
+    * inputs and a TakeOrderedAndProject head.
+    *
+    * Scale: the segment filter prunes customer before its shuffle join,
+    * both date filters push into their scans (halving each fact side
+    * before the join), the group key (orderkey, orderdate, priority) is
+    * join-key-aligned so the aggregation rides the same shuffle, and the
+    * top-10 never sorts globally. Revenue exact-decimal via `drevenue`. */
+  def shippingQ3(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1996-07-01").cast("timestamp")
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "SEGMENT_1")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cut)
+    val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cut)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(desc("revenue"), col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q10-shaped returned-item reclamation — which customers returned
+    * the most revenue in a quarter: lineitem(returnflag=R) ⋈ orders(one
+    * quarter) ⋈ customer ⋈ nation, revenue per customer, top 20. The
+    * other canonical top-k join after Q3: group key is the CUSTOMER (a
+    * second shuffle after the orderkey join), payload columns (name,
+    * acctbal, nation) ride the group-by.
+    *
+    * Scale: returnflag and the quarter filter push into the fact scans
+    * (~25% × ~4% selectivity before any join), nation broadcasts,
+    * customer joins by shuffle (fact-scaled dim — no hint, AQE decides),
+    * and the top-20 is TakeOrderedAndProject, never a global sort.
+    * acctbal is carried via max() (functionally determined by custkey)
+    * so the group key stays narrow for the shuffle. */
+  def returnedQ10(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        max(col("c_acctbal")).as("c_acctbal"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_shipping_q3" -> (shippingQ3 _),
+    "join_returned_q10" -> (returnedQ10 _),
     "join_volume_q7" -> (volumeQ7 _),
     "join_geo_grid" -> (geoGridJoin _),
     "join_late_dim"           -> (lateDimReconcile _),
@@ -447,6 +506,37 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_shipping_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'SEGMENT_1'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND l_shipdate > TIMESTAMP '1996-07-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "join_returned_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS revenue,
+        |  MAX(c_acctbal) AS c_acctbal,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
     "join_volume_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
