@@ -985,6 +985,52 @@ object Behavior {
       .select(col("n_a"), (col("n") - col("n_a")).as("n_b"), col("u2_a"), col("z"))
   }
 
+  /** Spearman rank correlation (Spearman 1904, tie-corrected via the
+    * Pearson-on-midranks form) between per-customer order count and total
+    * spend — the monotone-association readout that Pearson
+    * (`agg_corr_manual`) misses when either margin is heavy-tailed.
+    * Midranks stay EXACT integers via the same doubled-midrank trick as
+    * `behavior_mann_whitney` (2·midrank = 2·lt + t + 1 from the value
+    * histogram), the 2×-scale cancels in the correlation ratio, and every
+    * moment sum is lifted to decimal(38,0) (HUGEINT in the oracle):
+    * n·Σ(r2x·r2y) ≤ 4n³ passes 2⁶³ at ~1.3M entities, so bigint would
+    * wrap silently in Spark while DuckDB errors — the documented
+    * overflow-policy trap. Only the final ratio is IEEE, round-6.
+    *
+    * Scale: one orders hash-agg to per-customer (x, y), two value
+    * histograms ranked by the two-pass range-partitioned prefix sum
+    * (never an unpartitioned window), rank join-back on the value (equi-
+    * shuffle; the histogram side is ≤ distinct values), one 1-row moment
+    * agg. Degenerate margins (all x or all y tied) → NULL rho. */
+  def spearman(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("x"), sum(col("cents")).as("y"))
+    def ranks(v: String): DataFrame =
+      rangePrefixSums(
+        per.groupBy(col(v)).agg(count(lit(1)).as("t")), v, Seq("t"))
+        .select(col(v),
+          (lit(2L) * col("lt_t") + col("t") + lit(1L)).as(s"r2$v"))
+    val r = per.join(ranks("x"), "x").join(ranks("y"), "y")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val s = r.agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("r2x"))).as("sx"),
+      sum(dec(col("r2y"))).as("sy"),
+      sum(dec(col("r2x")) * dec(col("r2y"))).as("sxy"),
+      sum(dec(col("r2x")) * dec(col("r2x"))).as("sxx"),
+      sum(dec(col("r2y")) * dec(col("r2y"))).as("syy"))
+    val n = dec(col("n"))
+    val cxy = (n * col("sxy") - col("sx") * col("sy")).cast("double")
+    val vx = (n * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vy = (n * col("syy") - col("sy") * col("sy")).cast("double")
+    s.select(col("n"),
+      when(vx > 0.0 && vy > 0.0, round(cxy / (sqrt(vx) * sqrt(vy)), 6))
+        .as("rho"))
+  }
+
   /** Two-pass range-partitioned EXCLUSIVE prefix sums — the distributed
     * form of `SUM(c) OVER (ORDER BY ord ROWS UNBOUNDED PRECEDING AND 1
     * PRECEDING)`: distinct values can approach row count at real scale,
@@ -1311,6 +1357,7 @@ object Behavior {
     "behavior_halfsample_ci" -> (halfsampleCi _),
     "behavior_power_mde" -> (powerMde _),
     "behavior_mann_whitney" -> (mannWhitney _),
+    "behavior_spearman" -> (spearman _),
     "behavior_ks_test"    -> (ksTest _),
     "behavior_srm_check"  -> (srmCheck _),
     "behavior_cuped"      -> (cuped _),
@@ -1561,6 +1608,39 @@ object Behavior {
         |  CAST(SUM(credit_micro) AS BIGINT) AS credit_micro
         |FROM credited GROUP BY channel
         |ORDER BY channel""".stripMargin,
+    "behavior_spearman" ->
+      """WITH per AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS x,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY o_custkey),
+        |hx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS t FROM per GROUP BY x),
+        |rx AS (
+        |  SELECT x, 2 * COALESCE(SUM(t) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1
+        |    AS r2x
+        |  FROM hx),
+        |hy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS t FROM per GROUP BY y),
+        |ry AS (
+        |  SELECT y, 2 * COALESCE(SUM(t) OVER (ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1
+        |    AS r2y
+        |  FROM hy),
+        |j AS (
+        |  SELECT CAST(r2x AS HUGEINT) AS r2x, CAST(r2y AS HUGEINT) AS r2y
+        |  FROM per JOIN rx USING (x) JOIN ry USING (y)),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(r2x) AS sx,
+        |    SUM(r2y) AS sy, SUM(r2x * r2y) AS sxy,
+        |    SUM(r2x * r2x) AS sxx, SUM(r2y * r2y) AS syy
+        |  FROM j)
+        |SELECT n,
+        |  CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx > 0
+        |        AND CAST(n AS HUGEINT) * syy - sy * sy > 0 THEN
+        |    ROUND(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) /
+        |      (SQRT(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)) *
+        |       SQRT(CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE))), 6)
+        |  END AS rho
+        |FROM s""".stripMargin,
     "behavior_mann_whitney" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
