@@ -1031,6 +1031,58 @@ object Behavior {
         .as("rho"))
   }
 
+  /** One-way ANOVA F (Fisher) across order priorities on order value —
+    * the k-group generalization of `behavior_ttest_revenue`'s two-arm
+    * comparison: does ANY priority class have a different mean ticket.
+    * Determinism contract: per-group (n_g, Σy) and grand (n, Σy, Σy²)
+    * are EXACT (cents bigint; Σy² lifted decimal(19,0)→38 — cents²
+    * passes 2⁶³ within ~2.5k rows, the silent-wrap-vs-error trap); the
+    * priority alphabet is FIXED, so the groups live as columns of a
+    * single conditional-aggregation row and Σ_g Sg²/n_g is an explicit
+    * left-associative IEEE expression — same op sequence on the same
+    * exact operands in both engines, hence bit-identical with NO
+    * rounding (round-to-lattice is a libm absorber; mul/div/add need
+    * none, and round(·,4) itself diverges across engines at 1e19
+    * magnitude). Only the O(1)-magnitude F is rounded (6).
+    *
+    * Scale: ONE hash-agg pass over orders producing a 1-row relation —
+    * nothing after it is data-sized, no shuffle beyond the partial agg. */
+  def anovaPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("o_totalprice") * 100).cast("long")
+    val aggs = AnovaPriorities.zipWithIndex.flatMap { case (p, i) =>
+      Seq(
+        sum(when(col("grp") === p, 1L).otherwise(0L)).as(s"n$i"),
+        sum(when(col("grp") === p, col("y")).otherwise(0L)).as(s"s$i"))
+    } ++ Seq(
+      count(lit(1)).as("n"), sum(col("y")).as("s"),
+      sum(col("y").cast("decimal(19,0)") * col("y")).as("q"))
+    val s = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("grp"), cents.as("y"))
+      .agg(aggs.head, aggs.tail: _*)
+    val idx = AnovaPriorities.indices
+    val d = (c: String) => col(c).cast("double")
+    val terms = idx.map(i =>
+      when(col(s"n$i") > 0L, d(s"s$i") * d(s"s$i") / d(s"n$i"))
+        .otherwise(lit(0.0)))
+    val a = terms.reduceLeft(_ + _) // left-assoc: fixed IEEE add order
+    val k = idx.map(i =>
+      when(col(s"n$i") > 0L, 1L).otherwise(0L)).reduceLeft(_ + _)
+    val ssb = a - d("s") * d("s") / d("n")
+    val ssw = col("q").cast("double") - a
+    val df1 = (k - lit(1L)).cast("double")
+    val df2 = (col("n") - k).cast("double")
+    s.select(k.as("k"), col("n"), ssb.as("ssb"), ssw.as("ssw"),
+      when(k > 1L && col("n") > k && ssw > 0.0,
+        round((ssb / df1) / (ssw / df2), 6)).as("f"))
+  }
+
+  /** Fixed priority alphabet: the per-group ANOVA terms are summed as an
+    * EXPLICIT left-associative expression over these (not a float agg
+    * whose accumulation order the engine picks), so the double result is
+    * bit-identical across engines and partitionings. */
+  private val AnovaPriorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
   /** Two-pass range-partitioned EXCLUSIVE prefix sums — the distributed
     * form of `SUM(c) OVER (ORDER BY ord ROWS UNBOUNDED PRECEDING AND 1
     * PRECEDING)`: distinct values can approach row count at real scale,
@@ -1358,6 +1410,7 @@ object Behavior {
     "behavior_power_mde" -> (powerMde _),
     "behavior_mann_whitney" -> (mannWhitney _),
     "behavior_spearman" -> (spearman _),
+    "behavior_anova_f" -> (anovaPriority _),
     "behavior_ks_test"    -> (ksTest _),
     "behavior_srm_check"  -> (srmCheck _),
     "behavior_cuped"      -> (cuped _),
@@ -1608,6 +1661,45 @@ object Behavior {
         |  CAST(SUM(credit_micro) AS BIGINT) AS credit_micro
         |FROM credited GROUP BY channel
         |ORDER BY channel""".stripMargin,
+    "behavior_anova_f" -> {
+      val terms = AnovaPriorities.indices.map(i =>
+        s"""CASE WHEN n$i > 0 THEN
+           |      CAST(s$i AS DOUBLE) * CAST(s$i AS DOUBLE) /
+           |      CAST(n$i AS DOUBLE) ELSE 0.0 END""".stripMargin)
+        .mkString(" +\n        |    ")
+      val ks = AnovaPriorities.indices
+        .map(i => s"CASE WHEN n$i > 0 THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val perGroup = AnovaPriorities.zipWithIndex.map { case (p, i) =>
+        s"""CAST(SUM(CASE WHEN grp = '$p' THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n$i,
+           |    CAST(SUM(CASE WHEN grp = '$p' THEN y ELSE 0 END) AS BIGINT)
+           |      AS s$i,""".stripMargin
+      }.mkString("\n        |    ")
+      s"""WITH o AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS y
+        |  FROM orders),
+        |agg AS (
+        |  SELECT
+        |    $perGroup
+        |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s,
+        |    SUM(CAST(y AS HUGEINT) * y) AS q
+        |  FROM o),
+        |d AS (
+        |  SELECT CAST($ks AS BIGINT) AS k, n,
+        |    ($terms)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS ssb,
+        |    CAST(q AS DOUBLE) - ($terms) AS ssw
+        |  FROM agg)
+        |SELECT k, n, ssb, ssw,
+        |  CASE WHEN k > 1 AND n > k AND ssw > 0 THEN
+        |    ROUND((ssb / CAST(k - 1 AS DOUBLE)) /
+        |          (ssw / CAST(n - k AS DOUBLE)), 6)
+        |  END AS f
+        |FROM d""".stripMargin
+    },
     "behavior_spearman" ->
       """WITH per AS (
         |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS x,
