@@ -1120,7 +1120,50 @@ object Events {
       .orderBy(col("dow"), col("hr"))
   }
 
+  /** Theil–Sen robust trend (Theil 1950, Sen 1968) over the hourly event
+    * volume series: the median of all pairwise slopes (y_j−y_i)/(h_j−h_i),
+    * i<j — the slope estimator that shrugs off the outlier hours that
+    * wreck OLS (`agg_regression_manual`'s trap on bursty traffic; 29.3%
+    * breakdown point). Each pairwise slope is ONE IEEE division of exact
+    * integer deltas, the median comes from the slope-value histogram via
+    * the two-pass range-partitioned prefix sum (never an unpartitioned
+    * window), and even-count medians average the two middle VALUES — all
+    * deterministic, no libm, no rounding needed.
+    *
+    * Scale: the pair join is |hours|² over the AGGREGATED hourly series —
+    * quadratic in the TIME RANGE (the estimator's own definition), not in
+    * event count; a year is ~8.8k hours → 38M pairs, shuffled across the
+    * cluster by the slope-histogram hash-agg. The nested-loop pair join
+    * is over the broadcast bounded series, PlanSpec-allow-listed. */
+  def theilSenTrend(spark: SparkSession, dir: String): DataFrame = {
+    val hc = Tables.events(spark, dir)
+      .select(expr("unix_micros(date_trunc('hour', ts)) DIV 3600000000").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("y"))
+      .cache() // both pair legs + the hour count read it
+    val a = hc.select(col("h").as("ha"), col("y").as("ya"))
+    val b = hc.select(col("h").as("hb"), col("y").as("yb"))
+    val slopes = a.join(broadcast(b), col("ha") < col("hb"))
+      .select(((col("yb") - col("ya")).cast("double") /
+        (col("hb") - col("ha")).cast("double")).as("slope"))
+    val hist = slopes.groupBy(col("slope")).agg(count(lit(1)).as("t"))
+    val ranked = Behavior.rangePrefixSums(hist, "slope", Seq("t"))
+      .withColumnRenamed("lt_t", "lt")
+    val stats = hist.agg(sum(col("t")).as("m"))
+      .crossJoin(broadcast(hc.agg(count(lit(1)).as("n_hours"))))
+      .select(col("n_hours"), col("m"),
+        expr("(m + 1) DIV 2").as("k1"), expr("m DIV 2 + 1").as("k2"))
+    val ind =
+      when(col("lt") < col("k1") && col("k1") <= col("lt") + col("t"), 1L)
+        .otherwise(0L) +
+      when(col("lt") < col("k2") && col("k2") <= col("lt") + col("t"), 1L)
+        .otherwise(0L)
+    ranked.crossJoin(broadcast(stats))
+      .agg(max(col("n_hours")).as("n_hours"), max(col("m")).as("n_pairs"),
+        (sum(when(ind > 0L, col("slope") * ind)) / lit(2.0)).as("slope"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_theilsen_trend" -> (theilSenTrend _),
     "events_calendar_heatmap" -> (calendarHeatmap _),
     "events_ewma_hourly" -> (ewmaHourly _),
     "events_acf_hourly" -> (autocorrHourly _),
@@ -1175,6 +1218,39 @@ object Events {
       |ORDER BY c.event_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "events_theilsen_trend" ->
+      """WITH hc AS (
+        |  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.h - a.h AS DOUBLE)
+        |    AS slope
+        |  FROM hc a JOIN hc b ON a.h < b.h),
+        |hist AS (
+        |  SELECT slope, CAST(COUNT(*) AS BIGINT) AS t FROM p GROUP BY slope),
+        |c AS (
+        |  SELECT slope, t, COALESCE(SUM(t) OVER (ORDER BY slope
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt
+        |  FROM hist),
+        |stats AS (
+        |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM hc) AS n_hours,
+        |    CAST(SUM(t) AS BIGINT) AS m,
+        |    (CAST(SUM(t) AS BIGINT) + 1) // 2 AS k1,
+        |    CAST(SUM(t) AS BIGINT) // 2 + 1 AS k2
+        |  FROM hist)
+        |SELECT MAX(stats.n_hours) AS n_hours, MAX(stats.m) AS n_pairs,
+        |  SUM(CASE WHEN
+        |      (CASE WHEN c.lt < stats.k1 AND stats.k1 <= c.lt + c.t
+        |        THEN 1 ELSE 0 END) +
+        |      (CASE WHEN c.lt < stats.k2 AND stats.k2 <= c.lt + c.t
+        |        THEN 1 ELSE 0 END) > 0 THEN
+        |    c.slope * ((CASE WHEN c.lt < stats.k1 AND stats.k1 <= c.lt + c.t
+        |        THEN 1 ELSE 0 END) +
+        |      (CASE WHEN c.lt < stats.k2 AND stats.k2 <= c.lt + c.t
+        |        THEN 1 ELSE 0 END))
+        |    END) / 2.0 AS slope
+        |FROM c CROSS JOIN stats""".stripMargin,
     "events_calendar_heatmap" ->
       """WITH per AS (
         |  SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,

@@ -235,7 +235,11 @@ class PlanSpec extends SparkSpec {
         // |labels|-row audit ⋈ broadcast 1-row edge total + 1-row Q (A4 ×2)
         "graph_modularity",
         // BM25 arm's broadcast 1-row corpus stats (the text_bm25 A4 shape)
-        "pipe_hard_negatives")
+        "pipe_hard_negatives",
+        // hour-series all-pairs slope join: quadratic in the TIME RANGE
+        // (the Theil–Sen definition), not in event count — broadcast of
+        // the bounded hourly series + 1-row median-rank broadcast (A4)
+        "events_theilsen_trend")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
