@@ -1162,7 +1162,67 @@ object Events {
         (sum(when(ind > 0L, col("slope") * ind)) / lit(2.0)).as("slope"))
   }
 
+  /** Classical additive seasonal decomposition (the Persons/Macaulay
+    * moving-average method STL descends from) of hourly volume with
+    * period 24: trend = centered 2×24 MA (end lags half-weighted — the
+    * textbook even-period filter), seasonal = per-hour-of-day mean of the
+    * detrended series re-centered to sum ~0, residual = what's left.
+    * Output is the 24-row seasonal profile + per-slot residual MAE — the
+    * "what does a normal day look like, and how noisy is each hour"
+    * readout behind `events_snaive_backtest`'s forecast.
+    *
+    * Everything is EXACT integer micro-events: the MA numerator is
+    * 2·Σ±11 + y−12 + y+12 over the GAP-FILLED grid, trend = num·10⁶ DIV
+    * 48 (positive), and the possibly-negative detrended means use the
+    * sign-split floor division `fdiv` (Spark DIV truncates toward zero
+    * while DuckDB // floors — the divergence trap — so both branches
+    * keep operands positive). No floats anywhere.
+    *
+    * Scale: hour-key hash-agg, windows over the time-bounded hourly grid,
+    * a 24-row profile — nothing data-sized after the first pass. */
+  def seasonalDecomp(spark: SparkSession, dir: String): DataFrame = {
+    val hc = Tables.events(spark, dir)
+      .select(expr("unix_micros(date_trunc('hour', ts)) DIV 3600000000").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("y"))
+    val bounds = hc.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val series = bounds.select(explode(sequence(col("h0"), col("h1"))).as("h"))
+      .join(hc, Seq("h"), "left")
+      .select(col("h"), coalesce(col("y"), lit(0L)).as("y"))
+    val wMa = Window.orderBy(col("h")).rowsBetween(-12, 12)
+    val wOrd = Window.orderBy(col("h"))
+    val detr = series
+      .withColumn("wsum", sum(col("y")).over(wMa))
+      .withColumn("y_m12", lag(col("y"), 12).over(wOrd))
+      .withColumn("y_p12", lead(col("y"), 12).over(wOrd))
+      .filter(col("y_m12").isNotNull && col("y_p12").isNotNull)
+      .withColumn("trend_micro", expr(
+        "(wsum * 2 - y_m12 - y_p12) * 1000000 DIV 48"))
+      .select((col("h") % 24).as("hour_of_day"),
+        (col("y") * lit(1000000L) - col("trend_micro")).as("detr"))
+    val prof = detr.groupBy(col("hour_of_day"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("detr")).as("sd"))
+      .withColumn("smean", expr(
+        "CASE WHEN sd >= 0 THEN sd DIV n_obs" +
+          " ELSE -((-sd + n_obs - 1) DIV n_obs) END"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val centered = prof
+      .withColumn("gsum", sum(col("smean")).over(wAll))
+      .withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("seasonal_micro", col("smean") - expr(
+        "CASE WHEN gsum >= 0 THEN gsum DIV k" +
+          " ELSE -((-gsum + k - 1) DIV k) END"))
+    val res = detr.join(centered.select(col("hour_of_day"),
+        col("seasonal_micro").as("sm")), "hour_of_day")
+      .groupBy(col("hour_of_day"))
+      .agg(expr("sum(abs(detr - sm)) DIV count(1)").as("res_mae_micro"))
+    centered.select(col("hour_of_day"), col("n_obs"), col("seasonal_micro"))
+      .join(res, "hour_of_day")
+      .orderBy(col("hour_of_day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_seasonal_decomp" -> (seasonalDecomp _),
     "events_theilsen_trend" -> (theilSenTrend _),
     "events_calendar_heatmap" -> (calendarHeatmap _),
     "events_ewma_hourly" -> (ewmaHourly _),
@@ -1218,6 +1278,53 @@ object Events {
       |ORDER BY c.event_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "events_seasonal_decomp" ->
+      """WITH hc AS (
+        |  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |grid AS (
+        |  SELECT UNNEST(generate_series((SELECT MIN(h) FROM hc),
+        |    (SELECT MAX(h) FROM hc))) AS h),
+        |series AS (
+        |  SELECT grid.h, COALESCE(hc.y, 0) AS y
+        |  FROM grid LEFT JOIN hc ON grid.h = hc.h),
+        |ma AS (
+        |  SELECT h, y,
+        |    SUM(y) OVER (ORDER BY h
+        |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS wsum,
+        |    LAG(y, 12) OVER (ORDER BY h) AS y_m12,
+        |    LEAD(y, 12) OVER (ORDER BY h) AS y_p12
+        |  FROM series),
+        |detr AS (
+        |  SELECT h % 24 AS hour_of_day,
+        |    y * 1000000 - (wsum * 2 - y_m12 - y_p12) * 1000000 // 48 AS detr
+        |  FROM ma WHERE y_m12 IS NOT NULL AND y_p12 IS NOT NULL),
+        |prof AS (
+        |  SELECT hour_of_day, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |    CAST(SUM(detr) AS BIGINT) AS sd
+        |  FROM detr GROUP BY hour_of_day),
+        |pm AS (
+        |  SELECT hour_of_day, n_obs,
+        |    CASE WHEN sd >= 0 THEN sd // n_obs
+        |      ELSE -((-sd + n_obs - 1) // n_obs) END AS smean
+        |  FROM prof),
+        |cen AS (
+        |  SELECT hour_of_day, n_obs, smean,
+        |    smean - (CASE WHEN g.gsum >= 0 THEN g.gsum // g.k
+        |      ELSE -((-g.gsum + g.k - 1) // g.k) END) AS seasonal_micro
+        |  FROM pm CROSS JOIN (
+        |    SELECT CAST(SUM(smean) AS BIGINT) AS gsum,
+        |      CAST(COUNT(*) AS BIGINT) AS k FROM pm) g),
+        |res AS (
+        |  SELECT d.hour_of_day,
+        |    CAST(SUM(ABS(d.detr - c.seasonal_micro)) // COUNT(*) AS BIGINT)
+        |      AS res_mae_micro
+        |  FROM detr d JOIN cen c ON d.hour_of_day = c.hour_of_day
+        |  GROUP BY d.hour_of_day)
+        |SELECT c.hour_of_day, c.n_obs, c.seasonal_micro, r.res_mae_micro
+        |FROM cen c JOIN res r ON c.hour_of_day = r.hour_of_day
+        |ORDER BY c.hour_of_day""".stripMargin,
     "events_theilsen_trend" ->
       """WITH hc AS (
         |  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
