@@ -43,7 +43,15 @@ class PlanSpec extends SparkSpec {
     // output (O(|groups|) rows), never on a raw scan — the round-1 ntile
     // entry violated this and was rewritten as percentile-cutoff + join
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // CacheManager substitution hides lineage: once another suite builds an
+    // entry that cache()s a fragment (theilsen's hourly agg), an identical
+    // subtree in a LATER-checked entry optimizes to InMemoryRelation — no
+    // Aggregate node visible below the window. Clear registrations so the
+    // probe always sees the unsubstituted shape (PlanGoldenSpec:77 ditto) —
+    // cleared PER ENTRY because building an entry re-registers its cache()s,
+    // which would re-hide lineage for entries later in the sort order.
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      spark.catalog.clearCache()
       val lp = try Some(fn(spark, sf0001).queryExecution.optimizedPlan)
                catch { case _: Throwable => None }
       lp.toSeq.flatMap(_.collect {
