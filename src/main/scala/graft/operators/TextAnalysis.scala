@@ -169,6 +169,57 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Robust winnowing (Schleimer, Wilkerson, Aiken, SIGMOD 2003 — the
+    * MOSS fingerprinter): slide a window of w=5 consecutive k-gram
+    * (k=4) hashes per document and keep each window's MINIMUM hash,
+    * rightmost occurrence on ties — the guarantee-bearing local sampler
+    * (any shared substring ≥ w+k−1 tokens shares a fingerprint; expected
+    * density 2/(w+1)) that `text_rolling_hash`'s fixed-prefix hash can't
+    * give. The (min-hash, rightmost-position) choice packs into ONE
+    * bigint key h·2³² + (2³²−1−pos), so a plain min() window aggregate
+    * implements the tie rule exactly — no struct ordering, identical
+    * integer semantics in both engines (hash is a 28-bit md5 slice, so
+    * the pack never overflows).
+    *
+    * Output: per-doc k-gram count, fingerprint count, and fingerprint
+    * hash sum (the digest the plagiarism/near-dup index would store).
+    * Scale: posexplode → doc-partitioned lead/min windows → distinct →
+    * doc-key hash-aggs; everything partitions on doc_id, nothing global. */
+  def winnowing(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = d.select(col("doc_id"),
+      posexplode(filter(tokens(col("text")), t => length(t) > 0))
+        .as(Seq("pos", "tok")))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val kg = toks
+      .withColumn("t1", lead(col("tok"), 1).over(wDoc))
+      .withColumn("t2", lead(col("tok"), 2).over(wDoc))
+      .withColumn("t3", lead(col("tok"), 3).over(wDoc))
+      .filter(col("t3").isNotNull)
+      .withColumn("kgram",
+        concat_ws(" ", col("tok"), col("t1"), col("t2"), col("t3")))
+      .select(col("doc_id"), col("pos"),
+        (conv(substring(md5(col("kgram")), 1, 7), 16, 10).cast("long") *
+          lit(4294967296L) + (lit(4294967295L) - col("pos"))).as("key"))
+    val kgs = kg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_kgrams"))
+    val fps = kg
+      .withColumn("key_min", min(col("key")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(-4, 0)))
+      .filter(col("pos") >= 4)
+      .select(col("doc_id"),
+        expr("key_min DIV 4294967296").as("fp_hash"),
+        (lit(4294967295L) - expr("key_min % 4294967296")).as("fp_pos"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"), sum(col("fp_hash")).as("fp_sum"))
+    kgs.join(fps, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_kgrams"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("fp_sum"), lit(0L)).as("fp_sum"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Salted two-phase word count — the skew-safe twin of `wordCount`.
     * Token frequency is Zipfian ("the" alone can be percent-scale of the
     * stream), so any aggregation whose partial state does NOT collapse
@@ -2043,6 +2094,7 @@ object TextAnalysis {
     "text_bm25"        -> (bm25Query _),
     "pipe_class_balance" -> (classBalance _),
     "text_rolling_hash" -> (rollingHash _),
+    "text_winnowing" -> (winnowing _),
     "text_pivot_langs" -> (pivotLangs _),
     "text_unpivot_langs" -> (unpivotLangs _),
     "text_word_count"  -> (wordCount _),
@@ -3202,6 +3254,42 @@ object TextAnalysis {
         |FROM tg JOIN f USING (tg)
         |GROUP BY tg.doc_id
         |ORDER BY tg.doc_id""".stripMargin,
+    "text_winnowing" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(l) AS tok, UNNEST(range(len(l))) AS pos
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(text, ' '), x -> length(x) > 0)
+        |            AS l
+        |        FROM documents)),
+        |led AS (
+        |  SELECT doc_id, pos, tok,
+        |    LEAD(tok, 1) OVER w AS t1, LEAD(tok, 2) OVER w AS t2,
+        |    LEAD(tok, 3) OVER w AS t3
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |kg AS (
+        |  SELECT doc_id, pos,
+        |    ('0x' || substr(md5(tok || ' ' || t1 || ' ' || t2 || ' ' || t3),
+        |      1, 7))::BIGINT * 4294967296 + (4294967295 - pos) AS key
+        |  FROM led WHERE t3 IS NOT NULL),
+        |win AS (
+        |  SELECT doc_id, pos, MIN(key) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS key_min
+        |  FROM kg),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, key_min // 4294967296 AS fp_hash,
+        |    4294967295 - (key_min % 4294967296) AS fp_pos
+        |  FROM win WHERE pos >= 4),
+        |fp AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
+        |    CAST(SUM(fp_hash) AS BIGINT) AS fp_sum
+        |  FROM sel GROUP BY doc_id),
+        |kgs AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kgrams
+        |  FROM kg GROUP BY doc_id)
+        |SELECT kgs.doc_id, n_kgrams, COALESCE(n_fp, 0) AS n_fp,
+        |  COALESCE(fp_sum, 0) AS fp_sum
+        |FROM kgs LEFT JOIN fp ON kgs.doc_id = fp.doc_id
+        |ORDER BY kgs.doc_id""".stripMargin,
     "text_rolling_hash" ->
       s"""WITH h AS (
         |  SELECT doc_id,
