@@ -1021,7 +1021,42 @@ object Aggregates {
       .orderBy(col("digit"))
   }
 
+  /** KMV distinct sketch (Bar-Yossef et al. 2002 / the Θ-sketch family's
+    * k-minimum-values core): keep the k=256 smallest distinct hash
+    * values; the kth smallest R estimates distinct count as
+    * (k−1)·2⁶⁰/R. Unlike `agg_approx_distinct` (HLL, Spark-internal and
+    * rows-only-checkable) the KMV sketch is FULLY DETERMINISTIC given
+    * the hash — so this one is hash-oracled end to end, estimate
+    * included: the hash is a 60-bit md5 slice, identical in both
+    * engines, and the estimate is one mul+div IEEE chain on exact
+    * integer inputs (no libm, no rounding needed). Below k distinct
+    * values the sketch IS the exact answer (the KMV small-set rule).
+    * The exact distinct count rides along as the audit column.
+    *
+    * Scale: distinct is a key-partitioned two-stage hash-agg; the k
+    * smallest collapse via TakeOrderedAndProject (per-partition top-k,
+    * never a global sort); the two 1-row stats join as broadcasts (A4).
+    * Mergeability — union of sketches = sketch of union — is the 100 TB
+    * story: each partition ships ≤ k values. */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val u = Tables.events(spark, dir).select(col("event_id")).distinct()
+    val h = u.select(
+      conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h")).distinct()
+    val tk = h.orderBy(col("h")).limit(k)
+    val s = tk.agg(count(lit(1)).as("n_min"), max(col("h")).as("kth_hash"))
+    val e = u.agg(count(lit(1)).as("n_exact"))
+    s.crossJoin(broadcast(e))
+      .select(lit(k.toLong).as("k"), col("n_exact"), col("n_min"),
+        col("kth_hash"),
+        when(col("n_min") < k.toLong, col("n_min").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18) /
+            col("kth_hash").cast("double")).as("est_kmv"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_kmv_distinct" -> (kmvDistinct _),
     "agg_benford_audit" -> (benfordAudit _),
     "agg_psi_drift" -> (psiDrift _),
     "agg_mutual_info" -> (mutualInfo _),
@@ -1057,6 +1092,24 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_kmv_distinct" ->
+      """WITH u AS (SELECT DISTINCT event_id FROM events),
+        |h AS (
+        |  SELECT DISTINCT
+        |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS h
+        |  FROM u),
+        |tk AS (SELECT h FROM h ORDER BY h LIMIT 256),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_min,
+        |    CAST(MAX(h) AS BIGINT) AS kth_hash
+        |  FROM tk),
+        |e AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM u)
+        |SELECT CAST(256 AS BIGINT) AS k, e.n_exact, s.n_min, s.kth_hash,
+        |  CASE WHEN s.n_min < 256 THEN CAST(s.n_min AS DOUBLE)
+        |    ELSE 255.0 * 1.152921504606846976e18 / CAST(s.kth_hash AS DOUBLE)
+        |  END AS est_kmv
+        |FROM s CROSS JOIN e""".stripMargin,
     "agg_benford_audit" ->
       """WITH digits AS (
         |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)

@@ -247,7 +247,9 @@ class PlanSpec extends SparkSpec {
         // hour-series all-pairs slope join: quadratic in the TIME RANGE
         // (the Theil–Sen definition), not in event count — broadcast of
         // the bounded hourly series + 1-row median-rank broadcast (A4)
-        "events_theilsen_trend")
+        "events_theilsen_trend",
+        // k-row sketch stats ⋈ broadcast 1-row exact audit (A4 pattern)
+        "agg_kmv_distinct")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
