@@ -1221,7 +1221,45 @@ object Events {
       .orderBy(col("hour_of_day"))
   }
 
+  /** Top session paths — the "how do users actually move through the
+    * product" readout behind `events_transition_matrix`'s one-step view:
+    * each 30-minute-gap session's FULL ordered event-type sequence
+    * (capped at the first 8 steps, '>'-joined), counted and ranked —
+    * top 20 paths by (frequency, path). The same gap sessions as
+    * `events_sessionization`; order within a session is (ts, event_id) —
+    * the repo's deterministic event tie-break.
+    *
+    * Scale: one user-partitioned lag window marks session starts, one
+    * (user, session) hash-agg builds each path via sort_array(collect_
+    * list(packed struct)) — per-session lists are session-bounded, never
+    * corpus-sized — then a path-key hash-agg and TakeOrderedAndProject.
+    * No unpartitioned windows, no global sort. */
+  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    val flagged = e
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs,
+          1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val paths = flagged
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(array_join(slice(transform(
+        sort_array(collect_list(struct(col("ts_us"), col("event_id"),
+          col("event_type")))), s => s("event_type")), 1, 8), ">").as("path"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_top_paths" -> (topPaths _),
     "events_seasonal_decomp" -> (seasonalDecomp _),
     "events_theilsen_trend" -> (theilSenTrend _),
     "events_calendar_heatmap" -> (calendarHeatmap _),
@@ -1278,6 +1316,27 @@ object Events {
       |ORDER BY c.event_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "events_top_paths" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM f),
+        |p AS (
+        |  SELECT user_id, session_seq,
+        |    array_to_string(list_slice(
+        |      list(event_type ORDER BY ts_us, event_id), 1, 8), '>') AS path
+        |  FROM s GROUP BY user_id, session_seq)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path
+        |LIMIT 20""".stripMargin,
     "events_seasonal_decomp" ->
       """WITH hc AS (
         |  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
