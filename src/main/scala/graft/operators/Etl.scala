@@ -714,7 +714,45 @@ object Etl {
       .orderBy(col("c_nationkey"), col("c_mktsegment"))
   }
 
+  /** Referential-integrity audit — the warehouse ingest gate `etl_dq_audit`
+    * (row-level rules) doesn't cover: for every foreign-key edge of the
+    * star schema, how many child rows point at a missing parent. Each
+    * edge is one LEFT ANTI join (never materializes parent payload) +
+    * a count, and the per-edge 1-row results union into a fixed-height
+    * audit relation with orphan rate in ppm (integer DIV, child count
+    * guarded — an empty child table yields rate NULL, mirrored).
+    *
+    * Scale: anti joins shuffle on the key (or broadcast the dim side
+    * when AQE sizes it small); counts collapse map-side. The audit is
+    * 4 rows regardless of data size. */
+  def fkOrphans(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, ck: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val orph = child.select(col(ck))
+        .join(parent.select(col(pk)), col(ck) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val tot = child.agg(count(lit(1)).as("n_child"))
+      orph.crossJoin(broadcast(tot))
+        .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphans"),
+          when(col("n_child") > 0L,
+            expr("n_orphans * 1000000 DIV n_child")).as("orphan_ppm"))
+    }
+    val o = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    Seq(
+      edge("orders.custkey->customer", o, "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"),
+      edge("lineitem.orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+      edge("lineitem.partkey->part", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey"),
+      edge("lineitem.suppkey->supplier", li, "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"))
+      .reduce(_.unionAll(_))
+      .orderBy(col("fk_edge"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_fk_orphans" -> (fkOrphans _),
     "etl_k_anonymity" -> (kAnonymity _),
     "etl_sequence_gaps" -> (sequenceGaps _),
     "etl_dq_audit" -> (dqAudit _),
@@ -744,6 +782,38 @@ object Etl {
   )
 
   val oracle: Map[String, String] = Map(
+    "etl_fk_orphans" ->
+      """WITH e1 AS (
+        |  SELECT 'orders.custkey->customer' AS fk_edge,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_child,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        |     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |      AS n_orphans),
+        |e2 AS (
+        |  SELECT 'lineitem.orderkey->orders' AS fk_edge,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |      AS n_orphans),
+        |e3 AS (
+        |  SELECT 'lineitem.partkey->part' AS fk_edge,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |     WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+        |      AS n_orphans),
+        |e4 AS (
+        |  SELECT 'lineitem.suppkey->supplier' AS fk_edge,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |     WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+        |      AS n_orphans),
+        |u AS (
+        |  SELECT * FROM e1 UNION ALL SELECT * FROM e2
+        |  UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4)
+        |SELECT fk_edge, n_child, n_orphans,
+        |  CASE WHEN n_child > 0 THEN n_orphans * 1000000 // n_child
+        |  END AS orphan_ppm
+        |FROM u ORDER BY fk_edge""".stripMargin,
     "etl_scd2_merge" ->
       """WITH base AS (
         |  SELECT c_custkey, c_mktsegment AS segment,

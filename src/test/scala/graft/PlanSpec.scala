@@ -249,7 +249,9 @@ class PlanSpec extends SparkSpec {
         // the bounded hourly series + 1-row median-rank broadcast (A4)
         "events_theilsen_trend",
         // k-row sketch stats ⋈ broadcast 1-row exact audit (A4 pattern)
-        "agg_kmv_distinct")
+        "agg_kmv_distinct",
+        // per-edge 1-row orphan count ⋈ broadcast 1-row child total (A4)
+        "etl_fk_orphans")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
