@@ -1055,7 +1055,65 @@ object Aggregates {
             col("kth_hash").cast("double")).as("est_kmv"))
   }
 
+  /** Multiple OLS in closed form — `agg_regression_manual` (one
+    * regressor, per-nation) generalized to the 2-feature normal
+    * equations, solved by CRAMER'S RULE entirely in-plan: price_cents ~
+    * β0 + β1·quantity + β2·discount_bp over lineitem. One hash-agg
+    * collects the EXACT integer moment matrix (quantity/discount-bp/
+    * cents are integral; every product decimal(19,0)-seeded → 38, the
+    * overflow-policy rule), then the four 3×3 determinants are explicit
+    * first-row cofactor expansions on the 1-row relation — fixed IEEE
+    * op chains on exact operands, bit-identical across engines, no
+    * libm; only the O(1)-magnitude coefficients/R² are rounded (6).
+    * The 100 TB story is the same as A4: the model fits in one partial-
+    * aggregated pass, and the solve costs nothing at any scale.
+    *
+    * det expansion, A symmetric = [[n,b,c],[b,d,e],[c,e,f]], rhs
+    * [g,h,i]: det = a(df−e²) − b(bf−ec) + c(be−dc), and β_k replaces
+    * column k with the rhs. */
+  def olsCramer(spark: SparkSession, dir: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    val li = Tables.lineitem(spark, dir).select(
+      floor(col("l_quantity")).cast("long").as("x1"),
+      floor(col("l_discount") * 100).cast("long").as("x2"),
+      floor(col("l_extendedprice") * 100).cast("long").as("y"))
+    val m = li.agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
+      sum(col("y")).as("sy"),
+      sum(dec(col("x1")) * col("x1")).as("s11"),
+      sum(dec(col("x1")) * col("x2")).as("s12"),
+      sum(dec(col("x2")) * col("x2")).as("s22"),
+      sum(dec(col("x1")) * col("y")).as("sx1y"),
+      sum(dec(col("x2")) * col("y")).as("sx2y"),
+      sum(dec(col("y")) * col("y")).as("syy"))
+    val a = col("n").cast("double")
+    val b = col("sx1").cast("double"); val c = col("sx2").cast("double")
+    val d = col("s11").cast("double"); val e = col("s12").cast("double")
+    val f = col("s22").cast("double")
+    val g = col("sy").cast("double"); val h = col("sx1y").cast("double")
+    val i = col("sx2y").cast("double"); val yy = col("syy").cast("double")
+    val det = a * (d * f - e * e) - b * (b * f - e * c) +
+      c * (b * e - d * c)
+    val det0 = g * (d * f - e * e) - b * (h * f - e * i) +
+      c * (h * e - d * i)
+    val det1 = a * (h * f - e * i) - g * (b * f - e * c) +
+      c * (b * i - h * c)
+    val det2 = a * (d * i - e * h) - b * (b * i - h * c) +
+      g * (b * e - d * c)
+    val b0 = det0 / det; val b1 = det1 / det; val b2 = det2 / det
+    val sse = yy - (b0 * g + b1 * h + b2 * i)
+    val sst = yy - g * g / a
+    m.select(col("n"),
+      when(det =!= 0.0, round(b0, 6)).as("b0_cents"),
+      when(det =!= 0.0, round(b1, 6)).as("b1_per_qty"),
+      when(det =!= 0.0, round(b2, 6)).as("b2_per_bp"),
+      when(det =!= 0.0 && sst > 0.0, round(lit(1.0) - sse / sst, 6))
+        .as("r2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_ols_cramer" -> (olsCramer _),
     "agg_kmv_distinct" -> (kmvDistinct _),
     "agg_benford_audit" -> (benfordAudit _),
     "agg_psi_drift" -> (psiDrift _),
@@ -1092,6 +1150,51 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "ml_ols_cramer" ->
+      """WITH r AS (
+        |  SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS x1,
+        |    CAST(FLOOR(l_discount * 100) AS BIGINT) AS x2,
+        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x1) AS BIGINT) AS sx1, CAST(SUM(x2) AS BIGINT) AS sx2,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(x1 AS HUGEINT) * x1) AS s11,
+        |    SUM(CAST(x1 AS HUGEINT) * x2) AS s12,
+        |    SUM(CAST(x2 AS HUGEINT) * x2) AS s22,
+        |    SUM(CAST(x1 AS HUGEINT) * y) AS sx1y,
+        |    SUM(CAST(x2 AS HUGEINT) * y) AS sx2y,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM r),
+        |v AS (
+        |  SELECT n,
+        |    CAST(n AS DOUBLE) AS a, CAST(sx1 AS DOUBLE) AS b,
+        |    CAST(sx2 AS DOUBLE) AS c, CAST(s11 AS DOUBLE) AS d,
+        |    CAST(s12 AS DOUBLE) AS e, CAST(s22 AS DOUBLE) AS f,
+        |    CAST(sy AS DOUBLE) AS g, CAST(sx1y AS DOUBLE) AS h,
+        |    CAST(sx2y AS DOUBLE) AS i, CAST(syy AS DOUBLE) AS yy
+        |  FROM m),
+        |dets AS (
+        |  SELECT n, a, g, h, i, yy,
+        |    a * (d * f - e * e) - b * (b * f - e * c) + c * (b * e - d * c)
+        |      AS det,
+        |    g * (d * f - e * e) - b * (h * f - e * i) + c * (h * e - d * i)
+        |      AS det0,
+        |    a * (h * f - e * i) - g * (b * f - e * c) + c * (b * i - h * c)
+        |      AS det1,
+        |    a * (d * i - e * h) - b * (b * i - h * c) + g * (b * e - d * c)
+        |      AS det2
+        |  FROM v)
+        |SELECT n,
+        |  CASE WHEN det <> 0 THEN ROUND(det0 / det, 6) END AS b0_cents,
+        |  CASE WHEN det <> 0 THEN ROUND(det1 / det, 6) END AS b1_per_qty,
+        |  CASE WHEN det <> 0 THEN ROUND(det2 / det, 6) END AS b2_per_bp,
+        |  CASE WHEN det <> 0 AND yy - g * g / a > 0 THEN
+        |    ROUND(1.0 - (yy - ((det0 / det) * g + (det1 / det) * h +
+        |      (det2 / det) * i)) / (yy - g * g / a), 6)
+        |  END AS r2
+        |FROM dets""".stripMargin,
     "agg_kmv_distinct" ->
       """WITH u AS (SELECT DISTINCT event_id FROM events),
         |h AS (
