@@ -67,6 +67,52 @@ object Graph {
       .orderBy(desc("rank"), col("node")).limit(25)
   }
 
+  /** Personalized PageRank (Page et al. 1999 §6; the random-walk-with-
+    * restart of Jeh & Widom 2003) from the supplier seed set {1..5} —
+    * `graph_pagerank` answers "globally important", this answers
+    * "important RELATIVE TO these seeds" (the relevance ranking behind
+    * recommendation and similar-entity queries). Same damped power
+    * iteration, but the teleport mass returns to the SEEDS instead of
+    * spreading uniformly: r'(v) = tele(v) + 0.85·Σ r(u)/d(u), with
+    * tele(v) = 150000·N DIV |S| on seeds, 0 elsewhere (total teleport
+    * mass matches the uniform variant's 150000·N, so magnitudes stay
+    * pagerank-comparable). Fixed-point micro-units, all-positive DIV —
+    * exact BIGINT in both engines, no floats until the final display
+    * division.
+    *
+    * Scale: pagerank's shuffle shape (cached pre-partitioned edge⋈degree
+    * side; only the node-sized rank relation shuffles per round) plus a
+    * FULL OUTER join with the node-sized teleport relation each round —
+    * early iterations' rank relations are SPARSE (only reached nodes
+    * carry rows), the walk-frontier economy a dense vector misses. */
+  def pprSeeded(spark: SparkSession, dir: String): DataFrame = {
+    val ed = edges(spark, dir)
+    val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val withDeg = ed.join(deg, "src").repartition(col("src")).cache()
+    val seeds = deg.select(col("src").as("node"))
+      .filter(col("node") % 2 === 0 && expr("node DIV 2") <= 5)
+    val counts = deg.agg(count(lit(1)).as("nn"))
+      .crossJoin(broadcast(seeds.agg(count(lit(1)).as("sc"))))
+    val tele = seeds.crossJoin(broadcast(counts))
+      .select(col("node"), expr("150000 * nn DIV sc").as("t"))
+      .cache() // read every iteration + as r0
+    var r = tele.select(col("node"),
+      expr("1000000 * t DIV 150000").as("r")) // seeds start with full mass
+    for (_ <- 1 to Iters) {
+      val flow = withDeg.join(r, withDeg("src") === r("node"))
+        .select(col("dst"), expr("r div d").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(expr("(85 * sum(contrib)) div 100").as("flow"))
+        .select(col("dst").as("node"), col("flow"))
+      r = flow.join(tele, Seq("node"), "full_outer")
+        .select(col("node"),
+          (coalesce(col("flow"), lit(0L)) + coalesce(col("t"), lit(0L)))
+            .as("r"))
+    }
+    r.select(col("node"), (col("r") / lit(1000000.0)).as("rank"))
+      .orderBy(desc("rank"), col("node")).limit(25)
+  }
+
   /** HITS (Kleinberg's hubs-and-authorities) on the DIRECTED bipartite
     * supplier→part graph — the link-analysis twin of `graph_pagerank`
     * for asymmetric roles: suppliers are pure hubs (they only point),
@@ -682,6 +728,7 @@ object Graph {
     "graph_sssp_weighted" -> (ssspWeighted _),
     "graph_kcore"      -> (kcore _),
     "graph_pagerank"   -> (pagerank _),
+    "graph_ppr_seeded" -> (pprSeeded _),
     "graph_hits"       -> (hits _),
     "graph_clustering_coeff" -> (clusteringCoeff _),
     "graph_degree_hist" -> (degreeHistogram _),
@@ -701,6 +748,19 @@ object Graph {
       |  UNION ALL
       |  SELECT p * 2 + 1 AS src, s * 2 AS dst FROM e0),
       |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src)""".stripMargin
+
+  private def pprIterCte(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT COALESCE(f.node, tele.node) AS node,
+       |    COALESCE(f.flow, 0) + COALESCE(tele.t, 0) AS r
+       |  FROM (
+       |    SELECT e.dst AS node,
+       |      (85 * CAST(SUM(r.r // deg.d) AS BIGINT)) // 100 AS flow
+       |    FROM edges e
+       |    JOIN $prev r ON e.src = r.node
+       |    JOIN deg ON e.src = deg.src
+       |    GROUP BY e.dst) f
+       |  FULL JOIN tele ON f.node = tele.node)""".stripMargin
 
   private def iterCte(prev: String, cur: String): String =
     s"""$cur AS (
@@ -907,6 +967,23 @@ object Graph {
         |FROM walk GROUP BY node
         |ORDER BY node""".stripMargin,
     "graph_kcore" -> kcoreOracle,
+    "graph_ppr_seeded" ->
+      s"""WITH $edgeCtes,
+         |seeds AS (
+         |  SELECT src AS node FROM deg WHERE node % 2 = 0 AND node // 2 <= 5),
+         |consts AS (
+         |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS nn,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM seeds) AS sc),
+         |tele AS (
+         |  SELECT node, 150000 * consts.nn // consts.sc AS t
+         |  FROM seeds CROSS JOIN consts),
+         |p0 AS (SELECT node, 1000000 * t // 150000 AS r FROM tele),
+         |${pprIterCte("p0", "p1")},
+         |${pprIterCte("p1", "p2")},
+         |${pprIterCte("p2", "p3")}
+         |SELECT node, r / 1000000.0 AS rank FROM p3
+         |ORDER BY rank DESC, node
+         |LIMIT 25""".stripMargin,
     "graph_pagerank" ->
       s"""WITH $edgeCtes,
          |r0 AS (SELECT src AS node, 1000000::BIGINT AS r FROM deg),
