@@ -953,6 +953,49 @@ object TextAnalysis {
       .limit(25)
   }
 
+  /** PMI collocations (Church & Hanks 1990) — the bigrams that co-occur
+    * far beyond chance, ln(c_xy·M²/(N·c_x·c_y)) with min-support 5: the
+    * phrase detector (word2vec's phrase pass, collocation extraction)
+    * next to `text_bigram_pairs`' raw counts, which rank "of the"-style
+    * frequency, not association. Counts are exact integers from two
+    * hash-aggs (zip_with pair generation — no per-doc sort window); the
+    * single ln() is libm, so the score is round-6 (the decimal-lattice
+    * ulp absorber) BEFORE the ordering, making the top-20 deterministic.
+    * The PMI argument is one fixed mul/div IEEE chain on exact counts.
+    *
+    * Scale: explode → (x,y)-key hash-agg (map-side partials collapse the
+    * Zipf head), two broadcast-eligible unigram joins keyed on each side,
+    * 1-row totals broadcast (A4), TakeOrderedAndProject top-20. */
+  def pmiBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val toksC = filter(tokens(col("text")), t => length(t) > 0)
+    val n1 = greatest(size(toksC) - 1, lit(0))
+    val d = Tables.documents(spark, dir)
+    val uni = d.select(explode(toksC).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c")).cache()
+    val biAll = d.select(explode(zip_with(
+        slice(toksC, lit(1), n1), slice(toksC, lit(2), n1),
+        (a, b) => struct(a.as("x"), b.as("y")))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+      .cache() // N total reads it + the min-support survivors join it
+    val bi = biAll.filter(col("c_xy") >= 5)
+    // N = ALL bigram occurrences (the p(xy) denominator) — summing the
+    // filtered survivors instead would bias every probability upward
+    val tots = uni.agg(sum(col("c")).as("m"))
+      .crossJoin(broadcast(biAll.agg(sum(col("c_xy")).as("n_bi"))))
+    bi.join(uni.select(col("w").as("x"), col("c").as("c_x")), "x")
+      .join(uni.select(col("w").as("y"), col("c").as("c_y")), "y")
+      .crossJoin(broadcast(tots))
+      .select(concat_ws(" ", col("x"), col("y")).as("bigram"),
+        col("c_xy"), col("c_x"), col("c_y"),
+        round(log(col("c_xy").cast("double") * col("m").cast("double") *
+          col("m").cast("double") / (col("n_bi").cast("double") *
+            col("c_x").cast("double") * col("c_y").cast("double"))), 6)
+          .as("pmi"))
+      .orderBy(desc("pmi"), col("bigram"))
+      .limit(20)
+  }
+
   /** Incremental-ingest dedup — the daily shape of exact dedup: a NEW
     * batch is accepted only where its content digest is absent from the
     * HISTORICAL corpus. Historical = even doc_ids; the new batch = odd
@@ -2095,6 +2138,7 @@ object TextAnalysis {
     "pipe_class_balance" -> (classBalance _),
     "text_rolling_hash" -> (rollingHash _),
     "text_winnowing" -> (winnowing _),
+    "text_pmi_bigrams" -> (pmiBigrams _),
     "text_pivot_langs" -> (pivotLangs _),
     "text_unpivot_langs" -> (unpivotLangs _),
     "text_word_count"  -> (wordCount _),
@@ -3254,6 +3298,36 @@ object TextAnalysis {
         |FROM tg JOIN f USING (tg)
         |GROUP BY tg.doc_id
         |ORDER BY tg.doc_id""".stripMargin,
+    "text_pmi_bigrams" ->
+      """WITH l AS (
+        |  SELECT list_filter(string_split(text, ' '), t -> length(t) > 0)
+        |    AS toks
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT UNNEST(toks) AS w FROM l) GROUP BY w),
+        |bi_all AS (
+        |  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c_xy
+        |  FROM (
+        |    SELECT UNNEST(list_slice(toks, 1, len(toks) - 1)) AS x,
+        |      UNNEST(list_slice(toks, 2, len(toks))) AS y
+        |    FROM l WHERE len(toks) >= 2)
+        |  GROUP BY x, y),
+        |bi AS (SELECT * FROM bi_all WHERE c_xy >= 5),
+        |tots AS (
+        |  SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS m,
+        |    (SELECT CAST(SUM(c_xy) AS BIGINT) FROM bi_all) AS n_bi)
+        |SELECT bi.x || ' ' || bi.y AS bigram, bi.c_xy,
+        |  ux.c AS c_x, uy.c AS c_y,
+        |  ROUND(LN(CAST(bi.c_xy AS DOUBLE) * CAST(tots.m AS DOUBLE) *
+        |    CAST(tots.m AS DOUBLE) / (CAST(tots.n_bi AS DOUBLE) *
+        |      CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE))), 6) AS pmi
+        |FROM bi
+        |JOIN uni ux ON bi.x = ux.w
+        |JOIN uni uy ON bi.y = uy.w
+        |CROSS JOIN tots
+        |ORDER BY pmi DESC, bigram
+        |LIMIT 20""".stripMargin,
     "text_winnowing" ->
       """WITH toks AS (
         |  SELECT doc_id, UNNEST(l) AS tok, UNNEST(range(len(l))) AS pos

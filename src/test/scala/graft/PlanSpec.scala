@@ -253,7 +253,9 @@ class PlanSpec extends SparkSpec {
         // per-edge 1-row orphan count ⋈ broadcast 1-row child total (A4)
         "etl_fk_orphans",
         // seed relation ⋈ broadcast 1-row node/seed counts (A4 pattern)
-        "graph_ppr_seeded")
+        "graph_ppr_seeded",
+        // bigram relation ⋈ broadcast 1-row corpus totals (A4 pattern)
+        "text_pmi_bigrams")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
