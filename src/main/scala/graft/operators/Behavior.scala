@@ -924,6 +924,63 @@ object Behavior {
         col("t"), col("df_welch"))
   }
 
+  /** Mixture SPRT (Robbins 1970; Johari–Koomen–Pekelis–Walsh 2017 — the
+    * "peeking-safe" always-valid test production experiment platforms
+    * run): unlike `behavior_ttest_revenue`, whose p-value is only valid
+    * at a FIXED n, the mSPRT likelihood ratio Λ may be monitored
+    * continuously and 1/Λ is a valid p-value at every look. Normal
+    * approximation with a N(0, τ²) effect mixture (τ = $1 = 100 cents,
+    * a fixed prior scale):
+    * ln Λ = ½·ln(V/(V+τ²)) + θ̂²·τ² / (2·V·(V+τ²)), V = s²_a/n_a +
+    * s²_b/n_b, θ̂ = mean_b − mean_a. Moment sums are exact (cents
+    * bigint, Σy² decimal-lifted — the Welch contract); ln/exp are libm,
+    * so ln Λ and the p-value are round-6 and the ship/hold decision
+    * compares the ROUNDED p (identical boundary behavior in both
+    * engines).
+    *
+    * Scale: the Welch shape — two hash-aggs to per-user, one 1-row
+    * conditional aggregation; the readout is O(1) at any corpus. */
+  def msprt(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val firstView = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("v_us"))
+    val perUser = e.filter(col("event_type") === "purchase")
+      .join(firstView, "user_id")
+      .filter(col("ts_us") > col("v_us"))
+      .groupBy(col("user_id")).agg(sum(col("cents")).as("y0"))
+    val users = firstView.join(perUser, Seq("user_id"), "left")
+      .select((col("user_id") % 2).as("variant"),
+        coalesce(col("y0"), lit(0L)).as("y"))
+    val s = users.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === 0, col("y")).otherwise(0L)).as("sy_a"),
+      sum(when(col("variant") === 0, col("y").cast("decimal(19,0)") * col("y"))
+        .otherwise(lit(0L))).as("syy_a"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === 1, col("y")).otherwise(0L)).as("sy_b"),
+      sum(when(col("variant") === 1, col("y").cast("decimal(19,0)") * col("y"))
+        .otherwise(lit(0L))).as("syy_b"))
+    def meanC(sy: String, n: String) = col(sy).cast("double") / col(n)
+    def varC(syy: String, sy: String, n: String) =
+      (col(syy).cast("double") - col(sy).cast("double") * col(sy) / col(n)) /
+        (col(n) - lit(1L))
+    val tau2 = lit(10000.0) // τ = 100 cents: the fixed mixture prior scale
+    val v = varC("syy_a", "sy_a", "n_a") / col("n_a") +
+      varC("syy_b", "sy_b", "n_b") / col("n_b")
+    val theta = meanC("sy_b", "n_b") - meanC("sy_a", "n_a")
+    val lnLam = lit(0.5) * log(v / (v + tau2)) +
+      theta * theta * tau2 / (lit(2.0) * v * (v + tau2))
+    val pAv = round(least(lit(1.0), exp(-lnLam)), 6)
+    s.select(col("n_a"), col("n_b"),
+      when(v > 0.0, round(theta, 6)).as("theta_cents"),
+      when(v > 0.0, round(lnLam, 6)).as("ln_lam"),
+      when(v > 0.0, pAv).as("p_always_valid"),
+      when(v > 0.0, (pAv < 0.05).cast("long")).otherwise(lit(0L))
+        .as("reject_5pct"))
+  }
+
   /** Mann–Whitney U — the rank-based nonparametric twin of
     * `behavior_ttest_revenue`, the test of record when the metric is
     * heavy-tailed (revenue is): does one arm stochastically dominate the
@@ -1411,6 +1468,7 @@ object Behavior {
     "behavior_mann_whitney" -> (mannWhitney _),
     "behavior_spearman" -> (spearman _),
     "behavior_anova_f" -> (anovaPriority _),
+    "behavior_msprt" -> (msprt _),
     "behavior_ks_test"    -> (ksTest _),
     "behavior_srm_check"  -> (srmCheck _),
     "behavior_cuped"      -> (cuped _),
@@ -1661,6 +1719,51 @@ object Behavior {
         |  CAST(SUM(credit_micro) AS BIGINT) AS credit_micro
         |FROM credited GROUP BY channel
         |ORDER BY channel""".stripMargin,
+    "behavior_msprt" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |fv AS (
+        |  SELECT user_id, MIN(ts_us) AS v_us FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |pu AS (
+        |  SELECT e.user_id, SUM(cents) AS y0
+        |  FROM e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > fv.v_us
+        |  GROUP BY e.user_id),
+        |u AS (
+        |  SELECT fv.user_id % 2 AS variant, COALESCE(y0, 0) AS y
+        |  FROM fv LEFT JOIN pu ON fv.user_id = pu.user_id),
+        |s AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+        |    SUM(CASE WHEN variant = 0 THEN y::HUGEINT * y ELSE 0 END) AS syy_a,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b,
+        |    SUM(CASE WHEN variant = 1 THEN y::HUGEINT * y ELSE 0 END) AS syy_b
+        |  FROM u),
+        |g AS (
+        |  SELECT n_a, n_b,
+        |    sy_b::DOUBLE / n_b - sy_a::DOUBLE / n_a AS theta,
+        |    ((syy_a::DOUBLE - sy_a::DOUBLE * sy_a / n_a) / (n_a - 1)) / n_a +
+        |    ((syy_b::DOUBLE - sy_b::DOUBLE * sy_b / n_b) / (n_b - 1)) / n_b
+        |      AS v
+        |  FROM s),
+        |d AS (
+        |  SELECT n_a, n_b, theta, v,
+        |    0.5 * LN(v / (v + 10000.0)) +
+        |      theta * theta * 10000.0 / (2.0 * v * (v + 10000.0)) AS ln_lam
+        |  FROM g)
+        |SELECT n_a, n_b,
+        |  CASE WHEN v > 0 THEN ROUND(theta, 6) END AS theta_cents,
+        |  CASE WHEN v > 0 THEN ROUND(ln_lam, 6) END AS ln_lam,
+        |  CASE WHEN v > 0 THEN ROUND(LEAST(1.0, EXP(-ln_lam)), 6)
+        |  END AS p_always_valid,
+        |  CASE WHEN v > 0 THEN
+        |    CAST(ROUND(LEAST(1.0, EXP(-ln_lam)), 6) < 0.05 AS BIGINT)
+        |    ELSE 0 END AS reject_5pct
+        |FROM d""".stripMargin,
     "behavior_anova_f" -> {
       val terms = AnovaPriorities.indices.map(i =>
         s"""CASE WHEN n$i > 0 THEN
