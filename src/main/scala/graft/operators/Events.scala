@@ -1258,7 +1258,48 @@ object Events {
       .limit(20)
   }
 
+  /** Markov steady state — `events_transition_matrix` gives the one-step
+    * kernel; this runs the chain to (near-)stationarity: four power
+    * iterations π' = πT from uniform, the long-run share of attention
+    * each event type absorbs. Everything is fixed-point integers — the
+    * kernel in ppm (n·10⁶ DIV row-total), mass in micro-units,
+    * each step Σ π(i)·T(i,j) DIV 10⁶ — all operands positive, so
+    * Spark's truncating DIV ≡ DuckDB's flooring //; the tiny floor-loss
+    * per step is part of the (deterministic) statistic's definition.
+    *
+    * Scale: the kernel aggregates once from the event stream (the
+    * transition-matrix shuffle), then every iteration runs on the
+    * |states|² relation — constant-sized, broadcast-joined; nothing
+    * data-sized iterates. */
+  def markovSteady(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tr = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = tr.groupBy(col("prev_type")).agg(sum(col("n")).as("tot"))
+    val kernel = tr.join(rowTot, "prev_type")
+      .select(col("prev_type"), col("next_type"),
+        expr("n * 1000000 DIV tot").as("p_ppm"))
+      .cache() // one read per power iteration
+    val k = rowTot.agg(count(lit(1)).as("k"))
+    var pi = rowTot.select(col("prev_type").as("state"))
+      .crossJoin(broadcast(k))
+      .select(col("state"), expr("1000000 DIV k").as("pi"))
+    for (_ <- 1 to 4) {
+      pi = kernel.join(pi, kernel("prev_type") === pi("state"))
+        .groupBy(col("next_type"))
+        .agg(expr("sum(pi * p_ppm) DIV 1000000").as("pi"))
+        .select(col("next_type").as("state"), col("pi"))
+    }
+    pi.select(col("state"), col("pi").as("pi_micro"))
+      .orderBy(desc("pi_micro"), col("state"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_markov_steady" -> (markovSteady _),
     "events_top_paths" -> (topPaths _),
     "events_seasonal_decomp" -> (seasonalDecomp _),
     "events_theilsen_trend" -> (theilSenTrend _),
@@ -1316,6 +1357,45 @@ object Events {
       |ORDER BY c.event_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "events_markov_steady" ->
+      """WITH tr AS (
+        |  SELECT prev_type, event_type AS next_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (
+        |    SELECT event_type, LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |    FROM events)
+        |  WHERE prev_type IS NOT NULL
+        |  GROUP BY prev_type, next_type),
+        |rt AS (
+        |  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS tot
+        |  FROM tr GROUP BY prev_type),
+        |kern AS (
+        |  SELECT tr.prev_type, tr.next_type, tr.n * 1000000 // rt.tot
+        |    AS p_ppm
+        |  FROM tr JOIN rt ON tr.prev_type = rt.prev_type),
+        |p0 AS (
+        |  SELECT prev_type AS state,
+        |    1000000 // (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS pi
+        |  FROM rt),
+        |p1 AS (
+        |  SELECT next_type AS state,
+        |    CAST(SUM(pi * p_ppm) AS BIGINT) // 1000000 AS pi
+        |  FROM kern JOIN p0 ON kern.prev_type = p0.state GROUP BY next_type),
+        |p2 AS (
+        |  SELECT next_type AS state,
+        |    CAST(SUM(pi * p_ppm) AS BIGINT) // 1000000 AS pi
+        |  FROM kern JOIN p1 ON kern.prev_type = p1.state GROUP BY next_type),
+        |p3 AS (
+        |  SELECT next_type AS state,
+        |    CAST(SUM(pi * p_ppm) AS BIGINT) // 1000000 AS pi
+        |  FROM kern JOIN p2 ON kern.prev_type = p2.state GROUP BY next_type),
+        |p4 AS (
+        |  SELECT next_type AS state,
+        |    CAST(SUM(pi * p_ppm) AS BIGINT) // 1000000 AS pi
+        |  FROM kern JOIN p3 ON kern.prev_type = p3.state GROUP BY next_type)
+        |SELECT state, pi AS pi_micro FROM p4
+        |ORDER BY pi_micro DESC, state""".stripMargin,
     "events_top_paths" ->
       """WITH f AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,

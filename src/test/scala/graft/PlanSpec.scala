@@ -255,7 +255,9 @@ class PlanSpec extends SparkSpec {
         // seed relation ⋈ broadcast 1-row node/seed counts (A4 pattern)
         "graph_ppr_seeded",
         // bigram relation ⋈ broadcast 1-row corpus totals (A4 pattern)
-        "text_pmi_bigrams")
+        "text_pmi_bigrams",
+        // |states|-row init ⋈ broadcast 1-row state count (A4 pattern)
+        "events_markov_steady")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
