@@ -1112,7 +1112,54 @@ object Aggregates {
         .as("r2"))
   }
 
+  /** KMV sketch MERGE — the property that makes `agg_kmv_distinct` a
+    * 100 TB operator: union of sketches = sketch of the union, exactly
+    * (the k smallest of the merged k-smallest sets ARE the k smallest of
+    * the union). Per-source k=128-minimum-value sketches over document
+    * digests, then the merged union sketch — each row carries the exact
+    * distinct count as audit, so the output shows per-shard AND
+    * post-merge estimate quality side by side. Deterministic end to end
+    * (same md5-slice hash + single mul/div chain as the sibling entry).
+    *
+    * Scale: the per-source k-smallest runs as a rank-limited window —
+    * Spark's WindowGroupLimit pushes the rn≤k predicate into per-
+    * partition partial top-k BEFORE the shuffle, so each task ships at
+    * most k rows per source; the merged sketch re-ranks ≤ k·|sources|
+    * rows. Nothing data-sized crosses the wire after the distinct. */
+  def kmvMerge(spark: SparkSession, dir: String): DataFrame = {
+    val k = 128
+    val d = Tables.documents(spark, dir).select(col("source"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .distinct().cache() // sketch pass + the two exact audits read it
+    val perSrc = d.withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"))))
+      .filter(col("rn") <= k).cache() // per-source stats + the merge
+    val est = (nMin: Column, kth: Column) =>
+      when(nMin < k.toLong, nMin.cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18) /
+          kth.cast("double"))
+    val srcOut = perSrc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_min"), max(col("h")).as("kth_hash"))
+      .join(d.groupBy(col("source")).agg(count(lit(1)).as("n_exact")),
+        "source")
+    val mStats = perSrc.select(col("h")).distinct()
+      .orderBy(col("h")).limit(k)
+      .agg(count(lit(1)).as("n_min"), max(col("h")).as("kth_hash"))
+    val merged = mStats
+      .crossJoin(broadcast(
+        d.select(col("h")).distinct().agg(count(lit(1)).as("n_exact"))))
+      .select(lit("__union__").as("source"), col("n_min"),
+        col("kth_hash"), col("n_exact"))
+    srcOut.select(col("source"), col("n_min"), col("kth_hash"), col("n_exact"))
+      .unionByName(merged)
+      .select(col("source"), col("n_exact"), col("n_min"), col("kth_hash"),
+        est(col("n_min"), col("kth_hash")).as("est_kmv"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_kmv_merge" -> (kmvMerge _),
     "ml_ols_cramer" -> (olsCramer _),
     "agg_kmv_distinct" -> (kmvDistinct _),
     "agg_benford_audit" -> (benfordAudit _),
@@ -1150,6 +1197,40 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_kmv_merge" ->
+      """WITH d AS (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |ps AS (
+        |  SELECT source, h,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+        |  FROM d),
+        |sk AS (SELECT source, h FROM ps WHERE rn <= 128),
+        |src AS (
+        |  SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_min,
+        |    CAST(MAX(s.h) AS BIGINT) AS kth_hash,
+        |    CAST(MAX(e.n_exact) AS BIGINT) AS n_exact
+        |  FROM sk s JOIN (
+        |    SELECT source, COUNT(*) AS n_exact FROM d GROUP BY source) e
+        |    ON s.source = e.source
+        |  GROUP BY s.source),
+        |mh AS (SELECT DISTINCT h FROM sk ORDER BY h LIMIT 128),
+        |mrg AS (
+        |  SELECT '__union__' AS source,
+        |    CAST(COUNT(*) AS BIGINT) AS n_min,
+        |    CAST(MAX(h) AS BIGINT) AS kth_hash,
+        |    (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) FROM d) AS n_exact
+        |  FROM mh),
+        |u AS (
+        |  SELECT source, n_exact, n_min, kth_hash FROM src
+        |  UNION ALL
+        |  SELECT source, n_exact, n_min, kth_hash FROM mrg)
+        |SELECT source, n_exact, n_min, kth_hash,
+        |  CASE WHEN n_min < 128 THEN CAST(n_min AS DOUBLE)
+        |    ELSE 127.0 * 1.152921504606846976e18 / CAST(kth_hash AS DOUBLE)
+        |  END AS est_kmv
+        |FROM u ORDER BY source""".stripMargin,
     "ml_ols_cramer" ->
       """WITH r AS (
         |  SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS x1,
