@@ -953,6 +953,55 @@ object TextAnalysis {
       .limit(25)
   }
 
+  /** Dedup FUNNEL — the three dedup tiers run as a cascade, the way a
+    * production corpus actually passes through them (each tier only sees
+    * the previous tier's survivors), with per-stage yield accounting:
+    * (1) exact md5, (2) whitespace/case-normalized md5 (catches
+    * formatting twins), (3) 12-token prefix rolling-hash clusters
+    * (catches shared boilerplate openings — `text_rolling_hash`'s
+    * detector as a dedup stage). Survivors are min-(doc_id, text)
+    * struct-agg picks (the corpusClean idiom — map-side collapsible, no
+    * sort window). The 4-row funnel readout is what a pipeline dashboard
+    * shows: n_in → n_out → n_removed per stage.
+    *
+    * Scale: three digest-keyed hash-aggs, each over the previous
+    * survivor set (monotonically shrinking); counts are 1-row aggs
+    * unioned — no data-sized join anywhere. */
+  def dedupFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val B = 257L
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .cache() // raw count + stage-1 input
+    val s1 = base.groupBy(md5(col("text")).as("fp1"))
+      .agg(min(struct(col("doc_id"), col("text"))).as("s"))
+      .select(col("s.doc_id").as("doc_id"), col("s.text").as("text"))
+      .cache() // stage-1 count + stage-2 input
+    val s2 = s1.groupBy(
+        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fp2"))
+      .agg(min(struct(col("doc_id"), col("text"))).as("s"))
+      .select(col("s.doc_id").as("doc_id"), col("s.text").as("text"))
+      .cache() // stage-2 count + stage-3 input
+    val toks12 = slice(filter(tokens(col("text")), t => length(t) > 0), 1, 12)
+    val tokHash = (t: Column) => conv(substring(md5(t), 1, 4), 16, 10).cast("long")
+    val fp3 = aggregate(toks12, lit(0L), (acc, t) => (acc * B + tokHash(t)) % P)
+    val s3 = s2.select(fp3.as("fp3")).distinct()
+    def cnt(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("rel"), col("n"))
+    val c = cnt(base, "raw").unionByName(cnt(s1, "s1"))
+      .unionByName(cnt(s2, "s2")).unionByName(cnt(s3, "s3"))
+      .groupBy(lit(1).as("g"))
+      .agg(max(when(col("rel") === "raw", col("n"))).as("n0"),
+        max(when(col("rel") === "s1", col("n"))).as("n1"),
+        max(when(col("rel") === "s2", col("n"))).as("n2"),
+        max(when(col("rel") === "s3", col("n"))).as("n3"))
+    val rows = Seq(("exact_md5", "n0", "n1"),
+      ("normalized_md5", "n1", "n2"), ("prefix_cluster", "n2", "n3"))
+    rows.zipWithIndex.map { case ((nm, i0, i1), idx) =>
+      c.select(lit(idx + 1L).as("stage_no"), lit(nm).as("stage"),
+        col(i0).as("n_in"), col(i1).as("n_out"),
+        (col(i0) - col(i1)).as("n_removed"))
+    }.reduce(_.unionByName(_)).orderBy(col("stage_no"))
+  }
+
   /** PMI collocations (Church & Hanks 1990) — the bigrams that co-occur
     * far beyond chance, ln(c_xy·M²/(N·c_x·c_y)) with min-support 5: the
     * phrase detector (word2vec's phrase pass, collocation extraction)
@@ -2139,6 +2188,7 @@ object TextAnalysis {
     "text_rolling_hash" -> (rollingHash _),
     "text_winnowing" -> (winnowing _),
     "text_pmi_bigrams" -> (pmiBigrams _),
+    "pipe_dedup_funnel" -> (dedupFunnel _),
     "text_pivot_langs" -> (pivotLangs _),
     "text_unpivot_langs" -> (unpivotLangs _),
     "text_word_count"  -> (wordCount _),
@@ -3298,6 +3348,39 @@ object TextAnalysis {
         |FROM tg JOIN f USING (tg)
         |GROUP BY tg.doc_id
         |ORDER BY tg.doc_id""".stripMargin,
+    "pipe_dedup_funnel" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+        |s1 AS (
+        |  SELECT MIN(doc_id) AS doc_id,
+        |    (MIN({'doc_id': doc_id, 'text': text})).text AS text
+        |  FROM base GROUP BY md5(text)),
+        |s2 AS (
+        |  SELECT MIN(doc_id) AS doc_id,
+        |    (MIN({'doc_id': doc_id, 'text': text})).text AS text
+        |  FROM s1
+        |  GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))),
+        |s3 AS (
+        |  SELECT DISTINCT list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(
+        |        list_slice(list_filter(string_split(text, ' '),
+        |          t -> length(t) > 0), 1, 12),
+        |        t -> ('0x' || substr(md5(t), 1, 4))::BIGINT)),
+        |    (acc, x) -> (acc * 257 + x) % $P) AS fp3
+        |  FROM s2),
+        |c AS (
+        |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n0,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n1,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n3)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_no, 'exact_md5' AS stage,
+        |    n0 AS n_in, n1 AS n_out, n0 - n1 AS n_removed FROM c
+        |  UNION ALL
+        |  SELECT 2, 'normalized_md5', n1, n2, n1 - n2 FROM c
+        |  UNION ALL
+        |  SELECT 3, 'prefix_cluster', n2, n3, n2 - n3 FROM c)
+        |ORDER BY stage_no""".stripMargin,
     "text_pmi_bigrams" ->
       """WITH l AS (
         |  SELECT list_filter(string_split(text, ' '), t -> length(t) > 0)
