@@ -953,6 +953,37 @@ object TextAnalysis {
       .limit(25)
   }
 
+  /** Vocabulary coverage curve — the tokenizer-sizing readout: what
+    * share of the token STREAM do the top-k vocabulary entries absorb,
+    * sampled at the standard k checkpoints (1,2,5,10,20,50). Zipfian
+    * corpora saturate fast; this is the curve that decides vocab size
+    * and stopword cutoffs before a BPE run (`text_bpe_merges`' sibling
+    * diagnostic). Exact integers end to end: rank by (count desc, word),
+    * cumulative token mass via a window over the AGGREGATED vocabulary
+    * (vocab-bounded, the module's unpartitioned-window rule), coverage
+    * in ppm by positive integer DIV.
+    *
+    * Scale: one token hash-agg (map-side partials absorb the Zipf
+    * head), then everything is vocabulary-sized. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val ks = Seq(1L, 2L, 5L, 10L, 20L, 50L)
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(filter(tokens(col("text")), t => length(t) > 0)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val wRank = Window.orderBy(desc("n"), col("w"))
+    val ranked = vocab
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("cum", sum(col("n")).over(
+        wRank.rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = vocab.agg(sum(col("n")).as("tot"))
+    ranked.filter(col("rk").isin(ks: _*))
+      .crossJoin(broadcast(tot))
+      .select(col("rk").cast("long").as("k"), col("w").as("kth_word"),
+        col("n").as("kth_count"), col("cum").as("cum_tokens"),
+        expr("cum * 1000000 DIV tot").as("coverage_ppm"))
+      .orderBy(col("k"))
+  }
+
   /** Dedup FUNNEL — the three dedup tiers run as a cascade, the way a
     * production corpus actually passes through them (each tier only sees
     * the previous tier's survivors), with per-stage yield accounting:
@@ -1000,6 +1031,39 @@ object TextAnalysis {
         col(i0).as("n_in"), col(i1).as("n_out"),
         (col(i0) - col(i1)).as("n_removed"))
     }.reduce(_.unionByName(_)).orderBy(col("stage_no"))
+  }
+
+  /** Largest-remainder (Hamilton) apportionment of a fixed sampling
+    * budget: B=10,000 training slots split across sources proportionally
+    * to document counts, fractional seats resolved by largest remainder
+    * (ties by source name) — the EXACT integer quota rule behind
+    * `pipe_mixture_sample`'s proportional draws, guaranteed to sum to B
+    * with no float drift: base_i = n_i·B DIV T, and the R = B − Σ base_i
+    * leftover slots go to the R largest n_i·B MOD T remainders. Every
+    * step is positive integer arithmetic.
+    *
+    * Scale: one source hash-agg, then |sources|-sized windows (grouped
+    * input) — constant-size after the first pass. n_i·B needs
+    * n_i < 9.2e14 at B=10⁴ before bigint wraps; document or scale B. */
+  def quotaApportion(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 10000L
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("t"))
+    val based = counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        expr(s"n_docs * $budget DIV t").as("base"),
+        expr(s"n_docs * $budget % t").as("rem"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRem = Window.orderBy(desc("rem"), col("source"))
+    based
+      .withColumn("leftover", lit(budget) - sum(col("base")).over(wAll))
+      .withColumn("rk", row_number().over(wRem))
+      .select(col("source"), col("n_docs"), col("base"), col("rem"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("quota"))
+      .orderBy(col("source"))
   }
 
   /** PMI collocations (Church & Hanks 1990) — the bigrams that co-occur
@@ -2189,6 +2253,8 @@ object TextAnalysis {
     "text_winnowing" -> (winnowing _),
     "text_pmi_bigrams" -> (pmiBigrams _),
     "pipe_dedup_funnel" -> (dedupFunnel _),
+    "text_vocab_coverage" -> (vocabCoverage _),
+    "pipe_quota_apportion" -> (quotaApportion _),
     "text_pivot_langs" -> (pivotLangs _),
     "text_unpivot_langs" -> (unpivotLangs _),
     "text_word_count"  -> (wordCount _),
@@ -3348,6 +3414,43 @@ object TextAnalysis {
         |FROM tg JOIN f USING (tg)
         |GROUP BY tg.doc_id
         |ORDER BY tg.doc_id""".stripMargin,
+    "text_vocab_coverage" ->
+      """WITH vocab AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT UNNEST(list_filter(string_split(text, ' '),
+        |    t -> length(t) > 0)) AS w FROM documents)
+        |  GROUP BY w),
+        |ranked AS (
+        |  SELECT w, n,
+        |    ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rk,
+        |    SUM(n) OVER (ORDER BY n DESC, w
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM vocab),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM vocab)
+        |SELECT CAST(rk AS BIGINT) AS k, w AS kth_word, n AS kth_count,
+        |  CAST(cum AS BIGINT) AS cum_tokens,
+        |  CAST(cum AS BIGINT) * 1000000 // tot.t AS coverage_ppm
+        |FROM ranked CROSS JOIN tot
+        |WHERE rk IN (1, 2, 5, 10, 20, 50)
+        |ORDER BY k""".stripMargin,
+    "pipe_quota_apportion" ->
+      """WITH c AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t FROM c),
+        |b AS (
+        |  SELECT source, n_docs,
+        |    n_docs * 10000 // tot.t AS base,
+        |    n_docs * 10000 % tot.t AS rem
+        |  FROM c CROSS JOIN tot),
+        |r AS (
+        |  SELECT *,
+        |    10000 - SUM(base) OVER () AS leftover,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM b)
+        |SELECT source, n_docs, base, rem,
+        |  base + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END) AS quota
+        |FROM r ORDER BY source""".stripMargin,
     "pipe_dedup_funnel" ->
       s"""WITH base AS (SELECT doc_id, text FROM documents),
         |s1 AS (
