@@ -443,7 +443,7 @@ object Joins {
   def shippingQ3(spark: SparkSession, dir: String): DataFrame = {
     val cut = lit("1996-07-01").cast("timestamp")
     val c = Tables.customer(spark, dir)
-      .filter(col("c_mktsegment") === "SEGMENT_1")
+      .filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cut)
     val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cut)
     li.join(o, li("l_orderkey") === o("o_orderkey"))
@@ -514,7 +514,7 @@ object Joins {
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
-        |WHERE c_mktsegment = 'SEGMENT_1'
+        |WHERE c_mktsegment = 'BUILDING'
         |  AND o_orderdate < TIMESTAMP '1996-07-01'
         |  AND l_shipdate > TIMESTAMP '1996-07-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
