@@ -1262,6 +1262,42 @@ object Similarity {
       .orderBy(col("cluster_id"), col("dim"))
   }
 
+  /** Cluster PURITY against the held external labels — the evaluation
+    * step every clustering pipeline runs after `sim_kmeans_lloyd` fits:
+    * per cluster, which label dominates and how cleanly (n_top/n in
+    * ppm), plus the overall purity row (cluster_id = −1) — Σ max-label
+    * counts over n, the standard external-validity score. Fully
+    * deterministic because the Lloyd fit itself is (round-6 decimal
+    * lattice), so unlike MLlib-fit clustering this eval hash-matches
+    * DuckDB end to end. Dominant labels tie-break by (count desc,
+    * label) — mirrored.
+    *
+    * Scale: inherits the Lloyd passes; the eval itself is one
+    * (cluster, label) hash-agg + K-sized windows. */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val xs = vecComponents(spark, dir).cache()
+    val asg = assignToCents(xs, lloydFit(xs))
+    val cl = asg.join(
+        Tables.embeddings(spark, dir).select(col("vec_id"), col("label")),
+        "vec_id")
+      .groupBy(col("cl"), col("label")).agg(count(lit(1)).as("n"))
+      .cache() // sizes + dominant-label window + overall row read it
+    val tot = cl.groupBy(col("cl")).agg(sum(col("n")).as("n_members"))
+    val top = cl.withColumn("rn", row_number().over(
+        Window.partitionBy(col("cl")).orderBy(desc("n"), col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("cl"), col("label").as("top_label"), col("n").as("n_top"))
+    val per = top.join(tot, "cl")
+      .select(col("cl").as("cluster_id"), col("n_members"), col("top_label"),
+        col("n_top"), expr("n_top * 1000000 DIV n_members").as("purity_ppm"))
+    val overall = per.agg(sum(col("n_members")).as("nm"),
+        sum(col("n_top")).as("nt"))
+      .select(lit(-1L).as("cluster_id"), col("nm").as("n_members"),
+        lit(null).cast("int").as("top_label"), col("nt").as("n_top"),
+        expr("nt * 1000000 DIV nm").as("purity_ppm"))
+    per.unionByName(overall).orderBy(col("cluster_id"))
+  }
+
   /** IVF top-5 search over the RELATIONAL Lloyd quantizer — the fully-
     * oracled IVF twin of `sim_knn_ivf` (whose MLlib fit forces a recall
     * gate): every stage — quantizer training, corpus cell assignment,
@@ -1370,6 +1406,36 @@ object Similarity {
   }
 
   private def lloydFin: Int = LloydRounds + 1
+
+  /** DuckDB oracle for `sim_cluster_purity`: the Lloyd chain + external
+    * label join, dominant label per cluster, and the −1 overall row. */
+  private def clusterPurityOracleSql: String =
+    s"""WITH $kmeansChainSql
+       |cl AS (
+       |  SELECT a.cl, e.label, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM a$lloydFin a JOIN embeddings e ON a.vec_id = e.vec_id
+       |  GROUP BY a.cl, e.label),
+       |tot AS (
+       |  SELECT cl, CAST(SUM(n) AS BIGINT) AS n_members FROM cl GROUP BY cl),
+       |top AS (
+       |  SELECT cl, label AS top_label, n AS n_top FROM (
+       |    SELECT cl, label, n,
+       |      ROW_NUMBER() OVER (PARTITION BY cl ORDER BY n DESC, label) AS rn
+       |    FROM cl) WHERE rn = 1),
+       |per AS (
+       |  SELECT t.cl AS cluster_id, tot.n_members, t.top_label, t.n_top,
+       |    t.n_top * 1000000 // tot.n_members AS purity_ppm
+       |  FROM top t JOIN tot ON t.cl = tot.cl),
+       |ov AS (
+       |  SELECT CAST(-1 AS BIGINT) AS cluster_id,
+       |    CAST(SUM(n_members) AS BIGINT) AS n_members,
+       |    CAST(NULL AS INTEGER) AS top_label,
+       |    CAST(SUM(n_top) AS BIGINT) AS n_top,
+       |    CAST(SUM(n_top) AS BIGINT) * 1000000 //
+       |      CAST(SUM(n_members) AS BIGINT) AS purity_ppm
+       |  FROM per)
+       |SELECT * FROM per UNION ALL SELECT * FROM ov
+       |ORDER BY cluster_id""".stripMargin
 
   private def kmeansOracleSql: String =
     s"""WITH $kmeansChainSql
@@ -1633,6 +1699,7 @@ object Similarity {
     "sim_index_health" -> (indexHealth _),
     "sim_label_centroids" -> (labelCentroids _),
     "sim_kmeans_lloyd" -> (kmeansLloyd _),
+    "sim_cluster_purity" -> (clusterPurity _),
     "sim_knn_ivf_lloyd" -> (knnIvfLloyd _),
     "sim_centroid_assign" -> (centroidAssign _),
     "sim_hybrid_rrf" -> (hybridRrf _),
@@ -1963,6 +2030,7 @@ object Similarity {
         |ORDER BY q_id, cos DESC, a.vec_id""".stripMargin,
     "sim_mmr_rerank" -> mmrOracleSql,
     "sim_kmeans_lloyd" -> kmeansOracleSql,
+    "sim_cluster_purity" -> clusterPurityOracleSql,
     "sim_knn_ivf_lloyd" -> ivfLloydOracleSql,
     "sim_lsh_recall" ->
       s"""WITH e AS (
