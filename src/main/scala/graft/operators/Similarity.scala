@@ -1298,6 +1298,57 @@ object Similarity {
     per.unionByName(overall).orderBy(col("cluster_id"))
   }
 
+  /** Simplified silhouette (Hruschka et al.'s centroid-distance form of
+    * Rousseeuw 1987) over the Lloyd fit — the INTERNAL validity score
+    * next to `sim_cluster_purity`'s external one: per point, a = distance
+    * to its own centroid, b = nearest OTHER centroid,
+    * s = (b−a)/max(a,b) ∈ [−1,1]; negative s marks points the (cosine)
+    * assignment parked on the wrong side of a Euclidean boundary — the
+    * mismatch is reported, not hidden. O(n·K) centroid distances, never
+    * the O(n²) pairwise original — the form that survives 100 TB.
+    * Determinism: squared distances are exact decimals; each sqrt is
+    * libm → ROUND-9 lattice per point; s is one IEEE chain → round-6
+    * lattice; cluster means are decimal sums over lattice values, one
+    * final division. Output per cluster + the overall −1 row.
+    *
+    * Scale: inherits the Lloyd passes; the eval is one broadcast-cent
+    * join (K·dims rows), a (point, K)-sized agg, and K-sized rollups. */
+  def silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val xs = vecComponents(spark, dir).cache()
+    val cent = lloydFit(xs)
+    val asg = assignToCents(xs, cent)
+    val d = xs.join(broadcast(cent), "dim")
+      .groupBy(col("vec_id"), col("cl"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("sq"))
+      .select(col("vec_id"), col("cl"),
+        round(sqrt(col("sq").cast("double")), 9).cast("decimal(18,9)")
+          .as("dist"))
+    val j = d.join(asg.select(col("vec_id"), col("cl").as("own")), "vec_id")
+      .cache() // own-distance and other-min legs both read it
+    val a = j.filter(col("cl") === col("own"))
+      .select(col("vec_id"), col("own"), col("dist").as("da"))
+    val b = j.filter(col("cl") =!= col("own"))
+      .groupBy(col("vec_id")).agg(min(col("dist")).as("db"))
+    val ad = col("da").cast("double"); val bd = col("db").cast("double")
+    val pts = a.join(b, "vec_id")
+      .select(col("own"),
+        when(greatest(ad, bd) > 0.0,
+          round((bd - ad) / greatest(ad, bd), 6)).otherwise(lit(0.0))
+          .cast("decimal(18,6)").as("s"))
+      .cache() // per-cluster rollup + overall row
+    val per = pts.groupBy(col("own")).agg(count(lit(1)).as("n_points"),
+        round(sum(col("s")).cast("double") / count(lit(1)), 6)
+          .as("mean_silhouette"))
+      .select(col("own").as("cluster_id"), col("n_points"),
+        col("mean_silhouette"))
+    val overall = pts.agg(count(lit(1)).as("n_points"),
+        round(sum(col("s")).cast("double") / count(lit(1)), 6)
+          .as("mean_silhouette"))
+      .select(lit(-1L).as("cluster_id"), col("n_points"),
+        col("mean_silhouette"))
+    per.unionByName(overall).orderBy(col("cluster_id"))
+  }
+
   /** IVF top-5 search over the RELATIONAL Lloyd quantizer — the fully-
     * oracled IVF twin of `sim_knn_ivf` (whose MLlib fit forces a recall
     * gate): every stage — quantizer training, corpus cell assignment,
@@ -1406,6 +1457,43 @@ object Similarity {
   }
 
   private def lloydFin: Int = LloydRounds + 1
+
+  /** DuckDB oracle for `sim_silhouette`: the Lloyd chain + centroid
+    * distances on the round-9 lattice and the round-6 per-point score. */
+  private def silhouetteOracleSql: String =
+    s"""WITH $kmeansChainSql
+       |d AS (
+       |  SELECT x.vec_id, c.cl,
+       |    CAST(ROUND(sqrt(CAST(SUM((x.xr - c.c) * (x.xr - c.c)) AS DOUBLE)),
+       |      9) AS DECIMAL(18,9)) AS dist
+       |  FROM x JOIN cent$lloydFin c ON c.dim = x.dim
+       |  GROUP BY x.vec_id, c.cl),
+       |j AS (
+       |  SELECT d.vec_id, d.cl, a.cl AS own, d.dist
+       |  FROM d JOIN a$lloydFin a ON d.vec_id = a.vec_id),
+       |aa AS (
+       |  SELECT vec_id, own, dist AS da FROM j WHERE cl = own),
+       |bb AS (
+       |  SELECT vec_id, MIN(dist) AS db FROM j WHERE cl <> own
+       |  GROUP BY vec_id),
+       |pts AS (
+       |  SELECT aa.own,
+       |    CAST(CASE WHEN GREATEST(CAST(da AS DOUBLE), CAST(db AS DOUBLE)) > 0
+       |      THEN ROUND((CAST(db AS DOUBLE) - CAST(da AS DOUBLE)) /
+       |        GREATEST(CAST(da AS DOUBLE), CAST(db AS DOUBLE)), 6)
+       |      ELSE 0.0 END AS DECIMAL(18,6)) AS s
+       |  FROM aa JOIN bb ON aa.vec_id = bb.vec_id),
+       |per AS (
+       |  SELECT own AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+       |    ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS mean_silhouette
+       |  FROM pts GROUP BY own),
+       |ov AS (
+       |  SELECT CAST(-1 AS BIGINT) AS cluster_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_points,
+       |    ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS mean_silhouette
+       |  FROM pts)
+       |SELECT * FROM per UNION ALL SELECT * FROM ov
+       |ORDER BY cluster_id""".stripMargin
 
   /** DuckDB oracle for `sim_cluster_purity`: the Lloyd chain + external
     * label join, dominant label per cluster, and the −1 overall row. */
@@ -1700,6 +1788,7 @@ object Similarity {
     "sim_label_centroids" -> (labelCentroids _),
     "sim_kmeans_lloyd" -> (kmeansLloyd _),
     "sim_cluster_purity" -> (clusterPurity _),
+    "sim_silhouette" -> (silhouette _),
     "sim_knn_ivf_lloyd" -> (knnIvfLloyd _),
     "sim_centroid_assign" -> (centroidAssign _),
     "sim_hybrid_rrf" -> (hybridRrf _),
@@ -2031,6 +2120,7 @@ object Similarity {
     "sim_mmr_rerank" -> mmrOracleSql,
     "sim_kmeans_lloyd" -> kmeansOracleSql,
     "sim_cluster_purity" -> clusterPurityOracleSql,
+    "sim_silhouette" -> silhouetteOracleSql,
     "sim_knn_ivf_lloyd" -> ivfLloydOracleSql,
     "sim_lsh_recall" ->
       s"""WITH e AS (
