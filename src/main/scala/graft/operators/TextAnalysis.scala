@@ -1033,6 +1033,26 @@ object TextAnalysis {
     }.reduce(_.unionByName(_)).orderBy(col("stage_no"))
   }
 
+  /** Lexical diversity per source — type-token ratio and hapax-legomenon
+    * share, the corpus-QA readout that flags template/boilerplate
+    * sources (low TTR, few hapaxes) vs organic text before training
+    * (`text_zipf_fit`'s tail-health companion). Two-stage agg: (source,
+    * word) counts collapse map-side, then a source rollup; all integer
+    * ppm via positive DIV. */
+  def hapaxRatio(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(filter(tokens(col("text")), t => length(t) > 0)).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("n_types * 1000000 DIV n_tokens").as("ttr_ppm"),
+        expr("n_hapax * 1000000 DIV n_types").as("hapax_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** Largest-remainder (Hamilton) apportionment of a fixed sampling
     * budget: B=10,000 training slots split across sources proportionally
     * to document counts, fractional seats resolved by largest remainder
@@ -2255,6 +2275,7 @@ object TextAnalysis {
     "pipe_dedup_funnel" -> (dedupFunnel _),
     "text_vocab_coverage" -> (vocabCoverage _),
     "pipe_quota_apportion" -> (quotaApportion _),
+    "text_hapax_ratio" -> (hapaxRatio _),
     "text_pivot_langs" -> (pivotLangs _),
     "text_unpivot_langs" -> (unpivotLangs _),
     "text_word_count"  -> (wordCount _),
@@ -3414,6 +3435,21 @@ object TextAnalysis {
         |FROM tg JOIN f USING (tg)
         |GROUP BY tg.doc_id
         |ORDER BY tg.doc_id""".stripMargin,
+    "text_hapax_ratio" ->
+      """WITH wc AS (
+        |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT source, UNNEST(list_filter(string_split(text, ' '),
+        |    t -> length(t) > 0)) AS w FROM documents)
+        |  GROUP BY source, w),
+        |r AS (
+        |  SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |  FROM wc GROUP BY source)
+        |SELECT source, n_tokens, n_types, n_hapax,
+        |  n_types * 1000000 // n_tokens AS ttr_ppm,
+        |  n_hapax * 1000000 // n_types AS hapax_ppm
+        |FROM r ORDER BY source""".stripMargin,
     "text_vocab_coverage" ->
       """WITH vocab AS (
         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n
