@@ -485,7 +485,79 @@ object Joins {
       .limit(20)
   }
 
+  /** TPC-H Q4-shaped order-priority checking: how many orders per
+    * priority had AT LEAST ONE lineitem shipped more than 90 days after
+    * the order date — an EXISTS (left-semi) whose inner predicate is a
+    * cross-table comparison riding the orderkey equi-join as a residual;
+    * the semi join never materializes lineitem payload and
+    * short-circuits per order.
+    *
+    * Scale: one quarter of orders (filter pushed to scan) semi-joined
+    * against the lineitem scan; counts collapse map-side. */
+  def priorityCheckQ4(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li, o("o_orderkey") === li("l_orderkey") &&
+        li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q12-shaped shipping-delay split: per order priority, how many
+    * 1996–1997 lineitems shipped on time (≤ 90 days after order) vs
+    * late — Q4's EXISTS flattened to the per-line conditional aggregate,
+    * the shape that feeds an SLA dashboard. One fact⋈fact equi-join;
+    * both date filters push into the scans; the split is a when/CASE
+    * pair inside one hash-agg (no second pass). */
+  def shipDelayQ12(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(when(late, 1L).otherwise(0L)).as("n_late"),
+        sum(when(late, 0L).otherwise(1L)).as("n_ontime"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q14-shaped promotion effect: the share of one month's revenue
+    * earned by PROMO-type parts. Revenue stays EXACT DECIMAL through the
+    * conditional split (price(12,2)·(1−disc)(4,2) sums — never a double
+    * until the end), so the ppm share is ONE IEEE division on two
+    * exactly-agreed operands, round-6. The part join is broadcast-
+    * eligible dim⋈fact; the month filter pushes into the lineitem scan. */
+  def promoShareQ14(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-06-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+    val rev = col("l_extendedprice").cast(DecimalType(12, 2)) *
+      (lit(1.0).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2)))
+    val s = li.join(p, li("l_partkey") === p("p_partkey"))
+      .agg(sum(when(col("p_type") === "PROMO", rev)
+          .otherwise(lit(0).cast(DecimalType(16, 4)))).as("promo_rev"),
+        sum(rev).as("total_rev"), count(lit(1)).as("n_lines"))
+    s.select(col("n_lines"),
+      col("promo_rev").cast("double").as("promo_revenue"),
+      col("total_rev").cast("double").as("total_revenue"),
+      when(col("total_rev") > 0,
+        round(col("promo_rev").cast("double") * lit(1000000.0) /
+          col("total_rev").cast("double"), 6)).as("promo_share_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_priority_q4" -> (priorityCheckQ4 _),
+    "join_shipdelay_q12" -> (shipDelayQ12 _),
+    "join_promo_q14" -> (promoShareQ14 _),
     "join_shipping_q3" -> (shippingQ3 _),
     "join_returned_q10" -> (returnedQ10 _),
     "join_volume_q7" -> (volumeQ7 _),
@@ -506,6 +578,50 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_priority_q4" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n_late_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "join_shipdelay_q12" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS n_ontime
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "join_promo_q14" ->
+      """WITH s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    SUM(CASE WHEN p_type = 'PROMO' THEN
+        |      CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |        (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |      ELSE CAST(0 AS DECIMAL(16,4)) END) AS promo_rev,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |      AS total_rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-06-01'
+        |    AND l_shipdate < TIMESTAMP '1996-07-01')
+        |SELECT n_lines,
+        |  CAST(promo_rev AS DOUBLE) AS promo_revenue,
+        |  CAST(total_rev AS DOUBLE) AS total_revenue,
+        |  CASE WHEN total_rev > 0 THEN
+        |    ROUND(CAST(promo_rev AS DOUBLE) * 1000000.0 /
+        |      CAST(total_rev AS DOUBLE), 6)
+        |  END AS promo_share_ppm
+        |FROM s""".stripMargin,
     "join_shipping_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
