@@ -1033,6 +1033,41 @@ object TextAnalysis {
     }.reduce(_.unionByName(_)).orderBy(col("stage_no"))
   }
 
+  /** N-gram NOVELTY scoring — per source, what share of each document's
+    * distinct trigrams had never appeared in any EARLIER document
+    * (doc_id order = ingest order): the cheap novelty filter data-
+    * curation pipelines run to down-weight recombinated/templated text
+    * before training (the deterministic core of novelty-based selection;
+    * `pipe_dsir_weights` is its model-based sibling). First occurrence
+    * is a min(doc_id) hash-agg per trigram — no window, no ordering
+    * shuffle — and per-doc novelty joins back on the trigram key.
+    *
+    * Scale: explode → (trigram, doc) distinct → trigram-key agg + join —
+    * the word-count shuffle shape on a bigger key space; the source
+    * rollup is tiny. All integer ppm. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val toksC = filter(tokens(col("text")), t => length(t) > 0)
+    val n2 = greatest(size(toksC) - 2, lit(0))
+    val tri = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), explode(zip_with(
+        slice(toksC, lit(1), n2), zip_with(
+          slice(toksC, lit(2), n2), slice(toksC, lit(3), n2),
+          (b, c) => concat_ws(" ", b, c)),
+        (a, bc) => concat_ws(" ", a, bc))).as("tri"))
+      .distinct()
+      .cache() // first-occurrence agg + the join-back both read it
+    val first = tri.groupBy(col("tri")).agg(min(col("doc_id")).as("first_doc"))
+    tri.join(first, "tri")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_trigrams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("source"), col("n_docs"), col("n_trigrams"), col("n_novel"),
+        expr("n_novel * 1000000 DIV n_trigrams").as("novelty_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** Lexical diversity per source — type-token ratio and hapax-legomenon
     * share, the corpus-QA readout that flags template/boilerplate
     * sources (low TTR, few hapaxes) vs organic text before training
@@ -2276,6 +2311,7 @@ object TextAnalysis {
     "text_vocab_coverage" -> (vocabCoverage _),
     "pipe_quota_apportion" -> (quotaApportion _),
     "text_hapax_ratio" -> (hapaxRatio _),
+    "pipe_ngram_novelty" -> (ngramNovelty _),
     "text_pivot_langs" -> (pivotLangs _),
     "text_unpivot_langs" -> (unpivotLangs _),
     "text_word_count"  -> (wordCount _),
@@ -3435,6 +3471,31 @@ object TextAnalysis {
         |FROM tg JOIN f USING (tg)
         |GROUP BY tg.doc_id
         |ORDER BY tg.doc_id""".stripMargin,
+    "pipe_ngram_novelty" ->
+      """WITH l AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    a || ' ' || b || ' ' || c AS tri
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      UNNEST(list_slice(toks, 1, len(toks) - 2)) AS a,
+        |      UNNEST(list_slice(toks, 2, len(toks) - 1)) AS b,
+        |      UNNEST(list_slice(toks, 3, len(toks))) AS c
+        |    FROM l WHERE len(toks) >= 3)),
+        |f AS (SELECT tri, MIN(doc_id) AS first_doc FROM tri GROUP BY tri)
+        |SELECT source,
+        |  CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+        |  CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000000 // COUNT(*) AS novelty_ppm
+        |FROM tri t JOIN f ON t.tri = f.tri
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
     "text_hapax_ratio" ->
       """WITH wc AS (
         |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n
