@@ -1180,7 +1180,10 @@ object Events {
     *
     * Scale: hour-key hash-agg, windows over the time-bounded hourly grid,
     * a 24-row profile — nothing data-sized after the first pass. */
-  def seasonalDecomp(spark: SparkSession, dir: String): DataFrame = {
+  /** The decomposition substrate shared by `events_seasonal_decomp` and
+    * `events_seasonal_anomaly`: per in-window hour, (hour_of_day, h,
+    * detrended micro-volume) from the gap-filled 2×24 centered MA. */
+  private def detrendedHours(spark: SparkSession, dir: String): DataFrame = {
     val hc = Tables.events(spark, dir)
       .select(expr("unix_micros(date_trunc('hour', ts)) DIV 3600000000").as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("y"))
@@ -1190,15 +1193,19 @@ object Events {
       .select(col("h"), coalesce(col("y"), lit(0L)).as("y"))
     val wMa = Window.orderBy(col("h")).rowsBetween(-12, 12)
     val wOrd = Window.orderBy(col("h"))
-    val detr = series
+    series
       .withColumn("wsum", sum(col("y")).over(wMa))
       .withColumn("y_m12", lag(col("y"), 12).over(wOrd))
       .withColumn("y_p12", lead(col("y"), 12).over(wOrd))
       .filter(col("y_m12").isNotNull && col("y_p12").isNotNull)
       .withColumn("trend_micro", expr(
         "(wsum * 2 - y_m12 - y_p12) * 1000000 DIV 48"))
-      .select((col("h") % 24).as("hour_of_day"),
+      .select((col("h") % 24).as("hour_of_day"), col("h"), col("y"),
         (col("y") * lit(1000000L) - col("trend_micro")).as("detr"))
+  }
+
+  /** The re-centered hour-of-day profile over a detrended relation. */
+  private def centeredProfile(detr: DataFrame): DataFrame = {
     val prof = detr.groupBy(col("hour_of_day"))
       .agg(count(lit(1)).as("n_obs"), sum(col("detr")).as("sd"))
       .withColumn("smean", expr(
@@ -1206,12 +1213,18 @@ object Events {
           " ELSE -((-sd + n_obs - 1) DIV n_obs) END"))
     val wAll = Window.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
-    val centered = prof
+    prof
       .withColumn("gsum", sum(col("smean")).over(wAll))
       .withColumn("k", count(lit(1)).over(wAll))
       .withColumn("seasonal_micro", col("smean") - expr(
         "CASE WHEN gsum >= 0 THEN gsum DIV k" +
           " ELSE -((-gsum + k - 1) DIV k) END"))
+  }
+
+  def seasonalDecomp(spark: SparkSession, dir: String): DataFrame = {
+    val detr = detrendedHours(spark, dir)
+      .select(col("hour_of_day"), col("detr"))
+    val centered = centeredProfile(detr)
     val res = detr.join(centered.select(col("hour_of_day"),
         col("seasonal_micro").as("sm")), "hour_of_day")
       .groupBy(col("hour_of_day"))
@@ -1219,6 +1232,39 @@ object Events {
     centered.select(col("hour_of_day"), col("n_obs"), col("seasonal_micro"))
       .join(res, "hour_of_day")
       .orderBy(col("hour_of_day"))
+  }
+
+  /** Seasonal residual anomalies — `events_seasonal_decomp` turned into a
+    * detector: hours whose detrended-minus-seasonal residual exceeds
+    * 3×RMS (the "unexpected even for that hour of day" alert, the
+    * calendar-aware sibling of `events_ewma_anomaly`'s causal one).
+    * Residuals are exact micro integers; RMS is the only libm step
+    * (Σr² decimal-lifted — r² passes 2⁶³ at |r| ≥ ~3e9 micro — one
+    * sqrt, threshold ROUNDED to the 4-place lattice at micro scale
+    * before the comparison so both engines flag identical hours). Top
+    * 20 by (|residual| desc, hour).
+    *
+    * Scale: the decomposition's time-bounded windows + a 1-row RMS
+    * broadcast (A4); output is the anomaly head, never the series. */
+  def seasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val detr = detrendedHours(spark, dir)
+    val withSeasonal = detr.join(
+      centeredProfile(detr.select(col("hour_of_day"), col("detr")))
+        .select(col("hour_of_day"), col("seasonal_micro")), "hour_of_day")
+      .withColumn("resid", col("detr") - col("seasonal_micro"))
+      .cache() // RMS fold + the flag scan read it
+    val rms = withSeasonal.agg(
+        sum(col("resid").cast("decimal(19,0)") * col("resid")).as("sq"),
+        count(lit(1)).as("n"))
+      .select(round(lit(3.0) *
+        sqrt(col("sq").cast("double") / col("n").cast("double")), 4)
+        .as("thr"))
+    withSeasonal.crossJoin(broadcast(rms))
+      .filter(abs(col("resid")).cast("double") > col("thr"))
+      .select(col("h").as("hour_no"), col("hour_of_day"), col("y"),
+        col("resid").as("resid_micro"), col("thr").as("thr_micro"))
+      .orderBy(abs(col("resid_micro")).desc, col("hour_no"))
+      .limit(20)
   }
 
   /** Top session paths — the "how do users actually move through the
@@ -1300,6 +1346,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_markov_steady" -> (markovSteady _),
+    "events_seasonal_anomaly" -> (seasonalAnomaly _),
     "events_top_paths" -> (topPaths _),
     "events_seasonal_decomp" -> (seasonalDecomp _),
     "events_theilsen_trend" -> (theilSenTrend _),
@@ -1357,6 +1404,60 @@ object Events {
       |ORDER BY c.event_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "events_seasonal_anomaly" ->
+      """WITH hc AS (
+        |  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |grid AS (
+        |  SELECT UNNEST(generate_series((SELECT MIN(h) FROM hc),
+        |    (SELECT MAX(h) FROM hc))) AS h),
+        |series AS (
+        |  SELECT grid.h, COALESCE(hc.y, 0) AS y
+        |  FROM grid LEFT JOIN hc ON grid.h = hc.h),
+        |ma AS (
+        |  SELECT h, y,
+        |    SUM(y) OVER (ORDER BY h
+        |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS wsum,
+        |    LAG(y, 12) OVER (ORDER BY h) AS y_m12,
+        |    LEAD(y, 12) OVER (ORDER BY h) AS y_p12
+        |  FROM series),
+        |detr AS (
+        |  SELECT h % 24 AS hour_of_day, h, y,
+        |    CAST(y * 1000000 - (wsum * 2 - y_m12 - y_p12) * 1000000 // 48
+        |      AS BIGINT) AS detr
+        |  FROM ma WHERE y_m12 IS NOT NULL AND y_p12 IS NOT NULL),
+        |prof AS (
+        |  SELECT hour_of_day, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |    CAST(SUM(detr) AS BIGINT) AS sd
+        |  FROM detr GROUP BY hour_of_day),
+        |pm AS (
+        |  SELECT hour_of_day,
+        |    CASE WHEN sd >= 0 THEN sd // n_obs
+        |      ELSE -((-sd + n_obs - 1) // n_obs) END AS smean
+        |  FROM prof),
+        |cen AS (
+        |  SELECT hour_of_day,
+        |    smean - (CASE WHEN g.gsum >= 0 THEN g.gsum // g.k
+        |      ELSE -((-g.gsum + g.k - 1) // g.k) END) AS seasonal_micro
+        |  FROM pm CROSS JOIN (
+        |    SELECT CAST(SUM(smean) AS BIGINT) AS gsum,
+        |      CAST(COUNT(*) AS BIGINT) AS k FROM pm) g),
+        |r AS (
+        |  SELECT d.h, d.hour_of_day, d.y,
+        |    d.detr - c.seasonal_micro AS resid
+        |  FROM detr d JOIN cen c ON d.hour_of_day = c.hour_of_day),
+        |thr AS (
+        |  SELECT ROUND(3.0 * sqrt(
+        |    CAST(SUM(CAST(resid AS HUGEINT) * resid) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE)), 4) AS thr
+        |  FROM r)
+        |SELECT r.h AS hour_no, r.hour_of_day, r.y,
+        |  r.resid AS resid_micro, thr.thr AS thr_micro
+        |FROM r CROSS JOIN thr
+        |WHERE CAST(ABS(r.resid) AS DOUBLE) > thr.thr
+        |ORDER BY ABS(r.resid) DESC, hour_no
+        |LIMIT 20""".stripMargin,
     "events_markov_steady" ->
       """WITH tr AS (
         |  SELECT prev_type, event_type AS next_type,

@@ -261,7 +261,9 @@ class PlanSpec extends SparkSpec {
         // 1-row merged sketch ⋈ broadcast 1-row exact audit (A4 pattern)
         "agg_kmv_merge",
         // vocab/source relation ⋈ broadcast 1-row total (A4 pattern)
-        "text_vocab_coverage", "pipe_quota_apportion")
+        "text_vocab_coverage", "pipe_quota_apportion",
+        // hour-residual relation ⋈ broadcast 1-row RMS threshold (A4)
+        "events_seasonal_anomaly")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
