@@ -554,7 +554,76 @@ object Joins {
           col("total_rev").cast("double"), 6)).as("promo_share_ppm"))
   }
 
+  /** TPC-H Q2-shaped cheapest-supplier lookup — per part, WHICH supplier
+    * offers the lowest observed unit price (argmin-per-group, the
+    * min-cost-supplier join Q2 runs on partsupp, here derived from
+    * shipment history): unit price = line cents DIV quantity (exact,
+    * positive), winner picked by min(struct(price, suppkey)) — a HASH-
+    * aggregate whose partials collapse map-side, never a rank window
+    * sort. Ties break to the smallest suppkey by the struct order.
+    * Top-25 cheapest parts, price tie-broken by partkey.
+    *
+    * Scale: one (part, supplier)-keyed agg over the fact scan, one
+    * part-keyed argmin agg, broadcast part-name join, TakeOrdered head. */
+  def cheapestSupplierQ2(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_partkey"),
+      col("l_suppkey"),
+      expr("CAST(floor(l_extendedprice * 100) AS BIGINT) DIV CAST(l_quantity AS BIGINT)")
+        .as("unit_cents"))
+    val quotes = li.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("unit_cents")).as("best_of_pair"))
+    val winners = quotes.groupBy(col("l_partkey"))
+      .agg(min(struct(col("best_of_pair"), col("l_suppkey"))).as("w"),
+        count(lit(1)).as("n_suppliers"))
+      .select(col("l_partkey"), col("w.best_of_pair").as("unit_cents"),
+        col("w.l_suppkey").as("best_suppkey"), col("n_suppliers"))
+    winners.join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_name"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("best_suppkey"),
+        col("unit_cents"), col("n_suppliers"))
+      .orderBy(col("unit_cents"), col("p_partkey"))
+      .limit(25)
+  }
+
+  /** Wide denormalization with a content checksum — the feature-store /
+    * training-table materialization: the FULL star flattened onto the
+    * fact (6-way join: orders, customer, nation, region, part, supplier),
+    * verified not by eyeballing 16 columns but by an order-free content
+    * checksum per (region, brand) cell: sum of a 28-bit md5 slice over
+    * each row's concatenated business key — insensitive to row order and
+    * partitioning, sensitive to any lost/duplicated/mis-joined row.
+    *
+    * Scale: two fact⋈fact shuffles (orders, then nothing — customer/
+    * part/supplier ride as broadcasts or AQE-planned shuffles), fixed
+    * dims broadcast; the checksum collapses map-side into the |regions|·
+    * |brands| rollup. */
+  def denormalizeWide(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    val p = Tables.part(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val wide = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .join(p, li("l_partkey") === p("p_partkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey"))
+    wide.groupBy(col("r_name"), col("p_brand"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(conv(substring(md5(concat_ws("|",
+          col("l_orderkey"), col("l_linenumber"), col("c_name"),
+          col("n_name"), col("p_name"), col("s_name"))), 1, 7), 16, 10)
+          .cast("long")).as("checksum"))
+      .orderBy(col("r_name"), col("p_brand"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_cheapest_q2" -> (cheapestSupplierQ2 _),
+    "etl_denormalize_wide" -> (denormalizeWide _),
     "join_priority_q4" -> (priorityCheckQ4 _),
     "join_shipdelay_q12" -> (shipDelayQ12 _),
     "join_promo_q14" -> (promoShareQ14 _),
@@ -578,6 +647,41 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_cheapest_q2" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) //
+        |      CAST(l_quantity AS BIGINT) AS unit_cents
+        |  FROM lineitem),
+        |q AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(MIN(unit_cents) AS BIGINT) AS best_of_pair
+        |  FROM li GROUP BY l_partkey, l_suppkey),
+        |w AS (
+        |  SELECT l_partkey,
+        |    (MIN({'p': best_of_pair, 's': l_suppkey})).p AS unit_cents,
+        |    (MIN({'p': best_of_pair, 's': l_suppkey})).s AS best_suppkey,
+        |    CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        |  FROM q GROUP BY l_partkey)
+        |SELECT p_partkey, p_name, best_suppkey, unit_cents, n_suppliers
+        |FROM w JOIN part ON l_partkey = p_partkey
+        |ORDER BY unit_cents, p_partkey
+        |LIMIT 25""".stripMargin,
+    "etl_denormalize_wide" ->
+      """SELECT r_name, p_brand, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(('0x' || substr(md5(
+        |    l_orderkey || '|' || l_linenumber || '|' || c_name || '|' ||
+        |    n_name || '|' || p_name || '|' || s_name), 1, 7))::BIGINT)
+        |    AS BIGINT) AS checksum
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY r_name, p_brand
+        |ORDER BY r_name, p_brand""".stripMargin,
     "join_priority_q4" ->
       """SELECT o_orderpriority,
         |  CAST(COUNT(*) AS BIGINT) AS n_late_orders
