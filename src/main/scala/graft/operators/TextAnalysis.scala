@@ -1033,6 +1033,44 @@ object TextAnalysis {
     }.reduce(_.unionByName(_)).orderBy(col("stage_no"))
   }
 
+  /** Dataset CARD — the per-source "datasheet for datasets" row (Gebru et
+    * al. 2021 made the practice standard): volume (docs/tokens/chars),
+    * language spread (distinct langs + dominant one), duplication
+    * (1 − distinct-md5/docs in ppm), and density (tokens per doc) — the
+    * one-relation summary a data consumer reads before training on a
+    * source. Composes the catalog's primitives into one wide readout;
+    * all integer/ppm, dominant language tie-broken by name via
+    * min(struct(-n, lang)) — a hash-agg, no rank window.
+    *
+    * Scale: one token-counting projection + two (source[, lang/digest])
+    * hash-aggs; output is |sources| rows. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), col("text"),
+        size(filter(tokens(col("text")), t => length(t) > 0)).cast("long")
+          .as("n_toks"),
+        length(col("text")).cast("long").as("n_chars"),
+        md5(col("text")).as("fp"))
+      .cache() // volume, language, and dup facets all read it
+    val vol = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"),
+      sum(col("n_toks")).as("n_tokens"), sum(col("n_chars")).as("n_chars"))
+    val langs = d.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_langs"),
+        min(struct((-col("n")).as("neg"), col("lang"))).as("w"))
+      .select(col("source"), col("n_langs"), col("w.lang").as("top_lang"))
+    val dups = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("nd"), countDistinct(col("fp")).as("nu"))
+      .select(col("source"),
+        expr("(nd - nu) * 1000000 DIV nd").as("dup_ppm"))
+    vol.join(langs, "source").join(dups, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        expr("n_tokens DIV n_docs").as("tokens_per_doc"),
+        col("n_langs"), col("top_lang"), col("dup_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** N-gram NOVELTY scoring — per source, what share of each document's
     * distinct trigrams had never appeared in any EARLIER document
     * (doc_id order = ingest order): the cheap novelty filter data-
@@ -2312,6 +2350,7 @@ object TextAnalysis {
     "pipe_quota_apportion" -> (quotaApportion _),
     "text_hapax_ratio" -> (hapaxRatio _),
     "pipe_ngram_novelty" -> (ngramNovelty _),
+    "pipe_dataset_card" -> (datasetCard _),
     "text_pivot_langs" -> (pivotLangs _),
     "text_unpivot_langs" -> (unpivotLangs _),
     "text_word_count"  -> (wordCount _),
@@ -3471,6 +3510,36 @@ object TextAnalysis {
         |FROM tg JOIN f USING (tg)
         |GROUP BY tg.doc_id
         |ORDER BY tg.doc_id""".stripMargin,
+    "pipe_dataset_card" ->
+      """WITH d AS (
+        |  SELECT source, lang, text,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> length(t) > 0)) AS BIGINT) AS n_toks,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    md5(text) AS fp
+        |  FROM documents),
+        |vol AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |  FROM d GROUP BY source),
+        |lg AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_langs,
+        |    (MIN({'neg': -n, 'lang': lang})).lang AS top_lang
+        |  FROM (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM d GROUP BY source, lang)
+        |  GROUP BY source),
+        |dup AS (
+        |  SELECT source,
+        |    (COUNT(*) - COUNT(DISTINCT fp)) * 1000000 // COUNT(*) AS dup_ppm
+        |  FROM d GROUP BY source)
+        |SELECT vol.source, n_docs, n_tokens, vol.n_chars,
+        |  n_tokens // n_docs AS tokens_per_doc,
+        |  n_langs, top_lang, CAST(dup_ppm AS BIGINT) AS dup_ppm
+        |FROM vol
+        |JOIN lg ON vol.source = lg.source
+        |JOIN dup ON vol.source = dup.source
+        |ORDER BY vol.source""".stripMargin,
     "pipe_ngram_novelty" ->
       """WITH l AS (
         |  SELECT doc_id, source,
