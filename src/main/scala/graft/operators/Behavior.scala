@@ -924,6 +924,80 @@ object Behavior {
         col("t"), col("df_welch"))
   }
 
+  /** Post-stratified ATE — the observational-causal estimator CUPED's
+    * variance reduction doesn't give you: stratify users by PRE-period
+    * activity RELATIVE TO THE MEAN (<0.5μ / <μ / <1.5μ / ≥1.5μ pre-
+    * midpoint events — scale-free buckets), estimate
+    * the treatment effect within each stratum, and weight by stratum
+    * size — Σ_s (n_s/n)(ȳ_{s,t} − ȳ_{s,c}), the standard adjustment
+    * when assignment correlates with activity. Strata whose treatment
+    * OR control arm is empty contribute 0 (documented drop rule, guard
+    * mirrored). The stratum domain is FIXED {0,1,2,3}, so like
+    * `behavior_anova_f` every per-stratum sum is a column of ONE
+    * conditional-aggregation row and the weighted sum is an explicit
+    * left-associative IEEE chain — bit-identical, no lattice until the
+    * final round-6. Cents exact; the naive unadjusted diff rides along
+    * so the output SHOWS the confounding the adjustment removes.
+    *
+    * Scale: one midpoint fold (A4 broadcast), two user-keyed hash-aggs,
+    * one 1-row readout. */
+  def postStratAte(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .cache() // midpoint fold + pre-activity + post-outcome read it
+    val mid = e.agg(
+      expr("(min(ts_us) + (max(ts_us) - min(ts_us)) DIV 2)").as("mid_us"))
+    val withMid = e.crossJoin(broadcast(mid))
+    val pre = withMid.filter(col("ts_us") < col("mid_us"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_pre"))
+    val post = withMid
+      .filter(col("ts_us") >= col("mid_us") && col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(sum(col("cents")).as("y0"))
+    val withPre = e.select(col("user_id")).distinct()
+      .join(pre, Seq("user_id"), "left")
+      .select(col("user_id"), coalesce(col("n_pre"), lit(0L)).as("n_pre"))
+    // mean-RELATIVE buckets {<0.5μ, [0.5μ,μ), [μ,1.5μ), ≥1.5μ}: scale-free
+    // (absolute pre-counts grow with SF and would collapse every user into
+    // the top bucket), exact integer micro comparisons; n_pre·2e6 wraps
+    // bigint past ~4.6e12 pre-events per user — documented bound
+    val mu = withPre.agg(
+      expr("sum(n_pre) * 1000000 DIV count(1)").as("mu_micro"))
+    val users = withPre.crossJoin(broadcast(mu))
+      .join(post, Seq("user_id"), "left")
+      .select((col("user_id") % 2).as("v"),
+        least(expr("n_pre * 2000000 DIV greatest(mu_micro, 1)"), lit(3L))
+          .as("s"),
+        coalesce(col("y0"), lit(0L)).as("y"))
+    val aggs = (0 to 3).flatMap { s =>
+      Seq(0, 1).flatMap { v =>
+        Seq(sum(when(col("s") === s.toLong && col("v") === v.toLong, 1L)
+            .otherwise(0L)).as(s"n_${s}_$v"),
+          sum(when(col("s") === s.toLong && col("v") === v.toLong, col("y"))
+            .otherwise(0L)).as(s"y_${s}_$v"))
+      }
+    } ++ Seq(count(lit(1)).as("n"),
+      sum(when(col("v") === 1L, col("y"))).as("y1"),
+      sum(when(col("v") === 1L, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("v") === 0L, col("y"))).as("y0s"),
+      sum(when(col("v") === 0L, 1L).otherwise(0L)).as("n0"))
+    val g = users.agg(aggs.head, aggs.tail: _*)
+    val d = (c: String) => col(c).cast("double")
+    val terms = (0 to 3).map { s =>
+      when(col(s"n_${s}_0") > 0L && col(s"n_${s}_1") > 0L,
+        (d(s"n_${s}_0") + d(s"n_${s}_1")) / d("n") *
+          (d(s"y_${s}_1") / d(s"n_${s}_1") - d(s"y_${s}_0") / d(s"n_${s}_0")))
+        .otherwise(lit(0.0))
+    }
+    val used = (0 to 3).map(s =>
+      when(col(s"n_${s}_0") > 0L && col(s"n_${s}_1") > 0L, 1L)
+        .otherwise(0L)).reduceLeft(_ + _)
+    g.select(col("n"), used.as("n_strata_used"),
+      round(terms.reduceLeft(_ + _), 6).as("ate_cents"),
+      when(col("n1") > 0L && col("n0") > 0L,
+        round(d("y1") / d("n1") - d("y0s") / d("n0"), 6)).as("naive_cents"))
+  }
+
   /** Mixture SPRT (Robbins 1970; Johari–Koomen–Pekelis–Walsh 2017 — the
     * "peeking-safe" always-valid test production experiment platforms
     * run): unlike `behavior_ttest_revenue`, whose p-value is only valid
@@ -1469,6 +1543,7 @@ object Behavior {
     "behavior_spearman" -> (spearman _),
     "behavior_anova_f" -> (anovaPriority _),
     "behavior_msprt" -> (msprt _),
+    "behavior_poststrat_ate" -> (postStratAte _),
     "behavior_ks_test"    -> (ksTest _),
     "behavior_srm_check"  -> (srmCheck _),
     "behavior_cuped"      -> (cuped _),
@@ -1719,6 +1794,71 @@ object Behavior {
         |  CAST(SUM(credit_micro) AS BIGINT) AS credit_micro
         |FROM credited GROUP BY channel
         |ORDER BY channel""".stripMargin,
+    "behavior_poststrat_ate" -> {
+      val caseCols = (0 to 3).flatMap { s =>
+        Seq(0, 1).flatMap { v =>
+          Seq(
+            s"CAST(SUM(CASE WHEN s = $s AND v = $v THEN 1 ELSE 0 END) AS BIGINT) AS n_${s}_$v",
+            s"CAST(SUM(CASE WHEN s = $s AND v = $v THEN y ELSE 0 END) AS BIGINT) AS y_${s}_$v")
+        }
+      }.mkString(",\n        |    ")
+      val terms = (0 to 3).map { s =>
+        s"""CASE WHEN n_${s}_0 > 0 AND n_${s}_1 > 0 THEN
+           |      (CAST(n_${s}_0 AS DOUBLE) + CAST(n_${s}_1 AS DOUBLE)) /
+           |        CAST(n AS DOUBLE) *
+           |      (CAST(y_${s}_1 AS DOUBLE) / CAST(n_${s}_1 AS DOUBLE) -
+           |       CAST(y_${s}_0 AS DOUBLE) / CAST(n_${s}_0 AS DOUBLE))
+           |      ELSE 0.0 END""".stripMargin
+      }.mkString(" +\n        |    ")
+      val used = (0 to 3)
+        .map(s => s"CASE WHEN n_${s}_0 > 0 AND n_${s}_1 > 0 THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |m AS (
+        |  SELECT MIN(ts_us) + (MAX(ts_us) - MIN(ts_us)) // 2 AS mid_us
+        |  FROM e),
+        |pre AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pre
+        |  FROM e CROSS JOIN m WHERE ts_us < mid_us GROUP BY user_id),
+        |post AS (
+        |  SELECT user_id, CAST(SUM(cents) AS BIGINT) AS y0
+        |  FROM e CROSS JOIN m
+        |  WHERE ts_us >= mid_us AND event_type = 'purchase'
+        |  GROUP BY user_id),
+        |au AS (SELECT DISTINCT user_id FROM e),
+        |wp AS (
+        |  SELECT au.user_id, COALESCE(n_pre, 0) AS n_pre
+        |  FROM au LEFT JOIN pre ON au.user_id = pre.user_id),
+        |mu AS (
+        |  SELECT CAST(SUM(n_pre) AS BIGINT) * 1000000 // COUNT(*)
+        |    AS mu_micro
+        |  FROM wp),
+        |u AS (
+        |  SELECT wp.user_id % 2 AS v,
+        |    LEAST(wp.n_pre * 2000000 // GREATEST(mu.mu_micro, 1), 3) AS s,
+        |    COALESCE(y0, 0) AS y
+        |  FROM wp CROSS JOIN mu
+        |  LEFT JOIN post ON wp.user_id = post.user_id),
+        |g AS (
+        |  SELECT
+        |    $caseCols,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN v = 1 THEN y END) AS BIGINT) AS y1,
+        |    CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN v = 0 THEN y END) AS BIGINT) AS y0s,
+        |    CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+        |  FROM u)
+        |SELECT n,
+        |  CAST($used AS BIGINT) AS n_strata_used,
+        |  ROUND($terms, 6) AS ate_cents,
+        |  CASE WHEN n1 > 0 AND n0 > 0 THEN
+        |    ROUND(CAST(y1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+        |          CAST(y0s AS DOUBLE) / CAST(n0 AS DOUBLE), 6)
+        |  END AS naive_cents
+        |FROM g""".stripMargin
+    },
     "behavior_msprt" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,

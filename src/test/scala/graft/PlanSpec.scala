@@ -263,7 +263,9 @@ class PlanSpec extends SparkSpec {
         // vocab/source relation ⋈ broadcast 1-row total (A4 pattern)
         "text_vocab_coverage", "pipe_quota_apportion",
         // hour-residual relation ⋈ broadcast 1-row RMS threshold (A4)
-        "events_seasonal_anomaly")
+        "events_seasonal_anomaly",
+        // event stream ⋈ broadcast 1-row timeline midpoint (A4 pattern)
+        "behavior_poststrat_ate")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
