@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1234,6 +1234,45 @@ object Events {
       .orderBy(col("hour_of_day"))
   }
 
+  /** Time-to-convert quantiles — the latency distribution between a
+    * user's first view and their first subsequent purchase, read out as
+    * EXACT median and p90 in minutes: the activation-speed metric next
+    * to `events_funnel`'s reach counts. Quantiles are selected from the
+    * minute-latency histogram via the two-pass range-partitioned prefix
+    * sum (`Behavior.rangePrefixSums` — the Mann-Whitney midrank
+    * machinery), so no unpartitioned window ever sees the user-sized
+    * relation; median averages the two middle VALUES, p90 is the
+    * ceil(0.9·n)-th — both deterministic integer-rank selections.
+    *
+    * Scale: two user-keyed hash-aggs to first-view/first-purchase, one
+    * histogram agg, rank selection against a broadcast 1-row (A4). */
+  def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val fv = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("v_us"))
+    val lat = e.filter(col("event_type") === "purchase")
+      .join(fv, "user_id")
+      .filter(col("ts_us") > col("v_us"))
+      .groupBy(col("user_id"))
+      .agg(expr("(min(ts_us) - max(v_us)) DIV 60000000").as("lat_min"))
+    val hist = lat.groupBy(col("lat_min")).agg(count(lit(1)).as("t"))
+    val ranked = Behavior.rangePrefixSums(hist, "lat_min", Seq("t"))
+      .withColumnRenamed("lt_t", "lt")
+    val stats = hist.agg(sum(col("t")).as("m"))
+      .select(col("m"), expr("(m + 1) DIV 2").as("k1"),
+        expr("m DIV 2 + 1").as("k2"), expr("(9 * m + 9) DIV 10").as("k9"))
+    val hit = (k: Column) => col("lt") < k && k <= col("lt") + col("t")
+    val ind12 =
+      when(hit(col("k1")), 1L).otherwise(0L) +
+      when(hit(col("k2")), 1L).otherwise(0L)
+    ranked.crossJoin(broadcast(stats))
+      .agg(max(col("m")).as("n_converted"),
+        (sum(when(ind12 > 0L, col("lat_min").cast("double") * ind12)) /
+          lit(2.0)).as("median_min"),
+        max(when(hit(col("k9")), col("lat_min"))).as("p90_min"))
+  }
+
   /** Seasonal residual anomalies — `events_seasonal_decomp` turned into a
     * detector: hours whose detrended-minus-seasonal residual exceeds
     * 3×RMS (the "unexpected even for that hour of day" alert, the
@@ -1347,6 +1386,7 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_markov_steady" -> (markovSteady _),
     "events_seasonal_anomaly" -> (seasonalAnomaly _),
+    "events_time_to_convert" -> (timeToConvert _),
     "events_top_paths" -> (topPaths _),
     "events_seasonal_decomp" -> (seasonalDecomp _),
     "events_theilsen_trend" -> (theilSenTrend _),
@@ -1404,6 +1444,41 @@ object Events {
       |ORDER BY c.event_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "events_time_to_convert" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |fv AS (
+        |  SELECT user_id, MIN(ts_us) AS v_us FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |lat AS (
+        |  SELECT e.user_id,
+        |    (MIN(e.ts_us) - MAX(fv.v_us)) // 60000000 AS lat_min
+        |  FROM e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > fv.v_us
+        |  GROUP BY e.user_id),
+        |hist AS (
+        |  SELECT lat_min, CAST(COUNT(*) AS BIGINT) AS t
+        |  FROM lat GROUP BY lat_min),
+        |c AS (
+        |  SELECT lat_min, t, COALESCE(SUM(t) OVER (ORDER BY lat_min
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt
+        |  FROM hist),
+        |s AS (
+        |  SELECT CAST(SUM(t) AS BIGINT) AS m,
+        |    (CAST(SUM(t) AS BIGINT) + 1) // 2 AS k1,
+        |    CAST(SUM(t) AS BIGINT) // 2 + 1 AS k2,
+        |    (9 * CAST(SUM(t) AS BIGINT) + 9) // 10 AS k9
+        |  FROM hist)
+        |SELECT MAX(s.m) AS n_converted,
+        |  SUM(CASE WHEN
+        |      ((CASE WHEN c.lt < s.k1 AND s.k1 <= c.lt + c.t THEN 1 ELSE 0 END) +
+        |       (CASE WHEN c.lt < s.k2 AND s.k2 <= c.lt + c.t THEN 1 ELSE 0 END)) > 0 THEN
+        |    CAST(c.lat_min AS DOUBLE) * (((CASE WHEN c.lt < s.k1 AND s.k1 <= c.lt + c.t THEN 1 ELSE 0 END) +
+        |       (CASE WHEN c.lt < s.k2 AND s.k2 <= c.lt + c.t THEN 1 ELSE 0 END)))
+        |    END) / 2.0 AS median_min,
+        |  MAX(CASE WHEN c.lt < s.k9 AND s.k9 <= c.lt + c.t
+        |    THEN c.lat_min END) AS p90_min
+        |FROM c CROSS JOIN s""".stripMargin,
     "events_seasonal_anomaly" ->
       """WITH hc AS (
         |  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,

@@ -265,7 +265,9 @@ class PlanSpec extends SparkSpec {
         // hour-residual relation ⋈ broadcast 1-row RMS threshold (A4)
         "events_seasonal_anomaly",
         // event stream ⋈ broadcast 1-row timeline midpoint (A4 pattern)
-        "behavior_poststrat_ate")
+        "behavior_poststrat_ate",
+        // latency histogram ⋈ broadcast 1-row quantile ranks (A4 pattern)
+        "events_time_to_convert")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
