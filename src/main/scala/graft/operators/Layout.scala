@@ -143,12 +143,63 @@ object Layout {
          |  FROM h${i + 1}a)""".stripMargin
     }.mkString(",\n")
 
+  /** Shard-balance audit — the OTHER layout question after clustering
+    * (z-order/hilbert answer "are row groups tight"; this answers "is the
+    * hash partitioning even"): documents assigned to 16 shards by an
+    * md5 slice, per-shard counts with the signed deviation 16·O_s − n
+    * (exact — no float, no negative DIV) and the χ² uniformity statistic
+    * Σ(16·O_s − n)²/(16n) carried on every row (deviation squares
+    * decimal-lifted: (16·O−n)² passes 2⁶³ near n ≈ 3e9). A skewed
+    * χ² here means a hot shard at 100 TB — the audit you run BEFORE
+    * committing to a bucketing key.
+    *
+    * Scale: one hash-agg to 16 rows; the χ² fold is over those 16. */
+  def shardBalance(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 7),
+        16, 10).cast("long"), lit(16L)).as("shard"))
+      .groupBy(col("shard")).agg(count(lit(1)).as("n_docs"))
+    val withDev = d
+      .crossJoin(broadcast(d.agg(sum(col("n_docs")).as("n"))))
+      .withColumn("dev_scaled", col("n_docs") * 16 - col("n"))
+      .cache() // χ² fold + the per-shard output read it
+    val chi = withDev.agg(
+        sum(col("dev_scaled").cast("decimal(19,0)") * col("dev_scaled"))
+          .as("dsum"),
+        max(col("n")).as("nn"))
+      .select(round(col("dsum").cast("double") /
+        (lit(16.0) * col("nn").cast("double")), 6).as("chi2"))
+    withDev.crossJoin(broadcast(chi))
+      .select(col("shard"), col("n_docs"), col("dev_scaled"), col("chi2"))
+      .orderBy(col("shard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder_buckets" -> (zorderBuckets _),
-    "layout_hilbert_buckets" -> (hilbertBuckets _)
+    "layout_hilbert_buckets" -> (hilbertBuckets _),
+    "layout_shard_balance" -> (shardBalance _)
   )
 
   val oracle: Map[String, String] = Map(
+    "layout_shard_balance" ->
+      """WITH d AS (
+        |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+        |    % 16 AS shard
+        |  FROM documents),
+        |g AS (
+        |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM d GROUP BY shard),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM g),
+        |w AS (
+        |  SELECT shard, n_docs, n_docs * 16 - t.n AS dev_scaled, t.n
+        |  FROM g CROSS JOIN t),
+        |c AS (
+        |  SELECT ROUND(CAST(SUM(CAST(dev_scaled AS HUGEINT) * dev_scaled)
+        |      AS DOUBLE) / (16.0 * CAST(MAX(n) AS DOUBLE)), 6) AS chi2
+        |  FROM w)
+        |SELECT shard, n_docs, dev_scaled, c.chi2
+        |FROM w CROSS JOIN c
+        |ORDER BY shard""".stripMargin,
     "layout_zorder_buckets" -> {
       val z = s"(${spreadSql("px")} + ${spreadSql("sx")} * 2)"
       s"""WITH b AS (

@@ -267,7 +267,9 @@ class PlanSpec extends SparkSpec {
         // event stream ⋈ broadcast 1-row timeline midpoint (A4 pattern)
         "behavior_poststrat_ate",
         // latency histogram ⋈ broadcast 1-row quantile ranks (A4 pattern)
-        "events_time_to_convert")
+        "events_time_to_convert",
+        // 16-row shard audit ⋈ broadcast 1-row total/χ² (A4 pattern)
+        "layout_shard_balance")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
