@@ -318,6 +318,87 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Prefix-filtered twin of `dedup_containment` (the asymmetric/
+    * containment variant of the PPJoin prefix filter already shipped for
+    * `dedup_ngram_prefix` above): IDENTICAL output, strictly fewer
+    * candidate pairs. Containment ≥ 0.8 forces
+    * |S(a)∩S(b)| ≥ ⌈0.8·|S(a)|⌉ = α(a), and n_inter is counted over the
+    * rare index, so rare(A) must share a shingle with rare(B) inside
+    * rare(A)'s first |rare(A)| − α(a) + 1 shingles under the canonical
+    * rarest-first (df, g) order — if all shared shingles sat past that
+    * prefix, at most α(a) − 1 could be shared. Containment is asymmetric:
+    * only the SUBJECT side (doc_a, the denominator) is prefix-indexed;
+    * the probe side keeps the FULL rare index, so no b-side pair is ever
+    * missed. α uses the pure-integer ⌈0.8n⌉ = (8n+9) DIV 10 idiom, and
+    * the subject-side `n >= 5` floor mirrors the entry's output filter
+    * (docs below the floor can never emit a row as doc_a). Subject docs
+    * whose rare count nr < α(a) drop out entirely — they cannot reach the
+    * threshold even if every rare shingle is shared.
+    *
+    * At 100 TB this turns the candidate join from Σ df·(df−1) ordered
+    * pairs over EVERY surviving shingle into Σ dfp·(df−1) with dfp the
+    * tiny prefix df — the same scaling trick as `ngramJaccardPrefix`, and
+    * the oracle is the UNFILTERED semantic twin (the same SQL
+    * `dedup_containment` always had), so completeness of the filter is
+    * hash-checked, not assumed. DedupConsistencySpec additionally pins
+    * row-for-row equality against `containmentPairs` and measures the
+    * candidate reduction. */
+  def containmentPairsPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val (prefix, ex, sizes) = containmentPrefixIndex(spark, dir)
+    val cands = prefix.as("a").join(ex.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cands
+      .join(ex.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
+      .join(ex.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .withColumn("containment", col("n_inter").cast("double") / col("na"))
+      .filter(col("na") >= 5 && col("containment") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("na"), col("n_inter"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The containment prefix index + supporting relations:
+    * (prefix(doc_id, g) — subject side only, full rare index
+    * ex(doc_id, g, df), sizes(doc_id, n)). */
+  private def containmentPrefixIndex(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingled(spark, dir).cache()
+    val exAll = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
+    val rare = exAll.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf)
+    val ex = exAll.join(rare, Seq("g"))
+      .cache() // reused: probe side of the candidate join + exact recount
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+    val rareN = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("nr"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    val prefix = ex.withColumn("rk", row_number().over(wDoc).cast("long"))
+      .join(sizes, Seq("doc_id"))
+      .join(rareN, Seq("doc_id"))
+      .filter(col("n") >= 5) // subject-side floor = the entry's na >= 5 cut
+      .filter(col("rk") <= col("nr") - expr("(8 * n + 9) DIV 10") + lit(1L))
+      .select(col("doc_id"), col("g"))
+    (prefix, ex, sizes)
+  }
+
+  /** Ordered-pair candidate volume of the containment prefix join
+    * (Σ over shingles of dfp·(df−1): subject prefix rows × full-index
+    * partners) — exposed so DedupConsistencySpec can measure the
+    * reduction against the unfiltered Σ df·(df−1). */
+  private[graft] def containmentPrefixCandidateVolume(spark: SparkSession, dir: String): Long = {
+    val (prefix, ex, _) = containmentPrefixIndex(spark, dir)
+    val dfFull = ex.groupBy(col("g")).agg(count(lit(1)).as("dff"))
+    prefix.groupBy(col("g")).agg(count(lit(1)).as("dfp"))
+      .join(dfFull, Seq("g"))
+      .agg(sum(col("dfp") * (col("dff") - lit(1L))))
+      .collect().head.getLong(0)
+  }
+
   /** Per-doc 16-bit simhash signature (doc_id, simhash): portable word
     * hash (char fold: acc*31+ascii mod 1e9+7, codegen'd PolyHash —
     * identical to the ascii-per-char HOF fold, mirrored in the oracle by
@@ -802,7 +883,7 @@ object Dedup {
     "dedup_admission_gate"  -> (admissionGate _),
     "dedup_ngram_jaccard"   -> (ngramJaccard _),
     "dedup_ngram_prefix"    -> (ngramJaccardPrefix _),
-    "dedup_containment"     -> (containmentPairs _),
+    "dedup_containment"     -> (containmentPairsPrefix _),
     "dedup_simhash"         -> (simhashClusters _),
     "dedup_simhash_hamming" -> (simhashHamming _),
     "dedup_embedding_lsh"   -> (embeddingLsh _)

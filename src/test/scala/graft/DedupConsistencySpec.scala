@@ -135,6 +135,34 @@ class DedupConsistencySpec extends SparkSpec {
       s"prefix filter does not shrink the candidate join: $prefPairs >= $fullPairs")
   }
 
+  test("prefix-filtered containment equals the full inverted-index join on fewer candidates") {
+    import org.apache.spark.sql.functions._
+    // output identity: the containment prefix filter is the asymmetric
+    // form of the same completeness theorem, and the entry's oracle is the
+    // unfiltered SQL — here the two Spark paths are additionally compared
+    // row-for-row including scores
+    val full = Dedup.containmentPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    val pref = Dedup.containmentPairsPrefix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(full.nonEmpty)
+    assert(pref == full, s"containment prefix twin diverged: " +
+      s"only-full=${full -- pref} only-prefix=${pref -- full}")
+    // candidate reduction: subject-prefix × full-index ordered-pair volume
+    // must be strictly less than the unfiltered Σ df·(df−1) the full join
+    // examines
+    val sh = Dedup.shingleDocs(Tables.documents(spark, sf))
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
+    val fullPairs = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 1000L)
+      .agg(sum(col("df") * (col("df") - lit(1L)))).collect().head.getLong(0)
+    val prefPairs = Dedup.containmentPrefixCandidateVolume(spark, sf)
+    info(f"containment candidates: $prefPairs prefix vs $fullPairs full " +
+      f"(${prefPairs.toDouble / fullPairs * 100}%.1f%%)")
+    assert(prefPairs < fullPairs,
+      s"containment prefix filter does not shrink the candidate join: $prefPairs >= $fullPairs")
+  }
+
   test("admission gate examines band-bounded candidates, not arrivals x corpus") {
     import org.apache.spark.sql.functions._
     // the gate's whole scale claim: the band equi-join bounds the pairs
