@@ -189,6 +189,20 @@ object Probe {
           time(s"$name warm")(fn(spark, dir).count())
           spark.catalog.clearCache()
         }
+    } else if (sys.env.contains("SPARK_GRAFT_EXPLAIN_Q")) {
+      // generic POST-EXECUTION plan audit: comma-separated catalog names;
+      // runs the query first so the printed plan is the final AQE-decided
+      // physical plan (join strategies actually chosen at runtime), which
+      // is what matters when adjudicating broadcast-vs-SMJ drift
+      sys.env("SPARK_GRAFT_EXPLAIN_Q").split(",").map(_.trim).filter(_.nonEmpty)
+        .foreach { name =>
+          val df = SparkEntry.queries.getOrElse(name,
+            sys.error(s"unknown catalog entry: $name"))(spark, dir)
+          df.count()
+          println(s"===== $name (executed, post-AQE) =====")
+          println(df.queryExecution.executedPlan.toString)
+          spark.catalog.clearCache()
+        }
     } else if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
       // plan audit of the round-2 rewrites + round-3 additions
       Seq(
