@@ -57,7 +57,15 @@ class PlanGoldenSpec extends SparkSpec {
     "sim_knn_ivfpq" -> "trained quantizer",
     "sim_knn_ivfpq_tuned" -> "trained quantizer",
     "sim_index_serve" -> "trained quantizer (build phase) + scratch-path index",
-    "sim_index_append" -> "trained quantizer (build phase) + scratch-path index"
+    "sim_index_append" -> "trained quantizer (build phase) + scratch-path index",
+    // the relational Lloyd fit is memoized to scratch parquet (r9): the
+    // plan is the full unrolled training lineage on the first build per
+    // (dataset, mtime) and a parquet scan of the persisted centroids
+    // afterwards — same values (decimal round-trip is exact), two shapes
+    "sim_kmeans_lloyd" -> "memoized Lloyd fit (train vs scratch-parquet scan)",
+    "sim_cluster_purity" -> "memoized Lloyd fit (train vs scratch-parquet scan)",
+    "sim_silhouette" -> "memoized Lloyd fit (train vs scratch-parquet scan)",
+    "sim_knn_ivf_lloyd" -> "memoized Lloyd fit (train vs scratch-parquet scan)"
   )
 
   private def fingerprint(df: DataFrame): String = {
