@@ -782,30 +782,38 @@ object Etl {
   )
 
   val oracle: Map[String, String] = Map(
+    // correlated NOT EXISTS, not NOT IN: NOT IN is three-valued under a
+    // NULL parent key (yields zero rows, undercounting orphans to 0)
+    // while the Spark side's left_anti counts them — NOT EXISTS matches
+    // anti-join semantics regardless of NULL keys
     "etl_fk_orphans" ->
       """WITH e1 AS (
         |  SELECT 'orders.custkey->customer' AS fk_edge,
         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_child,
-        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
-        |     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                       WHERE c.c_custkey = o.o_custkey))
         |      AS n_orphans),
         |e2 AS (
         |  SELECT 'lineitem.orderkey->orders' AS fk_edge,
         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child,
-        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
-        |     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                       WHERE o.o_orderkey = l.l_orderkey))
         |      AS n_orphans),
         |e3 AS (
         |  SELECT 'lineitem.partkey->part' AS fk_edge,
         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child,
-        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
-        |     WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM part p
+        |                       WHERE p.p_partkey = l.l_partkey))
         |      AS n_orphans),
         |e4 AS (
         |  SELECT 'lineitem.suppkey->supplier' AS fk_edge,
         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child,
-        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
-        |     WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM supplier s
+        |                       WHERE s.s_suppkey = l.l_suppkey))
         |      AS n_orphans),
         |u AS (
         |  SELECT * FROM e1 UNION ALL SELECT * FROM e2

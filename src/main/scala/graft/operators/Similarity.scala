@@ -291,26 +291,38 @@ object Similarity {
         VectorOps.cosine(VectorOps.dot(col("va"), col("vb")), col("na"), col("nb")).as("sim"))
       .cache()
     val slim = cand.select(col("q_id"), col("vec_id"), col("rel"))
-    var sel = slim
+    val first = slim
       .withColumn("pk", row_number().over(wq))
       .filter(col("pk") === 1)
       .select(col("q_id"), col("vec_id"), col("rel"),
         (col("rel") * lam).as("mmr"), lit(1L).as("pos"))
-    // per-step eager localCheckpoint (the dedup_cc/khop iterative rule):
-    // pick_t references rem_{t-1} AND sel_{t-1}, and sel/rem reference
-    // every earlier pick — uncheckpointed, the logical plan DOUBLES per
-    // step and analysis cost goes exponential in MmrK (measured 13.3 s
-    // at sf0.1, ~10× the executed work). Truncating at each ≤|Q|·MmrCand
-    // relation keeps planning linear; the materialized rows are tiny.
-    var rem = slim.join(sel.select(col("q_id"), col("vec_id")),
-      Seq("q_id", "vec_id"), "left_anti")
-      .localCheckpoint(true)
-    sel = sel.localCheckpoint(true)
+    // The greedy state `sel` lives as a DRIVER-SIDE LITERAL relation:
+    // pick_t references sel_{t-1} and every earlier pick, so left in
+    // lineage the logical plan DOUBLES per step and analysis cost goes
+    // exponential in MmrK (measured 13.3 s at sf0.1, ~10× the executed
+    // work). Earlier rounds truncated with per-step localCheckpoint, but
+    // local checkpoints live on executor storage and are NOT fault-
+    // tolerant — an executor loss mid-query fails the whole job on a
+    // cluster. Collecting each step's pick instead is bounded by
+    // construction (|Q| = QueryBudget rows per step, MmrK steps — the
+    // |Q|·MmrK selected heads, never corpus-sized), keeps every loop
+    // relation anchored on a LocalRelation (plan growth linear), and the
+    // literal survives executor loss because the driver owns it. Doubles
+    // round-trip collect→literal bit-exactly, so the output is
+    // hash-identical to the checkpointed form.
+    val selSchema = first.schema
+    val selRows = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    selRows ++= first.collect()
+    def selDf = spark.createDataFrame(
+      java.util.Arrays.asList(selRows.toArray: _*), selSchema)
     for (t <- 2 to MmrK) {
+      val sel = selDf
       val maxsim = pair
         .join(sel.select(col("q_id"), col("vec_id").as("b")), Seq("q_id", "b"))
         .groupBy(col("q_id"), col("a").as("vec_id"))
         .agg(max(col("sim")).as("maxsim"))
+      val rem = slim.join(sel.select(col("q_id"), col("vec_id")),
+        Seq("q_id", "vec_id"), "left_anti")
       val pick = rem.join(maxsim, Seq("q_id", "vec_id"))
         .withColumn("mmr", col("rel") * lam - col("maxsim") * pen)
         .withColumn("pk", row_number().over(Window.partitionBy(col("q_id"))
@@ -318,13 +330,9 @@ object Similarity {
         .filter(col("pk") === 1)
         .select(col("q_id"), col("vec_id"), col("rel"), col("mmr"),
           lit(t.toLong).as("pos"))
-        .localCheckpoint(true)
-      sel = sel.unionByName(pick)
-      rem = rem.join(pick.select(col("q_id"), col("vec_id")),
-        Seq("q_id", "vec_id"), "left_anti")
-        .localCheckpoint(true)
+      selRows ++= pick.collect()
     }
-    sel.select(col("q_id"), col("pos"), col("vec_id"),
+    selDf.select(col("q_id"), col("pos"), col("vec_id"),
         col("rel").as("rel_cos"), col("mmr").as("mmr_score"))
       .orderBy(col("q_id"), col("pos"))
   }
@@ -974,7 +982,7 @@ object Similarity {
     val all = vectors(spark, dir)
       .withColumn("vn", transform(col("v"), x => x / col("nrm")))
       .select(col("vec_id"), col("vn"))
-    val maxId = all.agg(max(col("vec_id"))).head.getLong(0)
+    val maxId = all.agg(max(col("vec_id"))).head().getLong(0)
     val cut = maxId - maxId / 5
     val base = all.filter(col("vec_id") < cut)
     val fresh = all.filter(col("vec_id") >= cut).cache() // encoded + probed

@@ -89,9 +89,15 @@ object NearDupGateStream {
           val storePath = s"$storeDir/admitted_sh"
           // probe existence rather than catching read errors: a corrupt
           // or unreadable store must FAIL the batch, not silently degrade
-          // the gate to a frozen base-only index
+          // the gate to a frozen base-only index. The probe goes through
+          // the Hadoop FileSystem of the store's own URI — a java.io.File
+          // probe would be always-false on HDFS/S3 and silently freeze
+          // the index to base-only, exactly the degradation this branch
+          // exists to prevent
+          val hPath = new org.apache.hadoop.fs.Path(storePath)
+          val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
           val stored =
-            if (new java.io.File(storePath).exists())
+            if (fs.exists(hPath))
               spark.read.parquet(storePath).dropDuplicates("doc_id")
             else spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], arrSh.schema)
