@@ -549,8 +549,58 @@ object Multimodal {
       .orderBy(col("kind"))
   }
 
+  /** Deterministic synthetic PCM16 WAV per audio-kind doc: mono, 8 kHz,
+    * n = 64 + doc_id % 128 frames, sample_i = ((doc_id·31 + i·7) mod 2003)
+    * − 1001 — a pure integer function of (doc_id, i), so the EXPECTED
+    * features are computable analytically by the DuckDB oracle while the
+    * Spark side must round-trip the actual container bytes through the
+    * REAL RIFF/PCM16 decoder (`decodeWav`). A header/parse bug — wrong
+    * chunk offset, sign-extension slip, off-by-one frame count — breaks
+    * the hash. RMS is engine-portable without a decimal lattice because
+    * it is one exact-integer sum, one IEEE division and one sqrt (both
+    * correctly rounded by IEEE 754 in every engine — unlike ln/exp). */
+  private[graft] def pcm16Wav(id: Long, n: Int, rate: Int): Array[Byte] = {
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      bb.putShort((((id * 31 + i * 7) % 2003) - 1001).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** WAV container synthesis runs per-partition (the documented Multimodal
+    * codec-kernel exception): payload bytes are born and decoded on the
+    * executor, never touching the driver. */
+  private[operators] def syntheticWavMedia(spark: SparkSession,
+                                           dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        MediaRecord(id, "audio", pcm16Wav(id, (64 + id % 128).toInt, 8000))
+      })
+  }
+
+  /** `mm_audio_features`: the real-audio-path correctness entry — encode
+    * each audio doc as an actual PCM16 WAV, decode through the real RIFF
+    * chunk walk + PCM16 RMS kernel, compare against the analytic oracle. */
+  def audioFeatureTable(spark: SparkSession, dir: String): DataFrame =
+    audioFeatures(syntheticWavMedia(spark, dir)).toDF()
+      .orderBy(col("media_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_binary_meta" -> (binaryMeta _)
+    "mm_binary_meta" -> (binaryMeta _),
+    "mm_audio_features" -> (audioFeatureTable _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -569,7 +619,33 @@ object Multimodal {
         |  CAST(MIN(n_bytes) AS BIGINT) AS min_bytes,
         |  CAST(MAX(n_bytes) AS BIGINT) AS max_bytes,
         |  MIN(payload_md5) AS min_md5
-        |FROM m GROUP BY kind ORDER BY kind""".stripMargin
+        |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
+    // analytic twin of the real WAV decode: the sample stream is a pure
+    // integer function of (doc_id, i), so the oracle recomputes frame
+    // count, duration and RMS without ever seeing the container bytes —
+    // only a correct RIFF parse + PCM16 sign extension on the Spark side
+    // can match it
+    "mm_audio_features" ->
+      """WITH a AS (
+        |  SELECT doc_id, 64 + doc_id % 128 AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |s AS (
+        |  SELECT doc_id, n_frames,
+        |    unnest(generate_series(0, n_frames - 1)) AS i
+        |  FROM a),
+        |acc AS (
+        |  SELECT doc_id, n_frames,
+        |    SUM((((doc_id * 31 + i * 7) % 2003) - 1001)
+        |      * (((doc_id * 31 + i * 7) % 2003) - 1001)) AS sq
+        |  FROM s GROUP BY 1, 2)
+        |SELECT doc_id AS media_id,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS n_channels,
+        |  CAST(16 AS INTEGER) AS bits_per_sample,
+        |  CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(n_frames * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  sqrt(CAST(sq AS DOUBLE) / n_frames) AS rms
+        |FROM acc ORDER BY media_id""".stripMargin
   )
 }
 

@@ -269,6 +269,34 @@ class OperatorSpec extends SparkSpec {
     assert(feats(3L).sample_rate == 16000, feats(3L))
   }
 
+  test("mm_audio_features WAV builder parses identically via javax.sound.sampled") {
+    // the entry's container bytes validated by TWO independent decoders:
+    // the JDK's own WAV parser must see the same format fields, frame
+    // count, and PCM samples the generator formula (and therefore the
+    // DuckDB analytic oracle) predicts — so a builder bug can't cancel a
+    // decodeWav bug and slip through the hash gate
+    val id = 7L; val n = (64 + id % 128).toInt
+    val bytes = Multimodal.pcm16Wav(id, n, 8000)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate == 8000f && fmt.getChannels == 1 &&
+      fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian)
+    assert(ais.getFrameLength == n.toLong)
+    val data = ais.readAllBytes()
+    assert(data.length == n * 2)
+    val expected = (0 until n).map(i => (((id * 31 + i * 7) % 2003) - 1001).toInt)
+    val got = (0 until n).map(i =>
+      (((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort).toInt)
+    assert(got == expected)
+    // and the real decoder agrees with the analytic RMS
+    import spark.implicits._
+    val f = Multimodal.audioFeatures(
+      Seq(Multimodal.MediaRecord(id, "audio", bytes)).toDS()).collect().head
+    val sq = expected.map(s => s.toLong * s).sum
+    assert(f.n_frames == n.toLong && f.rms == math.sqrt(sq.toDouble / n), f)
+  }
+
   test("IMA ADPCM decode: exact known vectors, and an encoder roundtrip") {
     import spark.implicits._
     // hand-built ADPCM WAV: fmt tag 0x11, mono, 4-bit, given blockAlign +
