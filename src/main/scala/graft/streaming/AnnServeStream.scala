@@ -36,8 +36,22 @@ object AnnServeStream {
     * `(q_id: Long, qv: array<double>)` — qv unit-normalized (the contract
     * of every serve path; normalize upstream if needed). `onBatch`
     * receives each micro-batch's ANSWERS `(q_id, vec_id, cos, rn)` —
-    * write them to a sink, a topic, or a memory table. */
-  def start(queries: DataFrame, dir: String, checkpoint: String)
+    * write them to a sink, a topic, or a memory table.
+    *
+    * `tombstoneStore`, when given, names a parquet path of deleted ids
+    * `(vec_id)` — the ONLINE half of `sim_index_delete`'s batch
+    * semantics: the store is re-read at every micro-batch boundary
+    * (deletes land mid-stream, so it must NOT be cached like the index
+    * relations — a delete takes effect at the next batch, which is the
+    * contract a serving endpoint owes an RTBF/dedup-loser feed), probed
+    * via the store URI's own Hadoop FileSystem, and threaded through the
+    * serve as the same two anti-joins the batch path uses: candidate
+    * cells are masked BEFORE ranking (a dead id must not consume a
+    * refine slot) and the refine corpus is masked to survivors. The
+    * store is |deletes|-bounded — re-reading it per batch costs a small
+    * file scan while the corpus-bounded relations stay cached. */
+  def start(queries: DataFrame, dir: String, checkpoint: String,
+            tombstoneStore: Option[String] = None)
            (onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = queries.sparkSession
     val (idx, nprobe, refineT) = Similarity.ensureIvfPqIndex(spark, dir)
@@ -55,9 +69,20 @@ object AnnServeStream {
     queries.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val (srvCorpus, srvCells) = tombstoneStore match {
+          case Some(store) =>
+            val hPath = new org.apache.hadoop.fs.Path(store)
+            val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+            if (fs.exists(hPath)) {
+              val tombs = spark.read.parquet(store).select(col("vec_id"))
+              (corpus.join(tombs, Seq("vec_id"), "left_anti"),
+                cells.join(tombs, Seq("vec_id"), "left_anti"))
+            } else (corpus, cells)
+          case None => (corpus, cells)
+        }
         onBatch(Similarity.serveIvfPqQueries(
-          batch, corpus, centroids, codebook, cells, codes, nprobe, refineT),
-          epoch)
+          batch, srvCorpus, centroids, codebook, srvCells, codes,
+          nprobe, refineT), epoch)
       }
       .start()
   }

@@ -82,4 +82,57 @@ class AnnServeStreamSpec extends SparkSpec {
         "a query went unanswered")
     } finally q.stop()
   }
+
+  test("mid-stream delete: the next micro-batch stops returning the tombstoned vector") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // per-epoch capture so wave-1 (pre-delete) and wave-2 (post-delete)
+    // answers are distinguishable even though the queries repeat
+    val byEpoch = scala.collection.mutable.Map.empty[Long, Set[(Long, Long, Long)]]
+    val mem = MemoryStream[Query]
+    val ckpt = Files.createTempDirectory("ann_tomb_ckpt").toString
+    val store = Files.createTempDirectory("ann_tomb_store").toString + "/tombstones"
+    val wave = queryRows.take(3)
+    val q = AnnServeStream.start(mem.toDF(), sf0001, ckpt, Some(store)) { (batch, ep) =>
+      byEpoch.synchronized { byEpoch(ep) = batch.collect().map(key).toSet }
+    }
+    try {
+      mem.addData(wave)
+      q.processAllAvailable()
+      val pre = byEpoch.values.flatten.toSet
+      assert(pre.nonEmpty, "pre-delete wave returned nothing")
+      // delete the rank-1 neighbor of the first query, mid-stream
+      val victim = pre.filter(t => t._1 == wave.head.q_id && t._3 == 1L).head._2
+      Seq(victim).toDF("vec_id").write.mode("overwrite").parquet(store)
+      val preEpochs = byEpoch.keySet.toSet
+      mem.addData(wave)
+      q.processAllAvailable()
+      val post = (byEpoch.keySet -- preEpochs).flatMap(byEpoch(_))
+      assert(post.nonEmpty, "post-delete wave returned nothing")
+      // the tombstoned id is gone from every answer of the next batch...
+      assert(!post.exists(_._2 == victim),
+        s"deleted vec $victim still served after the tombstone landed")
+      assert(pre.exists(_._2 == victim), "victim was not served pre-delete")
+      // ...and stream ≡ batch is preserved: the post-delete answers equal
+      // the OFFLINE serve over the same masked index (the batch kernel of
+      // sim_index_delete's tombstone phase)
+      val (idx, nprobe, refineT) = Similarity.ensureIvfPqIndex(spark, sf0001)
+      val tombs = spark.read.parquet(store).select(col("vec_id"))
+      val corpus = Similarity.vectors(spark, sf0001)
+        .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+        .select(col("vec_id"), col("vn"))
+        .join(tombs, Seq("vec_id"), "left_anti")
+      val offlineMasked = Similarity.serveIvfPqQueries(
+        wave.toDF("q_id", "qv"), corpus,
+        spark.read.parquet(s"$idx/centroids"),
+        spark.read.parquet(s"$idx/codebook"),
+        spark.read.parquet(s"$idx/cells").join(tombs, Seq("vec_id"), "left_anti"),
+        spark.read.parquet(s"$idx/codes"),
+        nprobe, refineT).collect().map(key).toSet
+      assert(post == offlineMasked,
+        s"post-delete stream diverged from masked offline serve: " +
+          s"only-stream=${post -- offlineMasked} only-offline=${offlineMasked -- post}")
+    } finally q.stop()
+  }
 }
