@@ -26,6 +26,7 @@ object SparkEntry {
       (Aggregates.queries, Aggregates.oracle),
       (Windows.queries, Windows.oracle),
       (Joins.queries, Joins.oracle),
+      (TpchTail.queries, TpchTail.oracle),
       (SortsAndSets.queries, SortsAndSets.oracle),
       (Etl.queries, Etl.oracle),
       (TextAnalysis.queries, TextAnalysis.oracle),

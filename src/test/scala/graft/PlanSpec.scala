@@ -218,6 +218,9 @@ class PlanSpec extends SparkSpec {
         "agg_mutual_info",
         // knn_brute's bounded broadcast-query non-equi scoring scan
         "sim_mmr_rerank",
+        // A4-pattern 1-row broadcast global threshold (Q11's correlated
+        // global aggregate / Q22's global average) — |rows|×1 fan-out
+        "join_top_stock_q11", "join_dormant_rich_q22",
         // grid-frame ⋈ broadcast 1-row stats/denominator (psi shape)
         "agg_chi2_independence", "events_acf_hourly",
         // |classes|/1-row broadcast fan-outs in train/score joins
