@@ -598,9 +598,81 @@ object Multimodal {
     audioFeatures(syntheticWavMedia(spark, dir)).toDF()
       .orderBy(col("media_id"))
 
+  /** Decoded-pixel features for the image correctness entry. */
+  final case class ImageFeatures(media_id: Long, width: Int, height: Int,
+                                 sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Deterministic synthetic 24-bit BMP per image-kind doc: w = 8 +
+    * doc_id % 9, h = 8 + doc_id % 5, pixel (x, y) channels are pure
+    * integer functions of (doc_id, x, y). BMP is the one raster format
+    * with NO entropy coding — rows stored bottom-up, BGR order, each row
+    * padded to a 4-byte boundary — so the container round-trips through
+    * the JDK's real BMP ImageReader pixel-exactly, and the DuckDB oracle
+    * can recompute the decoded-pixel channel sums analytically. A builder
+    * or decoder slip (row order, padding, channel order) breaks the
+    * hash: this is `mm_audio_features`' discipline applied to the image
+    * leg. */
+  private[graft] def bmp24(id: Long): Array[Byte] = {
+    val w = (8 + id % 9).toInt
+    val h = (8 + id % 5).toInt
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val dataLen = rowBytes * h
+    val bb = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+      .putInt(0).putInt(54)
+    bb.putInt(40).putInt(w).putInt(h) // positive height = bottom-up rows
+      .putShort(1).putShort(24).putInt(0).putInt(dataLen)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = h - 1 // file rows run bottom-up: last image row first
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        bb.put((((id * 13 + 4 * x + y) % 256) & 0xff).toByte) // B
+        bb.put((((id * 11 + x + 2 * y) % 256) & 0xff).toByte) // G
+        bb.put((((id * 7 + 3 * x + 5 * y) % 256) & 0xff).toByte) // R
+        x += 1
+      }
+      var pad = rowBytes - w * 3
+      while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    bb.array()
+  }
+
+  /** `mm_image_features`: encode each image doc as an actual BMP on the
+    * executor, decode through the REAL `javax.imageio` path, and report
+    * the decoded-pixel channel sums — exact integers, analytically
+    * oracled. Batched per-partition like every Multimodal codec kernel. */
+  def imageFeatureTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRecord(id, "image", bmp24(id))))
+    media.mapPartitions(_.map { r =>
+      val img = readImage(r.payload).getOrElse(
+        sys.error(s"BMP ${r.media_id} failed the real ImageIO decode"))
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      ImageFeatures(r.media_id, img.getWidth, img.getHeight, sr, sg, sb)
+    }).toDF()
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (binaryMeta _),
-    "mm_audio_features" -> (audioFeatureTable _)
+    "mm_audio_features" -> (audioFeatureTable _),
+    "mm_image_features" -> (imageFeatureTable _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -645,7 +717,26 @@ object Multimodal {
         |  CAST(n_frames AS BIGINT) AS n_frames,
         |  CAST(n_frames * 1000 // 8000 AS BIGINT) AS duration_ms,
         |  sqrt(CAST(sq AS DOUBLE) / n_frames) AS rms
-        |FROM acc ORDER BY media_id""".stripMargin
+        |FROM acc ORDER BY media_id""".stripMargin,
+    // analytic twin of the real BMP decode: pixel channels are pure
+    // integer functions of (doc_id, x, y), so only a correct bottom-up/
+    // BGR/padded parse on the Spark side can match the channel sums
+    "mm_image_features" ->
+      """WITH img AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |xs AS (
+        |  SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x
+        |  FROM img),
+        |p AS (
+        |  SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+        |  FROM xs)
+        |SELECT doc_id AS media_id,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(SUM((doc_id * 7 + 3 * x + 5 * y) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((doc_id * 11 + x + 2 * y) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((doc_id * 13 + 4 * x + y) % 256) AS BIGINT) AS sum_b
+        |FROM p GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin
   )
 }
 

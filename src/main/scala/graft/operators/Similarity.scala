@@ -1800,7 +1800,72 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  /** Johnson–Lindenstrauss random projection to `RpK` dims with a
+    * deterministic ±1 sign matrix s(i,j) = ±1 by the parity of
+    * i·31 + j·17 (a fixed pseudo-random sign pattern — the JL guarantee
+    * needs iid-ish signs, and a hash-parity matrix is the standard
+    * reproducible choice; a production kernel swaps in a seeded hash).
+    * y_j = Σ_i s(i,j)·x_i over the decimal-rounded components, so every
+    * projected coordinate is an EXACT decimal sum — fully oracled.
+    *
+    * Scale: the explode→group form shown here is the relational shape
+    * (shuffle = |vecs|·K rows, keyed by the vector); the dims are
+    * generated in-plan (explode(sequence)) — no |vecs|×K driver matrix.
+    * This is the dimensionality-reduction step that runs BEFORE the ANN
+    * index at 100 TB: 64 → 16 dims cuts every downstream distance
+    * computation 4× while JL bounds the distortion. */
+  private val RpK = 16L
+  def randomProjection(spark: SparkSession, dir: String): DataFrame = {
+    val xs = vecComponents(spark, dir) // (vec_id, dim ∈ 1.., x decimal(18,6))
+    xs.select(col("vec_id"), col("dim"), col("x"),
+        explode(sequence(lit(1L), lit(RpK))).as("j"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(when((col("dim") * 31 + col("j") * 17) % 2 === 0, col("x"))
+        .otherwise(-col("x"))).as("ys"))
+      .select(col("vec_id"), col("j"), col("ys").cast("double").as("y"))
+      .orderBy(col("vec_id"), col("j"))
+  }
+
+  /** Per-dimension scalar quantization to int8 (FAISS's SQ8): corpus
+    * min/max per dim (64 rows, broadcast back), code =
+    * ⌊(x−mn)·255/(mx−mn)⌋ clamped to [0,255], reconstruction at the
+    * bucket midpoint, per-vector reconstruction error. The quantization
+    * chain is pure IEEE arithmetic on identical doubles (engine-stable);
+    * the squared errors go through the round-9 decimal lattice before
+    * summing (the JS-divergence rule), and `code_checksum` =
+    * Σ code·dim pins every individual code exactly — a one-bucket slip
+    * on any dimension breaks the hash.
+    *
+    * Scale: the stats pass is one 64-row aggregate; encoding is a
+    * broadcast join + per-row map — the 4×-smaller codes relation is
+    * what ships to the ANN index instead of raw floats. */
+  def scalarQuant(spark: SparkSession, dir: String): DataFrame = {
+    val comps = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"), col("col").as("x"))
+    val stats = comps.groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val coded = comps.join(broadcast(stats), Seq("dim"))
+      .withColumn("code",
+        when(col("mx") > col("mn"),
+          least(greatest(floor(((col("x") - col("mn")) * 255.0) /
+            (col("mx") - col("mn"))), lit(0.0)), lit(255.0)))
+          .otherwise(lit(0.0)).cast("long"))
+      .withColumn("recon",
+        col("mn") + ((col("code") + lit(0.5)) * (col("mx") - col("mn"))) / 256.0)
+      .withColumn("sqe",
+        round((col("x") - col("recon")) * (col("x") - col("recon")), 9)
+          .cast("decimal(18,9)"))
+    coded.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dims"),
+        sum(col("code") * col("dim")).as("code_checksum"),
+        sum(col("sqe")).cast("double").as("sum_sqerr"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_random_projection" -> (randomProjection _),
+    "sim_scalar_quant" -> (scalarQuant _),
     "ml_knn_classifier" -> (knnClassifier _),
     "sim_knn_brute" -> (knnBrute _),
     "sim_range_search" -> (rangeSearch _),
@@ -1896,6 +1961,46 @@ object Similarity {
     .mkString("CAST(", " + ", " AS BIGINT)")
 
   val oracle: Map[String, String] = Map(
+    "sim_random_projection" ->
+      s"""WITH x0 AS (
+        |  SELECT vec_id, embedding,
+        |    unnest(generate_series(1, len(embedding))) AS dim
+        |  FROM embeddings),
+        |x AS (
+        |  SELECT vec_id, CAST(dim AS BIGINT) AS i,
+        |    CAST(ROUND(embedding[dim]::DOUBLE, 6) AS DECIMAL(18,6)) AS xr
+        |  FROM x0),
+        |js AS (SELECT CAST(unnest(generate_series(1, $RpK)) AS BIGINT) AS j)
+        |SELECT vec_id, j,
+        |  CAST(SUM(CASE WHEN (i * 31 + j * 17) % 2 = 0 THEN xr ELSE -xr END)
+        |    AS DOUBLE) AS y
+        |FROM x, js
+        |GROUP BY vec_id, j
+        |ORDER BY vec_id, j""".stripMargin,
+    "sim_scalar_quant" ->
+      """WITH c AS (
+        |  SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+        |    embedding[dim]::DOUBLE AS x
+        |  FROM (SELECT vec_id, embedding,
+        |          unnest(generate_series(1, len(embedding))) AS dim
+        |        FROM embeddings)),
+        |st AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM c GROUP BY dim),
+        |coded AS (
+        |  SELECT vec_id, c.dim, x, mn, mx,
+        |    CAST(CASE WHEN mx > mn THEN
+        |      LEAST(GREATEST(FLOOR(((x - mn) * 255.0) / (mx - mn)), 0.0), 255.0)
+        |    ELSE 0.0 END AS BIGINT) AS code
+        |  FROM c JOIN st ON c.dim = st.dim),
+        |r AS (
+        |  SELECT vec_id, dim, code,
+        |    CAST(ROUND((x - (mn + ((code + 0.5) * (mx - mn)) / 256.0))
+        |             * (x - (mn + ((code + 0.5) * (mx - mn)) / 256.0)), 9)
+        |      AS DECIMAL(18,9)) AS sqe
+        |  FROM coded)
+        |SELECT vec_id, COUNT(*) AS n_dims,
+        |  CAST(SUM(code * dim) AS BIGINT) AS code_checksum,
+        |  CAST(SUM(sqe) AS DOUBLE) AS sum_sqerr
+        |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "dedup_semdedup" ->
       """WITH x0 AS (
         |  SELECT vec_id, label, embedding,
