@@ -1863,7 +1863,82 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** First principal component of the embedding corpus by THREE unrolled
+    * power-iteration rounds over the exact covariance matrix — PCA as a
+    * relational program, fully oracled (the kmeans/markov fixed-unroll
+    * rule applied to eigen-iteration).
+    *
+    * Arithmetic: centered components are exact decimals (mean on the
+    * round-6 lattice, diffs in DECIMAL(8,6)); the covariance is an exact
+    * decimal sum re-latticed to (18,6); each mat-vec product Σ C·v is an
+    * exact decimal sum (≤19 significant digits — no overflow, no float
+    * fold); per round the iterate renormalizes to unit max-norm with one
+    * IEEE division and re-enters the round-6 lattice. Every cross-engine
+    * step is an established-identical operation (decimal sums, decimal→
+    * double casts, IEEE divide, HALF_UP/away-from-zero round — equal on
+    * every sign).
+    *
+    * Scale: covariance = one self-join per vec_id (O(n·d²) map-side
+    * products) hash-agged on 4096 (d1,d2) keys — shuffle bounded by d²,
+    * never by n; each iteration is a d²-row broadcast-vector join. The
+    * 1-row max-norm rescale is the A4 broadcast pattern. This is the
+    * whitening/top-PC step a production embedding pipeline runs before
+    * quantization (OPQ's rotation seed, SemDeDup's centering). */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val xr = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          e => round(e, 6).cast("decimal(18,6)")).as("xa"))
+      .cache() // mean pass + centered outer-product pass both read it
+    val mu = xr.select(posexplode(col("xa")))
+      .groupBy(col("pos"))
+      .agg(round(sum(col("col")).cast("double") / count(lit(1)), 6)
+        .cast("decimal(18,6)").as("mu"))
+    // the 64-value mean VECTOR as a 1-row broadcast array (A4 pattern):
+    // centering then happens per row with zip_with — no per-component join
+    val muA = mu.agg(sort_array(collect_list(struct(col("pos"), col("mu"))))
+        .as("s"))
+      .select(transform(col("s"), s => s.getField("mu")).as("muArr"))
+    val dArr = xr.crossJoin(broadcast(muA))
+      .select(col("vec_id"),
+        zip_with(col("xa"), col("muArr"),
+          (a, b) => (a - b).cast("decimal(8,6)")).as("dxa"))
+    // covariance WITHOUT a self-join: each row emits its own d×d outer
+    // product in one codegen stage (posexplode twice over the same
+    // array), and the hash-agg combines map-side — at scale the shuffle
+    // carries only |d²·partitions| partial sums, never the n·d component
+    // table (the self-join form shuffles that table twice). The products
+    // stay decimal(8,6)² = (17,12) — long-backed, exact, and free of
+    // Spark's >38-precision scale-adjust rounding (a scaled-long variant
+    // measured no faster and the unit-restoring multiply re-rounds at
+    // precision overflow — a cross-engine double-rounding trap)
+    val cov = dArr
+      .select(col("dxa"), posexplode(col("dxa")))
+      .select((col("pos") + 1).cast("long").as("d1"),
+        posexplode(transform(col("dxa"), b => col("col") * b)))
+      .groupBy(col("d1"), (col("pos") + 1).cast("long").as("d2"))
+      .agg(round(sum(col("col")), 6).cast("decimal(18,6)").as("c"))
+      .cache() // read by all three mat-vec rounds
+    var v = mu.select((col("pos") + 1).cast("long").as("dim"),
+      lit(1).cast("decimal(18,6)").as("v"))
+    var lambda: DataFrame = null
+    for (_ <- 1 to 3) {
+      val w = cov.join(v.select(col("dim").as("d2"), col("v")), Seq("d2"))
+        .groupBy(col("d1").as("dim"))
+        .agg(sum(col("c") * col("v")).cast("double").as("wd"))
+      lambda = w.agg(max(abs(col("wd"))).as("wmax"))
+      v = w.crossJoin(broadcast(lambda))
+        .select(col("dim"),
+          round(col("wd") / col("wmax"), 6).cast("decimal(18,6)").as("v"))
+    }
+    v.crossJoin(broadcast(lambda))
+      .select(col("dim"), col("v").cast("double").as("loading"),
+        col("wmax").as("lambda"))
+      .orderBy(col("dim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pca_power" -> (pcaPower _),
     "sim_random_projection" -> (randomProjection _),
     "sim_scalar_quant" -> (scalarQuant _),
     "ml_knn_classifier" -> (knnClassifier _),
@@ -1960,7 +2035,47 @@ object Similarity {
     .map(j => s"CASE WHEN v[${j + 1}] >= 0.0 THEN ${1L << j} ELSE 0 END")
     .mkString("CAST(", " + ", " AS BIGINT)")
 
+  /** DuckDB oracle for `sim_pca_power`: the three power rounds unrolled
+    * as w/m/v CTE blocks replaying the Spark loop step for step. */
+  private def pcaOracleSql: String = {
+    val rounds = (1 to 3).map { r =>
+      s"""w$r AS (
+         |  SELECT d1 AS dim, CAST(SUM(c * v) AS DOUBLE) AS wd
+         |  FROM cov JOIN v${r - 1} ON d2 = v${r - 1}.dim GROUP BY d1),
+         |m$r AS (SELECT MAX(ABS(wd)) AS wmax FROM w$r),
+         |v$r AS (
+         |  SELECT dim, CAST(ROUND(wd / wmax, 6) AS DECIMAL(18,6)) AS v
+         |  FROM w$r, m$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x0 AS (
+       |  SELECT vec_id, embedding,
+       |    unnest(generate_series(1, len(embedding))) AS dim
+       |  FROM embeddings),
+       |x AS (
+       |  SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+       |    CAST(ROUND(embedding[dim]::DOUBLE, 6) AS DECIMAL(18,6)) AS xr
+       |  FROM x0),
+       |mu AS (
+       |  SELECT dim,
+       |    CAST(ROUND(CAST(SUM(xr) AS DOUBLE) / COUNT(*), 6)
+       |      AS DECIMAL(18,6)) AS mu
+       |  FROM x GROUP BY dim),
+       |d AS (
+       |  SELECT vec_id, x.dim, CAST(xr - mu AS DECIMAL(8,6)) AS dx
+       |  FROM x JOIN mu ON x.dim = mu.dim),
+       |cov AS (
+       |  SELECT a.dim AS d1, b.dim AS d2,
+       |    CAST(ROUND(SUM(a.dx * b.dx), 6) AS DECIMAL(18,6)) AS c
+       |  FROM d a JOIN d b ON a.vec_id = b.vec_id
+       |  GROUP BY a.dim, b.dim),
+       |v0 AS (SELECT dim, CAST(1 AS DECIMAL(18,6)) AS v FROM mu),
+       |$rounds
+       |SELECT v3.dim, CAST(v3.v AS DOUBLE) AS loading, m3.wmax AS lambda
+       |FROM v3, m3 ORDER BY v3.dim""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "sim_pca_power" -> pcaOracleSql,
     "sim_random_projection" ->
       s"""WITH x0 AS (
         |  SELECT vec_id, embedding,

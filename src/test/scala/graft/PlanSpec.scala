@@ -223,6 +223,8 @@ class PlanSpec extends SparkSpec {
         "join_top_stock_q11", "join_dormant_rich_q22",
         // grid-frame ⋈ broadcast 1-row stats/denominator (psi shape)
         "agg_chi2_independence", "events_acf_hourly",
+        // 1-row broadcast mean-vector / max-norm rescale (A4 shape ×4)
+        "sim_pca_power",
         // |classes|/1-row broadcast fan-outs in train/score joins
         "ml_naive_bayes",
         // audit relation ⋈ broadcast 1-row totals (psi shape)
