@@ -174,13 +174,78 @@ object Layout {
       .orderBy(col("shard"))
   }
 
+  /** Zone-map (file-skipping) statistics + a pruning simulation — the
+    * manifest-level min/max stats a lakehouse table format (Iceberg/Delta)
+    * keeps per data file, and the reason layout matters at 100 TB: a scan
+    * with a ship-date predicate reads only files whose [min, max] envelope
+    * intersects it. Two simulated file layouts over the SAME rows:
+    * `insertion` (files cut by arrival order — orderkey ranges, so every
+    * file's date envelope is table-wide) vs `clustered` (files cut by
+    * ship month — the envelope IS the predicate grain). Per layout: file
+    * count, and how many files/rows a one-month predicate skips. The
+    * pruning delta between the two rows is the entire value proposition
+    * of clustering, measured exactly.
+    *
+    * Scale: each layout is one hash-agg keyed by file_id (the zone-map
+    * build is embarrassingly parallel and runs at write time in a real
+    * table format); the simulation is an aggregate over |files| rows. */
+  def zoneMaps(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val lo = lit("1997-03-01").cast("timestamp")
+    val hi = lit("1997-04-01").cast("timestamp")
+    def layoutStats(name: String, fileId: Column): DataFrame = {
+      val files = li.withColumn("file_id", fileId)
+        .groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_shipdate")).as("mn"), max(col("l_shipdate")).as("mx"))
+      val skipped = col("mx") < lo || col("mn") >= hi
+      files.agg(
+          count(lit(1)).as("n_files"),
+          sum(col("n_rows")).as("total_rows"),
+          sum(when(skipped, 1L).otherwise(0L)).as("files_pruned"),
+          sum(when(skipped, col("n_rows")).otherwise(0L)).as("rows_pruned"))
+        .select(lit(name).as("layout"), col("n_files"), col("total_rows"),
+          col("files_pruned"), col("rows_pruned"),
+          expr("rows_pruned * 1000000 DIV total_rows").as("prune_ppm"))
+    }
+    layoutStats("insertion", expr("l_orderkey DIV 2048"))
+      .unionByName(layoutStats("clustered",
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate"))).cast("long")))
+      .orderBy(col("layout"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder_buckets" -> (zorderBuckets _),
     "layout_hilbert_buckets" -> (hilbertBuckets _),
-    "layout_shard_balance" -> (shardBalance _)
+    "layout_shard_balance" -> (shardBalance _),
+    "layout_zone_maps" -> (zoneMaps _)
   )
 
   val oracle: Map[String, String] = Map(
+    "layout_zone_maps" -> {
+      def block(name: String, fileExpr: String) =
+        s"""SELECT '$name' AS layout,
+           |  CAST(COUNT(*) AS BIGINT) AS n_files,
+           |  CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+           |  CAST(SUM(CASE WHEN skipped THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS files_pruned,
+           |  CAST(SUM(CASE WHEN skipped THEN n_rows ELSE 0 END) AS BIGINT)
+           |    AS rows_pruned,
+           |  CAST(SUM(CASE WHEN skipped THEN n_rows ELSE 0 END) AS BIGINT)
+           |    * 1000000 // CAST(SUM(n_rows) AS BIGINT) AS prune_ppm
+           |FROM (
+           |  SELECT $fileExpr AS file_id,
+           |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |    MAX(l_shipdate) < TIMESTAMP '1997-03-01'
+           |      OR MIN(l_shipdate) >= TIMESTAMP '1997-04-01' AS skipped
+           |  FROM lineitem GROUP BY 1)""".stripMargin
+      s"""${block("insertion", "l_orderkey // 2048")}
+         |UNION ALL
+         |${block("clustered",
+           "CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)")}
+         |ORDER BY layout""".stripMargin
+    },
     "layout_shard_balance" ->
       """WITH d AS (
         |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
