@@ -713,6 +713,72 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** k-truss (k = 4): the edge-level analogue of k-core — iteratively
+    * delete every edge lying in fewer than k−2 triangles until the edge
+    * set is stable; what survives is the cohesive backbone a k-core can
+    * overstate (a star has high core degrees but zero triangles). Runs on
+    * the supplier co-purchase projection (suppliers sharing a qty-50
+    * part — the one graph in the harness with real triangles; the kcore
+    * bipartite graph has none by construction). Same fixpoint discipline
+    * as `kcoreSurvivors`: per-round eager localCheckpoint, convergence
+    * REQUIREd inside the round budget, memoized per (session, dir).
+    *
+    * Support counting is the standard adjacency equi-join (edge ⋈ und ⋈
+    * und on the shared wedge node, grouped per edge) — Σ deg(u)·deg(v)
+    * bounded, never all-triples; at 100 TB the projection's df-style cap
+    * is the part fan-out, and each peel round is two shuffles on node
+    * keys. Output: the surviving edges with their in-truss support. */
+  private val TrussMinSup = 2 // k = 4 ⇒ every surviving edge in ≥ 2 triangles
+  private val TrussRounds = 8
+
+  private val trussMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Per-edge triangle support over an undirected (u < v) edge relation. */
+  private def edgeSupports(e: DataFrame): DataFrame = {
+    val und = e.select(col("u").as("x"), col("v").as("y"))
+      .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+    e.join(und.select(col("x").as("x1"), col("y").as("w1")), col("u") === col("x1"))
+      .join(und.select(col("x").as("x2"), col("y").as("w2")),
+        col("v") === col("x2") && col("w1") === col("w2"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+  }
+
+  /** The truss peel over an arbitrary (u < v) edge relation — split out so
+    * GraphSpec can drive it on a clique-plus-pendant fixture. */
+  private[graft] def trussSurvivors(e0: DataFrame, minSup: Int,
+                                    rounds: Int): DataFrame = {
+    var e = e0.localCheckpoint(true)
+    var prev = -1L
+    var cur = e.count()
+    var round = 0
+    while (round < rounds && cur != prev) {
+      e = edgeSupports(e).filter(col("support") >= minSup)
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      prev = cur
+      cur = e.count()
+      round += 1
+    }
+    require(cur == prev,
+      s"k-truss peel did not converge within $rounds rounds " +
+        s"(edges $prev -> $cur); raise the round budget")
+    edgeSupports(e).orderBy(col("u"), col("v"))
+  }
+
+  def ktruss(spark: SparkSession, dir: String): DataFrame =
+    trussMemo.getOrElseUpdate((spark, dir), {
+      val ps = Tables.lineitem(spark, dir)
+        .filter(col("l_quantity") === 50)
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+        .distinct()
+      val e0 = ps.as("a").join(ps.as("b"),
+          col("a.p") === col("b.p") && col("a.s") < col("b.s"))
+        .select(col("a.s").as("u"), col("b.s").as("v"))
+        .distinct()
+      trussSurvivors(e0, TrussMinSup, TrussRounds)
+    })
+
   def kcore(spark: SparkSession, dir: String): DataFrame =
     kcoreMemo.getOrElseUpdate((spark, dir), {
       val e0 = Tables.lineitem(spark, dir)
@@ -727,6 +793,7 @@ object Graph {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_sssp_weighted" -> (ssspWeighted _),
     "graph_kcore"      -> (kcore _),
+    "graph_ktruss"     -> (ktruss _),
     "graph_pagerank"   -> (pagerank _),
     "graph_ppr_seeded" -> (pprSeeded _),
     "graph_hits"       -> (hits _),
@@ -784,6 +851,41 @@ object Graph {
        |  SELECT e.src, e.dst FROM $prev e
        |  JOIN $keep k1 ON e.src = k1.node
        |  JOIN $keep k2 ON e.dst = k2.node)""".stripMargin
+
+  /** DuckDB oracle for `graph_ktruss`: the peel unrolled to 6 rounds
+    * (measured fixpoint ≤ 4 at every SF; the peel is idempotent once
+    * converged, so extra rounds are no-ops), then one final support
+    * readout over the stable edge set. */
+  private val ktrussOracle: String = {
+    def roundCtes(i: Int): String =
+      s"""u$i AS MATERIALIZED (
+         |  SELECT u AS x, v AS y FROM e$i
+         |  UNION ALL SELECT v AS x, u AS y FROM e$i),
+         |e${i + 1} AS MATERIALIZED (
+         |  SELECT e.u, e.v
+         |  FROM e$i e
+         |  JOIN u$i n1 ON n1.x = e.u
+         |  JOIN u$i n2 ON n2.x = e.v AND n2.y = n1.y
+         |  GROUP BY e.u, e.v
+         |  HAVING COUNT(*) >= 2)""".stripMargin
+    val rounds = (0 until 6).map(roundCtes).mkString(",\n")
+    s"""WITH ps AS (
+       |  SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+       |  FROM lineitem WHERE l_quantity = 50),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.s AS u, b.s AS v
+       |  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+       |$rounds,
+       |uf AS (
+       |  SELECT u AS x, v AS y FROM e6
+       |  UNION ALL SELECT v AS x, u AS y FROM e6)
+       |SELECT e.u, e.v, COUNT(*) AS support
+       |FROM e6 e
+       |JOIN uf n1 ON n1.x = e.u
+       |JOIN uf n2 ON n2.x = e.v AND n2.y = n1.y
+       |GROUP BY e.u, e.v
+       |ORDER BY e.u, e.v""".stripMargin
+  }
 
   private val kcoreOracle: String = {
     val layers = (0 until 8)
@@ -967,6 +1069,7 @@ object Graph {
         |FROM walk GROUP BY node
         |ORDER BY node""".stripMargin,
     "graph_kcore" -> kcoreOracle,
+    "graph_ktruss" -> ktrussOracle,
     "graph_ppr_seeded" ->
       s"""WITH $edgeCtes,
          |seeds AS (

@@ -116,6 +116,22 @@ class GraphSpec extends SparkSpec {
       s"3-core of K4+chain wrong: $core")
   }
 
+  test("4-truss of a K4 plus a triangle-free tail keeps exactly the clique edges") {
+    import spark.implicits._
+    // K4 over {0..3}: every clique edge lies in exactly 2 triangles →
+    // survives k=4 (support ≥ 2). The pendant path 3-10-11 has no
+    // triangles → peeled in round 1. A triangle 20-21-22 has support 1
+    // per edge → also peeled (below the k−2 = 2 bar), proving the
+    // threshold is support ≥ 2, not merely "in a triangle".
+    val k4 = for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)
+    val extra = Seq((3L, 10L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+    val edges = (k4 ++ extra).toDF("u", "v")
+    val truss = Graph.trussSurvivors(edges, minSup = 2, rounds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(truss.keySet == k4.toSet, s"4-truss edge set wrong: $truss")
+    assert(truss.values.forall(_ == 2L), s"K4 supports must all be 2: $truss")
+  }
+
   test("label propagation separates two cliques joined by a bridge") {
     import spark.implicits._
     // two K4s {0..3} and {10..13} plus the bridge 3-10: synchronous

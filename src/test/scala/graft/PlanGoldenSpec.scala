@@ -46,6 +46,7 @@ class PlanGoldenSpec extends SparkSpec {
     "graph_khop_distance" -> "memoized checkpoint",
     "graph_sssp_weighted" -> "memoized checkpoint",
     "graph_kcore" -> "memoized checkpoint",
+    "graph_ktruss" -> "memoized checkpoint",
     "graph_pagerank" -> "memoized checkpoint",
     "typed_longest_streak" -> "memoized checkpoint",
     "scd2_status_history" -> "memoized checkpoint",
