@@ -84,7 +84,7 @@ object MergeSink {
   /** Restore a complete base after a crash mid-swap: if only `.old`
     * exists the new table never landed — roll back; if both exist the
     * new table landed and only the cleanup was lost — finish it. */
-  private def recoverSwap(fs: FileSystem, base: Path, old: Path): Unit =
+  private[streaming] def recoverSwap(fs: FileSystem, base: Path, old: Path): Unit =
     if (fs.exists(old)) {
       if (!fs.exists(base))
         require(fs.rename(old, base), s"recovery failed: $old -> $base")
