@@ -669,10 +669,69 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Deterministic synthetic AVI per video-kind doc: a real RIFF
+    * container — LIST hdrl (strl/strh typed 'vids') + LIST movi holding
+    * nf = 3 + doc_id % 5 coded-frame chunks (`00dc`) of
+    * 16 + doc_id % 16 bytes whose content is a pure integer function of
+    * (doc_id, frame, position). The chunk grammar (u32 little-endian
+    * sizes, even-offset padding, nested LIST ranges) must round-trip the
+    * real `AviIndex` demuxer exactly — a size or padding slip
+    * desynchronizes every later chunk boundary and the strict parser
+    * rejects the file. */
+  private[graft] def syntheticAvi(id: Long): Array[Byte] = {
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val sz = data.length
+      val bb = java.nio.ByteBuffer.allocate(8 + sz + (sz & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(tag.getBytes("ISO-8859-1")).putInt(sz).put(data)
+      bb.array() // trailing pad byte (if odd) left zero by allocate
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("ISO-8859-1") ++ body)
+    val nf = (3 + id % 5).toInt
+    val flen = (16 + id % 16).toInt
+    def frame(i: Int): Array[Byte] =
+      Array.tabulate(flen)(j => (((id * 3 + i * 7 + j * 11) % 256) & 0xff).toByte)
+    val strh = "vids".getBytes("ISO-8859-1") ++ new Array[Byte](52)
+    val hdrl = list("hdrl", list("strl", chunk("strh", strh)))
+    val movi = list("movi",
+      (0 until nf).map(i => chunk("00dc", frame(i))).reduce(_ ++ _))
+    val body = hdrl ++ movi
+    val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ISO-8859-1")).putInt(4 + body.length)
+      .put("AVI ".getBytes("ISO-8859-1")).put(body)
+    bb.array()
+  }
+
+  /** `mm_video_frames`: the video-leg correctness gate — encode each
+    * video doc as an actual AVI container on the executor, demux through
+    * the REAL RIFF/movi index walk (`sampleAviFrames`, stride 1), and
+    * report every frame's (index, size, payload checksum) against a
+    * DuckDB oracle that recomputes them analytically. The checksum is the
+    * shared PolyHash byte fold, mirrored with list_reduce — the
+    * dedup_simhash idiom. Frame payloads are deliberately NOT images, so
+    * the demuxer's coded-bytes path (not ImageIO) is the one under test:
+    * wrong offsets or sizes change the folded bytes and break the hash. */
+  def videoFrameTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val r = MediaRecord(id, "video", syntheticAvi(id))
+        sampleAviFrames(r, 1).getOrElse(
+          sys.error(s"AVI $id failed the real demux"))
+      })
+      .toDF()
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (binaryMeta _),
     "mm_audio_features" -> (audioFeatureTable _),
-    "mm_image_features" -> (imageFeatureTable _)
+    "mm_image_features" -> (imageFeatureTable _),
+    "mm_video_frames" -> (videoFrameTable _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -736,7 +795,28 @@ object Multimodal {
         |  CAST(SUM((doc_id * 7 + 3 * x + 5 * y) % 256) AS BIGINT) AS sum_r,
         |  CAST(SUM((doc_id * 11 + x + 2 * y) % 256) AS BIGINT) AS sum_g,
         |  CAST(SUM((doc_id * 13 + 4 * x + y) % 256) AS BIGINT) AS sum_b
-        |FROM p GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin
+        |FROM p GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin,
+    // analytic twin of the real AVI demux: frame bytes are a pure integer
+    // function of (doc_id, frame, position), so the oracle refolds the
+    // PolyHash checksum over the formula — only index offsets/sizes read
+    // correctly off the container can match
+    "mm_video_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id, 3 + doc_id % 5 AS nf, 16 + doc_id % 16 AS flen
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT doc_id, flen,
+        |    unnest(generate_series(0, nf - 1)) AS frame_idx
+        |  FROM v)
+        |SELECT doc_id AS media_id,
+        |  CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(flen AS BIGINT) AS n_bytes,
+        |  CAST(list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(generate_series(0, flen - 1),
+        |        j -> (doc_id * 3 + frame_idx * 7 + j * 11) % 256)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS checksum
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin
   )
 }
 
