@@ -105,6 +105,17 @@ object Probe {
         // both directions), i.e. the Σdf² index bound holding, not a
         // hidden all-pairs
         "containment" -> (p => operators.Dedup.containmentPairs(spark, p).count()),
+        // r9: the prefix-filtered production entry under the same
+        // adversarial amplification. Measured at N=8 on sf0.01 (local[8]):
+        // unfiltered 0.64→1.41 s, prefix 0.74→2.22 s, both at the same
+        // 50→31,200 TRUE pair output — amplification is the filter's
+        // WORST case (every doc genuinely near-dups its copies, so
+        // prefixes must collide and the recount join does full work), and
+        // even there the overhead is ~1.6×, while on naturally-duplicated
+        // corpora the same filter cuts candidate volume to 1.9%
+        // (DedupConsistencySpec) and took the entry from 21.4 s to ~3 s
+        // at sf0.1
+        "containment prefix" -> (p => operators.Dedup.containmentPairsPrefix(spark, p).count()),
         "end to end" -> (p => operators.TextAnalysis.endToEnd(spark, p).count()),
         // round-6 additions: the span family. Amplified copies append a
         // salt token, so every 8-gram window that doesn't touch the tail
