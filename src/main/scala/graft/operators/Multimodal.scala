@@ -727,11 +727,64 @@ object Multimodal {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** Deterministic synthetic ISO BMFF (mp4) per video-kind doc — the
+    * big-endian counterpart of `syntheticAvi`, exercising the OTHER
+    * container family: ftyp + mdat (frames head-to-tail) + moov whose
+    * stbl tables (stsz per-sample sizes — deliberately NON-uniform to
+    * hit the per-sample path, stsc chunk runs — two chunks so the run
+    * expansion walks a boundary, stco absolute file offsets) must be
+    * written self-consistently or the strict `Mp4Index` walk rejects
+    * the file. nf = 3 + doc_id % 4 frames of 12 + (doc_id + i) % 8
+    * bytes, content a pure integer function of (doc_id, frame, pos). */
+  private[graft] def syntheticMp4(id: Long): Array[Byte] = {
+    def be32(x: Int): Array[Byte] =
+      Array((x >>> 24).toByte, (x >>> 16).toByte, (x >>> 8).toByte, x.toByte)
+    def box(tag: String, payload: Array[Byte]): Array[Byte] =
+      be32(8 + payload.length) ++ tag.getBytes("ISO-8859-1") ++ payload
+    val nf = (3 + id % 4).toInt
+    def flen(i: Int): Int = (12 + (id + i) % 8).toInt
+    def frame(i: Int): Array[Byte] =
+      Array.tabulate(flen(i))(j => (((id * 5 + i * 13 + j * 3) % 256) & 0xff).toByte)
+    val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(0))
+    val mdat = box("mdat", (0 until nf).map(frame).reduce(_ ++ _))
+    val dataOff = ftyp.length + 8 // first frame byte's absolute offset
+    val off2 = dataOff + flen(0) + flen(1) // chunk 2 starts after 2 samples
+    val hdlr = box("hdlr",
+      be32(0) ++ be32(0) ++ "vide".getBytes("ISO-8859-1") ++ new Array[Byte](12))
+    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(nf) ++
+      (0 until nf).flatMap(i => be32(flen(i))).toArray)
+    val stsc = box("stsc", be32(0) ++ be32(2) ++
+      (be32(1) ++ be32(2) ++ be32(1)) ++ (be32(2) ++ be32(nf - 2) ++ be32(1)))
+    val stco = box("stco", be32(0) ++ be32(2) ++ be32(dataOff) ++ be32(off2))
+    val moov = box("moov", box("trak", box("mdia",
+      hdlr ++ box("minf", box("stbl", stsz ++ stsc ++ stco)))))
+    ftyp ++ mdat ++ moov
+  }
+
+  /** `mm_mp4_frames`: the ISO BMFF twin of `mm_video_frames` — the real
+    * stsz/stsc/stco table walk reads every frame's (offset, size) off
+    * the container; index, size and payload checksum oracled
+    * analytically. */
+  def mp4FrameTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val r = MediaRecord(id, "video", syntheticMp4(id))
+        sampleMp4Frames(r, 1).getOrElse(
+          sys.error(s"mp4 $id failed the real demux"))
+      })
+      .toDF()
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (binaryMeta _),
     "mm_audio_features" -> (audioFeatureTable _),
     "mm_image_features" -> (imageFeatureTable _),
-    "mm_video_frames" -> (videoFrameTable _)
+    "mm_video_frames" -> (videoFrameTable _),
+    "mm_mp4_frames" -> (mp4FrameTable _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -816,7 +869,27 @@ object Multimodal {
         |      list_transform(generate_series(0, flen - 1),
         |        j -> (doc_id * 3 + frame_idx * 7 + j * 11) % 256)),
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS checksum
-        |FROM f ORDER BY media_id, frame_idx""".stripMargin
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+    "mm_mp4_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id, 3 + doc_id % 4 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT doc_id, unnest(generate_series(0, nf - 1)) AS frame_idx
+        |  FROM v),
+        |c AS (
+        |  SELECT doc_id, frame_idx,
+        |    12 + (doc_id + frame_idx) % 8 AS flen
+        |  FROM f)
+        |SELECT doc_id AS media_id,
+        |  CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(flen AS BIGINT) AS n_bytes,
+        |  CAST(list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(generate_series(0, flen - 1),
+        |        j -> (doc_id * 5 + frame_idx * 13 + j * 3) % 256)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS checksum
+        |FROM c ORDER BY media_id, frame_idx""".stripMargin
   )
 }
 
