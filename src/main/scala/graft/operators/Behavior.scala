@@ -1072,6 +1072,66 @@ object Behavior {
     *
     * Output: n_a, n_b, u2_a (= 2·U_a, exact — U itself is half-integer
     * under ties), z. Degenerate (all values tied) → NULL z. */
+  /** Quantile treatment effects — the distribution-level readout a mean
+    * difference hides: how did the experiment move the MEDIAN and the P90
+    * of per-user revenue? (A treatment that only fattens the tail shows
+    * qte_p90 ≫ qte_median; one that shifts typical users shows the
+    * reverse — the standard heavy-tail experimentation companion to
+    * `behavior_mann_whitney`'s dominance test on the same substrate.)
+    *
+    * Exact order statistics, never interpolated approximations: per-arm
+    * value histogram → two-pass range-partitioned prefix sums
+    * (`rangePrefixSums`, the distributed rank-selection kernel of
+    * `events_time_to_convert`) → the k-th value selected by the
+    * lt < k ≤ lt + t containment test, median as the average of the two
+    * middle order stats. The only IEEE work is that final /2 and the
+    * qte subtraction — everything else is exact integer cents.
+    *
+    * Scale: one hash-agg to the histogram, prefix sums touch |distinct
+    * cents values| rows per range partition, ranks via a 1-row broadcast
+    * (A4). Degenerate arms (a single-parity log) yield NULL quantiles
+    * rather than a wrong zero — the abZtest guard stance. */
+  def quantileTreatmentEffect(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val firstView = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("v_us"))
+    val perUser = e.filter(col("event_type") === "purchase")
+      .join(firstView, "user_id")
+      .filter(col("ts_us") > col("v_us"))
+      .groupBy(col("user_id")).agg(sum(col("cents")).as("y0"))
+    val users = firstView.join(perUser, Seq("user_id"), "left")
+      .select((col("user_id") % 2).as("variant"),
+        coalesce(col("y0"), lit(0L)).as("y"))
+    val hist = users.groupBy(col("y"))
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("t_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("t_b"))
+    val ranked = rangePrefixSums(hist, "y", Seq("t_a", "t_b"))
+    val ks = hist.agg(sum(col("t_a")).as("n_a"), sum(col("t_b")).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        expr("(n_a + 1) DIV 2").as("ka1"), expr("n_a DIV 2 + 1").as("ka2"),
+        expr("(9 * n_a + 9) DIV 10").as("ka9"),
+        expr("(n_b + 1) DIV 2").as("kb1"), expr("n_b DIV 2 + 1").as("kb2"),
+        expr("(9 * n_b + 9) DIV 10").as("kb9"))
+    def hit(lt: Column, t: Column, k: Column) = lt < k && k <= lt + t
+    val indA = when(hit(col("lt_t_a"), col("t_a"), col("ka1")), 1L).otherwise(0L) +
+      when(hit(col("lt_t_a"), col("t_a"), col("ka2")), 1L).otherwise(0L)
+    val indB = when(hit(col("lt_t_b"), col("t_b"), col("kb1")), 1L).otherwise(0L) +
+      when(hit(col("lt_t_b"), col("t_b"), col("kb2")), 1L).otherwise(0L)
+    ranked.crossJoin(broadcast(ks))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        (sum(when(indA > 0L, col("y").cast("double") * indA)) / 2.0).as("median_a"),
+        (sum(when(indB > 0L, col("y").cast("double") * indB)) / 2.0).as("median_b"),
+        max(when(hit(col("lt_t_a"), col("t_a"), col("ka9")), col("y"))).as("p90_a"),
+        max(when(hit(col("lt_t_b"), col("t_b"), col("kb9")), col("y"))).as("p90_b"))
+      .select(col("n_a"), col("n_b"),
+        col("median_a"), col("median_b"),
+        (col("median_b") - col("median_a")).as("qte_median"),
+        col("p90_a"), col("p90_b"),
+        (col("p90_b") - col("p90_a")).as("qte_p90"))
+  }
+
   def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"),
@@ -1540,6 +1600,7 @@ object Behavior {
     "behavior_halfsample_ci" -> (halfsampleCi _),
     "behavior_power_mde" -> (powerMde _),
     "behavior_mann_whitney" -> (mannWhitney _),
+    "behavior_qte" -> (quantileTreatmentEffect _),
     "behavior_spearman" -> (spearman _),
     "behavior_anova_f" -> (anovaPriority _),
     "behavior_msprt" -> (msprt _),
@@ -1976,6 +2037,64 @@ object Behavior {
         |       SQRT(CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE))), 6)
         |  END AS rho
         |FROM s""".stripMargin,
+    "behavior_qte" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |fv AS (
+        |  SELECT user_id, MIN(ts_us) AS v_us FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |pu AS (
+        |  SELECT e.user_id, SUM(cents) AS y0
+        |  FROM e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE event_type = 'purchase' AND ts_us > v_us
+        |  GROUP BY e.user_id),
+        |users AS (
+        |  SELECT fv.user_id % 2 AS variant, COALESCE(y0, 0) AS y
+        |  FROM fv LEFT JOIN pu ON fv.user_id = pu.user_id),
+        |hist AS (
+        |  SELECT y,
+        |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t_a,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t_b
+        |  FROM users GROUP BY y),
+        |c AS (
+        |  SELECT y, t_a, t_b,
+        |    COALESCE(SUM(t_a) OVER w, 0) AS lt_a,
+        |    COALESCE(SUM(t_b) OVER w, 0) AS lt_b
+        |  FROM hist
+        |  WINDOW w AS (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |s AS (
+        |  SELECT CAST(SUM(t_a) AS BIGINT) AS n_a, CAST(SUM(t_b) AS BIGINT) AS n_b,
+        |    (CAST(SUM(t_a) AS BIGINT) + 1) // 2 AS ka1,
+        |    CAST(SUM(t_a) AS BIGINT) // 2 + 1 AS ka2,
+        |    (9 * CAST(SUM(t_a) AS BIGINT) + 9) // 10 AS ka9,
+        |    (CAST(SUM(t_b) AS BIGINT) + 1) // 2 AS kb1,
+        |    CAST(SUM(t_b) AS BIGINT) // 2 + 1 AS kb2,
+        |    (9 * CAST(SUM(t_b) AS BIGINT) + 9) // 10 AS kb9
+        |  FROM hist),
+        |m AS (
+        |  SELECT MAX(s.n_a) AS n_a, MAX(s.n_b) AS n_b,
+        |    SUM(CASE WHEN
+        |        ((CASE WHEN c.lt_a < s.ka1 AND s.ka1 <= c.lt_a + c.t_a THEN 1 ELSE 0 END) +
+        |         (CASE WHEN c.lt_a < s.ka2 AND s.ka2 <= c.lt_a + c.t_a THEN 1 ELSE 0 END)) > 0 THEN
+        |      CAST(c.y AS DOUBLE) * (((CASE WHEN c.lt_a < s.ka1 AND s.ka1 <= c.lt_a + c.t_a THEN 1 ELSE 0 END) +
+        |         (CASE WHEN c.lt_a < s.ka2 AND s.ka2 <= c.lt_a + c.t_a THEN 1 ELSE 0 END)))
+        |      END) / 2.0 AS median_a,
+        |    SUM(CASE WHEN
+        |        ((CASE WHEN c.lt_b < s.kb1 AND s.kb1 <= c.lt_b + c.t_b THEN 1 ELSE 0 END) +
+        |         (CASE WHEN c.lt_b < s.kb2 AND s.kb2 <= c.lt_b + c.t_b THEN 1 ELSE 0 END)) > 0 THEN
+        |      CAST(c.y AS DOUBLE) * (((CASE WHEN c.lt_b < s.kb1 AND s.kb1 <= c.lt_b + c.t_b THEN 1 ELSE 0 END) +
+        |         (CASE WHEN c.lt_b < s.kb2 AND s.kb2 <= c.lt_b + c.t_b THEN 1 ELSE 0 END)))
+        |      END) / 2.0 AS median_b,
+        |    MAX(CASE WHEN c.lt_a < s.ka9 AND s.ka9 <= c.lt_a + c.t_a THEN c.y END) AS p90_a,
+        |    MAX(CASE WHEN c.lt_b < s.kb9 AND s.kb9 <= c.lt_b + c.t_b THEN c.y END) AS p90_b
+        |  FROM c CROSS JOIN s)
+        |SELECT n_a, n_b, median_a, median_b,
+        |  median_b - median_a AS qte_median,
+        |  CAST(p90_a AS BIGINT) AS p90_a, CAST(p90_b AS BIGINT) AS p90_b,
+        |  CAST(p90_b - p90_a AS BIGINT) AS qte_p90
+        |FROM m""".stripMargin,
     "behavior_mann_whitney" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,

@@ -225,6 +225,8 @@ class PlanSpec extends SparkSpec {
         "agg_chi2_independence", "events_acf_hourly",
         // 1-row broadcast mean-vector / max-norm rescale (A4 shape ×4)
         "sim_pca_power",
+        // 1-row broadcast per-arm rank constants (A4 / time_to_convert shape)
+        "behavior_qte",
         // |classes|/1-row broadcast fan-outs in train/score joins
         "ml_naive_bayes",
         // audit relation ⋈ broadcast 1-row totals (psi shape)
