@@ -779,12 +779,63 @@ object Multimodal {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** Deterministic synthetic WebM/Matroska per video-kind doc — the EBML
+    * counterpart of the AVI/mp4 builders, completing the container
+    * trio: a Segment holding Tracks (TrackEntry number 1, type 1 =
+    * video) and TWO Clusters of unlaced SimpleBlocks (track varint +
+    * 16-bit timecode + flags + frame bytes), sizes EBML-varint encoded
+    * (1-byte below 127, 2-byte 0x40-prefixed above — all-ones values
+    * are the reserved "unknown size" marker and must never be emitted
+    * accidentally). nf = 2 + doc_id % 4 frames of
+    * 10 + (2·doc_id + i) % 9 bytes. */
+  private[graft] def syntheticWebm(id: Long): Array[Byte] = {
+    def idBytes(v: Long): Array[Byte] = {
+      val n = (71 - java.lang.Long.numberOfLeadingZeros(v)) / 8
+      Array.tabulate(n)(k => ((v >>> (8 * (n - 1 - k))) & 0xff).toByte)
+    }
+    def sz(v: Int): Array[Byte] =
+      if (v < 127) Array((0x80 | v).toByte)
+      else Array((0x40 | (v >> 8)).toByte, (v & 0xff).toByte)
+    def el(eid: Long, payload: Array[Byte]): Array[Byte] =
+      idBytes(eid) ++ sz(payload.length) ++ payload
+    val nf = (2 + id % 4).toInt
+    def flen(i: Int): Int = (10 + (id * 2 + i) % 9).toInt
+    def frame(i: Int): Array[Byte] =
+      Array.tabulate(flen(i))(j => (((id * 9 + i * 17 + j * 5) % 256) & 0xff).toByte)
+    def simpleBlock(i: Int): Array[Byte] =
+      el(0xA3L, Array(0x81.toByte, 0.toByte, 0.toByte, 0.toByte) ++ frame(i))
+    val tracks = el(0x1654AE6BL,
+      el(0xAEL, el(0xD7L, Array(1.toByte)) ++ el(0x83L, Array(1.toByte))))
+    val cluster1 = el(0x1F43B675L, simpleBlock(0))
+    val cluster2 = el(0x1F43B675L, (1 until nf).map(simpleBlock).reduce(_ ++ _))
+    el(0x18538067L, tracks ++ cluster1 ++ cluster2)
+  }
+
+  /** `mm_webm_frames`: the EBML leg of the container correctness gates —
+    * the real WebmIndex varint/Cluster/SimpleBlock walk reads every
+    * unlaced frame's (offset, size) off the container; index, size and
+    * payload checksum oracled analytically. */
+  def webmFrameTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val r = MediaRecord(id, "video", syntheticWebm(id))
+        sampleWebmFrames(r, 1).getOrElse(
+          sys.error(s"webm $id failed the real demux"))
+      })
+      .toDF()
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (binaryMeta _),
     "mm_audio_features" -> (audioFeatureTable _),
     "mm_image_features" -> (imageFeatureTable _),
     "mm_video_frames" -> (videoFrameTable _),
-    "mm_mp4_frames" -> (mp4FrameTable _)
+    "mm_mp4_frames" -> (mp4FrameTable _),
+    "mm_webm_frames" -> (webmFrameTable _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -888,6 +939,26 @@ object Multimodal {
         |    list_prepend(0::BIGINT,
         |      list_transform(generate_series(0, flen - 1),
         |        j -> (doc_id * 5 + frame_idx * 13 + j * 3) % 256)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS checksum
+        |FROM c ORDER BY media_id, frame_idx""".stripMargin,
+    "mm_webm_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id, 2 + doc_id % 4 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT doc_id, unnest(generate_series(0, nf - 1)) AS frame_idx
+        |  FROM v),
+        |c AS (
+        |  SELECT doc_id, frame_idx,
+        |    10 + (doc_id * 2 + frame_idx) % 9 AS flen
+        |  FROM f)
+        |SELECT doc_id AS media_id,
+        |  CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(flen AS BIGINT) AS n_bytes,
+        |  CAST(list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(generate_series(0, flen - 1),
+        |        j -> (doc_id * 9 + frame_idx * 17 + j * 5) % 256)),
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS checksum
         |FROM c ORDER BY media_id, frame_idx""".stripMargin
   )
