@@ -1801,10 +1801,16 @@ object Similarity {
   }
 
   /** Johnson–Lindenstrauss random projection to `RpK` dims with a
-    * deterministic ±1 sign matrix s(i,j) = ±1 by the parity of
-    * i·31 + j·17 (a fixed pseudo-random sign pattern — the JL guarantee
-    * needs iid-ish signs, and a hash-parity matrix is the standard
-    * reproducible choice; a production kernel swaps in a seeded hash).
+    * deterministic md5-parity ±1 sign matrix (the geo_grid/hash_split
+    * idiom): s(i,j) = ±1 by the parity of the first hex digit of
+    * md5("i:j"), materialized ONCE as a d×K relation and broadcast.
+    * The JL guarantee needs iid-ish signs — the first cut used the
+    * parity of i·31 + j·17, which is SEPARABLE ((−1)^i·(−1)^j), making
+    * every output coordinate the same combination up to sign (a rank-1
+    * map, norms collapsed ~100×); SimilaritySpec's JL-distortion pin
+    * caught it where the hash oracle could not (both engines computed
+    * the same degenerate thing — a reminder that oracles check
+    * IMPLEMENTATION equality, and properties check DESIGN).
     * y_j = Σ_i s(i,j)·x_i over the decimal-rounded components, so every
     * projected coordinate is an EXACT decimal sum — fully oracled.
     *
@@ -1817,11 +1823,14 @@ object Similarity {
   private val RpK = 16L
   def randomProjection(spark: SparkSession, dir: String): DataFrame = {
     val xs = vecComponents(spark, dir) // (vec_id, dim ∈ 1.., x decimal(18,6))
-    xs.select(col("vec_id"), col("dim"), col("x"),
-        explode(sequence(lit(1L), lit(RpK))).as("j"))
+    val signs = xs.select(col("dim")).distinct()
+      .select(col("dim"), explode(sequence(lit(1L), lit(RpK))).as("j"))
+      .select(col("dim"), col("j"),
+        (conv(substring(md5(concat_ws(":", col("dim"), col("j"))), 1, 1), 16, 10)
+          .cast("long") % 2).as("sgn"))
+    xs.join(broadcast(signs), Seq("dim"))
       .groupBy(col("vec_id"), col("j"))
-      .agg(sum(when((col("dim") * 31 + col("j") * 17) % 2 === 0, col("x"))
-        .otherwise(-col("x"))).as("ys"))
+      .agg(sum(when(col("sgn") === 0, col("x")).otherwise(-col("x"))).as("ys"))
       .select(col("vec_id"), col("j"), col("ys").cast("double").as("y"))
       .orderBy(col("vec_id"), col("j"))
   }
@@ -1848,7 +1857,7 @@ object Similarity {
     val coded = comps.join(broadcast(stats), Seq("dim"))
       .withColumn("code",
         when(col("mx") > col("mn"),
-          least(greatest(floor(((col("x") - col("mn")) * 255.0) /
+          least(greatest(floor(((col("x") - col("mn")) * 256.0) /
             (col("mx") - col("mn"))), lit(0.0)), lit(255.0)))
           .otherwise(lit(0.0)).cast("long"))
       .withColumn("recon",
@@ -2085,13 +2094,17 @@ object Similarity {
         |  SELECT vec_id, CAST(dim AS BIGINT) AS i,
         |    CAST(ROUND(embedding[dim]::DOUBLE, 6) AS DECIMAL(18,6)) AS xr
         |  FROM x0),
-        |js AS (SELECT CAST(unnest(generate_series(1, $RpK)) AS BIGINT) AS j)
-        |SELECT vec_id, j,
-        |  CAST(SUM(CASE WHEN (i * 31 + j * 17) % 2 = 0 THEN xr ELSE -xr END)
-        |    AS DOUBLE) AS y
-        |FROM x, js
-        |GROUP BY vec_id, j
-        |ORDER BY vec_id, j""".stripMargin,
+        |js AS (SELECT CAST(unnest(generate_series(1, $RpK)) AS BIGINT) AS j),
+        |sg AS (
+        |  SELECT i, j,
+        |    ('0x' || substr(md5(i || ':' || j), 1, 1))::BIGINT % 2 AS sgn
+        |  FROM (SELECT DISTINCT i FROM x), js)
+        |SELECT vec_id, x.j, y FROM (
+        |  SELECT vec_id, sg.j,
+        |    CAST(SUM(CASE WHEN sgn = 0 THEN xr ELSE -xr END) AS DOUBLE) AS y
+        |  FROM x JOIN sg ON x.i = sg.i
+        |  GROUP BY vec_id, sg.j) x
+        |ORDER BY vec_id, x.j""".stripMargin,
     "sim_scalar_quant" ->
       """WITH c AS (
         |  SELECT vec_id, CAST(dim AS BIGINT) AS dim,
@@ -2103,7 +2116,7 @@ object Similarity {
         |coded AS (
         |  SELECT vec_id, c.dim, x, mn, mx,
         |    CAST(CASE WHEN mx > mn THEN
-        |      LEAST(GREATEST(FLOOR(((x - mn) * 255.0) / (mx - mn)), 0.0), 255.0)
+        |      LEAST(GREATEST(FLOOR(((x - mn) * 256.0) / (mx - mn)), 0.0), 255.0)
         |    ELSE 0.0 END AS BIGINT) AS code
         |  FROM c JOIN st ON c.dim = st.dim),
         |r AS (

@@ -242,6 +242,50 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("random projection preserves norms within JL distortion") {
+    import org.apache.spark.sql.functions._
+    // the JL property the entry exists for: E[||y||²] = ||x||² under ±1
+    // signs, so the per-vector ratio ||y||²/(k·||x||²)·k ... concretely
+    // ||y||²/||x||² concentrates around k — with ±1 signs each y_j has
+    // E[y_j²]=||x||², so Σy_j² ≈ k·||x||². For a FIXED sign matrix over
+    // CORRELATED embedding dims the per-vector spread is wide (measured
+    // min ≈ 2.5 on this corpus), so the pin is a [k/10, 10k] band per
+    // vector plus a [k/2, 2k] median — still far outside failure modes:
+    // the separable parity matrix this test caught collapsed the map to
+    // rank 1 and scored 0.14 (k/114), and an all-+1 matrix inflates to
+    // ~k·d on correlated dims.
+    val k = 16.0
+    val y2 = Similarity.queries("sim_random_projection")(spark, sf0001)
+      .groupBy(col("vec_id")).agg(sum(col("y") * col("y")).as("y2"))
+    val x2 = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"),
+        aggregate(col("embedding").cast("array<double>"), lit(0.0),
+          (acc, v) => acc + v * v).as("x2"))
+    val ratios = y2.join(x2, "vec_id")
+      .select((col("y2") / col("x2")).as("r")).collect().map(_.getDouble(0))
+    assert(ratios.nonEmpty)
+    ratios.foreach(r => assert(r > k / 10 && r < k * 10, s"JL ratio $r out of band"))
+    val med = ratios.sorted.apply(ratios.length / 2)
+    assert(med > k / 2 && med < k * 2, s"median JL ratio $med")
+  }
+
+  test("scalar quantization reconstructs within the per-dim bucket bound") {
+    import org.apache.spark.sql.functions._
+    // SQ8's defining guarantee: |x − recon| ≤ half a bucket = (mx−mn)/512
+    // per dimension, so per-vector sum_sqerr ≤ Σ_dim ((mx−mn)/512)² — a
+    // bound that breaks if the code or the midpoint reconstruction is
+    // off by even one bucket anywhere
+    val comps = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+    val bound = comps.groupBy(col("pos"))
+      .agg(((max(col("col")) - min(col("col"))) / 512.0).as("half"))
+      .agg(sum(col("half") * col("half"))).collect().head.getDouble(0)
+    val worst = Similarity.queries("sim_scalar_quant")(spark, sf0001)
+      .agg(max(col("sum_sqerr"))).collect().head.getDouble(0)
+    // round-9 lattice adds ≤ 64·5e-10 absolute slack
+    assert(worst <= bound + 1e-7, s"reconstruction error $worst > bound $bound")
+  }
+
   test("IVF emits at most 3 ranked neighbors per query, no self-matches") {
     val rows = Similarity.knnIvf(spark, sf0001).collect()
     assert(rows.nonEmpty)
