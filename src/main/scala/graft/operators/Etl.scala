@@ -373,6 +373,29 @@ object Etl {
     * windows, no driver state; at 100 TB this is a single shuffle on the
     * dimension key, and the three branches are disjoint row sets of the
     * same join output (the optimizer shares the scan). */
+  /** Surrogate-key assignment — the warehouse primitive behind every
+    * dimension load: business keys (here the order-date calendar) get
+    * DENSE, STABLE integer surrogates (date_key = rank in date order),
+    * and the fact table re-keys through the dimension instead of
+    * carrying the business key. The window runs over the DISTINCT date
+    * relation (an aggregate, |dates| ≈ the calendar — the module's
+    * unpartitioned-window-over-aggregated-input rule), never the fact
+    * table; the fact re-key is one broadcast equi-join. Output: the date
+    * dimension decorated with fact counts and revenue — the load-audit
+    * readout a dimension build emits. */
+  def surrogateKeys(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+    val dim = o.select(col("o_orderdate").as("d")).distinct()
+      .withColumn("date_key",
+        row_number().over(Window.orderBy(col("d"))).cast("long"))
+    o.join(broadcast(dim), col("o_orderdate") === col("d"))
+      .groupBy(col("date_key"), col("d").as("order_date"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("date_key"))
+  }
+
   def scd2Merge(spark: SparkSession, dir: String): DataFrame = {
     val eff = lit("1998-06-01").cast("date")
     val c = Tables.customer(spark, dir)
@@ -767,6 +790,7 @@ object Etl {
     "etl_upsert_merge"   -> (upsertMerge _),
     "etl_cdc_apply"      -> (cdcApply _),
     "etl_scd2_merge"     -> (scd2Merge _),
+    "etl_surrogate_keys" -> (surrogateKeys _),
     "etl_dedup_first_order" -> (dedupFirstOrder _),
     "etl_dedup_dropdup"     -> (dedupDropDuplicates _),
     "etl_validity_filter"   -> (validityFilter _),
@@ -822,6 +846,16 @@ object Etl {
         |  CASE WHEN n_child > 0 THEN n_orphans * 1000000 // n_child
         |  END AS orphan_ppm
         |FROM u ORDER BY fk_edge""".stripMargin,
+    "etl_surrogate_keys" ->
+      """WITH dim AS (
+        |  SELECT d, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS date_key
+        |  FROM (SELECT DISTINCT o_orderdate AS d FROM orders))
+        |SELECT date_key, d AS order_date,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN dim ON o_orderdate = d
+        |GROUP BY date_key, d
+        |ORDER BY date_key""".stripMargin,
     "etl_scd2_merge" ->
       """WITH base AS (
         |  SELECT c_custkey, c_mktsegment AS segment,
