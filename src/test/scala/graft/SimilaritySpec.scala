@@ -286,6 +286,34 @@ class SimilaritySpec extends SparkSpec {
     assert(worst <= bound + 1e-7, s"reconstruction error $worst > bound $bound")
   }
 
+  test("power-iteration output is near an eigenvector of an independent covariance") {
+    // the self-consistent-oracle lesson applied to PCA: recompute the
+    // covariance INDEPENDENTLY (plain driver doubles from the raw floats,
+    // no lattice, no decimals) and check the entry's vector v actually
+    // satisfies C·v ≈ λ·v — a plan bug that produced a deterministic but
+    // wrong direction would pass the hash oracle and fail here
+    val out = Similarity.queries("sim_pca_power")(spark, sf0001)
+      .collect().sortBy(_.getAs[Long]("dim"))
+    val v = out.map(_.getAs[Double]("loading"))
+    val lambda = out.head.getAs[Double]("lambda")
+    val xs = Tables.embeddings(spark, sf0001)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val d = v.length
+    assert(xs.head.length == d)
+    val mu = Array.tabulate(d)(j => xs.map(_(j)).sum / xs.length)
+    val c = Array.tabulate(d, d)((a, b) =>
+      xs.map(x => (x(a) - mu(a)) * (x(b) - mu(b))).sum)
+    val w = Array.tabulate(d)(a => (0 until d).map(b => c(a)(b) * v(b)).sum)
+    def dot(p: Array[Double], q: Array[Double]) = p.zip(q).map { case (x, y) => x * y }.sum
+    val cos = dot(w, v) / math.sqrt(dot(w, w) * dot(v, v))
+    info(f"cos(Cv, v) = $cos%.6f, lambda = $lambda%.3f, max|Cv| = ${w.map(math.abs).max}%.3f")
+    assert(cos > 0.9, s"power iterate not aligned with its own image: cos=$cos")
+    // the reported eigenvalue is the max-norm of C·v — same up to lattice noise
+    assert(math.abs(w.map(math.abs).max - lambda) / lambda < 0.05,
+      s"lambda ${lambda} vs independent max|Cv| ${w.map(math.abs).max}")
+  }
+
   test("IVF emits at most 3 ranked neighbors per query, no self-matches") {
     val rows = Similarity.knnIvf(spark, sf0001).collect()
     assert(rows.nonEmpty)
