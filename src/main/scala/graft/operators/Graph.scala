@@ -852,10 +852,12 @@ object Graph {
        |  JOIN $keep k1 ON e.src = k1.node
        |  JOIN $keep k2 ON e.dst = k2.node)""".stripMargin
 
-  /** DuckDB oracle for `graph_ktruss`: the peel unrolled to 6 rounds
-    * (measured fixpoint ≤ 4 at every SF; the peel is idempotent once
-    * converged, so extra rounds are no-ops), then one final support
-    * readout over the stable edge set. */
+  /** DuckDB oracle for `graph_ktruss`: the peel unrolled to TrussRounds
+    * = 8 rounds — the SAME bound the Spark side's convergence guard
+    * accepts, so any dataset that satisfies the Spark `require` also
+    * gets a fully-peeled oracle (measured fixpoint ≤ 4 at every SF; the
+    * peel is idempotent once converged, so extra rounds are no-ops) —
+    * then one final support readout over the stable edge set. */
   private val ktrussOracle: String = {
     def roundCtes(i: Int): String =
       s"""u$i AS MATERIALIZED (
@@ -868,7 +870,7 @@ object Graph {
          |  JOIN u$i n2 ON n2.x = e.v AND n2.y = n1.y
          |  GROUP BY e.u, e.v
          |  HAVING COUNT(*) >= 2)""".stripMargin
-    val rounds = (0 until 6).map(roundCtes).mkString(",\n")
+    val rounds = (0 until TrussRounds).map(roundCtes).mkString(",\n")
     s"""WITH ps AS (
        |  SELECT DISTINCT l_suppkey AS s, l_partkey AS p
        |  FROM lineitem WHERE l_quantity = 50),
@@ -877,10 +879,10 @@ object Graph {
        |  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
        |$rounds,
        |uf AS (
-       |  SELECT u AS x, v AS y FROM e6
-       |  UNION ALL SELECT v AS x, u AS y FROM e6)
+       |  SELECT u AS x, v AS y FROM e$TrussRounds
+       |  UNION ALL SELECT v AS x, u AS y FROM e$TrussRounds)
        |SELECT e.u, e.v, COUNT(*) AS support
-       |FROM e6 e
+       |FROM e$TrussRounds e
        |JOIN uf n1 ON n1.x = e.u
        |JOIN uf n2 ON n2.x = e.v AND n2.y = n1.y
        |GROUP BY e.u, e.v

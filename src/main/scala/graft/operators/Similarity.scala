@@ -1271,10 +1271,16 @@ object Similarity {
     * metric — exactly how a production pipeline shares a fitted model
     * across its evaluation suite. */
   private def lloydFitCached(spark: SparkSession, dir: String, xs: DataFrame): DataFrame = {
-    val src = new java.io.File(s"$dir/embeddings.parquet")
-    val stamp = s"${src.length()}_${src.lastModified()}"
+    // HDFS/S3-safe probes: resolve both paths through the URI's Hadoop
+    // FileSystem (java.io.File degenerates to 0_0 + always-retrain off
+    // the local FS — the r8 NearDupGateStream/AnnServeStream bug class)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val srcStatus = src.getFileSystem(hconf).getFileStatus(src)
+    val stamp = s"${srcStatus.getLen}_${srcStatus.getModificationTime}"
     val path = s"${Tables.scratchPath("lloyd_fit", dir)}_$stamp"
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+    if (!marker.getFileSystem(hconf).exists(marker))
       lloydFit(xs).write.mode("overwrite").parquet(path)
     spark.read.parquet(path)
   }
@@ -1837,8 +1843,10 @@ object Similarity {
 
   /** Per-dimension scalar quantization to int8 (FAISS's SQ8): corpus
     * min/max per dim (64 rows, broadcast back), code =
-    * ⌊(x−mn)·255/(mx−mn)⌋ clamped to [0,255], reconstruction at the
-    * bucket midpoint, per-vector reconstruction error. The quantization
+    * ⌊(x−mn)·256/(mx−mn)⌋ clamped to [0,255] (256 equal buckets — the
+    * 255-vs-256 mismatch the round-9 property pin caught), reconstruction
+    * at the bucket midpoint (code+0.5)/256, per-vector reconstruction
+    * error. The quantization
     * chain is pure IEEE arithmetic on identical doubles (engine-stable);
     * the squared errors go through the round-9 decimal lattice before
     * summing (the JS-divergence rule), and `code_checksum` =
