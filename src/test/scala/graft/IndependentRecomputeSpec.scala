@@ -442,3 +442,250 @@ class IndependentRecomputeSpec extends SparkSpec {
     }
   }
 }
+
+/** Wave 2 of the round-10 oracle-independence pins — same discipline as
+  * [[IndependentRecomputeSpec]]: plain driver-side second implementations
+  * of mirrored algorithmic entries (rank statistics by explicit midranks,
+  * two-pass centered moments vs one-pass raw sums, imperative integer
+  * power iteration, brute-force cosine). */
+class IndependentRecomputeSpec2 extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+  import graft.operators._
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("zipf fit equals a driver OLS over an independently tokenized head") {
+    val freq = scala.collection.mutable.HashMap.empty[String, Long]
+    Tables.documents(spark, sf0001).select(col("text")).collect().foreach { r =>
+      r.getString(0).split(" ").filter(_.nonEmpty)
+        .foreach(w => freq(w) = freq.getOrElse(w, 0L) + 1L)
+    }
+    val top = freq.toSeq.sortBy { case (w, f) => (-f, w) }.take(32)
+    val pts = top.zipWithIndex.map { case ((_, f), i) =>
+      (math.log((i + 1).toDouble), math.log(f.toDouble))
+    }
+    val n = pts.length.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept = (sy - sx * slope) / n
+    val r2 = (n * sxy - sx * sy) * (n * sxy - sx * sy) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val row = TextAnalysis.queries("text_zipf_fit")(spark, sf0001).collect().head
+    assert(row.getAs[Long]("n_points") == pts.length.toLong)
+    assert(math.abs(row.getAs[Double]("zipf_slope") - slope) < 1e-5,
+      s"slope ${row.getAs[Double]("zipf_slope")} vs independent $slope")
+    assert(math.abs(row.getAs[Double]("intercept") - intercept) < 1e-5)
+    assert(math.abs(row.getAs[Double]("r2") - r2) < 1e-5)
+  }
+
+  test("hourly EWMA equals an imperative dyadic-weight recompute, exactly") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .collect().map(r => (r.getString(0), Math.floorDiv(r.getLong(1), 3600000000L)))
+    val counts = ev.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val expected = counts.keys.toSeq.sorted.map { case (et, h) =>
+      var num = 0L; var wsum = 0L
+      for (d <- 0 until 20) {
+        counts.get((et, h - d)).foreach { n2 =>
+          val wt = 1L << (19 - d)
+          num += n2 * wt; wsum += wt
+        }
+      }
+      val micro = (num / wsum) * 1000000L + (num % wsum) * 1000000L / wsum
+      (et, h, counts((et, h)), micro)
+    }
+    val got = Events.queries("events_ewma_hourly")(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hour_no"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("ewma_micro"))).toSeq
+    assert(got == expected, s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+  }
+
+  test("item-item cosine top-25 equals a brute-force driver recount") {
+    val custOf = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cp = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .flatMap(r => custOf.get(r.getLong(0)).map(c => (c, r.getLong(1))))
+      .distinct
+    val marg = cp.groupBy(_._2).map { case (p, g) => p -> g.length.toLong }
+    val co = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+    cp.groupBy(_._1).values.foreach { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) {
+        val k = (ps(i), ps(j)); co(k) = co.getOrElse(k, 0L) + 1L
+      }
+    }
+    val expected = co.toSeq.map { case ((a, b), c) =>
+      val cos = round6(c.toDouble / math.sqrt((marg(a) * marg(b)).toDouble))
+      (a, b, c, marg(a), marg(b), cos)
+    }.sortBy { case (a, b, c, _, _, cos) => (-cos, -c, a, b) }.take(25)
+    val got = Recommend.queries("rec_item_cosine")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"),
+        r.getAs[Long]("co_users"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Double]("cosine"))).toSeq
+    assert(got == expected, s"\nentry: ${got.take(3)}…\nindependent: ${expected.take(3)}…")
+  }
+
+  /** Per-user post-exposure revenue and variant, rebuilt imperatively —
+    * the Mann-Whitney pin's input (no 24 h cap, unlike abUsers). */
+  private lazy val mwUsers: Seq[(Long, Long)] = {
+    val ev = Tables.events(spark, sf0001)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    ev.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      val views = rows.filter(_._2 == "view")
+      if (views.isEmpty) None
+      else {
+        val v = views.map(_._3).min
+        val y = rows.filter(r => r._2 == "purchase" && r._3 > v).map(_._4).sum
+        Some((uid % 2, y))
+      }
+    }
+  }
+
+  test("mann-whitney U and z equal an explicit midrank recompute") {
+    val n = mwUsers.length.toLong
+    val nA = mwUsers.count(_._1 == 0).toLong
+    val nB = n - nA
+    val byY = mwUsers.groupBy(_._2).map { case (y, g) =>
+      y -> (g.length.toLong, g.count(_._1 == 0).toLong)
+    }
+    val sortedY = byY.keys.toSeq.sorted
+    var lt = 0L; var r2sumA = 0L; var tie3 = BigInt(0)
+    sortedY.foreach { y =>
+      val (t, tA) = byY(y)
+      val r2 = 2L * lt + t + 1L
+      r2sumA += r2 * tA
+      tie3 += BigInt(t) * t * t - t
+      lt += t
+    }
+    val u2a = r2sumA - nA * (nA + 1L)
+    val varU = nA.toDouble * nB / 12.0 *
+      ((n + 1.0) - tie3.toDouble / (n.toDouble * (n - 1.0)))
+    val row = Behavior.queries("behavior_mann_whitney")(spark, sf0001).collect().head
+    assert(row.getAs[Long]("n_a") == nA && row.getAs[Long]("n_b") == nB)
+    assert(row.getAs[Long]("u2_a") == u2a)
+    if (varU > 0.0) {
+      val z = (u2a.toDouble / 2.0 - nA.toDouble * nB / 2.0) / math.sqrt(varU)
+      assert(math.abs(row.getAs[Double]("z") - z) < 1e-6,
+        s"z ${row.getAs[Double]("z")} vs independent $z")
+    }
+  }
+
+  test("spearman rho equals Pearson over explicitly built midranks") {
+    val per = Tables.orders(spark, sf0001)
+      .select(col("o_custkey"), floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).toSeq
+      .map { case (_, g) => (g.length.toLong, g.map(_._2).sum) }
+    def midranks(vs: Seq[Long]): Map[Long, Double] = {
+      val byV = vs.groupBy(identity).map { case (v, g) => v -> g.length.toLong }
+      var lt = 0L
+      byV.keys.toSeq.sorted.map { v =>
+        val t = byV(v)
+        val r = lt + (t + 1.0) / 2.0
+        lt += t
+        v -> r
+      }.toMap
+    }
+    val rx = midranks(per.map(_._1)); val ry = midranks(per.map(_._2))
+    val pts = per.map { case (x, y) => (rx(x), ry(y)) }
+    val n = pts.length.toDouble
+    val mx = pts.map(_._1).sum / n; val my = pts.map(_._2).sum / n
+    val cov = pts.map(p => (p._1 - mx) * (p._2 - my)).sum
+    val vx = pts.map(p => (p._1 - mx) * (p._1 - mx)).sum
+    val vy = pts.map(p => (p._2 - my) * (p._2 - my)).sum
+    val row = Behavior.queries("behavior_spearman")(spark, sf0001).collect().head
+    assert(row.getAs[Long]("n") == pts.length.toLong)
+    if (vx > 0.0 && vy > 0.0) {
+      val rho = cov / math.sqrt(vx * vy)
+      assert(math.abs(row.getAs[Double]("rho") - rho) < 1e-6,
+        s"rho ${row.getAs[Double]("rho")} vs independent $rho")
+    }
+  }
+
+  test("pagerank equals an imperative integer power iteration, exactly") {
+    val sp = Tables.lineitem(spark, sf0001)
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
+    val edges = sp.flatMap { case (s, p) => Seq((s, p), (p, s)) }
+    val outAdj = edges.groupBy(_._1).map { case (s, g) => s -> g.map(_._2) }
+    val deg = outAdj.map { case (s, g) => s -> g.length.toLong }
+    var r: Map[Long, Long] = deg.keys.map(n => n -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val inbox = scala.collection.mutable.HashMap.empty[Long, Long]
+      outAdj.foreach { case (src, dsts) =>
+        val contrib = r.getOrElse(src, 0L) / deg(src)
+        dsts.foreach(d => inbox(d) = inbox.getOrElse(d, 0L) + contrib)
+      }
+      r = inbox.map { case (node, s) => node -> (150000L + 85L * s / 100L) }.toMap
+    }
+    val expected = r.toSeq.map { case (node, rr) => (node, rr / 1000000.0) }
+      .sortBy { case (node, rank) => (-rank, node) }.take(25)
+    val got = Graph.queries("graph_pagerank")(spark, sf0001).collect()
+      .map(r2 => (r2.getAs[Long]("node"), r2.getAs[Double]("rank"))).toSeq
+    assert(got == expected, s"\nentry: ${got.take(5)}\nindependent: ${expected.take(5)}")
+  }
+
+  test("per-nation regression equals a two-pass centered recompute") {
+    val supNat = Tables.supplier(spark, sf0001)
+      .select(col("s_suppkey"), col("s_nationkey")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val natName = Tables.nation(spark, sf0001)
+      .select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val pts = Tables.lineitem(spark, sf0001)
+      .select(col("l_suppkey"), col("l_quantity"), col("l_extendedprice"))
+      .collect()
+      .map(r => (natName(supNat(r.getLong(0))), r.getDouble(1), r.getDouble(2)))
+    val expected = pts.groupBy(_._1).map { case (nat, g) =>
+      val n = g.length.toDouble
+      val mx = g.map(_._2).sum / n; val my = g.map(_._3).sum / n
+      val cov = g.map(p => (p._2 - mx) * (p._3 - my)).sum
+      val vx = g.map(p => (p._2 - mx) * (p._2 - mx)).sum
+      val vy = g.map(p => (p._3 - my) * (p._3 - my)).sum
+      val slope = cov / vx
+      nat -> (g.length.toLong, slope, my - slope * mx, cov * cov / (vx * vy))
+    }
+    Aggregates.queries("agg_regression_manual")(spark, sf0001).collect().foreach { r =>
+      val (n, slope, icpt, r2) = expected(r.getAs[String]("n_name"))
+      assert(r.getAs[Long]("n") == n)
+      assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-5,
+        s"${r.getAs[String]("n_name")} slope")
+      assert(math.abs(r.getAs[Double]("intercept") - icpt) < 1e-2 * math.max(1.0, math.abs(icpt)),
+        s"${r.getAs[String]("n_name")} intercept ${r.getAs[Double]("intercept")} vs $icpt")
+      assert(math.abs(r.getAs[Double]("r2") - r2) < 1e-5, s"${r.getAs[String]("n_name")} r2")
+    }
+  }
+
+  test("ANOVA F equals a two-pass within/between decomposition") {
+    val ys = Tables.orders(spark, sf0001)
+      .select(col("o_orderpriority"), floor(col("o_totalprice") * 100).cast("long").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val groups = ys.groupBy(_._1).values.map(_.map(_._2.toDouble)).toSeq
+    val n = ys.length.toDouble
+    val grand = ys.map(_._2.toDouble).sum / n
+    val ssb = groups.map(g => g.length * {
+      val m = g.sum / g.length; (m - grand) * (m - grand)
+    }).sum
+    val ssw = groups.map(g => { val m = g.sum / g.length; g.map(y => (y - m) * (y - m)).sum }).sum
+    val k = groups.length.toDouble
+    val f = (ssb / (k - 1.0)) / (ssw / (n - k))
+    val row = Behavior.queries("behavior_anova_f")(spark, sf0001).collect().head
+    assert(row.getAs[Long]("k") == groups.length.toLong)
+    assert(row.getAs[Long]("n") == ys.length.toLong)
+    assert(math.abs(row.getAs[Double]("ssb") - ssb) < 1e-6 * math.abs(ssb), "ssb")
+    assert(math.abs(row.getAs[Double]("ssw") - ssw) < 1e-6 * math.abs(ssw), "ssw")
+    assert(math.abs(row.getAs[Double]("f") - f) < 1e-4,
+      s"F ${row.getAs[Double]("f")} vs independent $f")
+  }
+}
