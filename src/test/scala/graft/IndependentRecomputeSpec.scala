@@ -689,3 +689,197 @@ class IndependentRecomputeSpec2 extends SparkSpec {
       s"F ${row.getAs[Double]("f")} vs independent $f")
   }
 }
+
+/** Wave 3 of the round-10 oracle-independence pins — monitoring and
+  * learned-model entries: PSI, Benford, JS divergence, Flesch readability,
+  * the naive-Bayes learner, and the Markov steady state, each rebuilt
+  * imperatively in driver Scala and compared on the entry's documented
+  * lattice (exact for the integer kernels). */
+class IndependentRecomputeSpec3 extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+  import graft.operators._
+
+  private def round6(x: Double): BigDecimal =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+  private def round9(x: Double): BigDecimal =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+
+  test("PSI drift equals a driver Laplace-smoothed recompute") {
+    val rows = Tables.orders(spark, sf0001)
+      .select(col("o_totalprice"), col("o_orderdate").cast("string").as("d"))
+      .collect().map(r => (r.getDouble(0), r.getString(1)))
+    val nRef = Array.fill(10)(0L); val nCur = Array.fill(10)(0L)
+    rows.foreach { case (p, d) =>
+      val bin = math.min(math.floor(p / 50000).toLong, 9L).toInt
+      if (d < "1998-01-01") nRef(bin) += 1 else nCur(bin) += 1
+    }
+    val tr = nRef.sum; val tc = nCur.sum
+    val terms = (0 until 10).map { b =>
+      val p = (nRef(b) + 1.0) / (tr + 10.0)
+      val q = (nCur(b) + 1.0) / (tc + 10.0)
+      (b.toLong, nRef(b), nCur(b), p, q, round6((p - q) * math.log(p / q)))
+    }
+    val total = terms.map(_._6).sum
+    val got = Aggregates.queries("agg_psi_drift")(spark, sf0001).collect()
+      .sortBy(_.getAs[Long]("bin"))
+    assert(got.length == 10)
+    got.zip(terms).foreach { case (r, (b, nr, nc, p, q, term)) =>
+      assert(r.getAs[Long]("bin") == b)
+      assert(r.getAs[Long]("n_ref") == nr && r.getAs[Long]("n_cur") == nc, s"bin $b counts")
+      assert(math.abs(r.getAs[Double]("p_ref") - p) < 1e-6, s"bin $b p_ref")
+      assert(math.abs(r.getAs[Double]("p_cur") - q) < 1e-6, s"bin $b p_cur")
+      assert(math.abs(r.getAs[Double]("psi_term") - term.toDouble) < 1e-9, s"bin $b term")
+      assert(math.abs(r.getAs[Double]("psi_total") - total.toDouble) < 1e-8, "total")
+    }
+  }
+
+  test("benford audit equals an exact driver digit recount") {
+    val exp = Map(1 -> 30103L, 2 -> 17609L, 3 -> 12494L, 4 -> 9691L, 5 -> 7918L,
+      6 -> 6695L, 7 -> 5799L, 8 -> 5115L, 9 -> 4576L)
+    val digits = Tables.orders(spark, sf0001)
+      .select(col("o_totalprice")).collect()
+      .map(r => math.floor(r.getDouble(0) * 100).toLong.toString.head - '0')
+      .filter(d => d >= 1 && d <= 9)
+    val total = digits.length.toLong
+    val counts = digits.groupBy(identity).map { case (d, g) => d -> g.length.toLong }
+    val expected = counts.keys.toSeq.sorted.map { d =>
+      val n = counts(d)
+      val share = n * 100000L / total
+      (d.toLong, n, share, exp(d), math.abs(share - exp(d)))
+    }
+    val got = Aggregates.queries("agg_benford_audit")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("digit"), r.getAs[Long]("n_orders"),
+        r.getAs[Long]("share_e5"), r.getAs[Long]("expected_e5"),
+        r.getAs[Long]("dev_e5"))).toSeq
+    assert(got == expected)
+  }
+
+  test("JS divergence equals a driver two-corpus recompute on the round-9 lattice") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+    docs.foreach { case (id, text) =>
+      val arm = id % 2
+      text.split(" ").filter(_.nonEmpty).foreach { t =>
+        val (a, b) = counts.getOrElse(t, (0L, 0L))
+        counts(t) = if (arm == 0) (a + 1, b) else (a, b + 1)
+      }
+    }
+    val na = counts.values.map(_._1).sum; val nb = counts.values.map(_._2).sum
+    val js = counts.values.map { case (ca, cb) =>
+      val p = ca.toDouble / na; val q = cb.toDouble / nb
+      val m = (p + q) / 2.0
+      round9((if (ca > 0) p * math.log(p / m) else 0.0) * 0.5 +
+        (if (cb > 0) q * math.log(q / m) else 0.0) * 0.5)
+    }.sum
+    val row = TextAnalysis.queries("text_js_divergence")(spark, sf0001).collect().head
+    assert(row.getAs[Long]("n_tokens_a") == na && row.getAs[Long]("n_tokens_b") == nb)
+    assert(row.getAs[Long]("n_vocab") == counts.size.toLong)
+    assert(math.abs(row.getAs[Double]("js_nats") - js.toDouble) < 1e-8,
+      s"js_nats ${row.getAs[Double]("js_nats")} vs independent ${js.toDouble}")
+    assert(math.abs(row.getAs[Double]("js_bits") - js.toDouble / math.log(2.0)) < 1e-5)
+  }
+
+  test("readability report equals an exact driver Flesch recompute") {
+    val syl = "[aeiouy]+".r
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).map { case (src, g) =>
+      val words = g.flatMap(_._2.split(" ").filter(_.nonEmpty))
+      val nWords = words.length.toLong
+      val nSyl = words.map(w => syl.findAllIn(w).length.toLong).sum
+      val nDocs = g.length.toLong
+      val wps = nWords * 1000L / nDocs
+      val spw = nSyl * 1000L / nWords
+      src -> (nDocs, nWords, nSyl, wps, spw, 206835L - 1015L * wps / 1000L - 84600L * spw / 1000L)
+    }
+    val got = TextAnalysis.queries("text_readability")(spark, sf0001).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val e = expected(r.getAs[String]("source"))
+      assert((r.getAs[Long]("n_docs"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_syllables"), r.getAs[Long]("wps_milli"),
+        r.getAs[Long]("spw_milli"), r.getAs[Long]("flesch_milli")) == e,
+        s"source ${r.getAs[String]("source")}")
+    }
+  }
+
+  test("naive bayes confusion matrix equals an imperative trainer/scorer") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val train = docs.filter(_._1 % 5 != 0)
+    val test = docs.filter(_._1 % 5 == 0)
+    val classDocs = train.groupBy(_._2).map { case (c, g) => c -> g.length.toLong }
+    val nTrain = train.length.toLong
+    val tokClass = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    train.foreach { case (_, c, text) =>
+      text.split(" ").filter(_.nonEmpty).foreach { w =>
+        tokClass((c, w)) = tokClass.getOrElse((c, w), 0L) + 1L
+      }
+    }
+    val classToks = tokClass.groupBy(_._1._1).map { case (c, m) => c -> m.values.sum }
+    val vocab = tokClass.keys.map(_._2).toSet
+    val v = vocab.size.toLong
+    val priors = classDocs.map { case (c, n) =>
+      c -> round9(math.log(n.toDouble / nTrain))
+    }
+    val classes = classDocs.keys.toSeq.sorted
+    val confusion = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    test.foreach { case (_, lang, text) =>
+      val tf = text.split(" ").filter(w => w.nonEmpty && vocab.contains(w))
+        .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+      val pred = classes.map { c =>
+        val score = priors(c) + tf.map { case (w, f) =>
+          BigDecimal(f) * round9(math.log(
+            (tokClass.getOrElse((c, w), 0L) + 1.0) / (classToks(c) + v)))
+        }.sum
+        (c, score)
+      }.minBy { case (c, s) => (-s, c) }(
+        Ordering.Tuple2(Ordering.BigDecimal, Ordering.String))._1
+      confusion((lang, pred)) = confusion.getOrElse((lang, pred), 0L) + 1L
+    }
+    val nTest = test.length.toLong
+    val nCorrect = confusion.collect { case ((t, p), n) if t == p => n }.sum
+    val expected = confusion.toSeq.map { case ((t, p), n) =>
+      (t, p, n, nTest, nCorrect, nCorrect * 1000000L / nTest)
+    }.sortBy(e => (e._1, e._2))
+    val got = TextAnalysis.queries("ml_naive_bayes")(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("true_lang"), r.getAs[String]("pred_lang"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_test"),
+        r.getAs[Long]("n_correct"), r.getAs[Long]("accuracy_ppm"))).toSeq
+    assert(got == expected, s"\nentry: $got\nindependent: $expected")
+  }
+
+  test("markov steady state equals an imperative integer power iteration") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    ev.groupBy(_._1).values.foreach { rows =>
+      val ordered = rows.toSeq.sortBy(r => (r._2, r._3)).map(_._4)
+      ordered.sliding(2).foreach {
+        case Seq(a, b) => trans((a, b)) = trans.getOrElse((a, b), 0L) + 1L
+        case _ =>
+      }
+    }
+    val rowTot = trans.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val kernel = trans.map { case ((s, d), n) => (s, d, n * 1000000L / rowTot(s)) }
+    val k = rowTot.size.toLong
+    var pi: Map[String, Long] = rowTot.keys.map(s => s -> 1000000L / k).toMap
+    for (_ <- 1 to 4) {
+      pi = kernel.toSeq.filter(t => pi.contains(t._1))
+        .groupBy(_._2)
+        .map { case (d, es) => d -> es.map(e => pi(e._1) * e._3).sum / 1000000L }
+    }
+    val expected = pi.toSeq.map { case (s, m) => (s, m) }
+      .sortBy { case (s, m) => (-m, s) }
+    val got = Events.queries("events_markov_steady")(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("state"), r.getAs[Long]("pi_micro"))).toSeq
+    assert(got == expected, s"\nentry: $got\nindependent: $expected")
+  }
+}
