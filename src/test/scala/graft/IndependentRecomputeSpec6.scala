@@ -293,4 +293,28 @@ class IndependentRecomputeSpec6 extends SparkSpec {
       assert(r.getAs[Long]("n_novel") == nn && r.getAs[Long]("novelty_ppm") == ppm)
     }
   }
+
+  test("sliding 3h distinct equals a direct per-window set-union recompute") {
+    val uh = Tables.events(spark, sf0001)
+      .select(date_trunc("hour", col("ts")).cast("string").as("h"), col("user_id"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    // direct formulation: for each window start w, union the user sets of
+    // hours {w, w+1h, w+2h} — no expansion trick, genuinely different shape
+    val byHour = uh.groupBy(_._1).map { case (h, g) => h -> g.map(_._2).toSet }
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    def parse(s: String) = java.time.LocalDateTime.parse(s, fmt)
+    val starts = byHour.keys.flatMap { h =>
+      val t = parse(h)
+      Seq(t, t.minusHours(1), t.minusHours(2))
+    }.toSet
+    val expected = starts.toSeq.map { w =>
+      val users = (0 to 2).flatMap(k =>
+        byHour.getOrElse(w.plusHours(k).format(fmt), Set.empty[Long])).toSet
+      (w.format(fmt), users.size.toLong)
+    }.filter(_._2 > 0).sortBy(_._1)
+    val got = Events.queries("events_sliding_distinct")(spark, sf0001).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start").toString
+        .stripSuffix(".0"), r.getAs[Long]("n_distinct_users"))).toSeq
+    assert(got == expected, s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+  }
 }
