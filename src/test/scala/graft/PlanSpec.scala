@@ -405,11 +405,21 @@ class PlanSpec extends SparkSpec {
     // size — either codebook/centroid LocalRelations (k rows) or a relation
     // filtered to the fixed query budget; a hint on the encoded corpus or
     // candidate set would be the round-2 scale-killer reborn
+    // the r10 build-once index memo persists the k-row centroid/codebook
+    // relations to scratch parquet (path tag "ivfpq_idx"); those artifacts
+    // are cells/PqK-sized — constant in the corpus by construction — so a
+    // hint on them is as bounded as the LocalRelation it replaced
+    def isIndexArtifact(p: LogicalPlan): Boolean = {
+      val rels = p.collect {
+        case r if r.nodeName.contains("Relation") && !r.isInstanceOf[LocalRelation] => r
+      }
+      rels.nonEmpty && rels.forall(_.toString.contains("ivfpq_idx"))
+    }
     def constantSide(p: LogicalPlan): Boolean =
       (p.collectFirst { case l: LocalRelation => l }.isDefined &&
         p.collectFirst {
           case r if r.nodeName.contains("Relation") && !r.isInstanceOf[LocalRelation] => r
-        }.isEmpty) || hasBudgetFilter(p)
+        }.isEmpty) || hasBudgetFilter(p) || isIndexArtifact(p)
     Seq(
       "sim_knn_quantized" -> Similarity.knnQuantized(spark, sf0001),
       "sim_knn_pq"        -> Similarity.knnPq(spark, sf0001),
