@@ -409,11 +409,14 @@ class PlanSpec extends SparkSpec {
     // relations to scratch parquet (path tag "ivfpq_idx"); those artifacts
     // are cells/PqK-sized — constant in the corpus by construction — so a
     // hint on them is as bounded as the LocalRelation it replaced
+    // identified by their exact schemas — the corpus-sized index relations
+    // (cells/codes) carry vec_id and never qualify
+    val idxSchemas = Set(Seq("cell", "centroid"), Seq("code", "pq_centroid"))
     def isIndexArtifact(p: LogicalPlan): Boolean = {
       val rels = p.collect {
         case r if r.nodeName.contains("Relation") && !r.isInstanceOf[LocalRelation] => r
       }
-      rels.nonEmpty && rels.forall(_.toString.contains("ivfpq_idx"))
+      rels.nonEmpty && rels.forall(r => idxSchemas.contains(r.output.map(_.name)))
     }
     def constantSide(p: LogicalPlan): Boolean =
       (p.collectFirst { case l: LocalRelation => l }.isDefined &&
