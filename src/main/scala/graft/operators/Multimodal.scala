@@ -829,16 +829,158 @@ object Multimodal {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** Per-frame solid-gray value of the synthetic MJPEG stream — the
+    * analytic contract `mm_video_pixels` and its oracle share. */
+  private[graft] def mjpegGray(id: Long, i: Int): Int =
+    ((id * 37 + i * 59) % 256).toInt
+
+  private[graft] val MjpegW = 16
+  private[graft] val MjpegH = 8
+
+  /** A complete baseline JPEG of a solid-gray WxH image, encoded through
+    * the JDK's real JPEG writer at an explicit quality. Solid gray is the
+    * one payload class whose decode is EXACT — r=g=b makes the YCbCr
+    * transform lossless (Y = v, Cb = Cr = 128) and a constant block's DC
+    * coefficient is a multiple of 8, which every standard luminance
+    * quantizer at these qualities divides — so the decoded raster is
+    * bit-identical to the encoded value (verified over all 256 values in
+    * AviIndexSpec) and a DuckDB oracle can recompute the pixel statistics
+    * analytically without seeing a byte. */
+  private[graft] def jpegSolidGray(v: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (v << 16) | (v << 8) | v
+    var x = 0
+    while (x < w) {
+      var y = 0
+      while (y < h) { img.setRGB(x, y, rgb); y += 1 }
+      x += 1
+    }
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    wr.setOutput(ios)
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.75f)
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); wr.dispose()
+    baos.toByteArray
+  }
+
+  /** Deterministic MOTION-JPEG AVI per video-kind doc: the same RIFF/movi
+    * layout as [[syntheticAvi]], but every '00dc' chunk is a REAL baseline
+    * JPEG (solid gray, [[mjpegGray]]) — the payload class an actual MJPEG
+    * camera stream carries, and the one the JDK can decode to pixels. */
+  private[graft] def syntheticMjpegAvi(id: Long): Array[Byte] = {
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val sz = data.length
+      val bb = java.nio.ByteBuffer.allocate(8 + sz + (sz & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(tag.getBytes("ISO-8859-1")).putInt(sz).put(data)
+      bb.array()
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("ISO-8859-1") ++ body)
+    val nf = (2 + id % 4).toInt
+    val strh = "vids".getBytes("ISO-8859-1") ++ new Array[Byte](52)
+    val hdrl = list("hdrl", list("strl", chunk("strh", strh)))
+    val movi = list("movi",
+      (0 until nf).map(i =>
+        chunk("00dc", jpegSolidGray(mjpegGray(id, i), MjpegW, MjpegH)))
+        .reduce(_ ++ _))
+    val body = hdrl ++ movi
+    val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ISO-8859-1")).putInt(4 + body.length)
+      .put("AVI ".getBytes("ISO-8859-1")).put(body)
+    bb.array()
+  }
+
+  /** Decoded per-frame pixel statistics — the schema of the video leg's
+    * REAL-pixel gate. */
+  final case class FramePixels(media_id: Long, frame_idx: Int,
+                               width: Long, height: Long, n_pixels: Long,
+                               px_min: Long, px_max: Long, px_sum: Long)
+
+  /** `mm_video_pixels` (r9 verdict, next-round item #3): the video leg's
+    * REAL pixel decode — encode an actual Motion-JPEG AVI on the executor,
+    * demux through the real RIFF index walk, decode every frame's JPEG
+    * payload through the JDK codec, and report per-frame pixel statistics
+    * (min/max/sum across all channels) against a DuckDB oracle that
+    * recomputes them ANALYTICALLY from the synthesis parameters — the
+    * `mm_image_features` discipline applied to video frames. A wrong
+    * offset, a mis-sliced frame, a codec regression, or a non-exact
+    * decode all break the hash. The decode is mandatory: a frame that
+    * fails ImageIO fails the entry loudly (no silent stub fallback — this
+    * entry IS the decode gate). Scale: 1→N flatMap per video row, decoder
+    * state amortized per partition, output a narrow typed struct. */
+  def videoPixelTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val payload = syntheticMjpegAvi(id)
+        val idx = AviIndex.sampleIndex(payload).getOrElse(
+          sys.error(s"MJPEG AVI $id failed the real demux"))
+        idx.zipWithIndex.map { case ((off, sz), i) =>
+          val slice = java.util.Arrays.copyOfRange(payload, off.toInt, off.toInt + sz)
+          val img = readImage(slice).getOrElse(
+            sys.error(s"MJPEG frame $i of AVI $id failed the real JPEG decode"))
+          var mn = 255L; var mx = 0L; var sum = 0L
+          var x = 0
+          while (x < img.getWidth) {
+            var y = 0
+            while (y < img.getHeight) {
+              val p = img.getRGB(x, y)
+              val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+              mn = math.min(mn, math.min(r, math.min(g, b)).toLong)
+              mx = math.max(mx, math.max(r, math.max(g, b)).toLong)
+              sum += r + g + b
+              y += 1
+            }
+            x += 1
+          }
+          FramePixels(id, i, img.getWidth.toLong, img.getHeight.toLong,
+            img.getWidth.toLong * img.getHeight, mn, mx, sum)
+        }
+      })
+      .toDF()
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (binaryMeta _),
     "mm_audio_features" -> (audioFeatureTable _),
     "mm_image_features" -> (imageFeatureTable _),
     "mm_video_frames" -> (videoFrameTable _),
+    "mm_video_pixels" -> (videoPixelTable _),
     "mm_mp4_frames" -> (mp4FrameTable _),
     "mm_webm_frames" -> (webmFrameTable _)
   )
 
   val oracle: Map[String, String] = Map(
+    "mm_video_pixels" ->
+      """WITH v AS (
+        |  SELECT doc_id, 2 + doc_id % 4 AS nf
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |f AS (
+        |  SELECT doc_id, unnest(generate_series(0, nf - 1)) AS frame_idx
+        |  FROM v),
+        |g AS (
+        |  SELECT doc_id, frame_idx,
+        |    (doc_id * 37 + frame_idx * 59) % 256 AS gray
+        |  FROM f)
+        |SELECT doc_id AS media_id,
+        |  CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(16 AS BIGINT) AS width,
+        |  CAST(8 AS BIGINT) AS height,
+        |  CAST(128 AS BIGINT) AS n_pixels,
+        |  CAST(gray AS BIGINT) AS px_min,
+        |  CAST(gray AS BIGINT) AS px_max,
+        |  CAST(384 * gray AS BIGINT) AS px_sum
+        |FROM g ORDER BY media_id, frame_idx""".stripMargin,
     "mm_binary_meta" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,

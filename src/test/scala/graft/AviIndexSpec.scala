@@ -183,4 +183,46 @@ class AviIndexSpec extends SparkSpec {
     val r = Multimodal.MediaRecord(1L, "video", oneFrame)
     assert(Multimodal.sampleAviFrames(r, 1).isEmpty)
   }
+
+  test("solid-gray JPEG round-trip is EXACT for every value — the mm_video_pixels contract") {
+    // the analytic-oracle premise: r=g=b makes YCbCr lossless and the
+    // constant block's DC is a multiple of 8, so decode == encode exactly
+    (0 to 255).foreach { v =>
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(
+        Multimodal.jpegSolidGray(v, Multimodal.MjpegW, Multimodal.MjpegH)))
+      assert(img.getWidth == Multimodal.MjpegW && img.getHeight == Multimodal.MjpegH)
+      for (x <- 0 until img.getWidth; y <- 0 until img.getHeight) {
+        val p = img.getRGB(x, y)
+        assert(((p >> 16) & 0xff) == v && ((p >> 8) & 0xff) == v && (p & 0xff) == v,
+          s"gray $v decoded to ${p.toHexString} at ($x,$y)")
+      }
+    }
+  }
+
+  test("mm_video_pixels frames agree with a SECOND decode path (readRaster)") {
+    // ImageIO.read goes through color-model conversion; ImageReader.readRaster
+    // reads the decoded raster directly — two independent JDK decode paths
+    (Seq(0L, 5L, 13L, 44L)).foreach { id =>
+      val payload = Multimodal.syntheticMjpegAvi(id)
+      val idx = AviIndex.sampleIndex(payload).get
+      idx.zipWithIndex.foreach { case ((off, sz), i) =>
+        val slice = java.util.Arrays.copyOfRange(payload, off.toInt, off.toInt + sz)
+        val expected = Multimodal.mjpegGray(id, i)
+        // path 1: BufferedImage
+        val img = ImageIO.read(new java.io.ByteArrayInputStream(slice))
+        assert((img.getRGB(3, 4) & 0xff) == expected)
+        // path 2: raw raster through ImageReader (YCbCr->RGB done by the
+        // reader's raster path independently of the BufferedImage route)
+        val rd = ImageIO.getImageReadersByFormatName("jpeg").next()
+        rd.setInput(ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(slice)))
+        val raster = rd.read(0).getRaster
+        rd.dispose()
+        for (x <- 0 until Multimodal.MjpegW; y <- 0 until Multimodal.MjpegH;
+             c <- 0 until raster.getNumBands) {
+          assert(raster.getSample(x, y, c) == expected,
+            s"avi $id frame $i band $c at ($x,$y): ${raster.getSample(x, y, c)} vs $expected")
+        }
+      }
+    }
+  }
 }
