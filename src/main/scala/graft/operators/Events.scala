@@ -1383,7 +1383,61 @@ object Events {
       .orderBy(desc("pi_micro"), col("state"))
   }
 
+  /** Brown's double exponential smoothing (linear-trend forecasting) over
+    * hourly volume — the trend-aware upgrade of `events_ewma_hourly`'s
+    * level-only smoother and the model `events_snaive_backtest`'s naive
+    * baseline is usually compared against: S1 = EWMA(y), S2 = EWMA(S1),
+    * level = 2S1 − S2, trend = S1 − S2 (α = 1/2), one-step forecast =
+    * level + trend = 3S1 − 2S2. Both smoothing passes use the module's
+    * EXACT dyadic-weight unroll (weight 2^(W−1−d) at lag d, W = 20 —
+    * beyond W the weights sit below count resolution), so the whole
+    * model is integer arithmetic in micro-events: no floats, no libm,
+    * hash-oracled end to end.
+    *
+    * Scale: each pass is an EXPANSION, not a range join — every source
+    * hour emits its ≤W (target, weighted-contribution) pairs map-side
+    * (`explode(sequence)`, the dauStickiness idiom) and one hour-key
+    * hash-agg folds them, so there is no nested-loop range join and no
+    * window over raw data; the grid is time-bounded, never data-sized. */
+  def holtLinear(spark: SparkSession, dir: String): DataFrame = {
+    val W = 20
+    val hc = Tables.events(spark, dir)
+      .select(expr("unix_micros(date_trunc('hour', ts)) DIV 3600000000").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("y"))
+    val bounds = hc.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val grid = bounds.select(explode(sequence(col("h0"), col("h1"))).as("h"))
+      .join(hc, Seq("h"), "left")
+      .select(col("h"), coalesce(col("y"), lit(0L)).as("y"))
+      .cache() // S1 expansion source + the final output join
+    val hMax = bounds.select(col("h1"))
+    def smoothed(src: DataFrame, v: String): DataFrame = src
+      .select(col("h").as("h2"), col(v).as("v2"),
+        explode(sequence(lit(0), lit(W - 1))).as("d"))
+      .select((col("h2") + col("d")).as("h"), col("v2"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${W - 1} - d AS INT))").as("wt"))
+      .crossJoin(broadcast(hMax))
+      .filter(col("h") <= col("h1"))
+      .groupBy(col("h"))
+      .agg(sum(col("v2") * col("wt")).as("num"), sum(col("wt")).as("wsum"))
+    val s1 = smoothed(grid, "y")
+      .select(col("h"),
+        expr("(num DIV wsum) * 1000000 + (num % wsum) * 1000000 DIV wsum")
+          .as("s1_micro"))
+      .cache() // S2 expansion source + the output join
+    val s2 = smoothed(s1, "s1_micro") // already micro: plain quotient
+      .select(col("h"), expr("num DIV wsum").as("s2_micro"))
+    grid.join(s1, "h").join(s2, "h")
+      .select(col("h").as("hour_no"), col("y").as("n_events"),
+        col("s1_micro"), col("s2_micro"),
+        (lit(2L) * col("s1_micro") - col("s2_micro")).as("level_micro"),
+        (col("s1_micro") - col("s2_micro")).as("trend_micro"),
+        (lit(3L) * col("s1_micro") - lit(2L) * col("s2_micro"))
+          .as("forecast_next_micro"))
+      .orderBy(col("hour_no"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_holt_linear" -> (holtLinear _),
     "events_markov_steady" -> (markovSteady _),
     "events_seasonal_anomaly" -> (seasonalAnomaly _),
     "events_time_to_convert" -> (timeToConvert _),
@@ -1819,6 +1873,44 @@ object Events {
         |  CASE WHEN d.den > 0
         |    THEN ROUND(num::DOUBLE / d.den::DOUBLE, 6) END AS acf
         |FROM nums CROSS JOIN den d ORDER BY lag""".stripMargin,
+    "events_holt_linear" ->
+      """WITH hc AS (
+        |  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hc),
+        |grid AS (
+        |  SELECT g.h, COALESCE(hc.y, 0) AS y
+        |  FROM (SELECT unnest(generate_series(
+        |    (SELECT h0 FROM b), (SELECT h1 FROM b))) AS h) g
+        |  LEFT JOIN hc ON g.h = hc.h),
+        |e1 AS (
+        |  SELECT g.h + d.d AS h,
+        |    g.y * (1::BIGINT << CAST(19 - d.d AS INT)) AS c,
+        |    (1::BIGINT << CAST(19 - d.d AS INT)) AS wt
+        |  FROM grid g CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS d) d),
+        |s1 AS (
+        |  SELECT h,
+        |    CAST((CAST(SUM(c) AS BIGINT) // CAST(SUM(wt) AS BIGINT)) * 1000000
+        |      + (CAST(SUM(c) AS BIGINT) % CAST(SUM(wt) AS BIGINT)) * 1000000
+        |        // CAST(SUM(wt) AS BIGINT) AS BIGINT) AS s1_micro
+        |  FROM e1 WHERE h <= (SELECT h1 FROM b) GROUP BY h),
+        |e2 AS (
+        |  SELECT s.h + d.d AS h,
+        |    s.s1_micro * (1::BIGINT << CAST(19 - d.d AS INT)) AS c,
+        |    (1::BIGINT << CAST(19 - d.d AS INT)) AS wt
+        |  FROM s1 s CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS d) d),
+        |s2 AS (
+        |  SELECT h, CAST(CAST(SUM(c) AS BIGINT) // CAST(SUM(wt) AS BIGINT) AS BIGINT)
+        |    AS s2_micro
+        |  FROM e2 WHERE h <= (SELECT h1 FROM b) GROUP BY h)
+        |SELECT grid.h AS hour_no, grid.y AS n_events,
+        |  s1.s1_micro, s2.s2_micro,
+        |  2 * s1.s1_micro - s2.s2_micro AS level_micro,
+        |  s1.s1_micro - s2.s2_micro AS trend_micro,
+        |  3 * s1.s1_micro - 2 * s2.s2_micro AS forecast_next_micro
+        |FROM grid JOIN s1 ON grid.h = s1.h JOIN s2 ON grid.h = s2.h
+        |ORDER BY hour_no""".stripMargin,
     "events_ewma_hourly" ->
       """WITH hourly AS (
         |  SELECT event_type,

@@ -123,13 +123,106 @@ object Recommend {
       .limit(20)
   }
 
+  /** Rank-1 matrix factorization trained by ALS, entirely in-plan — the
+    * MODEL-BASED member of the family (assoc rules and item-cosine are
+    * memory-based): ratings r(c,p) = purchase counts over the customer ×
+    * part incidence, factor vectors u (customers) and v (parts) fit by
+    * two alternating least-squares rounds, then top-5 UNOBSERVED parts
+    * per budget customer by predicted score u·v — the actual
+    * recommendation readout. Rank-1 ALS on a nonnegative matrix is the
+    * power iteration toward the dominant singular pair (the
+    * `sim_pca_power` lesson applied to collaborative filtering), and
+    * each half-step is the exact relational shape rank-k ALS shards at
+    * 100 TB: join ratings to the fixed side on its key, one hash-agg per
+    * entity, broadcast nothing data-sized.
+    *
+    * Determinism: ratings are exact longs; every update is
+    * round6(double(Σ r·w) / double(Σ w²)) — exact decimal sums, ONE IEEE
+    * division on identical operands in both engines, re-entering the
+    * decimal lattice (the lrStep/Lloyd rule); scores are
+    * round6(double(u)·double(v)); ranking ties break on part id. The
+    * candidate set is |budget|·|parts| — bounded by the fixed serving
+    * budget, the knnBrute contract. */
+  def mfRank1(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d6 = DecimalType(18, 6)
+    val obs = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .agg(count(lit(1)).as("r"))
+      .cache() // 4 half-steps + the serving anti-join read it
+    def updU(v: DataFrame): DataFrame = obs.join(v, "p")
+      .groupBy(col("c"))
+      .agg(round(sum(col("r") * col("v")).cast("double") /
+        sum(col("v") * col("v")).cast("double"), 6).cast(d6).as("u"))
+    def updV(u: DataFrame): DataFrame = obs.join(u, "c")
+      .groupBy(col("p"))
+      .agg(round(sum(col("r") * col("u")).cast("double") /
+        sum(col("u") * col("u")).cast("double"), 6).cast(d6).as("v"))
+    val v0 = obs.select(col("p")).distinct()
+      .withColumn("v", lit(BigDecimal(1).setScale(6)).cast(d6))
+    val u1 = updU(v0)
+    val v1 = updV(u1)
+    val u2 = updU(v1).cache() // candidate expansion + (transitively) v2
+    val v2 = updV(u2)
+    val cand = u2.filter(col("c") < 20)
+      .crossJoin(v2)
+      .select(col("c"), col("p"),
+        round(col("u").cast("double") * col("v").cast("double"), 6).as("score"))
+    val unobs = cand.join(obs, Seq("c", "p"), "left_anti")
+    unobs.withColumn("rn", row_number().over(
+        Window.partitionBy(col("c")).orderBy(col("score").desc, col("p"))).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("c").as("custkey"), col("p").as("partkey"),
+        col("score"), col("rn"))
+      .orderBy(col("custkey"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rec_assoc_rules" -> (assocRules _),
     "rec_item_cosine" -> (itemCosine _),
-    "rec_next_part" -> (nextPart _)
+    "rec_next_part" -> (nextPart _),
+    "rec_mf_rank1" -> (mfRank1 _)
   )
 
   val oracle: Map[String, String] = Map(
+    "rec_mf_rank1" ->
+      """WITH obs AS (
+        |  SELECT o_custkey AS c, l_partkey AS p, COUNT(*) AS r
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |v0 AS (SELECT DISTINCT p, CAST(1.000000 AS DECIMAL(18,6)) AS v FROM obs),
+        |u1 AS (
+        |  SELECT c, CAST(ROUND(CAST(SUM(r * v) AS DOUBLE)
+        |    / CAST(SUM(v * v) AS DOUBLE), 6) AS DECIMAL(18,6)) AS u
+        |  FROM obs JOIN v0 USING (p) GROUP BY c),
+        |v1 AS (
+        |  SELECT p, CAST(ROUND(CAST(SUM(r * u) AS DOUBLE)
+        |    / CAST(SUM(u * u) AS DOUBLE), 6) AS DECIMAL(18,6)) AS v
+        |  FROM obs JOIN u1 USING (c) GROUP BY p),
+        |u2 AS (
+        |  SELECT c, CAST(ROUND(CAST(SUM(r * v) AS DOUBLE)
+        |    / CAST(SUM(v * v) AS DOUBLE), 6) AS DECIMAL(18,6)) AS u
+        |  FROM obs JOIN v1 USING (p) GROUP BY c),
+        |v2 AS (
+        |  SELECT p, CAST(ROUND(CAST(SUM(r * u) AS DOUBLE)
+        |    / CAST(SUM(u * u) AS DOUBLE), 6) AS DECIMAL(18,6)) AS v
+        |  FROM obs JOIN u2 USING (c) GROUP BY p),
+        |cand AS (
+        |  SELECT u2.c, v2.p,
+        |    ROUND(CAST(u2.u AS DOUBLE) * CAST(v2.v AS DOUBLE), 6) AS score
+        |  FROM u2 CROSS JOIN v2 WHERE u2.c < 20),
+        |unobs AS (
+        |  SELECT cand.c, cand.p, cand.score FROM cand
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM obs WHERE obs.c = cand.c AND obs.p = cand.p)),
+        |ranked AS (
+        |  SELECT c, p, score,
+        |    ROW_NUMBER() OVER (PARTITION BY c ORDER BY score DESC, p) AS rn
+        |  FROM unobs)
+        |SELECT c AS custkey, p AS partkey, score, rn
+        |FROM ranked WHERE rn <= 5
+        |ORDER BY custkey, rn""".stripMargin,
     "rec_next_part" ->
       """WITH nxt0 AS (
         |  SELECT o_orderkey AS o,
