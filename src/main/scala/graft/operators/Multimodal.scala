@@ -950,7 +950,128 @@ object Multimodal {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** Candidate fundamental periods (in samples) of the synthetic tone
+    * corpus — the Goertzel detector's dial. Pairwise chosen so no
+    * candidate is an even harmonic of another; odd harmonics (a square
+    * wave's only overtones) carry 1/k² of the fundamental's power, so the
+    * argmax margin is ≥ 9×. */
+  private[graft] val TonePeriods = Array(8, 16, 20, 40)
+
+  private[graft] def tonePeriod(id: Long): Int = TonePeriods((id % 4).toInt)
+
+  /** PCM16 WAV of a SQUARE wave with the given sample period — pure
+    * integer synthesis (±8000), so the oracle knows every sample
+    * analytically. */
+  private[graft] def squareWav(id: Long, n: Int, rate: Int, period: Int): Array[Byte] = {
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      bb.putShort(if (i % period < period / 2) 8000 else -8000)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Parse a PCM16 mono WAV to (rate, samples) through the same strict
+    * RIFF walk as decodeWav — the sample-level view Goertzel needs. */
+  private[graft] def pcm16Samples(b: Array[Byte]): Option[(Int, Array[Short])] = {
+    def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12L
+    var fmtTag = 0; var rate = 0; var ch = 0; var bits = 0
+    var dataOff = -1L; var dataLen = 0L
+    while (pos + 8 <= b.length) {
+      val id = tag(pos.toInt); val len = u32(pos.toInt + 4)
+      if (id == "fmt " && pos + 24 <= b.length) {
+        fmtTag = u16(pos.toInt + 8)
+        ch = u16(pos.toInt + 10); rate = u32(pos.toInt + 12).toInt
+        bits = u16(pos.toInt + 22)
+      } else if (id == "data" && dataOff < 0) {
+        dataOff = pos + 8
+        dataLen = math.min(len, b.length - dataOff)
+      }
+      pos += 8 + len + (len & 1L)
+    }
+    if (fmtTag != 1 || ch != 1 || bits != 16 || rate <= 0 || dataOff < 0) None
+    else {
+      val n = (dataLen / 2).toInt
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        out(i) = ((u16((dataOff + 2L * i).toInt) << 16) >> 16).toShort
+        i += 1
+      }
+      Some((rate, out))
+    }
+  }
+
+  /** Goertzel power of `x` at period `p` samples — the single-bin DFT a
+    * tone detector runs instead of a full FFT (O(n) per bin, O(1) state:
+    * the streaming-friendly form). */
+  private[graft] def goertzelPower(x: Array[Short], p: Int): Double = {
+    val w = 2.0 * math.Pi / p
+    val c = 2.0 * math.cos(w)
+    var s1 = 0.0; var s2 = 0.0
+    var i = 0
+    while (i < x.length) {
+      val s0 = x(i) + c * s1 - s2
+      s2 = s1; s1 = s0
+      i += 1
+    }
+    s1 * s1 + s2 * s2 - c * s1 * s2
+  }
+
+  /** Per-doc tone-detection verdict — the `mm_audio_tone` row. */
+  final case class ToneVerdict(media_id: Long, sample_rate: Int,
+                               n_samples: Long, true_period: Long,
+                               detected_period: Long, detected_ok: Long)
+
+  /** `mm_audio_tone`: real DSP on the audio leg — synthesize a square-wave
+    * PCM16 WAV per audio doc (planted fundamental period from
+    * [[TonePeriods]]), parse it back through the strict RIFF walk, and
+    * DETECT the tone with a Goertzel bank over the candidate periods; the
+    * DuckDB oracle recomputes every column analytically (the planted
+    * period IS the expected detection — a broken Goertzel, a mis-parsed
+    * sample stream, or a sign error all flip `detected_period` and break
+    * the hash). A square wave's only overtones are odd harmonics at 1/k²
+    * power, so the argmax margin is ≥ 9× — detection is structural, not
+    * marginal (OperatorSpec pins the margin and cross-validates the
+    * parser against javax.sound.sampled). Scale: one narrow row per media
+    * file, decoder state per partition — the mm_audio_features shape with
+    * a real detector on top. */
+  def audioToneTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (256 + id % 128).toInt
+        val p = tonePeriod(id)
+        val payload = squareWav(id, n, 8000, p)
+        val (rate, xs) = pcm16Samples(payload).getOrElse(
+          sys.error(s"WAV $id failed the strict PCM16 parse"))
+        val detected = TonePeriods.maxBy(goertzelPower(xs, _))
+        ToneVerdict(id, rate, xs.length.toLong, p.toLong, detected.toLong,
+          if (detected == p) 1L else 0L)
+      })
+      .toDF()
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_tone" -> (audioToneTable _),
     "mm_binary_meta" -> (binaryMeta _),
     "mm_audio_features" -> (audioFeatureTable _),
     "mm_image_features" -> (imageFeatureTable _),
@@ -961,6 +1082,17 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "mm_audio_tone" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(256 + doc_id % 128 AS BIGINT) AS n_samples,
+        |  CAST([8, 16, 20, 40][CAST(doc_id % 4 AS INTEGER) + 1] AS BIGINT)
+        |    AS true_period,
+        |  CAST([8, 16, 20, 40][CAST(doc_id % 4 AS INTEGER) + 1] AS BIGINT)
+        |    AS detected_period,
+        |  CAST(1 AS BIGINT) AS detected_ok
+        |FROM documents WHERE doc_id % 3 = 1
+        |ORDER BY media_id""".stripMargin,
     "mm_video_pixels" ->
       """WITH v AS (
         |  SELECT doc_id, 2 + doc_id % 4 AS nf

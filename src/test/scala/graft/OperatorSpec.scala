@@ -874,4 +874,32 @@ class OperatorSpec extends SparkSpec {
       assert(rns.sameElements(1L to 10L), s"q=$q fused ranks $rns")
     }
   }
+
+  test("goertzel tone detection: 9x dominance margin and javax.sound parse agreement") {
+    import graft.operators.Multimodal
+    Seq(0L, 1L, 2L, 3L, 17L, 38L).foreach { id =>
+      val n = (256 + id % 128).toInt
+      val p = Multimodal.tonePeriod(id)
+      val wav = Multimodal.squareWav(id, n, 8000, p)
+      val (rate, xs) = Multimodal.pcm16Samples(wav).get
+      assert(rate == 8000 && xs.length == n)
+      // second parse path: the JDK's own WAV reader must yield identical samples
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val buf = ais.readAllBytes()
+      assert(buf.length == n * 2)
+      (0 until n).foreach { i =>
+        val s = ((buf(2 * i) & 0xff) | (buf(2 * i + 1) << 8)).toShort
+        assert(s == xs(i), s"sample $i: javax $s vs strict-walk ${xs(i)}")
+      }
+      // detection is structural: the planted period's power dominates every
+      // other candidate by at least the odd-harmonic bound (~9x; leakage
+      // from partial cycles erodes it, so pin 4x)
+      val powers = Multimodal.TonePeriods.map(c => c -> Multimodal.goertzelPower(xs, c)).toMap
+      val best = powers(p)
+      powers.filter(_._1 != p).foreach { case (c, pw) =>
+        assert(best > 4.0 * pw, s"id $id period $p vs candidate $c: $best vs $pw")
+      }
+    }
+  }
 }
