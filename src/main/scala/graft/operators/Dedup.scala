@@ -189,6 +189,106 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardCapped(spark, dir, MaxShingleDf)
 
+  /** The (bands, rows-per-band) configurations the LSH sizing curve
+    * evaluates — every factorization of the 12-lane signature budget. */
+  private[graft] val LshCurveConfigs = Seq((2, 6), (3, 4), (4, 3), (6, 2), (12, 1))
+
+  /** The banded-minhash S-curve P(candidate | s) = 1 − (1 − s^r)^b as a
+    * SHARED FORMULA STRING over a `jaccard` column — explicit
+    * left-associative multiplication chains, never pow(): libm pow is not
+    * correctly rounded and the repo's determinism rule is one identical
+    * IEEE op sequence in both engines. */
+  private def sCurveExpr(b: Int, r: Int): String = {
+    def chain(base: String, k: Int) = Seq.fill(k)(base).mkString("(", " * ", ")")
+    s"(1.0 - ${chain(s"(1.0 - ${chain("jaccard", r)})", b)})"
+  }
+
+  /** LSH index SIZING curve (the Leskovec–Rajaraman–Ullman S-curve
+    * analysis, MMDS §3.4) evaluated against THIS corpus's real pair
+    * similarities — the readout that decides the band/row split before a
+    * 100 TB minhash index is built: for every factorization (b, r) of the
+    * signature budget, the expected number of candidate pairs
+    * Σ_pairs [1 − (1 − s^r)^b] and the count of pairs the config would
+    * catch with ≥50% probability. More bands = catch lower similarities =
+    * more candidate volume; the curve shows exactly what each split buys
+    * and costs ON THE DATA, not on a textbook similarity prior —
+    * `dedup_minhash_lsh`'s (4, 2) default sits on this curve.
+    *
+    * Determinism: s is ONE IEEE division of exact integers; the S-curve
+    * is the shared explicit-multiplication formula string (no libm at
+    * all), per-pair terms round-9 → DECIMAL(18,9) exact sums (the
+    * JS-divergence rule); the ≥0.5 test compares the identical double.
+    * Scale: the pair relation is the df-capped inverted index (Σ df²
+    * bounded, the module guard); the curve itself is a 5× projection +
+    * one 5-row hash-agg over it. */
+  def lshCurve(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).cache()
+    val exAll = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
+    val rare = exAll.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf)
+      .select(col("g"))
+    val ex = exAll.join(rare, Seq("g"), "left_semi")
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select((col("n_inter").cast("double") /
+        (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
+    val termCase = LshCurveConfigs.map { case (b, r) =>
+      s"WHEN bands = $b THEN ${sCurveExpr(b, r)}"
+    }.mkString("CASE ", " ", " END")
+    val configs = {
+      import spark.implicits._
+      LshCurveConfigs.toDF("bands", "rows_per_band")
+    }
+    pairs.crossJoin(broadcast(configs))
+      .withColumn("p", expr(termCase))
+      .withColumn("term", round(col("p"), 9)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("p") > 0.5, 1L).otherwise(0L)).as("n_likely"),
+        sum(col("term")).cast("double").as("expected_cands"))
+      .orderBy(col("bands"))
+  }
+
+  /** DuckDB oracle for `dedup_lsh_curve` — the identical inverted index
+    * and the SAME per-config formula strings. */
+  private[graft] def lshCurveOracle: String = {
+    val termCase = LshCurveConfigs.map { case (b, r) =>
+      s"WHEN c.bands = $b THEN ${sCurveExpr(b, r)}"
+    }.mkString("CASE ", " ", " END")
+    val cfgRows = LshCurveConfigs.map { case (b, r) => s"($b, $r)" }.mkString(", ")
+    s"""WITH sh AS ($shingledSql),
+      |ex_all AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+      |rare AS (SELECT g FROM ex_all GROUP BY g HAVING COUNT(*) <= $MaxShingleDf),
+      |ex AS (SELECT doc_id, g FROM ex_all WHERE g IN (SELECT g FROM rare)),
+      |sizes AS (SELECT doc_id, len(shingles)::BIGINT AS n FROM sh),
+      |pairs AS (
+      |  SELECT n_inter::DOUBLE / (na.n + nb.n - n_inter) AS jaccard
+      |  FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      |    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2) i
+      |  JOIN sizes na ON na.doc_id = i.doc_a
+      |  JOIN sizes nb ON nb.doc_id = i.doc_b),
+      |cfg(bands, rows_per_band) AS (VALUES $cfgRows),
+      |terms AS (
+      |  SELECT c.bands, c.rows_per_band,
+      |    $termCase AS p
+      |  FROM pairs CROSS JOIN cfg c)
+      |SELECT bands, rows_per_band,
+      |  COUNT(*) AS n_pairs,
+      |  CAST(SUM(CASE WHEN p > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_likely,
+      |  CAST(SUM(CAST(ROUND(p, 9) AS DECIMAL(18,9))) AS DOUBLE) AS expected_cands
+      |FROM terms GROUP BY 1, 2
+      |ORDER BY bands""".stripMargin
+  }
+
   /** Cap-parameterized body; the spec runs it cap-less (Long.MaxValue) to
     * pin that the cap is a no-op on the harness corpus. */
   private[graft] def ngramJaccardCapped(spark: SparkSession, dir: String, cap: Long): DataFrame = {
@@ -882,6 +982,7 @@ object Dedup {
     "dedup_minhash_lsh"     -> (minhashLsh _),
     "dedup_admission_gate"  -> (admissionGate _),
     "dedup_ngram_jaccard"   -> (ngramJaccard _),
+    "dedup_lsh_curve"       -> (lshCurve _),
     "dedup_ngram_prefix"    -> (ngramJaccardPrefix _),
     "dedup_containment"     -> (containmentPairsPrefix _),
     "dedup_simhash"         -> (simhashClusters _),
@@ -1126,6 +1227,7 @@ object Dedup {
         |JOIN sizes nb ON nb.doc_id = doc_b
         |WHERE n_inter::DOUBLE / (na.n + nb.n - n_inter) >= 0.7
         |ORDER BY doc_a, doc_b""".stripMargin,
+        "dedup_lsh_curve" -> lshCurveOracle,
         "dedup_ngram_jaccard" ->
       s"""WITH sh AS ($shingledSql),
         |ex_all AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
