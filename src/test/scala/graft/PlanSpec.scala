@@ -221,6 +221,10 @@ class PlanSpec extends SparkSpec {
         // A4-pattern 1-row broadcast global threshold (Q11's correlated
         // global aggregate / Q22's global average) — |rows|×1 fan-out
         "join_top_stock_q11", "join_dormant_rich_q22",
+        // pair-similarity relation ⋈ broadcast 5-row config table (the
+        // S-curve is evaluated per config — a bounded literal fan-out),
+        // and the smoother's 1-row broadcast h1 bound
+        "dedup_lsh_curve", "events_holt_linear",
         // grid-frame ⋈ broadcast 1-row stats/denominator (psi shape)
         "agg_chi2_independence", "events_acf_hourly",
         // 1-row broadcast mean-vector / max-norm rescale (A4 shape ×4)
