@@ -225,6 +225,9 @@ class PlanSpec extends SparkSpec {
         // S-curve is evaluated per config — a bounded literal fan-out),
         // and the smoother's 1-row broadcast h1 bound
         "dedup_lsh_curve", "events_holt_linear",
+        // budget customers × parts candidate grid — the knn_brute serving
+        // contract (|budget| constant, the corpus side never broadcast)
+        "rec_mf_rank1",
         // grid-frame ⋈ broadcast 1-row stats/denominator (psi shape)
         "agg_chi2_independence", "events_acf_hourly",
         // 1-row broadcast mean-vector / max-norm rescale (A4 shape ×4)
