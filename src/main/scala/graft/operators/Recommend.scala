@@ -165,8 +165,7 @@ object Recommend {
     val v1 = updV(u1)
     val u2 = updU(v1).cache() // candidate expansion + (transitively) v2
     val v2 = updV(u2)
-    val cand = u2.filter(col("c") < 20)
-      .crossJoin(v2)
+    val cand = v2.crossJoin(broadcast(u2.filter(col("c") < 20)))
       .select(col("c"), col("p"),
         round(col("u").cast("double") * col("v").cast("double"), 6).as("score"))
     val unobs = cand.join(obs, Seq("c", "p"), "left_anti")
