@@ -1112,6 +1112,73 @@ object Aggregates {
         .as("r2"))
   }
 
+  /** Ridge regression in closed form — `ml_ols_cramer`'s REGULARIZED twin:
+    * the same exact integer moment matrix, with λ·I added to the
+    * non-intercept block of the normal equations before the Cramer solve
+    * (the intercept is never penalized, the standard convention). λ is a
+    * PER-OBSERVATION penalty (λ = lam_per_obs·n), so the shrinkage is
+    * scale-invariant in the row count — the same λ dial works at sf0.001
+    * and at 100 TB. The entry emits the two-point regularization path
+    * (λ/n ∈ {0, 100}): the λ=0 row must equal the OLS solve EXACTLY (the
+    * spec pins it against `ml_ols_cramer`), and the λ>0 row shows the
+    * coefficients the penalty actually buys. R² uses the general
+    * quadratic form sse = yy − 2βᵀXᵀy + βᵀ(XᵀX)β (valid off the OLS
+    * optimum, where the λ=0 shortcut isn't).
+    *
+    * Scale story = A4/olsCramer: ONE partial-aggregated pass collects the
+    * exact moments; the per-λ solves are O(1) on a broadcast 2-row λ
+    * table. No libm — fixed IEEE chains on exact operands, bit-identical
+    * across engines; only the O(1) outputs are rounded (6). */
+  def ridgeCramer(spark: SparkSession, dir: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    val li = Tables.lineitem(spark, dir).select(
+      floor(col("l_quantity")).cast("long").as("x1"),
+      floor(col("l_discount") * 100).cast("long").as("x2"),
+      floor(col("l_extendedprice") * 100).cast("long").as("y"))
+    val m = li.agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
+      sum(col("y")).as("sy"),
+      sum(dec(col("x1")) * col("x1")).as("s11"),
+      sum(dec(col("x1")) * col("x2")).as("s12"),
+      sum(dec(col("x2")) * col("x2")).as("s22"),
+      sum(dec(col("x1")) * col("y")).as("sx1y"),
+      sum(dec(col("x2")) * col("y")).as("sx2y"),
+      sum(dec(col("y")) * col("y")).as("syy"))
+    val lams = spark.createDataFrame(Seq(Tuple1(0L), Tuple1(100L)))
+      .toDF("lam_per_obs")
+    val j = m.crossJoin(broadcast(lams))
+    val a = col("n").cast("double")
+    val b = col("sx1").cast("double"); val c = col("sx2").cast("double")
+    val d = col("s11").cast("double"); val e = col("s12").cast("double")
+    val f = col("s22").cast("double")
+    val g = col("sy").cast("double"); val h = col("sx1y").cast("double")
+    val i = col("sx2y").cast("double"); val yy = col("syy").cast("double")
+    val lam = col("lam_per_obs").cast("double") * a
+    val dl = d + lam; val fl = f + lam
+    val det = a * (dl * fl - e * e) - b * (b * fl - e * c) +
+      c * (b * e - dl * c)
+    val det0 = g * (dl * fl - e * e) - b * (h * fl - e * i) +
+      c * (h * e - dl * i)
+    val det1 = a * (h * fl - e * i) - g * (b * fl - e * c) +
+      c * (b * i - h * c)
+    val det2 = a * (dl * i - e * h) - b * (b * i - h * c) +
+      g * (b * e - dl * c)
+    val b0 = det0 / det; val b1 = det1 / det; val b2 = det2 / det
+    val quad = b0 * b0 * a + b1 * b1 * d + b2 * b2 * f +
+      lit(2.0) * b0 * b1 * b + lit(2.0) * b0 * b2 * c +
+      lit(2.0) * b1 * b2 * e
+    val sse = yy - lit(2.0) * (b0 * g + b1 * h + b2 * i) + quad
+    val sst = yy - g * g / a
+    j.select(col("lam_per_obs"), col("n"),
+        when(det =!= 0.0, round(b0, 6)).as("b0_cents"),
+        when(det =!= 0.0, round(b1, 6)).as("b1_per_qty"),
+        when(det =!= 0.0, round(b2, 6)).as("b2_per_bp"),
+        when(det =!= 0.0 && sst > 0.0, round(lit(1.0) - sse / sst, 6))
+          .as("r2"))
+      .orderBy(col("lam_per_obs"))
+  }
+
   /** KMV sketch MERGE — the property that makes `agg_kmv_distinct` a
     * 100 TB operator: union of sketches = sketch of the union, exactly
     * (the k smallest of the merged k-smallest sets ARE the k smallest of
@@ -1161,6 +1228,7 @@ object Aggregates {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_kmv_merge" -> (kmvMerge _),
     "ml_ols_cramer" -> (olsCramer _),
+    "ml_ridge_cramer" -> (ridgeCramer _),
     "agg_kmv_distinct" -> (kmvDistinct _),
     "agg_benford_audit" -> (benfordAudit _),
     "agg_psi_drift" -> (psiDrift _),
@@ -1276,6 +1344,68 @@ object Aggregates {
         |      (det2 / det) * i)) / (yy - g * g / a), 6)
         |  END AS r2
         |FROM dets""".stripMargin,
+    "ml_ridge_cramer" ->
+      """WITH r AS (
+        |  SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS x1,
+        |    CAST(FLOOR(l_discount * 100) AS BIGINT) AS x2,
+        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x1) AS BIGINT) AS sx1, CAST(SUM(x2) AS BIGINT) AS sx2,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(x1 AS HUGEINT) * x1) AS s11,
+        |    SUM(CAST(x1 AS HUGEINT) * x2) AS s12,
+        |    SUM(CAST(x2 AS HUGEINT) * x2) AS s22,
+        |    SUM(CAST(x1 AS HUGEINT) * y) AS sx1y,
+        |    SUM(CAST(x2 AS HUGEINT) * y) AS sx2y,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM r),
+        |lams(lam_per_obs) AS (
+        |  VALUES (CAST(0 AS BIGINT)), (CAST(100 AS BIGINT))),
+        |v AS (
+        |  SELECT lam_per_obs, n,
+        |    CAST(n AS DOUBLE) AS a, CAST(sx1 AS DOUBLE) AS b,
+        |    CAST(sx2 AS DOUBLE) AS c,
+        |    CAST(s11 AS DOUBLE) AS d, CAST(s12 AS DOUBLE) AS e,
+        |    CAST(s22 AS DOUBLE) AS f,
+        |    CAST(s11 AS DOUBLE)
+        |      + CAST(lam_per_obs AS DOUBLE) * CAST(n AS DOUBLE) AS dl,
+        |    CAST(s22 AS DOUBLE)
+        |      + CAST(lam_per_obs AS DOUBLE) * CAST(n AS DOUBLE) AS fl,
+        |    CAST(sy AS DOUBLE) AS g, CAST(sx1y AS DOUBLE) AS h,
+        |    CAST(sx2y AS DOUBLE) AS i, CAST(syy AS DOUBLE) AS yy
+        |  FROM m CROSS JOIN lams),
+        |dets AS (
+        |  SELECT lam_per_obs, n, a, b, c, d, e, f, g, h, i, yy,
+        |    a * (dl * fl - e * e) - b * (b * fl - e * c) + c * (b * e - dl * c)
+        |      AS det,
+        |    g * (dl * fl - e * e) - b * (h * fl - e * i) + c * (h * e - dl * i)
+        |      AS det0,
+        |    a * (h * fl - e * i) - g * (b * fl - e * c) + c * (b * i - h * c)
+        |      AS det1,
+        |    a * (dl * i - e * h) - b * (b * i - h * c) + g * (b * e - dl * c)
+        |      AS det2
+        |  FROM v),
+        |bs AS (
+        |  SELECT lam_per_obs, n, a, b, c, d, e, f, g, h, i, yy, det,
+        |    det0 / det AS b0, det1 / det AS b1, det2 / det AS b2
+        |  FROM dets),
+        |fin AS (
+        |  SELECT lam_per_obs, n, det, b0, b1, b2,
+        |    yy - 2.0 * (b0 * g + b1 * h + b2 * i)
+        |      + (b0 * b0 * a + b1 * b1 * d + b2 * b2 * f
+        |        + 2.0 * b0 * b1 * b + 2.0 * b0 * b2 * c + 2.0 * b1 * b2 * e)
+        |      AS sse,
+        |    yy - g * g / a AS sst
+        |  FROM bs)
+        |SELECT lam_per_obs, n,
+        |  CASE WHEN det <> 0 THEN ROUND(b0, 6) END AS b0_cents,
+        |  CASE WHEN det <> 0 THEN ROUND(b1, 6) END AS b1_per_qty,
+        |  CASE WHEN det <> 0 THEN ROUND(b2, 6) END AS b2_per_bp,
+        |  CASE WHEN det <> 0 AND sst > 0 THEN ROUND(1.0 - sse / sst, 6)
+        |  END AS r2
+        |FROM fin ORDER BY lam_per_obs""".stripMargin,
     "agg_kmv_distinct" ->
       """WITH u AS (SELECT DISTINCT event_id FROM events),
         |h AS (

@@ -215,14 +215,64 @@ object Layout {
       .orderBy(col("layout"))
   }
 
+  /** Compaction bin-packing plan — the maintenance operator a lakehouse
+    * table runs over the `layout_zone_maps` manifest: small files from the
+    * insertion layout (the same `l_orderkey DIV 2048` file grain) are
+    * packed into target-size output bins (T = 4096 rows) by the
+    * SORTED-CUMULATIVE rule: order files by size desc (id tie-break),
+    * running-sum, bin = cum_before DIV T. This is the scalable relaxation
+    * of first-fit-decreasing — bins are contiguous ranges of the sorted
+    * manifest, so the bin count is EXACTLY ceil(total/T) (optimal bin
+    * count for any packing that may split no file across more than one
+    * boundary overflow) and every bin's load is < T + max_file
+    * (WriteLayoutSpec pins both bounds plus conservation).
+    *
+    * Scale stance: the plan runs over the FILE MANIFEST, not the data —
+    * at 100 TB with 128 MB files that's ~800k manifest rows, and the one
+    * unpartitioned running-sum window follows the W1 rule (window over an
+    * aggregated, manifest-sized relation, never over facts). Real engines
+    * (Iceberg rewriteDataFiles, Delta OPTIMIZE) shard this per partition
+    * first; the per-shard plan is this exact shape. */
+  def binpack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = Tables.lineitem(spark, dir)
+      .withColumn("file_id", expr("l_orderkey DIV 2048"))
+      .groupBy(col("file_id")).agg(count(lit(1)).as("n_rows"))
+    val w = Window.orderBy(col("n_rows").desc, col("file_id"))
+    files.withColumn("cum_after", sum(col("n_rows")).over(w))
+      .withColumn("bin", expr("(cum_after - n_rows) DIV 4096"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("bin_rows"),
+        max(col("n_rows")).as("largest_file"),
+        min(col("file_id")).as("first_file"))
+      .orderBy(col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder_buckets" -> (zorderBuckets _),
     "layout_hilbert_buckets" -> (hilbertBuckets _),
     "layout_shard_balance" -> (shardBalance _),
-    "layout_zone_maps" -> (zoneMaps _)
+    "layout_zone_maps" -> (zoneMaps _),
+    "layout_binpack" -> (binpack _)
   )
 
   val oracle: Map[String, String] = Map(
+    "layout_binpack" ->
+      """WITH files AS (
+        |  SELECT l_orderkey // 2048 AS file_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM lineitem GROUP BY 1),
+        |planned AS (
+        |  SELECT file_id, n_rows,
+        |    CAST(SUM(n_rows) OVER (ORDER BY n_rows DESC, file_id) AS BIGINT)
+        |      AS cum_after
+        |  FROM files)
+        |SELECT (cum_after - n_rows) // 4096 AS bin,
+        |  COUNT(*) AS n_files,
+        |  CAST(SUM(n_rows) AS BIGINT) AS bin_rows,
+        |  CAST(MAX(n_rows) AS BIGINT) AS largest_file,
+        |  CAST(MIN(file_id) AS BIGINT) AS first_file
+        |FROM planned GROUP BY 1 ORDER BY bin""".stripMargin,
     "layout_zone_maps" -> {
       def block(name: String, fileExpr: String) =
         s"""SELECT '$name' AS layout,

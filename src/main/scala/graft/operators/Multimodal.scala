@@ -1070,7 +1070,184 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Decoded PNG statistics — the image leg's SECOND-codec row. */
+  final case class PngPixels(media_id: Long, width: Int, height: Int,
+                             sig_ok: Long, sum_r: Long, sum_g: Long,
+                             sum_b: Long, px3_min: Long, px3_max: Long)
+
+  /** Deterministic PNG per image doc: the SAME pixel formula and
+    * dimensions as [[bmp24]], rendered into a TYPE_INT_RGB raster and
+    * encoded through the real JDK PNG writer. PNG is lossless, so the
+    * decode must reproduce every pixel bit-exactly — which makes the BMP
+    * and PNG legs cross-checkable codec against codec (OperatorSpec pins
+    * byte-identical channel sums for the same id). */
+  private[graft] def pngGradient(id: Long): Array[Byte] = {
+    val w = (8 + id % 9).toInt
+    val h = (8 + id % 5).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 7 + 3 * x + 5 * y) % 256).toInt
+        val g = ((id * 11 + x + 2 * y) % 256).toInt
+        val b = ((id * 13 + 4 * x + y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** `mm_png_pixels`: the image leg's second REAL codec — encode each
+    * image doc as an actual PNG on the executor (JDK PNG writer), verify
+    * the 8-byte PNG signature, decode through the real ImageIO path, and
+    * report decoded-pixel channel sums plus the per-pixel channel-sum
+    * min/max — all exact integers, analytically oracled (the formula, not
+    * the bytes, is what DuckDB recomputes). PNG round-trips losslessly,
+    * so any filter/deflate/raster regression in either codec path breaks
+    * the hash. Batched per-partition like every Multimodal codec kernel;
+    * output is one narrow row per image. */
+  def pngPixelTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val payload = pngGradient(id)
+        val sig = payload.length >= 8 &&
+          (payload(0) & 0xff) == 0x89 && payload(1) == 'P' &&
+          payload(2) == 'N' && payload(3) == 'G' &&
+          payload(4) == 0x0d && payload(5) == 0x0a &&
+          (payload(6) & 0xff) == 0x1a && payload(7) == 0x0a
+        val img = readImage(payload).getOrElse(
+          sys.error(s"PNG $id failed the real ImageIO decode"))
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var mn = 765L; var mx = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            sr += r; sg += g; sb += b
+            val p3 = (r + g + b).toLong
+            mn = math.min(mn, p3); mx = math.max(mx, p3)
+            x += 1
+          }
+          y += 1
+        }
+        PngPixels(id, img.getWidth, img.getHeight, if (sig) 1L else 0L,
+          sr, sg, sb, mn, mx)
+      }).toDF()
+      .orderBy(col("media_id"))
+  }
+
+  /** The frame-pixel formula `mm_gif_frames` and its oracle share: pure
+    * integer function of (doc_id, frame, x, y), range [0, 255] — one gray
+    * palette index per pixel, carried losslessly through the GIF's
+    * 256-entry grayscale color table. */
+  private[graft] def gifGray(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 37 + f * 53 + 3 * x + 5 * y) % 256).toInt
+
+  /** Deterministic ANIMATED GIF per container doc: nf = 2 + id % 4 full
+    * frames of w×h indexed pixels over an explicit 256-entry grayscale
+    * palette (identity map index → gray), written through the real JDK
+    * GIF sequence writer. The indexed model makes the GIF lossless —
+    * LZW + palette round-trip every sample exactly — so decoded stats
+    * are analytic. */
+  private[graft] def animatedGif(id: Long): Array[Byte] = {
+    val w = (8 + id % 5).toInt
+    val h = (6 + id % 3).toInt
+    val nf = (2 + id % 4).toInt
+    val cmap = Array.tabulate(256)(i => (0xff << 24) | (i << 16) | (i << 8) | i)
+    val icm = new java.awt.image.IndexColorModel(
+      8, 256, cmap, 0, false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+    val baos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nf) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.getRaster.setSample(x, y, 0, gifGray(id, f, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    baos.toByteArray
+  }
+
+  /** Decoded per-frame GIF statistics — the animated-image row. */
+  final case class GifFrame(media_id: Long, frame_idx: Int, n_frames: Long,
+                            width: Long, height: Long, px_min: Long,
+                            px_max: Long, px_sum: Long)
+
+  /** `mm_gif_frames`: the animated-image leg — encode a real multi-frame
+    * GIF89a on the executor (JDK GIF sequence writer over an identity
+    * grayscale palette, so the format is lossless here), decode EVERY
+    * frame back through the real ImageIO GIF reader, and report per-frame
+    * pixel min/max/sum — exact integers, analytically oracled from the
+    * synthesis formula. A palette slip, an LZW regression, a frame-count
+    * or frame-order slip all break the hash. GifIndex (the structural
+    * block walk: header → LSD → GCT → extension/image-descriptor blocks)
+    * independently re-derives frame count and dimensions; OperatorSpec
+    * pins the two parses against each other. Scale: 1→N flatMap per
+    * container row, decoder state per partition. */
+  def gifFrameTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val payload = animatedGif(id)
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        val rows = (0 until n).map { i =>
+          val img = reader.read(i)
+          var mn = 255L; var mx = 0L; var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val v = (img.getRGB(x, y) & 0xff).toLong
+              mn = math.min(mn, v); mx = math.max(mx, v); sum += v
+              x += 1
+            }
+            y += 1
+          }
+          GifFrame(id, i, n.toLong, img.getWidth.toLong, img.getHeight.toLong,
+            mn, mx, sum)
+        }
+        reader.dispose(); iis.close()
+        rows
+      }).toDF()
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_png_pixels" -> (pngPixelTable _),
+    "mm_gif_frames" -> (gifFrameTable _),
     "mm_audio_tone" -> (audioToneTable _),
     "mm_binary_meta" -> (binaryMeta _),
     "mm_audio_features" -> (audioFeatureTable _),
@@ -1082,6 +1259,64 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    // analytic twin of the real PNG encode→decode round-trip: PNG is
+    // lossless, so the oracle recomputes channel sums and per-pixel
+    // channel-sum extrema straight from the synthesis formula
+    "mm_png_pixels" ->
+      """WITH img AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |xs AS (
+        |  SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x
+        |  FROM img),
+        |p AS (
+        |  SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+        |  FROM xs),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    (doc_id * 7 + 3 * x + 5 * y) % 256 AS r,
+        |    (doc_id * 11 + x + 2 * y) % 256 AS g,
+        |    (doc_id * 13 + 4 * x + y) % 256 AS b
+        |  FROM p)
+        |SELECT doc_id AS media_id,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(1 AS BIGINT) AS sig_ok,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r,
+        |  CAST(SUM(g) AS BIGINT) AS sum_g,
+        |  CAST(SUM(b) AS BIGINT) AS sum_b,
+        |  CAST(MIN(r + g + b) AS BIGINT) AS px3_min,
+        |  CAST(MAX(r + g + b) AS BIGINT) AS px3_max
+        |FROM px GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin,
+    // analytic twin of the real animated-GIF encode→decode round-trip:
+    // the identity grayscale palette makes GIF lossless here, so every
+    // per-frame statistic refolds from the (doc_id, frame, x, y) formula
+    "mm_gif_frames" ->
+      """WITH g AS (
+        |  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h,
+        |    2 + doc_id % 4 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT doc_id, w, h, nf, unnest(generate_series(0, nf - 1)) AS fi
+        |  FROM g),
+        |xs AS (
+        |  SELECT doc_id, w, h, nf, fi, unnest(generate_series(0, w - 1)) AS x
+        |  FROM f),
+        |p AS (
+        |  SELECT doc_id, w, h, nf, fi, x,
+        |    unnest(generate_series(0, h - 1)) AS y
+        |  FROM xs),
+        |v AS (
+        |  SELECT doc_id, w, h, nf, fi,
+        |    (doc_id * 37 + fi * 53 + 3 * x + 5 * y) % 256 AS gray
+        |  FROM p)
+        |SELECT doc_id AS media_id, CAST(fi AS INTEGER) AS frame_idx,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(MIN(gray) AS BIGINT) AS px_min,
+        |  CAST(MAX(gray) AS BIGINT) AS px_max,
+        |  CAST(SUM(gray) AS BIGINT) AS px_sum
+        |FROM v GROUP BY doc_id, fi, nf, w, h
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "mm_audio_tone" ->
       """SELECT doc_id AS media_id,
         |  CAST(8000 AS INTEGER) AS sample_rate,
@@ -1825,6 +2060,57 @@ private[graft] object WebmIndex {
   * RIFF sizes are load-bearing (there is no resync marker), so ANY child
   * whose declared size overruns its parent — including a truncated tail —
   * rejects the whole file rather than emitting a partial index. */
+/** Structural GIF89a/87a block walk — the INDEPENDENT second parse of the
+  * animated-GIF leg (the house demux discipline: AviIndex for RIFF,
+  * Mp4Index for ISO BMFF, WebmIndex for EBML). Walks header → logical
+  * screen descriptor → optional global color table → the block stream
+  * (0x21 extensions, 0x2C image descriptors with optional local color
+  * tables and LZW sub-blocks, 0x3B trailer) WITHOUT any LZW decode, and
+  * returns each image descriptor's (left, top, width, height). Strict:
+  * any grammar violation or missing trailer rejects the whole file —
+  * sub-block lengths are load-bearing (no resync marker). */
+private[graft] object GifIndex {
+  def frameDescriptors(b: Array[Byte]): Option[Vector[(Int, Int, Int, Int)]] = {
+    def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    if (b.length < 14) return None
+    val hdr = new String(b, 0, 6, "US-ASCII")
+    if (hdr != "GIF89a" && hdr != "GIF87a") return None
+    val packed = b(10) & 0xff // LSD: w(2) h(2) packed bg aspect at 6..12
+    var pos = 13
+    if ((packed & 0x80) != 0) pos += 3 * (2 << (packed & 7)) // global CT
+    // data sub-blocks: (len byte, len bytes)* then a 0x00 terminator
+    def skipSubBlocks(start: Int): Option[Int] = {
+      var p = start
+      while (p < b.length && (b(p) & 0xff) != 0) p += 1 + (b(p) & 0xff)
+      if (p < b.length) Some(p + 1) else None
+    }
+    val out = Vector.newBuilder[(Int, Int, Int, Int)]
+    while (pos < b.length) {
+      (b(pos) & 0xff) match {
+        case 0x3b => return Some(out.result()) // trailer
+        case 0x21 => // extension introducer: label byte + sub-blocks
+          skipSubBlocks(pos + 2) match {
+            case Some(p) => pos = p
+            case None => return None
+          }
+        case 0x2c => // image descriptor
+          if (pos + 10 > b.length) return None
+          out += ((u16(pos + 1), u16(pos + 3), u16(pos + 5), u16(pos + 7)))
+          val pk = b(pos + 9) & 0xff
+          var p = pos + 10
+          if ((pk & 0x80) != 0) p += 3 * (2 << (pk & 7)) // local CT
+          p += 1 // LZW minimum code size byte
+          skipSubBlocks(p) match {
+            case Some(q) => pos = q
+            case None => return None
+          }
+        case _ => return None
+      }
+    }
+    None // ran off the end without a trailer
+  }
+}
+
 private[graft] object AviIndex {
   private def u32(b: Array[Byte], p: Int): Long = // RIFF is little-endian
     (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |

@@ -177,14 +177,317 @@ object Recommend {
       .orderBy(col("custkey"), col("rn"))
   }
 
+  /** Slope One prediction (Lemire & Maclachlan, SDM'05) — the
+    * DEVIATION-based member of the family: for each co-rated item pair
+    * the average rating difference dev(j,i) = avg(r_uj − r_ui), then
+    * P(u,j) = Σᵢ (dev(j,i) + r_ui)·n_ji / Σᵢ n_ji over the items i the
+    * user rated. Ratings are purchase counts (exact longs).
+    *
+    * Scale stance: the deviation table comes ONLY from the custkey
+    * equi-join (Σ|user basket|² candidates, the co-occurrence bound);
+    * predictions join the budget users' rated items to the deviation
+    * table BY ITEM KEY — never an all-pairs expansion. The serving set
+    * is bounded by the fixed budget (c < 20), the mfRank1 contract.
+    *
+    * Determinism: deviations enter the exact-integer micro lattice —
+    * dev_micro = round6(Σdiff / n)·10⁶ as BIGINT — so the prediction
+    * numerator Σ(dev_micro + r·10⁶)·n is EXACT long arithmetic in both
+    * engines; ONE IEEE division + round6 at the end. Long bounds:
+    * |dev_micro| ≤ r_max·10⁶, numerator ≤ r_max·10⁶·Σn_ji < 9.2e18
+    * through sf10; beyond, lift to DECIMAL(38,0) (repo overflow rule). */
+  def slopeOne(spark: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .agg(count(lit(1)).as("r"))
+      .cache() // pair self-join + candidate expansion + serving anti-join
+    val pairs = obs.as("a").join(obs.as("b"),
+        col("a.c") === col("b.c") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pi"), col("b.p").as("pj"))
+      .agg(count(lit(1)).as("n_co"),
+        sum(col("a.r") - col("b.r")).as("sdiff"))
+    val devs = pairs.select(col("pi"), col("pj"), col("n_co"), col("sdiff"))
+      .unionByName(pairs.select(col("pj").as("pi"), col("pi").as("pj"),
+        col("n_co"), (-col("sdiff")).as("sdiff")))
+      .withColumn("dev_micro",
+        expr("CAST(CAST(ROUND(CAST(sdiff AS DOUBLE) / CAST(n_co AS DOUBLE), 6)" +
+          " AS DECIMAL(18,6)) * 1000000 AS BIGINT)"))
+    // target item j = pi predicted from basis item i = pj rated by u
+    val cand = obs.filter(col("c") < 20)
+      .select(col("c").as("u"), col("p").as("i"), col("r"))
+      .join(devs.select(col("pi").as("j"), col("pj").as("i"),
+        col("n_co"), col("dev_micro")), "i")
+      .groupBy(col("u"), col("j"))
+      .agg(sum((col("dev_micro") + col("r") * lit(1000000L)) * col("n_co"))
+          .as("num_micro"),
+        sum(col("n_co")).as("n_support"))
+    val unobs = cand.join(
+      obs.select(col("c").as("u"), col("p").as("j")), Seq("u", "j"), "left_anti")
+    unobs
+      .withColumn("score", expr("ROUND(CAST(num_micro AS DOUBLE) / " +
+        "(CAST(n_support AS DOUBLE) * 1000000.0), 6)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("u")).orderBy(col("score").desc, col("j")))
+        .cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("u").as("custkey"), col("j").as("partkey"),
+        col("score"), col("n_support"), col("rn"))
+      .orderBy(col("custkey"), col("rn"))
+  }
+
+  /** User-based neighborhood CF — the USER-side dual of `rec_item_cosine`
+    * carried through to the actual recommendation readout: cosine
+    * neighbors over the binary customer×part incidence, top-10 neighbors
+    * per budget user, then items scored by the summed similarity of the
+    * neighbors who have them (minus the user's own items).
+    *
+    * Scale stance: user-pair candidates come ONLY from the shared-part
+    * equi-join — cost Σ|part audience|², the transpose of the
+    * co-occurrence bound; the production guard at 100 TB is a hot-item
+    * cap (drop parts with audience > B from PAIR GENERATION only — they
+    * carry no discrimination), which this data doesn't need. Neighbor
+    * lists are rank-limited windows over the bounded budget set; the
+    * vote expansion is |budget|·10 neighbors joined by custkey.
+    *
+    * Determinism: cosine enters the micro lattice (round6 → ·10⁶ BIGINT,
+    * the ONE shared formula-string rule for the sqrt), so vote sums are
+    * exact long arithmetic; ranking ties break (score, n_voters, part). */
+  def userCf(spark: SparkSession, dir: String): DataFrame = {
+    val cp = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+      .cache() // degrees + pair self-join + vote expansion + own-item anti
+    val deg = cp.groupBy(col("c")).agg(count(lit(1)).as("n_items"))
+    val pairs = cp.as("a").join(cp.as("b"),
+        col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+      .groupBy(col("a.c").as("u"), col("b.c").as("v"))
+      .agg(count(lit(1)).as("co"))
+    val sym = pairs.select(col("u"), col("v"), col("co"))
+      .unionByName(pairs.select(col("v").as("u"), col("u").as("v"), col("co")))
+    val cos = sym
+      .join(deg.select(col("c").as("u"), col("n_items").as("n_u")), "u")
+      .join(deg.select(col("c").as("v"), col("n_items").as("n_v")), "v")
+      .withColumn("cos_micro",
+        expr("CAST(CAST(ROUND(co / sqrt(n_u * n_v), 6) AS DECIMAL(18,6))" +
+          " * 1000000 AS BIGINT)"))
+    val nbr = cos.filter(col("u") < 20)
+      .withColumn("nr", row_number().over(Window.partitionBy(col("u"))
+        .orderBy(col("cos_micro").desc, col("co").desc, col("v"))))
+      .filter(col("nr") <= 10)
+      .select(col("u"), col("v"), col("cos_micro"))
+    val votes = nbr.join(cp.select(col("c").as("v"), col("p")), "v")
+      .join(cp.select(col("c").as("u"), col("p")), Seq("u", "p"), "left_anti")
+      .groupBy(col("u"), col("p"))
+      .agg(sum(col("cos_micro")).as("score_micro"),
+        count(lit(1)).as("n_voters"))
+    votes
+      .withColumn("rn", row_number().over(Window.partitionBy(col("u"))
+        .orderBy(col("score_micro").desc, col("n_voters").desc, col("p")))
+        .cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("u").as("custkey"), col("p").as("partkey"),
+        col("score_micro"), col("n_voters"), col("rn"))
+      .orderBy(col("custkey"), col("rn"))
+  }
+
+  /** Offline ranking-metric evaluation — the family's MEASUREMENT leg:
+    * time-split the interaction log (train < 1999-07-01 ≤ test), serve
+    * the global popularity top-10 (the baseline every recommender must
+    * beat), and score it per user against the user's NEW test items
+    * (test minus train, the standard next-purchase protocol) with
+    * hits@10 / precision@10 / recall@10 / NDCG@10.
+    *
+    * Determinism without libm: the ten DCG discounts 1/log2(r+1),
+    * r = 1..10, are FIXED literal micro-integers in both engines (the
+    * discount table is part of the metric's definition, not data), so
+    * DCG/IDCG are exact long sums; precision/recall are exact ppm via
+    * positive DIV; ONE IEEE division + round6 for the final NDCG.
+    *
+    * Scale stance: train/test splits are partition-prunable date
+    * filters; the popularity list is a top-k over a hash-agg
+    * (TakeOrderedAndProject-sized) and joins back BROADCAST (10 rows);
+    * per-user metrics are one hash-agg over the test relation. Nothing
+    * data-sized crosses the wire twice. */
+  def evalRanking(spark: SparkSession, dir: String): DataFrame = {
+    val interactions = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"),
+        col("o_orderdate"))
+    val train = interactions.filter(col("o_orderdate") < lit("1999-07-01").cast("timestamp"))
+      .select(col("c"), col("p")).distinct()
+      .cache() // popularity agg + the test anti-join
+    val testNew = interactions.filter(col("o_orderdate") >= lit("1999-07-01").cast("timestamp"))
+      .select(col("c"), col("p")).distinct()
+      .join(train, Seq("c", "p"), "left_anti")
+      .cache() // per-user sizes + the hit join
+    val disc = spark.createDataFrame(Seq(
+        (1L, 1000000L), (2L, 630930L), (3L, 500000L), (4L, 430677L),
+        (5L, 386853L), (6L, 356207L), (7L, 333333L), (8L, 315465L),
+        (9L, 301030L), (10L, 289065L)))
+      .toDF("r", "disc_micro")
+    // top-k FIRST (TakeOrderedAndProject), THEN the rank window over the
+    // surviving 10 rows — never a global window over the full part set
+    val pop = train.groupBy(col("p")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("p")).limit(10)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("n_users").desc, col("p"))).cast("long"))
+      .join(disc, "r")
+      .select(col("p"), col("r"), col("disc_micro"))
+    val perUser = testNew.groupBy(col("c")).agg(count(lit(1)).as("n_test"))
+    val hits = testNew.join(broadcast(pop), "p")
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("hits"), sum(col("disc_micro")).as("dcg_micro"))
+    val idcg = perUser.crossJoin(broadcast(disc))
+      .filter(col("r") <= least(lit(10L), col("n_test")))
+      .groupBy(col("c")).agg(sum(col("disc_micro")).as("idcg_micro"))
+    perUser.join(idcg, "c")
+      .join(hits, Seq("c"), "left")
+      .select(col("c").as("custkey"), col("n_test"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        col("idcg_micro"))
+      .withColumn("prec_ppm", expr("hits * 1000000 DIV 10"))
+      .withColumn("recall_ppm", expr("hits * 1000000 DIV n_test"))
+      .withColumn("ndcg", expr(
+        "ROUND(CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE), 6)"))
+      .orderBy(col("custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rec_assoc_rules" -> (assocRules _),
     "rec_item_cosine" -> (itemCosine _),
     "rec_next_part" -> (nextPart _),
-    "rec_mf_rank1" -> (mfRank1 _)
+    "rec_mf_rank1" -> (mfRank1 _),
+    "rec_slope_one" -> (slopeOne _),
+    "rec_user_cf" -> (userCf _),
+    "rec_eval_ranking" -> (evalRanking _)
   )
 
   val oracle: Map[String, String] = Map(
+    "rec_slope_one" ->
+      """WITH obs AS (
+        |  SELECT o_custkey AS c, l_partkey AS p, COUNT(*) AS r
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.p AS pi, b.p AS pj, COUNT(*) AS n_co,
+        |    CAST(SUM(a.r - b.r) AS BIGINT) AS sdiff
+        |  FROM obs a JOIN obs b ON a.c = b.c AND a.p < b.p
+        |  GROUP BY 1, 2),
+        |devs AS (
+        |  SELECT pi, pj, n_co, sdiff FROM pairs
+        |  UNION ALL
+        |  SELECT pj AS pi, pi AS pj, n_co, -sdiff AS sdiff FROM pairs),
+        |dev6 AS (
+        |  SELECT pi, pj, n_co,
+        |    CAST(CAST(ROUND(CAST(sdiff AS DOUBLE) / CAST(n_co AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS dev_micro
+        |  FROM devs),
+        |cand AS (
+        |  SELECT o.c AS u, d.pi AS j,
+        |    CAST(SUM((d.dev_micro + o.r * 1000000) * d.n_co) AS BIGINT)
+        |      AS num_micro,
+        |    CAST(SUM(d.n_co) AS BIGINT) AS n_support
+        |  FROM obs o JOIN dev6 d ON d.pj = o.p
+        |  WHERE o.c < 20 GROUP BY 1, 2),
+        |unobs AS (
+        |  SELECT * FROM cand
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM obs WHERE obs.c = cand.u AND obs.p = cand.j)),
+        |sc AS (
+        |  SELECT u, j, n_support,
+        |    ROUND(CAST(num_micro AS DOUBLE)
+        |      / (CAST(n_support AS DOUBLE) * 1000000.0), 6) AS score
+        |  FROM unobs),
+        |rk AS (
+        |  SELECT u, j, n_support, score,
+        |    ROW_NUMBER() OVER (PARTITION BY u ORDER BY score DESC, j) AS rn
+        |  FROM sc)
+        |SELECT u AS custkey, j AS partkey, score, n_support, rn
+        |FROM rk WHERE rn <= 5 ORDER BY custkey, rn""".stripMargin,
+    "rec_user_cf" ->
+      """WITH cp AS (
+        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |deg AS (SELECT c, COUNT(*) AS n_items FROM cp GROUP BY c),
+        |pairs AS (
+        |  SELECT a.c AS u, b.c AS v, COUNT(*) AS co
+        |  FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+        |  GROUP BY 1, 2),
+        |sym AS (
+        |  SELECT u, v, co FROM pairs
+        |  UNION ALL
+        |  SELECT v AS u, u AS v, co FROM pairs),
+        |cos AS (
+        |  SELECT s.u, s.v,
+        |    CAST(CAST(ROUND(co / sqrt(du.n_items * dv.n_items), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS cos_micro,
+        |    s.co
+        |  FROM sym s
+        |  JOIN deg du ON du.c = s.u
+        |  JOIN deg dv ON dv.c = s.v),
+        |nbr AS (
+        |  SELECT u, v, cos_micro,
+        |    ROW_NUMBER() OVER (PARTITION BY u
+        |      ORDER BY cos_micro DESC, co DESC, v) AS nr
+        |  FROM cos WHERE u < 20),
+        |votes AS (
+        |  SELECT n.u, cp.p,
+        |    CAST(SUM(n.cos_micro) AS BIGINT) AS score_micro,
+        |    COUNT(*) AS n_voters
+        |  FROM nbr n JOIN cp ON cp.c = n.v
+        |  WHERE n.nr <= 10
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM cp own WHERE own.c = n.u AND own.p = cp.p)
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT u, p, score_micro, n_voters,
+        |    ROW_NUMBER() OVER (PARTITION BY u
+        |      ORDER BY score_micro DESC, n_voters DESC, p) AS rn
+        |  FROM votes)
+        |SELECT u AS custkey, p AS partkey, score_micro, n_voters, rn
+        |FROM rk WHERE rn <= 5 ORDER BY custkey, rn""".stripMargin,
+    "rec_eval_ranking" ->
+      """WITH inter AS (
+        |  SELECT o_custkey AS c, l_partkey AS p, o_orderdate
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |train AS (
+        |  SELECT DISTINCT c, p FROM inter WHERE o_orderdate < TIMESTAMP '1999-07-01'),
+        |test_new AS (
+        |  SELECT DISTINCT c, p FROM inter WHERE o_orderdate >= TIMESTAMP '1999-07-01'
+        |  EXCEPT SELECT c, p FROM train),
+        |disc(r, disc_micro) AS (VALUES
+        |  (1, 1000000), (2, 630930), (3, 500000), (4, 430677), (5, 386853),
+        |  (6, 356207), (7, 333333), (8, 315465), (9, 301030), (10, 289065)),
+        |pop AS (
+        |  SELECT p, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, p) AS r
+        |  FROM train GROUP BY p
+        |  ORDER BY COUNT(*) DESC, p LIMIT 10),
+        |rec AS (
+        |  SELECT pop.p, pop.r, disc.disc_micro
+        |  FROM pop JOIN disc ON disc.r = pop.r),
+        |per_user AS (SELECT c, COUNT(*) AS n_test FROM test_new GROUP BY c),
+        |hits AS (
+        |  SELECT t.c, COUNT(*) AS hits,
+        |    CAST(SUM(rec.disc_micro) AS BIGINT) AS dcg_micro
+        |  FROM test_new t JOIN rec ON rec.p = t.p
+        |  GROUP BY t.c),
+        |idcg AS (
+        |  SELECT pu.c, CAST(SUM(d.disc_micro) AS BIGINT) AS idcg_micro
+        |  FROM per_user pu JOIN disc d ON d.r <= LEAST(10, pu.n_test)
+        |  GROUP BY pu.c)
+        |SELECT pu.c AS custkey, pu.n_test,
+        |  COALESCE(h.hits, 0) AS hits,
+        |  COALESCE(h.dcg_micro, 0) AS dcg_micro,
+        |  i.idcg_micro,
+        |  COALESCE(h.hits, 0) * 1000000 // 10 AS prec_ppm,
+        |  COALESCE(h.hits, 0) * 1000000 // pu.n_test AS recall_ppm,
+        |  ROUND(CAST(COALESCE(h.dcg_micro, 0) AS DOUBLE)
+        |    / CAST(i.idcg_micro AS DOUBLE), 6) AS ndcg
+        |FROM per_user pu
+        |JOIN idcg i ON i.c = pu.c
+        |LEFT JOIN hits h ON h.c = pu.c
+        |ORDER BY custkey""".stripMargin,
     "rec_mf_rank1" ->
       """WITH obs AS (
         |  SELECT o_custkey AS c, l_partkey AS p, COUNT(*) AS r

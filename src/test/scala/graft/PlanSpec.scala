@@ -283,7 +283,12 @@ class PlanSpec extends SparkSpec {
         // latency histogram ⋈ broadcast 1-row quantile ranks (A4 pattern)
         "events_time_to_convert",
         // 16-row shard audit ⋈ broadcast 1-row total/χ² (A4 pattern)
-        "layout_shard_balance")
+        "layout_shard_balance",
+        // 1-row moment matrix ⋈ broadcast 2-row λ path (A4 pattern)
+        "ml_ridge_cramer",
+        // per-user test sizes ⋈ broadcast 10-row DCG discount table
+        // (fixed literal metric constants, non-equi r ≤ min(10, n_test))
+        "rec_eval_ranking")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
