@@ -1992,7 +1992,107 @@ object Similarity {
       .orderBy(col("dim"))
   }
 
+  /** 1-bit (sign) binary quantization + Hamming prefilter + exact rerank —
+    * the BINARY member of the quantization family (`sim_scalar_quant` is
+    * 8-bit, `sim_knn_pq` is codebook): each 64-dim vector compresses to
+    * TWO packed 32-bit sign words (512 bytes → 16, a 32× scan-byte
+    * reduction), candidates rank by Hamming distance (2 XOR + 2 popcounts
+    * per pair — no multiplies), and only the top-`BqRerank` per query pay
+    * the exact 64-mult cosine. The two-half packing keeps every word a
+    * small nonnegative BIGINT — no sign-bit portability hazard between
+    * engines, and all Hamming math is exact integers.
+    *
+    * Scale: the Hamming scan is the same O(|Q|·n) single pass as
+    * knnBrute but touches 2 longs instead of 64 doubles per row (the
+    * memory-bandwidth win binary embeddings are deployed for); the exact
+    * rerank is |Q|·BqRerank dots, constant in corpus. At 100 TB the
+    * packed words ride a covering index 32× smaller than the vectors.
+    * Determinism: packing/Hamming are integer-exact; the rerank cosine is
+    * the established dot/(nrm·nrm) bit-exact kernel; ties break on
+    * (cos desc, vec_id). */
+  private[graft] val BqRerank = 50
+
+  def binaryQuant(spark: SparkSession, dir: String): DataFrame = {
+    val packHalf = (v: Column, off: Int) => (0 until 32).map(j =>
+      when(element_at(v, off + j + 1) >= 0.0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val all = vectors(spark, dir)
+      .withColumn("b_lo", packHalf(col("v"), 0))
+      .withColumn("b_hi", packHalf(col("v"), 32))
+      .cache() // Hamming scan + the exact-rerank lookups
+    val q = all.filter(col("vec_id") < QueryBudget)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("b_lo").as("q_lo"), col("b_hi").as("q_hi"))
+    val ham = broadcast(q.select(col("q_id"), col("q_lo"), col("q_hi")))
+      .join(all.select(col("vec_id"), col("b_lo"), col("b_hi")),
+        col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        (bit_count(col("q_lo").bitwiseXOR(col("b_lo"))) +
+         bit_count(col("q_hi").bitwiseXOR(col("b_hi")))).cast("long")
+          .as("hamming"))
+    val wH = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    val cand = ham.withColumn("hr", row_number().over(wH))
+      .filter(col("hr") <= BqRerank)
+      .select(col("q_id"), col("vec_id"), col("hamming"))
+    val rer = cand
+      .join(broadcast(q.select(col("q_id"), col("qv"), col("qn"))), "q_id")
+      .join(all.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .select(col("q_id"), col("vec_id"), col("hamming"),
+        VectorOps.cosine(VectorOps.dot(col("qv"), col("v")),
+          col("qn"), col("nrm")).as("cos"))
+    val wC = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    rer.withColumn("rn", row_number().over(wC).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id"), col("hamming"), col("cos"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** Matryoshka prefix-dimension retrieval (Kusupati et al., NeurIPS'22)
+    * — the DIMENSION-truncation member of the quantization family: MRL
+    * embeddings are trained so any prefix of the dimensions is itself a
+    * usable embedding, and serving stacks exploit it by running cheap
+    * prefix retrieval before full-dim scoring. This entry measures that
+    * contract on the corpus: per budget query, top-5 by PREFIX-16 cosine
+    * (a 4× cheaper scan), each pick annotated with its rank under the
+    * FULL-64 cosine (0 = outside the full top-5) — the per-query overlap
+    * IS the prefix-fidelity readout, computed exactly.
+    *
+    * Scale: two knnBrute-shaped budgeted scans (prefix arm reads 16 dims,
+    * full arm 64); the annotation join is |Q|·5 ⋈ |Q|·5. Determinism:
+    * both cosines are the bit-exact dot/(nrm·nrm) kernel; slice-then-fold
+    * equals the oracle's list-slice fold because the fold order is the
+    * same sequential prefix. */
+  def matryoshkaPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val all = vectors(spark, dir)
+      .withColumn("vp", slice(col("v"), 1, 16))
+      .withColumn("nrm_p", VectorOps.norm(slice(col("v"), 1, 16)))
+      .cache() // prefix arm + full arm scan it
+    def arm(vCol: String, nCol: String, alias: String): DataFrame = {
+      val q = all.filter(col("vec_id") < QueryBudget)
+        .select(col("vec_id").as("q_id"), col(vCol).as("qv"), col(nCol).as("qn"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col(alias).desc, col("vec_id"))
+      broadcast(q).join(all, col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          VectorOps.cosine(VectorOps.dot(col("qv"), col(vCol)),
+            col("qn"), col(nCol)).as(alias))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+    }
+    val prefix = arm("vp", "nrm_p", "cos_prefix")
+    val full = arm("v", "nrm", "cos_full")
+      .select(col("q_id"), col("vec_id"), col("rn").as("full_rn"))
+    prefix.join(full, Seq("q_id", "vec_id"), "left")
+      .select(col("q_id"), col("rn"), col("vec_id"), col("cos_prefix"),
+        coalesce(col("full_rn"), lit(0L)).as("full_rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_binary_quant" -> (binaryQuant _),
+    "sim_matryoshka_prefix" -> (matryoshkaPrefix _),
     "sim_pca_power" -> (pcaPower _),
     "sim_random_projection" -> (randomProjection _),
     "sim_scalar_quant" -> (scalarQuant _),
@@ -2508,6 +2608,78 @@ object Similarity {
         |  n_correct * 1000000 // n_test AS accuracy_ppm
         |FROM p CROSS JOIN tot
         |ORDER BY q_id""".stripMargin,
+    "sim_binary_quant" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v, sqrt(${dotSql.format("v", "v")}) AS nrm
+        |  FROM e),
+        |bits AS (
+        |  SELECT e.vec_id,
+        |    CAST(SUM(CASE WHEN v[i] >= 0.0
+        |      THEN (CAST(1 AS BIGINT) << (i - 1))
+        |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS b_lo,
+        |    CAST(SUM(CASE WHEN v[i + 32] >= 0.0
+        |      THEN (CAST(1 AS BIGINT) << (i - 1))
+        |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS b_hi
+        |  FROM e, generate_series(1, 32) AS t(i)
+        |  GROUP BY e.vec_id),
+        |ham AS (
+        |  SELECT q.vec_id AS q_id, a.vec_id,
+        |    CAST(bit_count(xor(q.b_lo, a.b_lo))
+        |      + bit_count(xor(q.b_hi, a.b_hi)) AS BIGINT) AS hamming
+        |  FROM bits q JOIN bits a
+        |    ON q.vec_id < $QueryBudget AND q.vec_id <> a.vec_id),
+        |cand AS (
+        |  SELECT q_id, vec_id, hamming,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY hamming, vec_id) AS hr
+        |  FROM ham),
+        |rer AS (
+        |  SELECT c.q_id, c.vec_id, c.hamming,
+        |    ${dotSql.format("qn.v", "an.v")} / (qn.nrm * an.nrm) AS cos
+        |  FROM cand c
+        |  JOIN n qn ON qn.vec_id = c.q_id
+        |  JOIN n an ON an.vec_id = c.vec_id
+        |  WHERE c.hr <= $BqRerank),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, vec_id) AS rn
+        |  FROM rer)
+        |SELECT q_id, vec_id, hamming, cos, rn FROM r
+        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+    "sim_matryoshka_prefix" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v, v[1:16] AS vp,
+        |    sqrt(${dotSql.format("v", "v")}) AS nrm,
+        |    sqrt(${dotSql.format("v[1:16]", "v[1:16]")}) AS nrm_p
+        |  FROM e),
+        |p0 AS (
+        |  SELECT q.vec_id AS q_id, a.vec_id,
+        |    ${dotSql.format("q.vp", "a.vp")} / (q.nrm_p * a.nrm_p)
+        |      AS cos_prefix
+        |  FROM n q JOIN n a
+        |    ON q.vec_id < $QueryBudget AND q.vec_id <> a.vec_id),
+        |p AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY cos_prefix DESC, vec_id) AS rn
+        |  FROM p0),
+        |f0 AS (
+        |  SELECT q.vec_id AS q_id, a.vec_id,
+        |    ${dotSql.format("q.v", "a.v")} / (q.nrm * a.nrm) AS cos_full
+        |  FROM n q JOIN n a
+        |    ON q.vec_id < $QueryBudget AND q.vec_id <> a.vec_id),
+        |f AS (
+        |  SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY cos_full DESC, vec_id) AS full_rn
+        |  FROM f0),
+        |f5 AS (SELECT * FROM f WHERE full_rn <= 5)
+        |SELECT p.q_id, p.rn, p.vec_id, p.cos_prefix,
+        |  COALESCE(f5.full_rn, 0) AS full_rn
+        |FROM p LEFT JOIN f5 ON f5.q_id = p.q_id AND f5.vec_id = p.vec_id
+        |WHERE p.rn <= 5 ORDER BY p.q_id, p.rn""".stripMargin,
     "sim_knn_brute" ->
       s"""WITH e AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -190,6 +190,77 @@ class IndependentRecomputeSpec9 extends SparkSpec {
     }
   }
 
+  /** The vector corpus at sf0.001 with the entries' sequential-fold dot
+    * (((0 + a0·b0) + a1·b1) + … — the VectorOps order, replicated). */
+  private lazy val vecs: Map[Long, Array[Double]] =
+    Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+  private def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length && i < b.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  test("binary quantization equals an imperative pack/Hamming/rerank, exactly") {
+    def pack(v: Array[Double], off: Int): Long =
+      (0 until 32).map(j => if (v(off + j) >= 0.0) 1L << j else 0L).sum
+    val bits = vecs.map { case (id, v) => id -> (pack(v, 0), pack(v, 32)) }
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dotSeq(v, v)) }
+    val ids = vecs.keys.toSeq.sorted
+    val expected = ids.filter(_ < 20L).flatMap { q =>
+      val (qlo, qhi) = bits(q)
+      val ham = ids.filter(_ != q).map { a =>
+        val (alo, ahi) = bits(a)
+        (a, (java.lang.Long.bitCount(qlo ^ alo) +
+             java.lang.Long.bitCount(qhi ^ ahi)).toLong)
+      }
+      val cand = ham.sortBy { case (a, h) => (h, a) }.take(50)
+      cand.map { case (a, h) =>
+        (a, h, dotSeq(vecs(q), vecs(a)) / (nrm(q) * nrm(a)))
+      }.sortBy { case (a, _, c) => (-c, a) }.take(5).zipWithIndex
+        .map { case ((a, h, c), k) => (q, a, h, c, (k + 1).toLong) }
+    }
+    val got = Similarity.queries("sim_binary_quant")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("hamming"), r.getAs[Double]("cos"),
+        r.getAs[Long]("rn"))).toSeq
+    assert(got == expected,
+      s"\nentry: ${got.take(5)}\nindependent: ${expected.take(5)}")
+    // the prefilter must actually filter: some true neighbor's hamming is
+    // small (sign agreement correlates with cosine) and all ≤ 64
+    assert(got.forall(_._3 <= 64L))
+  }
+
+  test("matryoshka prefix retrieval equals an imperative two-arm recompute") {
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dotSeq(v, v)) }
+    val nrmP = vecs.map { case (id, v) =>
+      id -> math.sqrt(dotSeq(v.take(16), v.take(16))) }
+    val ids = vecs.keys.toSeq.sorted
+    def top5(q: Long, score: Long => Double): Seq[(Long, Double)] =
+      ids.filter(_ != q).map(a => (a, score(a)))
+        .sortBy { case (a, c) => (-c, a) }.take(5)
+    val expected = ids.filter(_ < 20L).flatMap { q =>
+      val pre = top5(q,
+        a => dotSeq(vecs(q).take(16), vecs(a).take(16)) / (nrmP(q) * nrmP(a)))
+      val ful = top5(q, a => dotSeq(vecs(q), vecs(a)) / (nrm(q) * nrm(a)))
+        .map(_._1).zipWithIndex.map { case (a, i) => a -> (i + 1).toLong }.toMap
+      pre.zipWithIndex.map { case ((a, c), i) =>
+        (q, (i + 1).toLong, a, c, ful.getOrElse(a, 0L))
+      }
+    }
+    val got = Similarity.queries("sim_matryoshka_prefix")(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rn"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos_prefix"),
+        r.getAs[Long]("full_rn"))).toSeq
+    assert(got == expected,
+      s"\nentry: ${got.take(5)}\nindependent: ${expected.take(5)}")
+    // fidelity is measured, not vacuous: at least one query's prefix pick
+    // lands inside the full top-5
+    assert(got.exists(_._5 > 0L), "prefix arm never intersects the full arm")
+  }
+
   test("binpack equals an imperative packing and respects the load bounds") {
     val sizes = Tables.lineitem(spark, sf0001)
       .select(expr("l_orderkey DIV 2048").as("f")).groupBy(col("f"))

@@ -286,6 +286,9 @@ class PlanSpec extends SparkSpec {
         "layout_shard_balance",
         // 1-row moment matrix ⋈ broadcast 2-row λ path (A4 pattern)
         "ml_ridge_cramer",
+        // knn_brute's bounded broadcast-query non-equi scan: the Hamming
+        // prefilter and the two matryoshka arms (budget side broadcast)
+        "sim_binary_quant", "sim_matryoshka_prefix",
         // per-user test sizes ⋈ broadcast 10-row DCG discount table
         // (fixed literal metric constants, non-equi r ≤ min(10, n_test))
         "rec_eval_ranking")
