@@ -201,22 +201,30 @@ object Recommend {
       .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .agg(count(lit(1)).as("r"))
       .cache() // pair self-join + candidate expansion + serving anti-join
-    val pairs = obs.as("a").join(obs.as("b"),
-        col("a.c") === col("b.c") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("pi"), col("b.p").as("pj"))
+    // serving-side basis pruning: predictions only ever read dev(j, i)
+    // rows whose BASIS item i is rated by a budget user, so the basis
+    // side of the pair join is semi-joined to that (broadcast-small) item
+    // set BEFORE the quadratic expansion — deviations still aggregate
+    // over ALL users (the model is global), but only for the item pairs
+    // the serving set can touch. Same rows out; the full-catalog dev
+    // precompute (a batch model build) would run unpruned — that cost is
+    // `rec_item_cosine`'s documented Σ|basket|² territory.
+    val budgetItems = obs.filter(col("c") < 20)
+      .select(col("p").as("bi")).distinct()
+    val basisObs = obs.join(broadcast(budgetItems),
+      col("p") === col("bi"), "left_semi")
+    val devs = obs.as("a").join(basisObs.as("b"),
+        col("a.c") === col("b.c") && col("a.p") =!= col("b.p"))
+      .groupBy(col("a.p").as("j"), col("b.p").as("i"))
       .agg(count(lit(1)).as("n_co"),
         sum(col("a.r") - col("b.r")).as("sdiff"))
-    val devs = pairs.select(col("pi"), col("pj"), col("n_co"), col("sdiff"))
-      .unionByName(pairs.select(col("pj").as("pi"), col("pi").as("pj"),
-        col("n_co"), (-col("sdiff")).as("sdiff")))
       .withColumn("dev_micro",
         expr("CAST(CAST(ROUND(CAST(sdiff AS DOUBLE) / CAST(n_co AS DOUBLE), 6)" +
           " AS DECIMAL(18,6)) * 1000000 AS BIGINT)"))
-    // target item j = pi predicted from basis item i = pj rated by u
+    // target item j predicted from basis item i rated by u
     val cand = obs.filter(col("c") < 20)
       .select(col("c").as("u"), col("p").as("i"), col("r"))
-      .join(devs.select(col("pi").as("j"), col("pj").as("i"),
-        col("n_co"), col("dev_micro")), "i")
+      .join(devs.select(col("j"), col("i"), col("n_co"), col("dev_micro")), "i")
       .groupBy(col("u"), col("j"))
       .agg(sum((col("dev_micro") + col("r") * lit(1000000L)) * col("n_co"))
           .as("num_micro"),
