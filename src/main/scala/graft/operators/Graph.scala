@@ -476,6 +476,45 @@ object Graph {
       .limit(20)
   }
 
+  /** Jaccard-coefficient link prediction over the same sparsified
+    * co-supply graph — the NORMALIZED member of the link-prediction
+    * triple (`graph_common_neighbors` counts, `graph_adamic_adar`
+    * weights, this one normalizes): score(u,v) =
+    * |Γ(u)∩Γ(v)| / |Γ(u)∪Γ(v)|, so a hub pair sharing 3 of 200 neighbors
+    * ranks below a niche pair sharing 3 of 6 — the signal the raw count
+    * inverts. Same wedge enumeration and scale levers (sparsified slice,
+    * production hub df-cap).
+    *
+    * Determinism: the union size deg_u + deg_v − n_common is exact
+    * integer; Jaccard is ONE IEEE division + round6 — no libm at all
+    * (the triple's only libm member stays adamic_adar); ties break
+    * (jaccard desc, n_common desc, sa, sc). Plan: degree hash-agg + two
+    * wedge equi-joins + hash-agg + two broadcast degree joins +
+    * left-anti + TakeOrderedAndProject. */
+  def jaccardLinks(spark: SparkSession, dir: String): DataFrame = {
+    val e = cosupplyPairs(spark, dir)
+    val und = e.select(col("u").as("m"), col("v").as("x"))
+      .unionByName(e.select(col("v").as("m"), col("u").as("x")))
+      .cache() // real 3× reuse: the degree agg plus both wedge legs
+    val deg = und.groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val pairs = und.as("t1").join(und.as("t2"),
+        col("t1.m") === col("t2.m") && col("t1.x") < col("t2.x"))
+      .groupBy(col("t1.x").as("sa"), col("t2.x").as("sc"))
+      .agg(count(lit(1)).as("n_common"))
+    val scored = pairs
+      .join(deg.select(col("x").as("sa"), col("d").as("d_a")), "sa")
+      .join(deg.select(col("x").as("sc"), col("d").as("d_c")), "sc")
+      .withColumn("n_union", col("d_a") + col("d_c") - col("n_common"))
+      .withColumn("jaccard", expr(
+        "ROUND(CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE), 6)"))
+    scored.join(e, scored("sa") === e("u") && scored("sc") === e("v"),
+        "left_anti")
+      .select(col("sa"), col("sc"), col("n_common"), col("n_union"),
+        col("jaccard"))
+      .orderBy(desc("jaccard"), desc("n_common"), col("sa"), col("sc"))
+      .limit(20)
+  }
+
   /** Label-propagation community detection (Raghavan et al. 2007) on the
     * sparsified co-supply graph — the near-linear community primitive next
     * to dedup_cc's connectivity: labels start as node ids and each
@@ -809,6 +848,7 @@ object Graph {
     "graph_khop_distance" -> (khopDistance _),
     "graph_common_neighbors" -> (commonNeighbors _),
     "graph_adamic_adar" -> (adamicAdar _),
+    "graph_jaccard_links" -> (jaccardLinks _),
     "graph_label_prop" -> (labelPropagation _),
     "graph_modularity" -> (modularityQ _),
     "graph_assortativity" -> (assortativity _)
@@ -1128,6 +1168,36 @@ object Graph {
         |SELECT node_type, node_id, score_mu, rk FROM rk
         |WHERE rk <= 15
         |ORDER BY node_type, rk""".stripMargin,
+    "graph_jaccard_links" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+        |  FROM lineitem WHERE l_quantity > 49),
+        |e AS (
+        |  SELECT DISTINCT a.s AS u, b.s AS v
+        |  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+        |und AS (
+        |  SELECT u AS m, v AS x FROM e
+        |  UNION ALL
+        |  SELECT v AS m, u AS x FROM e),
+        |deg AS (SELECT x, COUNT(*) AS d FROM und GROUP BY x),
+        |pr AS (
+        |  SELECT t1.x AS sa, t2.x AS sc, COUNT(*) AS n_common
+        |  FROM und t1 JOIN und t2 ON t1.m = t2.m AND t1.x < t2.x
+        |  GROUP BY t1.x, t2.x),
+        |sc0 AS (
+        |  SELECT pr.sa, pr.sc, pr.n_common,
+        |    da.d + dc.d - pr.n_common AS n_union
+        |  FROM pr
+        |  JOIN deg da ON da.x = pr.sa
+        |  JOIN deg dc ON dc.x = pr.sc)
+        |SELECT sa, sc, n_common, n_union,
+        |  ROUND(CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE), 6)
+        |    AS jaccard
+        |FROM sc0
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM e WHERE e.u = sc0.sa AND e.v = sc0.sc)
+        |ORDER BY jaccard DESC, n_common DESC, sa, sc
+        |LIMIT 20""".stripMargin,
     "graph_common_neighbors" ->
       """WITH ps AS (
         |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s

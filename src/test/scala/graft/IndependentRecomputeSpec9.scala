@@ -261,6 +261,37 @@ class IndependentRecomputeSpec9 extends SparkSpec {
     assert(got.exists(_._5 > 0L), "prefix arm never intersects the full arm")
   }
 
+  test("jaccard link prediction equals an imperative wedge recompute, exactly") {
+    val ps = Tables.lineitem(spark, sf0001)
+      .filter(col("l_quantity") > 49)
+      .select(col("l_partkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = ps.groupBy(_._1).values.flatMap { g =>
+      val ss = g.map(_._2).distinct.sorted
+      for (i <- ss.indices; j <- i + 1 until ss.length) yield (ss(i), ss(j))
+    }.toSet
+    val adj = (edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) })
+      .groupBy(_._1).map { case (n, g) => n -> g.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    val cand = (for {
+      i <- nodes.indices; j <- i + 1 until nodes.length
+      u = nodes(i); v = nodes(j)
+      if !edges.contains((u, v))
+      common = (adj(u) & adj(v)).size.toLong
+      if common > 0L
+    } yield {
+      val union = adj(u).size.toLong + adj(v).size - common
+      (u, v, common, union,
+        round6(common.toDouble / union.toDouble).toDouble)
+    }).sortBy { case (u, v, c, _, jc) => (-jc, -c, u, v) }.take(20)
+    val got = Graph.queries("graph_jaccard_links")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("sa"), r.getAs[Long]("sc"),
+        r.getAs[Long]("n_common"), r.getAs[Long]("n_union"),
+        r.getAs[Double]("jaccard"))).toSeq
+    assert(got == cand, s"\nentry: ${got.take(5)}\nindependent: ${cand.take(5)}")
+    assert(got.forall(t => t._5 > 0.0 && t._5 <= 1.0))
+  }
+
   test("binpack equals an imperative packing and respects the load bounds") {
     val sizes = Tables.lineitem(spark, sf0001)
       .select(expr("l_orderkey DIV 2048").as("f")).groupBy(col("f"))
