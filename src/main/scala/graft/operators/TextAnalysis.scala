@@ -41,6 +41,49 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Blocklist (bad-words) filtering — the C4 lexicon leg (Raffel et al.
+    * 2020 filter docs containing any term from a published blocklist;
+    * this uses a stand-in lexicon over the corpus vocabulary) next to
+    * `text_c4_filters`' boilerplate rules: token-level matching via ONE
+    * equi-join against the BROADCAST lexicon (never substring scans over
+    * the corpus — the shape that survives a 100k-term production list),
+    * severity-weighted verdicts (block at Σseverity ≥ 6 — repeated severe
+    * terms, not an incidental mild hit), and the per-(lang, source) audit rollup every
+    * corpus release ships. Docs with zero hits stay in the rollup via
+    * the left join from the document spine.
+    *
+    * Determinism: all counts/severities exact longs; blocked share in
+    * exact ppm via positive DIV. Scale: explode → broadcast-lexicon
+    * equi-join (hits relation is |matches|, not |tokens|) → two
+    * hash-aggs. */
+  def blocklistAudit(spark: SparkSession, dir: String): DataFrame = {
+    val lex = spark.createDataFrame(Seq(
+        ("slow", 1L), ("dup", 2L), ("big", 1L), ("stale", 3L), ("broken", 3L)))
+      .toDF("t", "sev")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+    val hits = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(filter(tokens(col("text")), t => length(t) > 0)).as("t"))
+      .join(broadcast(lex), "t")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("h"), sum(col("sev")).as("s"),
+        countDistinct(col("t")).as("k"))
+    docs.join(hits, Seq("doc_id"), "left")
+      .select(col("lang"), col("source"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        coalesce(col("s"), lit(0L)).as("sev_sum"),
+        coalesce(col("k"), lit(0L)).as("n_terms"))
+      .withColumn("blocked", (col("sev_sum") >= 6L).cast("long"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_hits")).as("total_hits"),
+        max(col("n_terms")).as("max_terms"),
+        sum(col("blocked")).as("n_blocked"))
+      .withColumn("blocked_ppm", expr("n_blocked * 1000000 DIV n_docs"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** Token counting two ways: whitespace tokens + a BPE-ish regex
     * tokenizer (`\w+|[^\w\s]`), aggregated per source. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame = {
@@ -2390,6 +2433,7 @@ object TextAnalysis {
     "text_pivot_langs" -> (pivotLangs _),
     "text_unpivot_langs" -> (unpivotLangs _),
     "text_word_count"  -> (wordCount _),
+    "text_blocklist"   -> (blocklistAudit _),
     "text_word_count_salted" -> (saltedWordCount _),
     "pipe_corpus_clean" -> (corpusClean _),
     "pipe_end_to_end" -> (endToEnd _),
@@ -3786,6 +3830,34 @@ object TextAnalysis {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+    "text_blocklist" ->
+      """WITH lex(t, sev) AS (VALUES
+        |  ('slow', 1), ('dup', 2), ('big', 1), ('stale', 3), ('broken', 3)),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id, COUNT(*) AS h,
+        |    CAST(SUM(lex.sev) AS BIGINT) AS s,
+        |    COUNT(DISTINCT tok.t) AS k
+        |  FROM tok JOIN lex ON lex.t = tok.t
+        |  WHERE length(tok.t) > 0
+        |  GROUP BY doc_id),
+        |per AS (
+        |  SELECT d.lang, d.source,
+        |    COALESCE(h.h, 0) AS n_hits, COALESCE(h.s, 0) AS sev_sum,
+        |    COALESCE(h.k, 0) AS n_terms
+        |  FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id),
+        |roll AS (
+        |  SELECT lang, source, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+        |    CAST(MAX(n_terms) AS BIGINT) AS max_terms,
+        |    CAST(SUM(CASE WHEN sev_sum >= 6 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_blocked
+        |  FROM per GROUP BY lang, source)
+        |SELECT lang, source, n_docs, total_hits, max_terms, n_blocked,
+        |  n_blocked * 1000000 // n_docs AS blocked_ppm
+        |FROM roll ORDER BY lang, source""".stripMargin,
     "text_word_count" ->
       """SELECT word, COUNT(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)

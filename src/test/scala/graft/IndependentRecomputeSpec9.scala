@@ -292,6 +292,17 @@ class IndependentRecomputeSpec9 extends SparkSpec {
     assert(got.forall(t => t._5 > 0.0 && t._5 <= 1.0))
   }
 
+  test("blocklist audit is non-vacuous and conserves the document spine") {
+    val rows = TextAnalysis.queries("text_blocklist")(spark, sf0001).collect()
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    val spine = Tables.documents(spark, sf0001).count()
+    assert(nDocs == spine, s"rollup covers $nDocs of $spine docs")
+    assert(rows.map(_.getAs[Long]("total_hits")).sum > 0L, "lexicon never hit")
+    val blocked = rows.map(_.getAs[Long]("n_blocked")).sum
+    assert(blocked > 0L && blocked < nDocs,
+      s"verdict is vacuous: $blocked of $nDocs blocked")
+  }
+
   test("binpack equals an imperative packing and respects the load bounds") {
     val sizes = Tables.lineitem(spark, sf0001)
       .select(expr("l_orderkey DIV 2048").as("f")).groupBy(col("f"))
