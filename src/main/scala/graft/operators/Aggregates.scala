@@ -1225,7 +1225,80 @@ object Aggregates {
       .orderBy(col("source"))
   }
 
+  /** KMV/Theta sketch INTERSECTION — the estimator family's reason to
+    * prefer KMV over HLL (HLL unions; Theta also intersects): per-source
+    * k-minimum sketches over the sources' distinct TRIGRAM-shingle
+    * digests (the cross-source content-overlap question decontamination
+    * and mixture design actually ask), θ = min of the two
+    * sketches' thresholds (a sketch smaller than k is EXACT and carries
+    * θ = 2^60, the full hash range), the intersection sample
+    * S = {h ∈ A_min ∩ B_min : h < θ}, and the estimate |S|·2^60/θ —
+    * which degrades to the EXACT intersection when both sketches are
+    * exact (the property the IRS9 pin checks at toy SF, alongside an
+    * exact-intersection audit column at every SF).
+    *
+    * Determinism: digests are the module's md5-slice 60-bit idiom, so θ
+    * and all memberships are exact longs (no double boundary anywhere in
+    * the sample selection); only the final estimate does IEEE arithmetic
+    * (same mul/div chain as agg_kmv_distinct). Scale: per-source
+    * k-smallest is the rank-limited window (WindowGroupLimit partial
+    * top-k before the shuffle); the sample join is ≤ k×k rows; the exact
+    * audit is one equi-join of the two distinct digest sets — drop it at
+    * 100 TB and the sketch path alone never moves more than k rows per
+    * source. */
+  def kmvIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val k = 128
+    val full = 1L << 60 // md5 15-hex-char digests are 60-bit
+    val d = Tables.documents(spark, dir)
+      .filter(col("source").isin("src0", "src1"))
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n", size(col("w")))
+      .filter(col("n") >= 3)
+      .select(col("source"), explode(transform(
+        sequence(lit(1), col("n") - 2), i => concat_ws(" ",
+          element_at(col("w"), i.cast("int")),
+          element_at(col("w"), (i + 1).cast("int")),
+          element_at(col("w"), (i + 2).cast("int"))))).as("g"))
+      .select(col("source"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct().cache() // sketch pass + the exact audit read it
+    val perSrc = d.withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"))))
+      .filter(col("rn") <= k).cache() // per-source stats + the sample join
+    val stats = perSrc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_min"), max(col("h")).as("kth"))
+      .withColumn("theta",
+        when(col("n_min") < k.toLong, lit(full)).otherwise(col("kth")))
+    val a = stats.filter(col("source") === "src0")
+      .select(col("n_min").as("n_min_a"), col("theta").as("th_a"))
+    val b = stats.filter(col("source") === "src1")
+      .select(col("n_min").as("n_min_b"), col("theta").as("th_b"))
+    val th = a.crossJoin(broadcast(b))
+      .withColumn("theta", least(col("th_a"), col("th_b")))
+    val sample = perSrc.filter(col("source") === "src0").select(col("h"))
+      .join(perSrc.filter(col("source") === "src1").select(col("h")), "h")
+      .crossJoin(broadcast(th.select(col("theta"))))
+      .filter(col("h") < col("theta"))
+      .agg(count(lit(1)).as("n_s"))
+    val exact = d.filter(col("source") === "src0").select(col("h"))
+      .join(d.filter(col("source") === "src1").select(col("h")), "h")
+      .agg(count(lit(1)).as("n_exact_intersect"))
+    val exA = d.filter(col("source") === "src0")
+      .agg(count(lit(1)).as("n_a_exact"))
+    val exB = d.filter(col("source") === "src1")
+      .agg(count(lit(1)).as("n_b_exact"))
+    th.crossJoin(broadcast(sample)).crossJoin(broadcast(exact))
+      .crossJoin(broadcast(exA)).crossJoin(broadcast(exB))
+      .select(lit(k.toLong).as("k"), col("n_a_exact"), col("n_b_exact"),
+        col("theta"), col("n_s"),
+        (col("n_s").cast("double") * lit(1.152921504606846976e18) /
+          col("theta").cast("double")).as("est_intersect"),
+        col("n_exact_intersect"))
+      .orderBy(col("k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_kmv_intersect" -> (kmvIntersect _),
     "agg_kmv_merge" -> (kmvMerge _),
     "ml_ols_cramer" -> (olsCramer _),
     "ml_ridge_cramer" -> (ridgeCramer _),
@@ -1406,6 +1479,55 @@ object Aggregates {
         |  CASE WHEN det <> 0 AND sst > 0 THEN ROUND(1.0 - sse / sst, 6)
         |  END AS r2
         |FROM fin ORDER BY lam_per_obs""".stripMargin,
+    "agg_kmv_intersect" ->
+      """WITH toks AS (
+        |  SELECT source, string_split(text, ' ') AS w
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1') AND len(string_split(text, ' ')) >= 3),
+        |pos AS (
+        |  SELECT source, w, unnest(range(1, len(w) - 1)) AS i FROM toks),
+        |d AS (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substr(md5(w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]),
+        |      1, 15))::BIGINT AS h
+        |  FROM pos),
+        |ps AS (
+        |  SELECT source, h,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+        |  FROM d),
+        |sk AS (SELECT source, h FROM ps WHERE rn <= 128),
+        |st AS (
+        |  SELECT source, COUNT(*) AS n_min, MAX(h) AS kth,
+        |    CASE WHEN COUNT(*) < 128 THEN 1152921504606846976
+        |      ELSE MAX(h) END AS theta
+        |  FROM sk GROUP BY source),
+        |th AS (
+        |  SELECT a.n_min AS n_min_a, b.n_min AS n_min_b,
+        |    LEAST(a.theta, b.theta) AS theta
+        |  FROM (SELECT * FROM st WHERE source = 'src0') a
+        |  CROSS JOIN (SELECT * FROM st WHERE source = 'src1') b),
+        |samp AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_s
+        |  FROM (SELECT h FROM sk WHERE source = 'src0') x
+        |  JOIN (SELECT h FROM sk WHERE source = 'src1') y USING (h)
+        |  CROSS JOIN th WHERE x.h < th.theta),
+        |ex AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_intersect
+        |  FROM (SELECT h FROM d WHERE source = 'src0') x
+        |  JOIN (SELECT h FROM d WHERE source = 'src1') y USING (h)),
+        |exa AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_a_exact
+        |  FROM d WHERE source = 'src0'),
+        |exb AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_b_exact
+        |  FROM d WHERE source = 'src1')
+        |SELECT CAST(128 AS BIGINT) AS k, exa.n_a_exact, exb.n_b_exact,
+        |  th.theta, samp.n_s,
+        |  CAST(samp.n_s AS DOUBLE) * 1.152921504606846976e18
+        |    / CAST(th.theta AS DOUBLE) AS est_intersect,
+        |  ex.n_exact_intersect
+        |FROM th CROSS JOIN samp CROSS JOIN ex CROSS JOIN exa CROSS JOIN exb
+        |ORDER BY k""".stripMargin,
     "agg_kmv_distinct" ->
       """WITH u AS (SELECT DISTINCT event_id FROM events),
         |h AS (

@@ -292,6 +292,44 @@ class IndependentRecomputeSpec9 extends SparkSpec {
     assert(got.forall(t => t._5 > 0.0 && t._5 <= 1.0))
   }
 
+  test("kmv intersection equals an imperative theta-sketch recompute, exactly") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = Tables.documents(spark, sf0001)
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySrc = docs.groupBy(_._1).map { case (s, g) =>
+      s -> g.flatMap { case (_, t) =>
+        val w = t.split(" ", -1)
+        if (w.length < 3) Seq.empty
+        else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}")
+      }.map(h60).distinct.sorted
+    }
+    val (sa, sb) = (bySrc("src0"), bySrc("src1"))
+    val full = 1L << 60
+    def theta(xs: Seq[Long]): Long = if (xs.length < 128) full else xs(127)
+    val th = math.min(theta(sa), theta(sb))
+    val (ka, kb) = (sa.take(128).toSet, sb.take(128).toSet)
+    val nS = (ka & kb).count(_ < th).toLong
+    val est = nS.toDouble * 1.152921504606846976e18 / th.toDouble
+    val nExact = (sa.toSet & sb.toSet).size.toLong
+    val got = Aggregates.queries("agg_kmv_intersect")(spark, sf0001)
+      .collect()(0)
+    assert(got.getAs[Long]("k") == 128L)
+    assert(got.getAs[Long]("n_a_exact") == sa.length.toLong)
+    assert(got.getAs[Long]("n_b_exact") == sb.length.toLong)
+    assert(got.getAs[Long]("theta") == th)
+    assert(got.getAs[Long]("n_s") == nS)
+    assert(got.getAs[Double]("est_intersect") == est)
+    assert(got.getAs[Long]("n_exact_intersect") == nExact)
+    assert(nExact > 0L, "sources share no shingles — vacuous intersection")
+  }
+
   test("blocklist audit is non-vacuous and conserves the document spine") {
     val rows = TextAnalysis.queries("text_blocklist")(spark, sf0001).collect()
     val nDocs = rows.map(_.getAs[Long]("n_docs")).sum

@@ -274,6 +274,9 @@ class PlanSpec extends SparkSpec {
         "events_markov_steady",
         // 1-row merged sketch ⋈ broadcast 1-row exact audit (A4 pattern)
         "agg_kmv_merge",
+        // 1-row θ/sample/audit folds cross-joined into the single output
+        // row (A4 pattern ×5) + the k×k sample's 1-row θ gate
+        "agg_kmv_intersect",
         // vocab/source relation ⋈ broadcast 1-row total (A4 pattern)
         "text_vocab_coverage", "pipe_quota_apportion",
         // hour-residual relation ⋈ broadcast 1-row RMS threshold (A4)
