@@ -1245,7 +1245,92 @@ object Multimodal {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** Per-image 16-bit block-mean hash row — the oracled perceptual-dup
+    * readout. */
+  final case class BlockHashRow(media_id: Long, width: Int, height: Int,
+                                blockhash: Long, n_dups: Long)
+
+  /** Integer block-mean luma hash of a decoded image: the image is cut
+    * into a 4×4 cell grid (cell = (4y/h, 4x/w), exact integer division),
+    * each cell's mean BT.601 integer luma is compared to the global mean,
+    * and the 16 verdict bits pack into a long. ALL-integer arithmetic —
+    * unlike [[averageHash]]'s JDK bilinear scaler this kernel is
+    * analytically refoldable in SQL, which is what lets the dup join be
+    * hash-oracled end to end. */
+  private[graft] def blockHash(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val cs = new Array[Long](16); val cn = new Array[Long](16)
+    var gsum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        val idx = (y * 4 / h) * 4 + (x * 4 / w)
+        cs(idx) += lum; cn(idx) += 1; gsum += lum
+        x += 1
+      }
+      y += 1
+    }
+    val gmean = gsum / (w.toLong * h)
+    var acc = 0L; var i = 0
+    while (i < 16) {
+      if (cn(i) > 0 && cs(i) / cn(i) > gmean) acc |= (1L << i)
+      i += 1
+    }
+    acc
+  }
+
+  /** `mm_blockhash_dups`: the perceptual near-dup pipeline as an ORACLED
+    * catalog entry — each image doc is encoded as a real BMP, decoded
+    * through ImageIO, block-mean-hashed ([[blockHash]] — all-integer, so
+    * the DuckDB oracle recomputes every hash analytically from the pixel
+    * formula without seeing bytes), and each image reports how many
+    * OTHER images sit within Hamming ≤ 3 of its hash. Candidates come
+    * from the 4×4-bit-nibble pigeonhole equi-join (two hashes within
+    * distance 3 must agree on ≥ 1 of the 4 nibbles — the
+    * dedup_simhash_hamming blocking at 16-bit scale), never an all-pairs
+    * scan; the exact popcount runs only on candidates. Zero-dup images
+    * stay in the output via the left join from the hash spine (no
+    * zero-row vacuity at small SF). */
+  def blockHashDups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashes = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val img = readImage(bmp24(id)).getOrElse(
+          sys.error(s"BMP $id failed the real ImageIO decode"))
+        (id, img.getWidth, img.getHeight, blockHash(img))
+      }).toDF("media_id", "width", "height", "blockhash")
+      .cache() // spine + both sides of the candidate join
+    val nibbles = hashes.select(col("media_id"), col("blockhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("ni"),
+            shiftright(col("blockhash"), 4 * b).bitwiseAND(0xfL)
+              .as("nv"))): _*)).as("n"))
+      .select(col("media_id"), col("blockhash"),
+        col("n.ni").as("ni"), col("n.nv").as("nv"))
+    val dups = nibbles.as("a").join(nibbles.as("b"),
+        col("a.ni") === col("b.ni") && col("a.nv") === col("b.nv") &&
+        col("a.media_id") =!= col("b.media_id"))
+      .select(col("a.media_id").as("media_id"),
+        col("b.media_id").as("other"),
+        bit_count(col("a.blockhash").bitwiseXOR(col("b.blockhash")))
+          .cast("long").as("hd"))
+      .distinct()
+      .filter(col("hd") <= 3)
+      .groupBy(col("media_id")).agg(count(lit(1)).as("n_dups"))
+    hashes.join(dups, Seq("media_id"), "left")
+      .select(col("media_id"), col("width"), col("height"), col("blockhash"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_blockhash_dups" -> (blockHashDups _),
     "mm_png_pixels" -> (pngPixelTable _),
     "mm_gif_frames" -> (gifFrameTable _),
     "mm_audio_tone" -> (audioToneTable _),
@@ -1259,6 +1344,51 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    // analytic twin of the decode→block-hash→pigeonhole-dup pipeline:
+    // the all-integer kernel refolds from the pixel formula, and the
+    // oracle's dup count may use a plain O(n²) join — the ENTRY's
+    // pigeonhole blocking is the scale path, the oracle only replays
+    // the answer
+    "mm_blockhash_dups" ->
+      """WITH img AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |xs AS (
+        |  SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x
+        |  FROM img),
+        |p AS (
+        |  SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+        |  FROM xs),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    ((y * 4) // h) * 4 + ((x * 4) // w) AS idx,
+        |    (((doc_id * 7 + 3 * x + 5 * y) % 256) * 299
+        |      + ((doc_id * 11 + x + 2 * y) % 256) * 587
+        |      + ((doc_id * 13 + 4 * x + y) % 256) * 114) // 1000 AS lum
+        |  FROM p),
+        |cells AS (
+        |  SELECT doc_id, w, h, idx, CAST(SUM(lum) AS BIGINT) AS s,
+        |    COUNT(*) AS c
+        |  FROM px GROUP BY 1, 2, 3, 4),
+        |g AS (
+        |  SELECT doc_id, CAST(SUM(s) AS BIGINT) // (w * h) AS gmean
+        |  FROM cells GROUP BY doc_id, w, h),
+        |hs AS (
+        |  SELECT cells.doc_id, MAX(cells.w) AS w, MAX(cells.h) AS h,
+        |    CAST(SUM(CASE WHEN s // c > g.gmean
+        |      THEN 1 << idx ELSE 0 END) AS BIGINT) AS blockhash
+        |  FROM cells JOIN g ON g.doc_id = cells.doc_id
+        |  GROUP BY cells.doc_id),
+        |d AS (
+        |  SELECT a.doc_id, COUNT(*) AS n_dups
+        |  FROM hs a JOIN hs b ON a.doc_id <> b.doc_id
+        |    AND bit_count(xor(a.blockhash, b.blockhash)) <= 3
+        |  GROUP BY a.doc_id)
+        |SELECT hs.doc_id AS media_id,
+        |  CAST(hs.w AS INTEGER) AS width, CAST(hs.h AS INTEGER) AS height,
+        |  hs.blockhash, COALESCE(d.n_dups, 0) AS n_dups
+        |FROM hs LEFT JOIN d ON d.doc_id = hs.doc_id
+        |ORDER BY media_id""".stripMargin,
     // analytic twin of the real PNG encode→decode round-trip: PNG is
     // lossless, so the oracle recomputes channel sums and per-pixel
     // channel-sum extrema straight from the synthesis formula

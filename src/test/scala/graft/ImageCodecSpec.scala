@@ -119,6 +119,28 @@ class ImageCodecSpec extends SparkSpec {
     assert(GifIndex.frameDescriptors(bad).isEmpty)
   }
 
+  test("block hash agrees across codecs and the dup counts match brute force") {
+    // cross-codec: the all-integer kernel must produce the same 16 bits
+    // whether the pixels traveled through the BMP or the PNG codec
+    for (id <- 0L to 60L by 3L) {
+      val hb = Multimodal.blockHash(decode(Multimodal.bmp24(id)))
+      val hp = Multimodal.blockHash(decode(Multimodal.pngGradient(id)))
+      assert(hb == hp, s"id $id: BMP blockhash $hb != PNG blockhash $hp")
+    }
+    // pigeonhole soundness: the entry's banded candidate join must count
+    // exactly what a brute-force all-pairs popcount counts
+    val got = Multimodal.queries("mm_blockhash_dups")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("blockhash"),
+        r.getAs[Long]("n_dups")))
+    val hs = got.map(t => t._1 -> t._2).toMap
+    for ((id, h, n) <- got) {
+      val brute = hs.count { case (o, oh) =>
+        o != id && java.lang.Long.bitCount(h ^ oh) <= 3 }
+      assert(n == brute.toLong, s"id $id: entry $n dups, brute $brute")
+    }
+    assert(got.map(_._3).sum > 0L, "no dup pair anywhere — vacuous join")
+  }
+
   test("gif frame table matches the analytic formula end to end") {
     val got = Multimodal.queries("mm_gif_frames")(spark, sf0001).collect()
     assert(got.nonEmpty)
