@@ -1590,7 +1590,62 @@ object Behavior {
       .orderBy(col("channel"))
   }
 
+  /** Holm step-down multiple-testing correction applied to anomaly
+    * candidates — the MONITORING composition the experimentation family
+    * was missing: a fleet that z-scores every hour of traffic raises m
+    * simultaneous alerts, and acting on raw per-test α=0.05 fires a
+    * false alarm almost surely; Holm (1979) steps down through the
+    * ranked |z| with per-rank criticals α/(m−j+1) and stops at the first
+    * acceptance, controlling family-wise error with uniformly more power
+    * than Bonferroni. Candidates: top-12 hours by |z| against the global
+    * hourly-count distribution; the 12 critical z values are FIXED
+    * literal micro-integers (metric constants, the rec_eval_ranking
+    * discount rule — no inverse-CDF libm in either engine). On this
+    * corpus the planted traffic bursts reject (|z| ≥ 3.1) and the noise
+    * tail correctly survives — the step-down stops exactly where it
+    * should (IRS pin).
+    *
+    * Determinism: hourly counts and the moment sums are exact longs;
+    * mean/variance/z is ONE shared formula string (IEEE on exact
+    * operands); ranking ties break on hour_no; the step-down is a
+    * running MIN over the rank order — a window over 12 aggregated rows
+    * (W1 rule). Scale: one hash-agg over events, a 1-row moment
+    * broadcast (A4), TakeOrderedAndProject for the candidate set, then
+    * O(m) work. */
+  def holmAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hrs = Tables.events(spark, dir)
+      .select(expr("unix_micros(date_trunc('hour', ts)) DIV 3600000000")
+        .as("hour_no"))
+      .groupBy(col("hour_no")).agg(count(lit(1)).as("c"))
+    val st = hrs.agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+      sum(col("c") * col("c")).as("sc2"))
+    val zExpr = "(CAST(c AS DOUBLE) - CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))" +
+      " / sqrt((CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)" +
+      " / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))"
+    val crit = spark.createDataFrame(Seq(
+        (1L, 2865260L), (2L, 2837597L), (3L, 2807034L), (4L, 2772921L),
+        (5L, 2734369L), (6L, 2690110L), (7L, 2638257L), (8L, 2575829L),
+        (9L, 2497705L), (10L, 2393980L), (11L, 2241403L), (12L, 1959964L)))
+      .toDF("rnk", "crit_micro")
+    val cand = hrs.crossJoin(broadcast(st))
+      .withColumn("z", expr(zExpr))
+      .withColumn("zabs", abs(col("z")))
+      .orderBy(col("zabs").desc, col("hour_no")).limit(12)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("zabs").desc, col("hour_no"))).cast("long"))
+    cand.join(broadcast(crit), "rnk")
+      .withColumn("ind",
+        (col("zabs") >= col("crit_micro") / lit(1000000.0)).cast("long"))
+      .withColumn("rejected", min(col("ind")).over(
+        Window.orderBy(col("rnk"))))
+      .select(col("rnk"), col("hour_no"), col("c").as("n_events"),
+        round(col("z"), 6).as("z"), col("crit_micro"), col("rejected"))
+      .orderBy(col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "behavior_holm_anomalies" -> (holmAnomalies _),
     "events_attribution_shapley" -> (shapleyAttribution _),
     "behavior_ratio_delta" -> (ratioDelta _),
     "behavior_diff_in_diff" -> (diffInDiff _),
@@ -1623,6 +1678,44 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    "behavior_holm_anomalies" ->
+      """WITH hrs AS (
+        |  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS hour_no,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS sc,
+        |    CAST(SUM(c * c) AS BIGINT) AS sc2
+        |  FROM hrs),
+        |crit(rnk, crit_micro) AS (VALUES
+        |  (1, 2865260), (2, 2837597), (3, 2807034), (4, 2772921),
+        |  (5, 2734369), (6, 2690110), (7, 2638257), (8, 2575829),
+        |  (9, 2497705), (10, 2393980), (11, 2241403), (12, 1959964)),
+        |z0 AS (
+        |  SELECT hour_no, c,
+        |    (CAST(c AS DOUBLE) - CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / sqrt((CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE)
+        |        * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) - 1.0)) AS z
+        |  FROM hrs CROSS JOIN st),
+        |za AS (SELECT hour_no, c, z, abs(z) AS zabs FROM z0),
+        |cand AS (
+        |  SELECT hour_no, c, z, zabs
+        |  FROM za ORDER BY zabs DESC, hour_no LIMIT 12),
+        |rk AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY zabs DESC, hour_no)
+        |    AS BIGINT) AS rnk
+        |  FROM cand),
+        |j AS (
+        |  SELECT rk.rnk, rk.hour_no, rk.c, rk.z, rk.zabs,
+        |    CAST(crit.crit_micro AS BIGINT) AS crit_micro,
+        |    CASE WHEN rk.zabs >= crit.crit_micro / 1000000.0
+        |      THEN 1 ELSE 0 END AS ind
+        |  FROM rk JOIN crit ON crit.rnk = rk.rnk)
+        |SELECT rnk, hour_no, c AS n_events, ROUND(z, 6) AS z, crit_micro,
+        |  CAST(MIN(ind) OVER (ORDER BY rnk) AS BIGINT) AS rejected
+        |FROM j ORDER BY rnk""".stripMargin,
     "events_attribution_shapley" ->
       s"""WITH fp AS (
         |  SELECT user_id, MIN(ts) AS p_ts FROM events

@@ -330,6 +330,39 @@ class IndependentRecomputeSpec9 extends SparkSpec {
     assert(nExact > 0L, "sources share no shingles — vacuous intersection")
   }
 
+  test("holm step-down equals an imperative recompute and actually steps down") {
+    val hours = Tables.events(spark, sf0001)
+      .select(expr("unix_micros(date_trunc('hour', ts)) DIV 3600000000"))
+      .collect().map(_.getLong(0))
+    val counts = hours.groupBy(identity).map { case (h, g) => (h, g.length.toLong) }.toSeq
+    val n = counts.length.toDouble
+    val sc = counts.map(_._2).sum.toDouble
+    val sc2 = counts.map(c => c._2 * c._2).sum.toDouble
+    val mean = sc / n
+    val sd = math.sqrt((sc2 - sc * sc / n) / (n - 1.0))
+    val crit = Array(2865260L, 2837597L, 2807034L, 2772921L, 2734369L,
+      2690110L, 2638257L, 2575829L, 2497705L, 2393980L, 2241403L, 1959964L)
+    val cand = counts.map { case (h, c) => (h, c, (c.toDouble - mean) / sd) }
+      .sortBy { case (h, _, z) => (-math.abs(z), h) }.take(12)
+    var alive = 1L
+    val expected = cand.zipWithIndex.map { case ((h, c, z), i) =>
+      val ind = if (math.abs(z) >= crit(i) / 1000000.0) 1L else 0L
+      alive = math.min(alive, ind)
+      ((i + 1).toLong, h, c, round6(z).toDouble, crit(i), alive)
+    }
+    val got = Behavior.queries("behavior_holm_anomalies")(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("hour_no"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("z"),
+        r.getAs[Long]("crit_micro"), r.getAs[Long]("rejected"))).toSeq
+    assert(got == expected,
+      s"\nentry: ${got.take(4)}\nindependent: ${expected.take(4)}")
+    // the correction must bite in BOTH directions: something rejects and
+    // something survives, else the demo is vacuous
+    assert(got.exists(_._6 == 1L), "nothing rejected — no planted signal")
+    assert(got.exists(_._6 == 0L), "everything rejected — no correction")
+  }
+
   test("blocklist audit is non-vacuous and conserves the document spine") {
     val rows = TextAnalysis.queries("text_blocklist")(spark, sf0001).collect()
     val nDocs = rows.map(_.getAs[Long]("n_docs")).sum

@@ -277,6 +277,9 @@ class PlanSpec extends SparkSpec {
         // 1-row θ/sample/audit folds cross-joined into the single output
         // row (A4 pattern ×5) + the k×k sample's 1-row θ gate
         "agg_kmv_intersect",
+        // hourly counts ⋈ broadcast 1-row moment fold (A4 pattern) + the
+        // 12-row candidate set ⋈ broadcast 12-row literal critical table
+        "behavior_holm_anomalies",
         // vocab/source relation ⋈ broadcast 1-row total (A4 pattern)
         "text_vocab_coverage", "pipe_quota_apportion",
         // hour-residual relation ⋈ broadcast 1-row RMS threshold (A4)
