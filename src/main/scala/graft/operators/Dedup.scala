@@ -50,6 +50,35 @@ object Dedup {
       |    ELSE [] END) AS shingles
       |FROM documents""".stripMargin
 
+  /** The df-annotated rare inverted index ex(doc_id, g, df) — every
+    * posting of a shingle with df ≤ MaxShingleDf — scratch-persisted once
+    * per (dataset, documents mtime) via the graph-family memo pattern
+    * (r10 verdict item #3): `dedup_ngram_jaccard`, `dedup_ngram_prefix`,
+    * `dedup_containment`, and `dedup_lsh_curve` all start from this exact
+    * relation and before the memo each rebuilt shingles + the df hash-agg
+    * per call. Longs and strings round-trip parquet exactly, so every
+    * consumer is hash-identical to the inline derivation. At 100 TB this
+    * is the production posting-list build: one tokenize+df shuffle per
+    * corpus generation, every similarity join reads the index. */
+  private def rareIndex(spark: SparkSession, dir: String): DataFrame =
+    Tables.scratchRelation(spark, dir, "dedup_rare_ex", "documents") {
+      val exAll = shingled(spark, dir)
+        .select(col("doc_id"), explode(col("shingles")).as("g"))
+      val rare = exAll.groupBy(col("g"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxShingleDf)
+      exAll.join(rare, Seq("g")).select(col("doc_id"), col("g"), col("df"))
+    }
+
+  /** Per-doc FULL distinct-shingle counts sizes(doc_id, n) — the exact
+    * Jaccard/containment denominators (uncapped: only the index is
+    * df-capped, never the set sizes), persisted next to `rareIndex`. */
+  private def docSizes(spark: SparkSession, dir: String): DataFrame =
+    Tables.scratchRelation(spark, dir, "dedup_sizes", "documents") {
+      shingled(spark, dir)
+        .select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+    }
+
   /** MinHash + LSH near-dup pairs: shingle → 8 portable minhash lanes
     * (md5 is computed ONCE per shingle; lane i is the 16-bit hex slice
     * md5[4i..4i+4) — one digest instead of eight, same independence in
@@ -187,7 +216,25 @@ object Dedup {
     * denominators). Pair rows = Σ df² over surviving shingles — bounded
     * by |docs|·cap even on templated corpora. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardCapped(spark, dir, MaxShingleDf)
+    jaccardPairs(rareIndex(spark, dir).select(col("doc_id"), col("g")),
+      docSizes(spark, dir))
+
+  /** Jaccard pair verification from an inverted index + full set sizes —
+    * the shared tail of `ngramJaccard` (persisted index) and
+    * `ngramJaccardCapped` (inline, cap-parameterized for the spec). */
+  private def jaccardPairs(ex: DataFrame, sizes: DataFrame): DataFrame = {
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard", col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")))
+      .filter(col("jaccard") >= 0.7)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** The (bands, rows-per-band) configurations the LSH sizing curve
     * evaluates — every factorization of the 12-lane signature budget. */
@@ -222,14 +269,8 @@ object Dedup {
     * bounded, the module guard); the curve itself is a 5× projection +
     * one 5-row hash-agg over it. */
   def lshCurve(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir).cache()
-    val exAll = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
-    val rare = exAll.groupBy(col("g"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf)
-      .select(col("g"))
-    val ex = exAll.join(rare, Seq("g"), "left_semi")
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+    val ex = rareIndex(spark, dir).select(col("doc_id"), col("g"))
+    val sizes = docSizes(spark, dir)
     val pairs = ex.as("a").join(ex.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -290,7 +331,9 @@ object Dedup {
   }
 
   /** Cap-parameterized body; the spec runs it cap-less (Long.MaxValue) to
-    * pin that the cap is a no-op on the harness corpus. */
+    * pin that the cap is a no-op on the harness corpus. Built INLINE (not
+    * from the persisted index, which bakes in MaxShingleDf) so the spec
+    * exercises the genuine uncapped derivation. */
   private[graft] def ngramJaccardCapped(spark: SparkSession, dir: String, cap: Long): DataFrame = {
     val sh = shingled(spark, dir).cache()
     val exAll = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
@@ -300,17 +343,7 @@ object Dedup {
       .select(col("g"))
     val ex = exAll.join(rare, Seq("g"), "left_semi")
     val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
-    val inter = ex.as("a").join(ex.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-      .withColumn("jaccard", col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")))
-      .filter(col("jaccard") >= 0.7)
-      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    jaccardPairs(ex, sizes)
   }
 
   /** Prefix-filtered twin of `dedup_ngram_jaccard` (Chaudhuri et al.'s
@@ -356,14 +389,9 @@ object Dedup {
   private def prefixIndex(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingled(spark, dir).cache()
-    val exAll = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
-    val rare = exAll.groupBy(col("g"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf)
-    val ex = exAll.join(rare, Seq("g"))
+    val ex = rareIndex(spark, dir)
       .cache() // reused: prefix index + exact recount for candidates
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+    val sizes = docSizes(spark, dir)
     val rareN = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("nr"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
     val prefix = ex.withColumn("rk", row_number().over(wDoc).cast("long"))
@@ -398,14 +426,8 @@ object Dedup {
     * is one IEEE division of two exact integers — engine-portable, fully
     * oracled. */
   def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir).cache()
-    val exAll = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
-    val rare = exAll.groupBy(col("g"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf)
-      .select(col("g"))
-    val ex = exAll.join(rare, Seq("g"), "left_semi")
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+    val ex = rareIndex(spark, dir).select(col("doc_id"), col("g"))
+    val sizes = docSizes(spark, dir)
     val inter = ex.as("a").join(ex.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -467,14 +489,9 @@ object Dedup {
   private def containmentPrefixIndex(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingled(spark, dir).cache()
-    val exAll = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
-    val rare = exAll.groupBy(col("g"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf)
-    val ex = exAll.join(rare, Seq("g"))
+    val ex = rareIndex(spark, dir)
       .cache() // reused: probe side of the candidate join + exact recount
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+    val sizes = docSizes(spark, dir)
     val rareN = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("nr"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
     val prefix = ex.withColumn("rk", row_number().over(wDoc).cast("long"))

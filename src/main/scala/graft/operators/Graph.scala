@@ -44,16 +44,8 @@ object Graph {
     * hash-identical to the inline derivation. HDFS/S3-safe probes (the
     * lloydFitCached rule: Hadoop FileSystem, never java.io.File). */
   private def scratchRelation(spark: SparkSession, dir: String, tag: String)
-                             (build: => DataFrame): DataFrame = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val src = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
-    val st = src.getFileSystem(hconf).getFileStatus(src)
-    val path = s"${Tables.scratchPath(tag, dir)}_${st.getLen}_${st.getModificationTime}"
-    val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
-    if (!marker.getFileSystem(hconf).exists(marker))
-      build.write.mode("overwrite").parquet(path)
-    spark.read.parquet(path)
-  }
+                             (build: => DataFrame): DataFrame =
+    Tables.scratchRelation(spark, dir, tag, "lineitem")(build)
 
   /** The distinct (s, p) supplier–part incidence — the base relation of
     * pagerank/ppr/hits/degree/BFS/SSSP, persisted once per dataset. */

@@ -222,10 +222,12 @@ object Layout {
     * SORTED-CUMULATIVE rule: order files by size desc (id tie-break),
     * running-sum, bin = cum_before DIV T. This is the scalable relaxation
     * of first-fit-decreasing — bins are contiguous ranges of the sorted
-    * manifest, so the bin count is EXACTLY ceil(total/T) (optimal bin
-    * count for any packing that may split no file across more than one
-    * boundary overflow) and every bin's load is < T + max_file
-    * (WriteLayoutSpec pins both bounds plus conservation).
+    * manifest, so the bin count is ≤ ceil(total/T) — exact when
+    * max_file ≤ T (a file larger than T can make cum_before skip a bin
+    * index entirely, merging would-be bins) — and every bin's load is
+    * < T + max_file (WriteLayoutSpec pins the bounds plus conservation;
+    * the exact-count pin applies only under the max_file ≤ T
+    * precondition).
     *
     * Scale stance: the plan runs over the FILE MANIFEST, not the data —
     * at 100 TB with 128 MB files that's ~800k manifest rows, and the one

@@ -951,10 +951,13 @@ object Multimodal {
   }
 
   /** Candidate fundamental periods (in samples) of the synthetic tone
-    * corpus — the Goertzel detector's dial. Pairwise chosen so no
-    * candidate is an even harmonic of another; odd harmonics (a square
-    * wave's only overtones) carry 1/k² of the fundamental's power, so the
-    * argmax margin is ≥ 9×. */
+    * corpus — the Goertzel detector's dial. The set DOES contain
+    * even-harmonic pairs (8 = 16/2, 20 = 40/2) — harmless, because a
+    * 50%-duty square wave has exactly zero even-harmonic content; what
+    * the set avoids is LOW odd-harmonic collisions (q = p/3 would leak
+    * 1/9 of the fundamental's power into a rival candidate). The only
+    * odd-harmonic pair present is 8 = 40/5 at 1/25 power, so the argmax
+    * margin is ≥ 9× for every planted period (OperatorSpec pins it). */
   private[graft] val TonePeriods = Array(8, 16, 20, 40)
 
   private[graft] def tonePeriod(id: Long): Int = TonePeriods((id % 4).toInt)

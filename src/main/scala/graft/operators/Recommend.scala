@@ -31,13 +31,47 @@ import graft.Tables
   * repo-wide overflow rule. */
 object Recommend {
 
+  /** The three shared substrates of the family, scratch-persisted once
+    * per (dataset, lineitem mtime) — the graph-family memo pattern
+    * (commit `5e646c8`) applied per the r10 verdict item #2: before this,
+    * every entry re-ran the lineitem scan (+ the orders join) + distinct/
+    * hash-agg to rebuild its incidence per call. All columns are exact
+    * longs, so parquet round-trips bit-for-bit and every consumer is
+    * hash-identical to the inline derivation. At 100 TB this IS the
+    * production shape: materialize the interaction table once, serve
+    * every model build off it. */
+
+  /** Distinct (orderkey, partkey) basket incidence — assocRules +
+    * nextPart. */
+  private def opIncidence(spark: SparkSession, dir: String): DataFrame =
+    Tables.scratchRelation(spark, dir, "rec_op", "lineitem") {
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    }
+
+  /** Distinct (custkey, partkey) binary incidence — itemCosine + userCf. */
+  private def cpIncidence(spark: SparkSession, dir: String): DataFrame =
+    Tables.scratchRelation(spark, dir, "rec_cp", "lineitem") {
+      Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+    }
+
+  /** (custkey, partkey, purchase-count) ratings — mfRank1 + slopeOne. */
+  private def cprRatings(spark: SparkSession, dir: String): DataFrame =
+    Tables.scratchRelation(spark, dir, "rec_cpr", "lineitem") {
+      Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .agg(count(lit(1)).as("r"))
+    }
+
   /** Association rules a→b with support/confidence/lift over order
     * baskets. Pair candidates from the orderkey equi-join (a < b keeps
     * one undirected candidate; both rule directions are emitted from it),
     * top-20 rules by lift with full tie-break. */
   def assocRules(spark: SparkSession, dir: String): DataFrame = {
-    val op = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val op = opIncidence(spark, dir)
       .cache() // feeds marginals AND the pair self-join (2×; released by
                // Verify/Bench's per-entry clearCache, the repo contract)
     val nBaskets = op.select(col("o")).distinct().agg(count(lit(1)).as("n_baskets"))
@@ -66,10 +100,7 @@ object Recommend {
     * matrix (a customer "rates" a part by having ever ordered it):
     * cos(a,b) = |Ua ∩ Ub| / √(|Ua|·|Ub|). Top-25 part pairs. */
   def itemCosine(spark: SparkSession, dir: String): DataFrame = {
-    val cp = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+    val cp = cpIncidence(spark, dir)
       .cache() // marginals + self-join (repo cache contract)
     val marg = cp.groupBy(col("p")).agg(count(lit(1)).as("n_users"))
     val co = cp.as("a").join(cp.as("b"),
@@ -106,8 +137,8 @@ object Recommend {
       .withColumn("o_next", lead(col("o"), 1).over(w))
       .filter(col("o_next").isNotNull)
       .select(col("o"), col("o_next"))
-    val op = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val op = opIncidence(spark, dir)
+      .select(col("o").as("ok"), col("p"))
       .cache() // both transition legs (repo cache contract)
     val trans = nxt
       .join(op.select(col("ok").as("o"), col("p").as("p_from")), "o")
@@ -146,10 +177,7 @@ object Recommend {
   def mfRank1(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val d6 = DecimalType(18, 6)
-    val obs = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
-      .agg(count(lit(1)).as("r"))
+    val obs = cprRatings(spark, dir)
       .cache() // 4 half-steps + the serving anti-join read it
     def updU(v: DataFrame): DataFrame = obs.join(v, "p")
       .groupBy(col("c"))
@@ -196,10 +224,7 @@ object Recommend {
     * |dev_micro| ≤ r_max·10⁶, numerator ≤ r_max·10⁶·Σn_ji < 9.2e18
     * through sf10; beyond, lift to DECIMAL(38,0) (repo overflow rule). */
   def slopeOne(spark: SparkSession, dir: String): DataFrame = {
-    val obs = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
-      .agg(count(lit(1)).as("r"))
+    val obs = cprRatings(spark, dir)
       .cache() // pair self-join + candidate expansion + serving anti-join
     // serving-side basis pruning: predictions only ever read dev(j, i)
     // rows whose BASIS item i is rated by a budget user, so the basis
@@ -261,9 +286,7 @@ object Recommend {
     * the ONE shared formula-string rule for the sqrt), so vote sums are
     * exact long arithmetic; ranking ties break (score, n_voters, part). */
   def userCf(spark: SparkSession, dir: String): DataFrame = {
-    val cp = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+    val cp = cpIncidence(spark, dir)
       .cache() // degrees + pair self-join + vote expansion + own-item anti
     val deg = cp.groupBy(col("c")).agg(count(lit(1)).as("n_items"))
     // the serving budget is pushed INTO pair generation: only the budget
