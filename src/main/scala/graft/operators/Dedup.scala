@@ -388,17 +388,23 @@ object Dedup {
     * sizes(doc_id, n)). */
   private def prefixIndex(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     val ex = rareIndex(spark, dir)
-      .cache() // reused: prefix index + exact recount for candidates
+      .cache() // probe side of the candidate join + exact recount
     val sizes = docSizes(spark, dir)
-    val rareN = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("nr"))
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
-    val prefix = ex.withColumn("rk", row_number().over(wDoc).cast("long"))
-      .join(sizes, Seq("doc_id"))
-      .join(rareN, Seq("doc_id"))
-      .filter(col("rk") <= col("nr") - expr("(7 * n + 9) DIV 10") + lit(1L))
-      .select(col("doc_id"), col("g"))
+    // the prefix index IS the index artifact — a set-similarity deployment
+    // builds it once next to the posting list and probes it per query, so
+    // it is scratch-persisted like its substrate (r11; strings/longs,
+    // parquet-exact)
+    val prefix = Tables.scratchRelation(spark, dir, "dedup_prefix_j", "documents") {
+      import org.apache.spark.sql.expressions.Window
+      val rareN = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("nr"))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+      ex.withColumn("rk", row_number().over(wDoc).cast("long"))
+        .join(sizes, Seq("doc_id"))
+        .join(rareN, Seq("doc_id"))
+        .filter(col("rk") <= col("nr") - expr("(7 * n + 9) DIV 10") + lit(1L))
+        .select(col("doc_id"), col("g"))
+    }
     (prefix, ex, sizes)
   }
 
@@ -488,18 +494,21 @@ object Dedup {
     * ex(doc_id, g, df), sizes(doc_id, n)). */
   private def containmentPrefixIndex(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     val ex = rareIndex(spark, dir)
       .cache() // reused: probe side of the candidate join + exact recount
     val sizes = docSizes(spark, dir)
-    val rareN = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("nr"))
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
-    val prefix = ex.withColumn("rk", row_number().over(wDoc).cast("long"))
-      .join(sizes, Seq("doc_id"))
-      .join(rareN, Seq("doc_id"))
-      .filter(col("n") >= 5) // subject-side floor = the entry's na >= 5 cut
-      .filter(col("rk") <= col("nr") - expr("(8 * n + 9) DIV 10") + lit(1L))
-      .select(col("doc_id"), col("g"))
+    // persisted index artifact, like prefixIndex above (r11)
+    val prefix = Tables.scratchRelation(spark, dir, "dedup_prefix_c", "documents") {
+      import org.apache.spark.sql.expressions.Window
+      val rareN = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("nr"))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+      ex.withColumn("rk", row_number().over(wDoc).cast("long"))
+        .join(sizes, Seq("doc_id"))
+        .join(rareN, Seq("doc_id"))
+        .filter(col("n") >= 5) // subject-side floor = the entry's na >= 5 cut
+        .filter(col("rk") <= col("nr") - expr("(8 * n + 9) DIV 10") + lit(1L))
+        .select(col("doc_id"), col("g"))
+    }
     (prefix, ex, sizes)
   }
 

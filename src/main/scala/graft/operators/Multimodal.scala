@@ -983,6 +983,33 @@ object Multimodal {
     bb.array()
   }
 
+  /** PCM16 WAV of an ENVELOPED square wave: amplitude is a per-64-sample-
+    * window staircase env(w) = 0 when (id + w) % 4 = 0 (planted silence)
+    * else 1000 + 500·(w % 8) (a ramp), sign from the same square period
+    * as [[squareWav]]. Pure integer synthesis — the oracle knows every
+    * sample analytically, and |sample| = env(w) regardless of sign, so
+    * windowed energy refolds in SQL exactly. */
+  private[graft] def envelopedWav(id: Long, n: Int, rate: Int): Array[Byte] = {
+    val p = tonePeriod(id)
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      val w = i / 64
+      val env = if ((id + w) % 4 == 0) 0 else (1000 + 500 * (w % 8)).toInt
+      bb.putShort((if (i % p < p / 2) env else -env).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
   /** Parse a PCM16 mono WAV to (rate, samples) through the same strict
     * RIFF walk as decodeWav — the sample-level view Goertzel needs. */
   private[graft] def pcm16Samples(b: Array[Byte]): Option[(Int, Array[Short])] = {
@@ -1071,6 +1098,51 @@ object Multimodal {
       })
       .toDF()
       .orderBy(col("media_id"))
+  }
+
+  /** Per-window RMS row — the `mm_audio_rms_windows` output shape. */
+  final case class RmsWindow(media_id: Long, win: Long, n_samp: Long,
+                             sum_abs: Long, sum_sq: Long, active: Long)
+
+  /** `mm_audio_rms_windows`: windowed energy / voice-activity-detection
+    * segmentation — the audio leg's SECOND real-DSP entry next to the
+    * Goertzel tone detector: synthesize an amplitude-enveloped square WAV
+    * per audio doc ([[envelopedWav]] — planted silence windows + a ramp),
+    * parse it back through the strict RIFF walk, and emit per-64-sample
+    * windows of exact integer Σ|x| and Σx² with an energy-gate verdict
+    * (active ⇔ Σx² > 10⁶) — the segmentation pass an audio pipeline runs
+    * before transcription to drop silence. The DuckDB oracle recomputes
+    * every window analytically from the envelope formula (|±env| = env),
+    * so a parser slip, a window-boundary error, or an energy-sum overflow
+    * all break the hash; R11WaveSpec additionally re-parses a sample of
+    * WAVs through javax.sound.sampled (a second, independent parser) and
+    * demands identical window sums. Scale: 1→N flatMap per media row,
+    * synthesis+parse state per partition — the mm_audio_features shape. */
+  def audioRmsTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val n = (256 + id % 128).toInt
+        val payload = envelopedWav(id, n, 8000)
+        val (_, xs) = pcm16Samples(payload).getOrElse(
+          sys.error(s"WAV $id failed the strict PCM16 parse"))
+        (0 until (xs.length + 63) / 64).map { w =>
+          val s = w * 64; val e = math.min(s + 64, xs.length)
+          var sa = 0L; var sq = 0L
+          var i = s
+          while (i < e) {
+            val v = xs(i).toLong
+            sa += math.abs(v); sq += v * v
+            i += 1
+          }
+          RmsWindow(id, w.toLong, (e - s).toLong, sa, sq,
+            if (sq > 1000000L) 1L else 0L)
+        }
+      })
+      .toDF()
+      .orderBy(col("media_id"), col("win"))
   }
 
   /** Decoded PNG statistics — the image leg's SECOND-codec row. */
@@ -1337,6 +1409,7 @@ object Multimodal {
     "mm_png_pixels" -> (pngPixelTable _),
     "mm_gif_frames" -> (gifFrameTable _),
     "mm_audio_tone" -> (audioToneTable _),
+    "mm_audio_rms_windows" -> (audioRmsTable _),
     "mm_binary_meta" -> (binaryMeta _),
     "mm_audio_features" -> (audioFeatureTable _),
     "mm_image_features" -> (imageFeatureTable _),
@@ -1450,6 +1523,27 @@ object Multimodal {
         |  CAST(SUM(gray) AS BIGINT) AS px_sum
         |FROM v GROUP BY doc_id, fi, nf, w, h
         |ORDER BY media_id, frame_idx""".stripMargin,
+    "mm_audio_rms_windows" ->
+      """WITH docs AS (
+        |  SELECT doc_id, 256 + doc_id % 128 AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |wins AS (
+        |  SELECT doc_id, n,
+        |    unnest(generate_series(0, (n + 63) // 64 - 1)) AS win
+        |  FROM docs),
+        |env AS (
+        |  SELECT doc_id AS media_id, win,
+        |    LEAST(64, n - win * 64) AS n_samp,
+        |    CASE WHEN (doc_id + win) % 4 = 0 THEN 0
+        |         ELSE 1000 + 500 * (win % 8) END AS e
+        |  FROM wins)
+        |SELECT media_id, CAST(win AS BIGINT) AS win,
+        |  CAST(n_samp AS BIGINT) AS n_samp,
+        |  CAST(n_samp * e AS BIGINT) AS sum_abs,
+        |  CAST(n_samp * e * e AS BIGINT) AS sum_sq,
+        |  CAST(CASE WHEN n_samp * e * e > 1000000 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS active
+        |FROM env ORDER BY media_id, win""".stripMargin,
     "mm_audio_tone" ->
       """SELECT doc_id AS media_id,
         |  CAST(8000 AS INTEGER) AS sample_rate,

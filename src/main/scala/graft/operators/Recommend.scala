@@ -324,6 +324,69 @@ object Recommend {
       .orderBy(col("custkey"), col("rn"))
   }
 
+  /** Beyond-accuracy serving metrics over the `rec_user_cf` top-5 lists —
+    * the OTHER half of recommender evaluation (`rec_eval_ranking` scores
+    * relevance; this scores the catalog-health properties a production
+    * recommender is actually paged for): catalog COVERAGE (share of the
+    * part catalog that appears in any list), exposure GINI (how unequally
+    * recommendations concentrate on few parts — the popularity-bias
+    * readout, rank-formula exact-integer like `agg_gini`), and
+    * PERSONALIZATION (1 − mean pairwise list overlap, Jaccard in exact
+    * micro units).
+    *
+    * Scale stance: the list relation is |budget|·5 rows, so every window
+    * and pair computation here is serving-budget-bounded (the W1 tiny-
+    * relation exception); coverage joins ONE 1-row broadcast catalog
+    * count (A4); user-pair overlap comes from the shared-part equi-join
+    * on the list relation plus a |budget|² broadcast non-equi pair frame.
+    * Determinism: everything is exact integer counts; the gini division
+    * is the one IEEE op (round6); Jaccard is exact positive-DIV micros. */
+  def coverageDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val recs = userCf(spark, dir).select(col("custkey"), col("partkey"))
+      .cache() // exposure agg + overlap self-join + sizes + totals
+    val catalog = Tables.part(spark, dir).agg(count(lit(1)).as("catalog_parts"))
+    val exp = recs.groupBy(col("partkey")).agg(count(lit(1)).as("x"))
+    val wg = Window.orderBy(col("x"), col("partkey"))
+    val gini = exp.withColumn("i", row_number().over(wg).cast("long"))
+      .agg(count(lit(1)).as("n_exposed"), sum(col("x")).as("sx"),
+        sum(col("i") * col("x")).as("six"))
+      .select(col("n_exposed"),
+        round((lit(2L) * col("six") - (col("n_exposed") + 1) * col("sx"))
+          .cast("double") /
+          (col("n_exposed") * col("sx")).cast("double"), 6)
+          .as("exposure_gini"))
+    val sz = recs.groupBy(col("custkey")).agg(count(lit(1)).as("sz"))
+    val ov = recs.as("a").join(recs.as("b"),
+        col("a.partkey") === col("b.partkey") &&
+          col("a.custkey") < col("b.custkey"))
+      .groupBy(col("a.custkey").as("u"), col("b.custkey").as("v"))
+      .agg(count(lit(1)).as("ovl"))
+    val pairs = broadcast(sz.select(col("custkey").as("u"), col("sz").as("su")))
+      .join(sz.select(col("custkey").as("v"), col("sz").as("sv")),
+        col("u") < col("v"))
+      .join(ov, Seq("u", "v"), "left")
+      .select(col("su"), col("sv"), coalesce(col("ovl"), lit(0L)).as("ovl"))
+      .withColumn("jac_micro", expr("ovl * 1000000 DIV (su + sv - ovl)"))
+    val pers = pairs.agg(count(lit(1)).as("n_user_pairs"),
+      expr("sum(jac_micro) DIV count(1)").as("mean_overlap_micro"))
+    val totals = recs.agg(
+      countDistinct(col("custkey")).as("n_users"),
+      count(lit(1)).as("n_recs"),
+      countDistinct(col("partkey")).as("n_recommended"))
+    totals
+      .crossJoin(broadcast(catalog))
+      .crossJoin(broadcast(gini))
+      .crossJoin(broadcast(pers))
+      .withColumn("coverage_ppm",
+        expr("n_recommended * 1000000 DIV catalog_parts"))
+      .withColumn("personalization_micro",
+        lit(1000000L) - col("mean_overlap_micro"))
+      .select(col("n_users"), col("n_recs"), col("n_recommended"),
+        col("catalog_parts"), col("coverage_ppm"), col("n_exposed"),
+        col("exposure_gini"), col("n_user_pairs"),
+        col("mean_overlap_micro"), col("personalization_micro"))
+  }
+
   /** Offline ranking-metric evaluation — the family's MEASUREMENT leg:
     * time-split the interaction log (train < 1999-07-01 ≤ test), serve
     * the global popularity top-10 (the baseline every recommender must
@@ -394,8 +457,54 @@ object Recommend {
     "rec_mf_rank1" -> (mfRank1 _),
     "rec_slope_one" -> (slopeOne _),
     "rec_user_cf" -> (userCf _),
-    "rec_eval_ranking" -> (evalRanking _)
+    "rec_eval_ranking" -> (evalRanking _),
+    "rec_coverage_diversity" -> (coverageDiversity _)
   )
+
+  /** The rec_user_cf oracle chain — shared verbatim by the
+    * `rec_coverage_diversity` oracle, which evaluates its output. */
+  private val userCfSql =
+    """WITH cp AS (
+      |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |deg AS (SELECT c, COUNT(*) AS n_items FROM cp GROUP BY c),
+      |pairs AS (
+      |  SELECT a.c AS u, b.c AS v, COUNT(*) AS co
+      |  FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+      |  GROUP BY 1, 2),
+      |sym AS (
+      |  SELECT u, v, co FROM pairs
+      |  UNION ALL
+      |  SELECT v AS u, u AS v, co FROM pairs),
+      |cos AS (
+      |  SELECT s.u, s.v,
+      |    CAST(CAST(ROUND(co / sqrt(du.n_items * dv.n_items), 6)
+      |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS cos_micro,
+      |    s.co
+      |  FROM sym s
+      |  JOIN deg du ON du.c = s.u
+      |  JOIN deg dv ON dv.c = s.v),
+      |nbr AS (
+      |  SELECT u, v, cos_micro,
+      |    ROW_NUMBER() OVER (PARTITION BY u
+      |      ORDER BY cos_micro DESC, co DESC, v) AS nr
+      |  FROM cos WHERE u < 20),
+      |votes AS (
+      |  SELECT n.u, cp.p,
+      |    CAST(SUM(n.cos_micro) AS BIGINT) AS score_micro,
+      |    COUNT(*) AS n_voters
+      |  FROM nbr n JOIN cp ON cp.c = n.v
+      |  WHERE n.nr <= 10
+      |    AND NOT EXISTS (
+      |      SELECT 1 FROM cp own WHERE own.c = n.u AND own.p = cp.p)
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT u, p, score_micro, n_voters,
+      |    ROW_NUMBER() OVER (PARTITION BY u
+      |      ORDER BY score_micro DESC, n_voters DESC, p) AS rn
+      |  FROM votes)
+      |SELECT u AS custkey, p AS partkey, score_micro, n_voters, rn
+      |FROM rk WHERE rn <= 5 ORDER BY custkey, rn""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "rec_slope_one" ->
@@ -439,48 +548,44 @@ object Recommend {
         |  FROM sc)
         |SELECT u AS custkey, j AS partkey, score, n_support, rn
         |FROM rk WHERE rn <= 5 ORDER BY custkey, rn""".stripMargin,
-    "rec_user_cf" ->
-      """WITH cp AS (
-        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        |deg AS (SELECT c, COUNT(*) AS n_items FROM cp GROUP BY c),
+    "rec_user_cf" -> userCfSql,
+    "rec_coverage_diversity" ->
+      s"""WITH recs AS (
+        |  SELECT custkey, partkey FROM ($userCfSql) q),
+        |catalog AS (SELECT COUNT(*) AS catalog_parts FROM part),
+        |exp AS (SELECT partkey, COUNT(*) AS x FROM recs GROUP BY 1),
+        |gini AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_exposed,
+        |    ROUND(CAST(2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE) /
+        |      CAST(COUNT(*) * SUM(x) AS DOUBLE), 6) AS exposure_gini
+        |  FROM (SELECT x, ROW_NUMBER() OVER (ORDER BY x, partkey) AS i
+        |        FROM exp)),
+        |sz AS (SELECT custkey, CAST(COUNT(*) AS BIGINT) AS sz
+        |  FROM recs GROUP BY 1),
+        |ov AS (
+        |  SELECT a.custkey AS u, b.custkey AS v, CAST(COUNT(*) AS BIGINT) AS ovl
+        |  FROM recs a JOIN recs b
+        |    ON a.partkey = b.partkey AND a.custkey < b.custkey
+        |  GROUP BY 1, 2),
         |pairs AS (
-        |  SELECT a.c AS u, b.c AS v, COUNT(*) AS co
-        |  FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
-        |  GROUP BY 1, 2),
-        |sym AS (
-        |  SELECT u, v, co FROM pairs
-        |  UNION ALL
-        |  SELECT v AS u, u AS v, co FROM pairs),
-        |cos AS (
-        |  SELECT s.u, s.v,
-        |    CAST(CAST(ROUND(co / sqrt(du.n_items * dv.n_items), 6)
-        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS cos_micro,
-        |    s.co
-        |  FROM sym s
-        |  JOIN deg du ON du.c = s.u
-        |  JOIN deg dv ON dv.c = s.v),
-        |nbr AS (
-        |  SELECT u, v, cos_micro,
-        |    ROW_NUMBER() OVER (PARTITION BY u
-        |      ORDER BY cos_micro DESC, co DESC, v) AS nr
-        |  FROM cos WHERE u < 20),
-        |votes AS (
-        |  SELECT n.u, cp.p,
-        |    CAST(SUM(n.cos_micro) AS BIGINT) AS score_micro,
-        |    COUNT(*) AS n_voters
-        |  FROM nbr n JOIN cp ON cp.c = n.v
-        |  WHERE n.nr <= 10
-        |    AND NOT EXISTS (
-        |      SELECT 1 FROM cp own WHERE own.c = n.u AND own.p = cp.p)
-        |  GROUP BY 1, 2),
-        |rk AS (
-        |  SELECT u, p, score_micro, n_voters,
-        |    ROW_NUMBER() OVER (PARTITION BY u
-        |      ORDER BY score_micro DESC, n_voters DESC, p) AS rn
-        |  FROM votes)
-        |SELECT u AS custkey, p AS partkey, score_micro, n_voters, rn
-        |FROM rk WHERE rn <= 5 ORDER BY custkey, rn""".stripMargin,
+        |  SELECT su.sz AS su, sv.sz AS sv, COALESCE(o.ovl, 0) AS ovl
+        |  FROM sz su JOIN sz sv ON su.custkey < sv.custkey
+        |  LEFT JOIN ov o ON o.u = su.custkey AND o.v = sv.custkey),
+        |pers AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_user_pairs,
+        |    CAST(SUM(ovl * 1000000 // (su + sv - ovl)) // COUNT(*) AS BIGINT)
+        |      AS mean_overlap_micro
+        |  FROM pairs),
+        |totals AS (
+        |  SELECT CAST(COUNT(DISTINCT custkey) AS BIGINT) AS n_users,
+        |    CAST(COUNT(*) AS BIGINT) AS n_recs,
+        |    CAST(COUNT(DISTINCT partkey) AS BIGINT) AS n_recommended
+        |  FROM recs)
+        |SELECT n_users, n_recs, n_recommended, catalog_parts,
+        |  n_recommended * 1000000 // catalog_parts AS coverage_ppm,
+        |  n_exposed, exposure_gini, n_user_pairs, mean_overlap_micro,
+        |  1000000 - mean_overlap_micro AS personalization_micro
+        |FROM totals CROSS JOIN catalog CROSS JOIN gini CROSS JOIN pers""".stripMargin,
     "rec_eval_ranking" ->
       """WITH inter AS (
         |  SELECT o_custkey AS c, l_partkey AS p, o_orderdate

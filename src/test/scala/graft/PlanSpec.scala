@@ -301,7 +301,10 @@ class PlanSpec extends SparkSpec {
         // pair-jaccard relation ⋈ broadcast 5-row threshold table (the
         // lsh_curve shape), and fold moments ⋈ broadcast 1-row totals
         // (A4 shape)
-        "dedup_roi_curve", "ml_kfold_cv")
+        "dedup_roi_curve", "ml_kfold_cv",
+        // |budget|² broadcast non-equi user-pair frame + 1-row metric
+        // broadcasts (A4) over the serving-budget-bounded list relation
+        "rec_coverage_diversity")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = try plan(fn(spark, sf0001)) catch { case _: Throwable => "" }
       if (p.contains("CartesianProduct")) Some(name)

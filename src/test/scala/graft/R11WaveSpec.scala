@@ -122,6 +122,74 @@ class R11WaveSpec extends SparkSpec {
     assert(got("clustered")._3 <= got("insertion")._3)
   }
 
+  test("rec_coverage_diversity metrics equal a driver recompute over the rec_user_cf lists") {
+    val lists = Recommend.queries("rec_user_cf")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("custkey"), r.getAs[Long]("partkey")))
+    val byUser = lists.groupBy(_._1).map { case (u, g) => u -> g.map(_._2).toSet }
+    val catalogParts = Tables.part(spark, sf0001).count()
+    // exposure gini by the rank formula, ascending (count, partkey)
+    val expCounts = lists.groupBy(_._2).map { case (p, g) => p -> g.length.toLong }
+      .toSeq.sortBy { case (p, x) => (x, p) }
+    val n = expCounts.size.toLong
+    val sx = expCounts.map(_._2).sum
+    val six = expCounts.zipWithIndex.map { case ((_, x), i) => (i + 1) * x }.sum
+    val gini = round6((2.0 * six - (n + 1) * sx).toDouble / (n * sx).toDouble)
+    // pairwise jaccard in exact micros over all budget-user pairs
+    val users = byUser.keys.toSeq.sorted
+    val jacs = for (i <- users.indices; j <- i + 1 until users.size) yield {
+      val a = byUser(users(i)); val b = byUser(users(j))
+      val ov = (a & b).size.toLong
+      ov * 1000000L / (a.size + b.size - ov)
+    }
+    val row = Recommend.queries("rec_coverage_diversity")(spark, sf0001)
+      .collect().head
+    assert(row.getAs[Long]("n_users") == byUser.size.toLong)
+    assert(row.getAs[Long]("n_recs") == lists.length.toLong)
+    assert(row.getAs[Long]("n_recommended") == lists.map(_._2).distinct.length.toLong)
+    assert(row.getAs[Long]("catalog_parts") == catalogParts)
+    assert(row.getAs[Long]("coverage_ppm") ==
+      lists.map(_._2).distinct.length.toLong * 1000000L / catalogParts)
+    assert(row.getAs[Long]("n_exposed") == n)
+    assert(BigDecimal(row.getAs[Double]("exposure_gini")) == gini)
+    assert(row.getAs[Long]("n_user_pairs") == jacs.size.toLong)
+    assert(row.getAs[Long]("mean_overlap_micro") == jacs.sum / jacs.size)
+    assert(row.getAs[Long]("personalization_micro") ==
+      1000000L - jacs.sum / jacs.size)
+  }
+
+  test("mm_audio_rms_windows equals a javax.sound second-parse window recompute") {
+    import javax.sound.sampled.AudioSystem
+    val got = Multimodal.queries("mm_audio_rms_windows")(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("win")) ->
+        ((r.getAs[Long]("n_samp"), r.getAs[Long]("sum_abs"),
+          r.getAs[Long]("sum_sq"), r.getAs[Long]("active")))).toMap
+    assert(got.nonEmpty)
+    val ids = got.keys.map(_._1).toSeq.distinct.sorted.take(6)
+    for (id <- ids) {
+      val bytes = Multimodal.envelopedWav(id, (256 + id % 128).toInt, 8000)
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(ais.getFormat.getSampleSizeInBits == 16 &&
+        ais.getFormat.getChannels == 1 && !ais.getFormat.isBigEndian)
+      val raw = ais.readAllBytes()
+      val xs = Array.tabulate(raw.length / 2)(i =>
+        (((raw(2 * i + 1) & 0xff) << 8) | (raw(2 * i) & 0xff)).toShort)
+      for (w <- 0 until (xs.length + 63) / 64) {
+        val s = w * 64; val e = math.min(s + 64, xs.length)
+        val slice = xs.slice(s, e).map(_.toLong)
+        val sa = slice.map(math.abs).sum
+        val sq = slice.map(v => v * v).sum
+        val active = if (sq > 1000000L) 1L else 0L
+        assert(got((id, w.toLong)) == ((e - s).toLong, sa, sq, active),
+          s"id=$id win=$w")
+      }
+      // the planted silence actually exists and the gate detects it
+      assert(got.exists { case ((i2, _), (_, _, _, a)) => i2 == id && a == 0L })
+      assert(got.exists { case ((i2, _), (_, _, _, a)) => i2 == id && a == 1L })
+    }
+  }
+
   test("dedup_roi_curve 0.7 row counts the ngram-jaccard pair set; measures are threshold-monotone") {
     val rows = Dedup.queries("dedup_roi_curve")(spark, sf0001).collect()
       .map(r => (r.getAs[Double]("thr"), r.getAs[Long]("n_pairs"),
