@@ -30,11 +30,14 @@ import org.apache.spark.sql.functions._
   *    SPARK_GRAFT_AMPLIFY, which deliberately salts copies to stay
   *    near-dups; both measurements exist for opposite questions.)
   *  - `embeddings.embedding` gets a per-copy CIRCULAR DIMENSION SHIFT
-  *    (dim i ← dim (i+copy) mod d): norms and all within-copy pairwise
-  *    dots are preserved exactly (the shift is orthogonal), so cluster/
-  *    k-NN structure replicates per copy while cross-copy pairs
-  *    decorrelate — ANN entries see a genuinely 10×-larger corpus with
-  *    the same local geometry.
+  *    (dim i ← dim (i+copy) mod d): per-vector component multisets (and
+  *    therefore norms) are preserved exactly, and within-copy pairwise
+  *    dots are preserved as real numbers (the shift is orthogonal; float
+  *    SUMMATION ORDER shifts with the dims, so dots agree only up to
+  *    reordering ulps — DataGenSpec pins both), so cluster/k-NN
+  *    structure replicates per copy while cross-copy pairs decorrelate —
+  *    ANN entries see a genuinely 10×-larger corpus with the same local
+  *    geometry.
   *  - nation/region stay fixed (they are the bounded dimension tables, as
   *    in TPC-H at every sf); timestamps stay fixed, so time-bucketed
   *    entries see N× density per bucket — the honest scale-up for a
