@@ -104,9 +104,13 @@ object DataGen {
       col("l_returnflag"), col("l_linestatus"), col("l_shipdate")))
     amp("events")(_.select(off("event_id"), col("ts"), off("user_id"),
       col("event_type"), col("value"), col("props")))
-    // bijective per-copy token renaming (copy 0 untouched)
+    // bijective per-copy token renaming (copy 0 untouched). Empty /
+    // whitespace-only text stays verbatim across copies: split("", " ")
+    // yields [""], so renaming would turn a 0-token doc into a "_cK"
+    // 1-token doc and break the per-copy shingle isomorphism (ADVICE r11
+    // #5) — a doc with no tokens has no shingles to preserve anyway.
     amp("documents")(df => df.select(off("doc_id"),
-        when(col("copy") === 0, col("text")).otherwise(
+        when(col("copy") === 0 || trim(col("text")) === "", col("text")).otherwise(
           array_join(transform(split(col("text"), " "),
             w => concat(w, lit("_c"), col("copy"))), " ")).as("text"),
         col("lang"), col("source"))

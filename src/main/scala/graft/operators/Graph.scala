@@ -43,9 +43,10 @@ object Graph {
     * metric. Longs round-trip parquet exactly, so every consumer is
     * hash-identical to the inline derivation. HDFS/S3-safe probes (the
     * lloydFitCached rule: Hadoop FileSystem, never java.io.File). */
-  private def scratchRelation(spark: SparkSession, dir: String, tag: String)
+  private def scratchRelation(spark: SparkSession, dir: String, tag: String,
+                              version: String = "v1")
                              (build: => DataFrame): DataFrame =
-    Tables.scratchRelation(spark, dir, tag, "lineitem")(build)
+    Tables.scratchRelation(spark, dir, tag, Seq("lineitem"), version)(build)
 
   /** The distinct (s, p) supplier–part incidence — the base relation of
     * pagerank/ppr/hits/degree/BFS/SSSP, persisted once per dataset. */
@@ -59,7 +60,7 @@ object Graph {
   /** The quantity-50 sparsified (p, s) slice — kcore's and the co-supply
     * projection's base, persisted once per dataset. */
   private def sp50(spark: SparkSession, dir: String): DataFrame =
-    scratchRelation(spark, dir, "graph_sp50") {
+    scratchRelation(spark, dir, "graph_sp50", "q50") { // the q>49 sparsifier is a derivation constant
       Tables.lineitem(spark, dir)
         .filter(col("l_quantity") > 49)
         .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
@@ -254,7 +255,7 @@ object Graph {
     * `graph_assortativity`. The pair self-join runs ONCE per dataset and
     * the resulting edge list is scratch-persisted (see scratchRelation). */
   private def cosupplyPairs(spark: SparkSession, dir: String): DataFrame =
-    scratchRelation(spark, dir, "graph_cosupply") {
+    scratchRelation(spark, dir, "graph_cosupply", "q50") {
       val ps = sp50(spark, dir)
       ps.as("a").join(ps.as("b"),
           col("a.p") === col("b.p") && col("a.s") < col("b.s"))

@@ -32,7 +32,7 @@ import graft.Tables
 object Recommend {
 
   /** The three shared substrates of the family, scratch-persisted once
-    * per (dataset, lineitem mtime) — the graph-family memo pattern
+    * per (dataset, every input table's len+mtime) — the graph-family memo pattern
     * (commit `5e646c8`) applied per the r10 verdict item #2: before this,
     * every entry re-ran the lineitem scan (+ the orders join) + distinct/
     * hash-agg to rebuild its incidence per call. All columns are exact
@@ -51,7 +51,7 @@ object Recommend {
 
   /** Distinct (custkey, partkey) binary incidence — itemCosine + userCf. */
   private def cpIncidence(spark: SparkSession, dir: String): DataFrame =
-    Tables.scratchRelation(spark, dir, "rec_cp", "lineitem") {
+    Tables.scratchRelation(spark, dir, "rec_cp", Seq("lineitem", "orders"), "v1") {
       Tables.lineitem(spark, dir)
         .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
@@ -59,7 +59,7 @@ object Recommend {
 
   /** (custkey, partkey, purchase-count) ratings — mfRank1 + slopeOne. */
   private def cprRatings(spark: SparkSession, dir: String): DataFrame =
-    Tables.scratchRelation(spark, dir, "rec_cpr", "lineitem") {
+    Tables.scratchRelation(spark, dir, "rec_cpr", Seq("lineitem", "orders"), "v1") {
       Tables.lineitem(spark, dir)
         .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))

@@ -693,7 +693,8 @@ object TextAnalysis {
     // own deployment shape — so the en bigram table is scratch-persisted
     // (r11; strings/longs, parquet-exact); scoring still scans the full
     // transition stream per call, the honest corpus-sized cost
-    val refBi = Tables.scratchRelation(spark, dir, "ccnet_ref_bi", "documents") {
+    val refBi = Tables.scratchRelation(spark, dir, "ccnet_ref_bi",
+        Seq("documents"), "tok1") { // tokenization rules are part of the key (ADVICE r11 #1)
       trans.filter(col("lang") === "en")
         .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
     }
@@ -808,7 +809,7 @@ object TextAnalysis {
     // char positions is the ONE corpus-sized pass both BPE entries run —
     // exactly the artifact HF tokenizers hands its trainer. Strings/longs
     // round-trip parquet exactly, so the rounds are hash-identical.
-    Tables.scratchRelation(spark, dir, "bpe_init_stream", "documents") {
+    Tables.scratchRelation(spark, dir, "bpe_init_stream", Seq("documents"), "tok1") {
       val d = Tables.documents(spark, dir)
       val wfreq = d.select(explode(filter(tokens(col("text")), t => length(t) > 0)).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
