@@ -576,8 +576,8 @@ object Dedup {
     // curve point, not vanish from the budgeting readout. Joining on the
     // DOUBLE thr is safe here by construction — every thr on the agg side
     // is the identical literal bits broadcast from this same relation.
-    broadcast(thr).join(pairAgg, Seq("thr"), "left")
-      .join(dropAgg, Seq("thr"), "left")
+    thr.join(broadcast(pairAgg), Seq("thr"), "left")
+      .join(broadcast(dropAgg), Seq("thr"), "left")
       .select(col("thr"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"),
         coalesce(col("chars_dropped"), lit(0L)).as("chars_dropped"))
