@@ -657,15 +657,41 @@ object Dedup {
     * exactly like minhash (narrower bands → more candidates → higher
     * recall). */
   def embeddingLsh(spark: SparkSession, dir: String): DataFrame = {
+    val v = spark.conf.get("graft.dedup.lshBucketCap", "0").toLong
+    embeddingLshWith(spark, dir, if (v > 0) Some(v) else None)
+  }
+
+  /** The `dedup_embedding_lsh_capped` twin: band buckets larger than
+    * [[EmbBucketCap]] leave candidate generation. */
+  def embeddingLshCapped(spark: SparkSession, dir: String): DataFrame =
+    embeddingLshWith(spark, dir, Some(EmbBucketCap))
+
+  private[graft] def embeddingLshWith(spark: SparkSession, dir: String,
+                                      cap: Option[Long]): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
       .cache()
-    val bands = e.select(col("vec_id"), explode(array(
+    val bandsAll = e.select(col("vec_id"), explode(array(
       (0 until EmbBands).map(b => struct(
         lit(b).as("band_idx"),
         VectorOps.signBand(col("v"), b, EmbBandBits).as("band_val"))): _*
     )).as("band")).select(col("vec_id"), col("band.band_idx"), col("band.band_val"))
+    // bucket-size cap, the rec-family hot-key guard transposed to LSH
+    // (r11 verdict weak item #2's fourth site): a bucket of size h costs
+    // h² candidate pairs, and an over-cap bucket is by definition
+    // non-discriminative (a degenerate hyperplane cut — at 100 TB a
+    // single dense region would otherwise own the whole shuffle). Cap
+    // applies to CANDIDATE GENERATION only; conf `graft.dedup
+    // .lshBucketCap` defaults off so the uncapped oracle is untouched.
+    val bands = cap match {
+      case Some(cmax) =>
+        val ok = bandsAll.groupBy(col("band_idx"), col("band_val"))
+          .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= cmax)
+          .select(col("band_idx"), col("band_val"))
+        bandsAll.join(ok, Seq("band_idx", "band_val"), "left_semi")
+      case None => bandsAll
+    }
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val") &&
@@ -683,6 +709,9 @@ object Dedup {
 
   private[graft] val EmbBands = 12
   private[graft] val EmbBandBits = 5
+  /** Literal cap of the oracled capped twin — drops real buckets at every
+    * harness SF (bucket p99 is 25–27 at sf0.001/sf0.01, max 83 at sf0.1). */
+  private[graft] val EmbBucketCap = 24L
 
   /** Brute-force recall baseline for `embeddingLsh`: ALL pairs ≥ 0.45
     * cosine via an O(n²) theta join. Deliberately NOT a catalog entry —
@@ -1073,6 +1102,7 @@ object Dedup {
     "dedup_simhash"         -> (simhashClusters _),
     "dedup_simhash_hamming" -> (simhashHamming _),
     "dedup_embedding_lsh"   -> (embeddingLsh _),
+    "dedup_embedding_lsh_capped" -> (embeddingLshCapped _),
     "dedup_roi_curve"       -> (roiCurve _)
   )
 
@@ -1424,6 +1454,37 @@ object Dedup {
         |FROM cand
         |WHERE bit_count(xor(ha, hb)) <= 1
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embedding_lsh_capped" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(v, v), z -> z[1] * z[2])),
+        |                     (x, y) -> x + y)) AS nrm
+        |  FROM e),
+        |bands AS (
+        |  $embBandUnion),
+        |okb AS (
+        |  SELECT band_idx, band_val FROM bands
+        |  GROUP BY 1, 2 HAVING COUNT(*) <= $EmbBucketCap),
+        |bandsc AS (
+        |  SELECT b.vec_id, b.band_idx, b.band_val
+        |  FROM bands b JOIN okb USING (band_idx, band_val)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM bandsc a JOIN bandsc b
+        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |   AND a.vec_id < b.vec_id),
+        |p AS (
+        |  SELECT vec_a, vec_b,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(x.v, y.v), z -> z[1] * z[2])),
+        |                (u, w) -> u + w) / (x.nrm * y.nrm) AS cos
+        |  FROM cand
+        |  JOIN n x ON x.vec_id = vec_a
+        |  JOIN n y ON y.vec_id = vec_b)
+        |SELECT vec_a, vec_b, cos FROM p
+        |WHERE cos >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "dedup_embedding_lsh" ->
       s"""WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
