@@ -43,9 +43,36 @@ import org.apache.spark.sql.functions._
   *    entries see N× density per bucket — the honest scale-up for a
   *    fixed-window stream.
   *
+  * SKEW MODE (r11 verdict missing item #2): pass `skew` as the 4th arg
+  * to plant deterministic hot keys in copies ≥ 1 (copy 0 stays identity)
+  * — the adversarial case the base amplification deliberately avoids, so
+  * the capped pair generators can be probed flat-under-skew while the
+  * uncapped twins blow up. All plants select on the ORIGINAL (pre-
+  * offset) keys, so per-copy planted counts are exact and pinnable
+  * (DataGenSpec):
+  *  - hot CUSTOMER: orders with o_orderkey ≡ 7 (mod 135) redirect
+  *    o_custkey to base key 0 → at the 10×-sf0.1 config ≈10k orders,
+  *    ×1000 the natural per-customer order frequency; the hot customer's
+  *    incidence basket spans every copy's parts (≈16k distinct) — the
+  *    Σ|basket|² killer for `rec_item_cosine`.
+  *  - hot PART: lineitem with (l_orderkey·31 + l_linenumber) ≡ 11
+  *    (mod 180) redirect l_partkey to base key 0 → ≈30k rows, ×1000 the
+  *    natural per-part frequency — the audience skew for `rec_user_cf`.
+  *  - hot ORDER: lineitem with (l_orderkey·31 + l_linenumber) ≡ 23
+  *    (mod 1350) redirect l_orderkey to base key 0 → one ≈4k-line
+  *    basket, ×1000 natural — the basket skew for `rec_assoc_rules`.
+  *  - hot VECTOR cluster: embeddings with vec_id ≡ 5 (mod 20) become
+  *    the constant all-0.03 vector → one ≈900-member identical LSH
+  *    bucket in EVERY band — the bucket skew for `dedup_embedding_lsh`.
+  *  - hot WORD: documents with doc_id ≡ 0 (mod 2) get the un-renamed
+  *    token "hotword" prepended → ≈22k occurrences of one cross-copy
+  *    token — the word skew for the `text_word_count(_salted)` pair.
+  * Referential integrity holds: every redirect targets a COPY-0 key,
+  * which exists verbatim in the skewed slice's dimension tables.
+  *
   * Nothing here touches /root/testdata (read-only); output defaults to
-  * `${java.io.tmpdir}/graft_sf1`. Usage:
-  *   sbt "runMain graft.DataGen [srcDir] [outDir] [copies]"
+  * `${java.io.tmpdir}/graft_sf1` (`graft_sf1skew` in skew mode). Usage:
+  *   sbt "runMain graft.DataGen [srcDir] [outDir] [copies] [skew]"
   */
 object DataGen {
 
@@ -54,9 +81,22 @@ object DataGen {
     * collide with an amplified key. */
   private val CopyStride = 1L << 42
 
+  // skew-plant constants (see object scaladoc); private[graft] so
+  // DataGenSpec pins the exact planted frequencies with the same values
+  private[graft] val HotKey = 0L
+  private[graft] val HotCustMod = 135L; private[graft] val HotCustRes = 7L
+  private[graft] val HotPartMod = 180L; private[graft] val HotPartRes = 11L
+  private[graft] val HotOrderMod = 1350L; private[graft] val HotOrderRes = 23L
+  private[graft] val HotVecMod = 20L; private[graft] val HotVecRes = 5L
+  private[graft] val HotVecVal = 0.03f
+  private[graft] val HotWordMod = 2L
+  private[graft] val HotWord = "hotword"
+
   def main(args: Array[String]): Unit = {
+    val skew = args.lift(3).contains("skew")
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
-    val out = args.lift(1).getOrElse(s"${sys.props("java.io.tmpdir")}/graft_sf1")
+    val out = args.lift(1).getOrElse(
+      s"${sys.props("java.io.tmpdir")}/graft_sf1${if (skew) "skew" else ""}")
     val n = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -66,12 +106,13 @@ object DataGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, src, out, n)
-    println(s"[datagen] wrote ${n}x slice of $src to $out")
+    generate(spark, src, out, n, skew)
+    println(s"[datagen] wrote ${n}x${if (skew) " SKEWED" else ""} slice of $src to $out")
     spark.stop()
   }
 
-  def generate(spark: SparkSession, src: String, out: String, n: Int): Unit = {
+  def generate(spark: SparkSession, src: String, out: String, n: Int,
+               skew: Boolean = false): Unit = {
     // the copy axis: crossJoin against an n-row range, keys offset by
     // copy·stride. Writes repartition to the session parallelism so the
     // output splits into enough row groups to feed a multi-core scan.
@@ -95,13 +136,32 @@ object DataGen {
       col("s_nationkey"), col("s_acctbal")))
     amp("part")(_.select(off("p_partkey"), col("p_name"), col("p_brand"),
       col("p_type"), col("p_size"), col("p_retailprice")))
-    amp("orders")(_.select(off("o_orderkey"), off("o_custkey"),
+    // skew plants evaluate on the ORIGINAL keys (before the copy offset),
+    // apply only to copies ≥ 1, and redirect to copy-0 keys so FK
+    // integrity holds (see object scaladoc)
+    val planted = col("copy") > 0
+    amp("orders")(_.select(off("o_orderkey"),
+      (if (skew)
+        when(planted && col("o_orderkey") % HotCustMod === HotCustRes, lit(HotKey))
+          .otherwise(col("o_custkey") + col("copy") * CopyStride)
+      else col("o_custkey") + col("copy") * CopyStride).as("o_custkey"),
       col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
       col("o_orderpriority")))
-    amp("lineitem")(_.select(off("l_orderkey"), off("l_partkey"),
-      off("l_suppkey"), col("l_linenumber"), col("l_quantity"),
-      col("l_extendedprice"), col("l_discount"), col("l_tax"),
-      col("l_returnflag"), col("l_linestatus"), col("l_shipdate")))
+    amp("lineitem")(df => {
+      val lineHash = col("l_orderkey") * 31 + col("l_linenumber")
+      df.select(
+        (if (skew)
+          when(planted && lineHash % HotOrderMod === HotOrderRes, lit(HotKey))
+            .otherwise(col("l_orderkey") + col("copy") * CopyStride)
+        else col("l_orderkey") + col("copy") * CopyStride).as("l_orderkey"),
+        (if (skew)
+          when(planted && lineHash % HotPartMod === HotPartRes, lit(HotKey))
+            .otherwise(col("l_partkey") + col("copy") * CopyStride)
+        else col("l_partkey") + col("copy") * CopyStride).as("l_partkey"),
+        off("l_suppkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+    })
     amp("events")(_.select(off("event_id"), col("ts"), off("user_id"),
       col("event_type"), col("value"), col("props")))
     // bijective per-copy token renaming (copy 0 untouched). Empty /
@@ -109,20 +169,37 @@ object DataGen {
     // yields [""], so renaming would turn a 0-token doc into a "_cK"
     // 1-token doc and break the per-copy shingle isomorphism (ADVICE r11
     // #5) — a doc with no tokens has no shingles to preserve anyway.
-    amp("documents")(df => df.select(off("doc_id"),
+    amp("documents")(df => {
+      val renamed =
         when(col("copy") === 0 || trim(col("text")) === "", col("text")).otherwise(
           array_join(transform(split(col("text"), " "),
-            w => concat(w, lit("_c"), col("copy"))), " ")).as("text"),
-        col("lang"), col("source"))
-      // the base table satisfies n_chars = length(text) (checked); keep
-      // the invariant for renamed copies rather than carrying a stale count
-      .withColumn("n_chars", length(col("text")).cast("long")))
+            w => concat(w, lit("_c"), col("copy"))), " "))
+      // hot word: one un-renamed cross-copy token planted AFTER the
+      // bijective rename, so the skew slice has exactly one token whose
+      // frequency ignores copy boundaries
+      val text =
+        if (skew)
+          when(planted && col("doc_id") % HotWordMod === 0,
+            concat(lit(HotWord + " "), renamed)).otherwise(renamed)
+        else renamed
+      df.select(off("doc_id"), text.as("text"), col("lang"), col("source"))
+        // the base table satisfies n_chars = length(text) (checked); keep
+        // the invariant for renamed copies rather than carrying a stale count
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    })
     // orthogonal per-copy circular dim shift (copy 0 untouched)
-    amp("embeddings")(_.select(off("vec_id"),
-      transform(sequence(lit(0), size(col("embedding")) - 1),
+    amp("embeddings")(df => {
+      val shifted = transform(sequence(lit(0), size(col("embedding")) - 1),
         i => element_at(col("embedding"),
           ((i + col("copy").cast("int")) % size(col("embedding"))) + 1))
-        .as("embedding"),
-      col("label")))
+      // hot vector cluster: planted rows collapse to ONE constant vector,
+      // so every LSH band gets one pathological bucket
+      val emb =
+        if (skew)
+          when(planted && col("vec_id") % HotVecMod === HotVecRes,
+            transform(col("embedding"), _ => lit(HotVecVal))).otherwise(shifted)
+        else shifted
+      df.select(off("vec_id"), emb.as("embedding"), col("label"))
+    })
   }
 }

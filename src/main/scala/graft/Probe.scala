@@ -17,6 +17,12 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // optional runtime confs for probing conf-gated levers at a scale-
+    // appropriate setting (e.g. SPARK_GRAFT_CONF="graft.dedup.lshBucketCap=850")
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").map(_.trim)
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f

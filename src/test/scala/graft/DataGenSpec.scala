@@ -121,4 +121,83 @@ class DataGenSpec extends SparkSpec {
         s"dot($i,$j) changed under shift: $d0 vs $d1")
     }
   }
+
+  // ---- skew mode (r12): planted hot-key frequencies are exact ----
+
+  private val skewOut = Tables.scratchPath("datagen_spec_skew_n2", sf0001)
+  private lazy val genSkew: Unit = DataGen.generate(spark, sf0001, skewOut, N, skew = true)
+  private val stride = 1L << 42
+
+  test("skew mode plants the hot customer/part/order at exact predicate-derived counts") {
+    genSkew
+    val baseOrders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val baseLine = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val so = spark.read.parquet(s"$skewOut/orders.parquet")
+    val sl = spark.read.parquet(s"$skewOut/lineitem.parquet")
+    val lineHash = col("l_orderkey") * 31 + col("l_linenumber")
+
+    // every copy>0 row with the hot key IS a planted row (key 0's natural
+    // copy-k twin is offset by the stride, so the planted set is exactly
+    // identifiable), and its count is (N-1) x the base predicate count
+    val expCust = (N - 1) * baseOrders
+      .filter(col("o_orderkey") % DataGen.HotCustMod === DataGen.HotCustRes).count()
+    val gotCust = so.filter(col("o_orderkey") >= stride &&
+      col("o_custkey") === DataGen.HotKey).count()
+    assert(gotCust == expCust && expCust > 0, s"hot customer: $gotCust != $expCust")
+
+    val expPart = (N - 1) * baseLine
+      .filter(lineHash % DataGen.HotPartMod === DataGen.HotPartRes).count()
+    val gotPart = sl.filter(col("l_orderkey") >= stride &&
+      col("l_partkey") === DataGen.HotKey).count()
+    assert(gotPart == expPart && expPart > 0, s"hot part: $gotPart != $expPart")
+
+    val expOrder = (N - 1) * baseLine
+      .filter(lineHash % DataGen.HotOrderMod === DataGen.HotOrderRes).count()
+    // hot-order rows keep their (offset) partkeys unless the part plant
+    // also hit them, so identify them by the redirected orderkey alone
+    val gotOrder = sl.filter(col("l_orderkey") === DataGen.HotKey).count() -
+      baseLine.filter(col("l_orderkey") === DataGen.HotKey).count() // copy-0 naturals
+    assert(gotOrder == expOrder && expOrder > 0, s"hot order: $gotOrder != $expOrder")
+  }
+
+  test("skew slice keeps referential integrity and leaves unplanted rows identical") {
+    genSkew; gen
+    val so = spark.read.parquet(s"$skewOut/orders.parquet")
+    val sc = spark.read.parquet(s"$skewOut/customer.parquet")
+    val sl = spark.read.parquet(s"$skewOut/lineitem.parquet")
+    // zero orphans: every redirect targets a copy-0 key that exists
+    assert(so.join(sc, col("o_custkey") === col("c_custkey"), "left_anti").count() == 0)
+    assert(sl.join(so, col("l_orderkey") === col("o_orderkey"), "left_anti").count() == 0)
+    // unplanted rows are byte-identical to the plain slice (the plant
+    // predicate is recoverable from the offset key: original = key mod stride)
+    val po = spark.read.parquet(s"$out/orders.parquet")
+    val plantedPred = col("o_orderkey") >= stride &&
+      (col("o_orderkey") % stride) % DataGen.HotCustMod === DataGen.HotCustRes
+    val a = so.filter(!plantedPred)
+    val b = po.filter(!plantedPred)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("skew mode plants the hot vector cluster and the hot word at exact counts") {
+    genSkew
+    val baseEmb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val se = spark.read.parquet(s"$skewOut/embeddings.parquet")
+    val expVec = (N - 1) * baseEmb
+      .filter(col("vec_id") % DataGen.HotVecMod === DataGen.HotVecRes).count()
+    val planted = se.filter(col("vec_id") >= stride &&
+      (col("vec_id") % stride) % DataGen.HotVecMod === DataGen.HotVecRes)
+    assert(planted.count() == expVec && expVec > 0)
+    // all planted vectors are the identical constant → one LSH bucket
+    val distinctPlanted = planted.select(col("embedding")).distinct().collect()
+    assert(distinctPlanted.length == 1)
+    assert(distinctPlanted.head.getSeq[Float](0).forall(_ == DataGen.HotVecVal))
+
+    val baseDocs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val sd = spark.read.parquet(s"$skewOut/documents.parquet")
+    val expWord = (N - 1) * baseDocs
+      .filter(col("doc_id") % DataGen.HotWordMod === 0).count()
+    val gotWord = sd.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") === DataGen.HotWord).count()
+    assert(gotWord == expWord && expWord > 0, s"hot word: $gotWord != $expWord")
+  }
 }
