@@ -114,6 +114,39 @@ object Similarity {
     * contract. No global sort, no all-pairs. */
   private[graft] val ArmDepth = 20
 
+  /** Query-vocabulary term frequencies (doc_id, word, tf, dl) — the BM25
+    * arm's posting slice for the fixed query budget, shared VERBATIM by
+    * `sim_hybrid_rrf` and `pipe_hard_negatives` and scratch-persisted
+    * (r12, the r11 verdict item #5): before the memo each entry re-ran
+    * the corpus tokenize→explode→semi-join→hash-agg per call. dl rides
+    * the token explode (BM25 needs a doc's length only for docs that
+    * contain a query term, so carrying size(toks) through the pruned
+    * stream replaces a second full tokenize pass AND a corpus-sized
+    * doc_id equi-join; dl is constant per doc, so max() under the agg is
+    * it). Longs/strings round-trip parquet exactly — consumers are
+    * hash-identical to the inline derivation. */
+  private def qtfRelation(spark: SparkSession, dir: String): DataFrame =
+    Tables.scratchRelation(spark, dir, "bm25_qtf", Seq("documents"),
+        s"qb${QueryBudget}_tok1") {
+      val d = Tables.documents(spark, dir)
+      val toksC = filter(split(col("text"), " "), t => length(t) > 0)
+      val docs = d.select(col("doc_id"), toksC.as("toks"))
+      val qterms = docs.filter(col("doc_id") < QueryBudget)
+        .select(explode(array_distinct(slice(col("toks"), 1, 3))).as("word"))
+      docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+          explode(col("toks")).as("word"))
+        .join(broadcast(qterms.distinct()), Seq("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    }
+
+  /** Corpus (N, Σdl) for the BM25 arms, from the persisted doc-length
+    * substrate (one row; exact longs cast to double at the end). */
+  private def bm25Stats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.docLengths(spark, dir)
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("dl_tok")).cast("double").as("total_dl"))
+
   def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val toksC = filter(split(col("text"), " "), t => length(t) > 0)
@@ -121,19 +154,9 @@ object Similarity {
     val qterms = docs.filter(col("doc_id") < QueryBudget)
       .select(col("doc_id").as("q_id"),
         explode(array_distinct(slice(col("toks"), 1, 3))).as("word"))
-    // dl rides the token explode: BM25 needs a doc's length only for docs
-    // that contain a query term, so carrying size(toks) through the
-    // vocabulary-pruned token stream replaces a second full tokenize pass
-    // AND a corpus-sized doc_id equi-join with one extra long per
-    // shuffled row (dl is constant per doc, so max() under the agg is it)
-    val tf = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        explode(col("toks")).as("word"))
-      .join(broadcast(qterms.select(col("word")).distinct()), Seq("word"))
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val tf = qtfRelation(spark, dir)
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    val stats = docs.agg(count(lit(1)).cast("double").as("n"),
-      sum(size(col("toks"))).cast("double").as("total_dl"))
+    val stats = bm25Stats(spark, dir)
     val lexScore = broadcast(qterms).join(tf, Seq("word"))
       .filter(col("doc_id") =!= col("q_id"))
       .join(broadcast(dfreq), Seq("word"))
@@ -200,14 +223,11 @@ object Similarity {
     val qterms = docs.filter(col("doc_id") < QueryBudget)
       .select(col("doc_id").as("q_id"),
         explode(array_distinct(slice(col("toks"), 1, 3))).as("word"))
-    val tf = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        explode(col("toks")).as("word"))
-      .join(broadcast(qterms.select(col("word")).distinct()), Seq("word"))
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    // the BM25 arm reads the persisted posting slice + doc-length stats
+    // (see qtfRelation/bm25Stats — shared with sim_hybrid_rrf)
+    val tf = qtfRelation(spark, dir)
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    val stats = docs.agg(count(lit(1)).cast("double").as("n"),
-      sum(size(col("toks"))).cast("double").as("total_dl"))
+    val stats = bm25Stats(spark, dir)
     val lexScore = broadcast(qterms).join(tf, Seq("word"))
       .filter(col("doc_id") =!= col("q_id"))
       .join(broadcast(dfreq), Seq("word"))

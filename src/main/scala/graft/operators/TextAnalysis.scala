@@ -938,11 +938,30 @@ object TextAnalysis {
     * double summation order. Shape: one explode→hash-agg for tf (the
     * 3-term filter prunes before the shuffle), a 3-row df broadcast, a
     * doc-length join on doc_id, top-25 via TakeOrderedAndProject. */
+  /** Per-doc token counts — the BM25 length-normalizer substrate shared
+    * by `text_bm25`, `sim_hybrid_rrf` and `pipe_hard_negatives` (r12,
+    * the r11 verdict next-round item #5): before the memo each entry
+    * re-ran one-to-two full tokenize passes per call just to get doc
+    * lengths and the corpus (N, Σdl) stats. Both token conventions are
+    * carried (`dl_raw` = plain split, text_bm25's; `dl_tok` =
+    * empty-filtered, the retrieval entries') because they differ on
+    * texts with repeated spaces. Longs round-trip parquet exactly, so
+    * every consumer stays hash-identical to the inline derivation. */
+  private[operators] def docLengths(spark: SparkSession, dir: String): DataFrame =
+    Tables.scratchRelation(spark, dir, "bm25_dl", Seq("documents"), "tok1") {
+      val toks = tokens(col("text"))
+      Tables.documents(spark, dir).select(col("doc_id"),
+        size(toks).cast("long").as("dl_raw"),
+        size(filter(toks, t => length(t) > 0)).cast("long").as("dl_tok"))
+    }
+
   def bm25Query(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val stats = d.agg(count(lit(1)).cast("double").as("n"),
-      sum(size(tokens(col("text")))).cast("double").as("total_dl"))
-    val dl = d.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+    val dlRel = docLengths(spark, dir)
+      .cache() // corpus stats + the per-doc length join
+    val stats = dlRel.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("dl_raw")).cast("double").as("total_dl"))
+    val dl = dlRel.select(col("doc_id"), col("dl_raw").as("dl"))
     val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .filter(col("word").isin("spark", "table", "join"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
