@@ -134,6 +134,51 @@ class R12WaveSpec extends SparkSpec {
     assert(got.toSeq == expected)
   }
 
+  test("rec_mf_rankk equals an imperative rank-2 ridge-ALS recompute, exactly") {
+    // ratings: distinct (c, p) purchase counts at sf0.001
+    val obs = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .agg(count(lit(1)).as("r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    type Fac = Map[Long, (BigDecimal, BigDecimal)]
+    val v0: Fac = obs.map(_._2).distinct.map(p =>
+      p -> (BigDecimal(1).setScale(6), round6((p % 7 + 1).toDouble / 10.0))).toMap
+    // one ridge half-step: exact BigDecimal moments, ONE double Cramer
+    // chain in the plan's operand order, round6 back onto the lattice
+    def step(rows: Seq[(Long, Long, Long)], fixed: Fac): Fac =
+      rows.groupBy(_._1).map { case (k, xs) =>
+        var s11, s12, s22, b1, b2 = BigDecimal(0)
+        for ((_, o, r) <- xs) {
+          val (f1, f2) = fixed(o)
+          s11 += f1 * f1; s12 += f1 * f2; s22 += f2 * f2
+          b1 += BigDecimal(r) * f1; b2 += BigDecimal(r) * f2
+        }
+        val a = s11.toDouble + 0.1; val c2 = s22.toDouble + 0.1
+        val b = s12.toDouble; val g1 = b1.toDouble; val g2 = b2.toDouble
+        val det = a * c2 - b * b
+        k -> (round6((g1 * c2 - g2 * b) / det), round6((a * g2 - b * g1) / det))
+      }
+    val byC = obs; val byP = obs.map { case (c, p, r) => (p, c, r) }
+    val u1 = step(byC, v0)
+    val v1 = step(byP, u1)
+    val u2 = step(byC, v1)
+    val v2 = step(byP, u2)
+    val observed = obs.map(x => (x._1, x._2)).toSet
+    val expected = u2.keys.filter(_ < 20).toSeq.sorted.flatMap { c =>
+      val (cu1, cu2) = u2(c)
+      v2.toSeq.filter { case (p, _) => !observed((c, p)) }
+        .map { case (p, (pv1, pv2)) =>
+          (p, round6(cu1.toDouble * pv1.toDouble + cu2.toDouble * pv2.toDouble).toDouble)
+        }
+        .sortBy { case (p, s) => (-s, p) }.take(5).zipWithIndex
+        .map { case ((p, s), i) => (c, p, s, (i + 1).toLong) }
+    }
+    val got = Recommend.queries("rec_mf_rankk")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == expected)
+  }
+
   test("graft.rec.hotKeyCap conf gate reproduces the capped twins and defaults off") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
     val cappedExpected = rows(Recommend.itemCosineCapped(spark, sf0001))
