@@ -661,13 +661,24 @@ object Dedup {
     embeddingLshWith(spark, dir, if (v > 0) Some(v) else None)
   }
 
-  /** The `dedup_embedding_lsh_capped` twin: band buckets larger than
-    * [[EmbBucketCap]] leave candidate generation. */
+  /** The `dedup_embedding_lsh_capped` twin — the bucket-cap SIZING RULE
+    * implemented, not a fixed literal (r12: a literal tuned at sf0.01
+    * zero-rowed the entry at sf0.1 — the zero-row audit's catch): the cap
+    * is an OCCUPANCY knob, 1.3× the mean band-bucket occupancy, computed
+    * in-plan as exact integer arithmetic — cap = 13·n_vec DIV 320 (mean
+    * occupancy = 12·n/384 possible buckets; ×1.3 = 13n/320·(12/12)).
+    * At every harness SF this drops the over-occupied tail and keeps the
+    * body (sf0.001/sf0.01: cap 20 vs max 29; sf0.1: cap 81 vs max 83),
+    * and on the skewed sf1 slice it drops exactly the planted
+    * 900-member cluster. The absolute conf knob
+    * (`graft.dedup.lshBucketCap`) remains for deployments that size the
+    * cap themselves. */
   def embeddingLshCapped(spark: SparkSession, dir: String): DataFrame =
-    embeddingLshWith(spark, dir, Some(EmbBucketCap))
+    embeddingLshWith(spark, dir, None, occupancyCap = true)
 
   private[graft] def embeddingLshWith(spark: SparkSession, dir: String,
-                                      cap: Option[Long]): DataFrame = {
+                                      cap: Option[Long],
+                                      occupancyCap: Boolean = false): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
@@ -684,14 +695,25 @@ object Dedup {
     // single dense region would otherwise own the whole shuffle). Cap
     // applies to CANDIDATE GENERATION only; conf `graft.dedup
     // .lshBucketCap` defaults off so the uncapped oracle is untouched.
-    val bands = cap match {
-      case Some(cmax) =>
+    val bands =
+      if (occupancyCap) {
+        // 1-row broadcast occupancy-derived cap (A4 pattern, exact DIV)
+        val capRel = Tables.embeddings(spark, dir)
+          .agg((count(lit(1)) * 13).as("c13"))
+          .select(expr("c13 DIV 320").as("bcap"))
         val ok = bandsAll.groupBy(col("band_idx"), col("band_val"))
-          .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= cmax)
+          .agg(count(lit(1)).as("bsz"))
+          .crossJoin(broadcast(capRel)).filter(col("bsz") <= col("bcap"))
           .select(col("band_idx"), col("band_val"))
         bandsAll.join(ok, Seq("band_idx", "band_val"), "left_semi")
-      case None => bandsAll
-    }
+      } else cap match {
+        case Some(cmax) =>
+          val ok = bandsAll.groupBy(col("band_idx"), col("band_val"))
+            .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= cmax)
+            .select(col("band_idx"), col("band_val"))
+          bandsAll.join(ok, Seq("band_idx", "band_val"), "left_semi")
+        case None => bandsAll
+      }
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val") &&
@@ -709,9 +731,9 @@ object Dedup {
 
   private[graft] val EmbBands = 12
   private[graft] val EmbBandBits = 5
-  /** Literal cap of the oracled capped twin — drops real buckets at every
-    * harness SF (bucket p99 is 25–27 at sf0.001/sf0.01, max 83 at sf0.1). */
-  private[graft] val EmbBucketCap = 24L
+  /** The occupancy sizing rule of the capped twin, as a plain function
+    * for specs: cap = 1.3× mean band-bucket occupancy = 13·n DIV 320. */
+  private[graft] def embOccupancyCap(nVec: Long): Long = nVec * 13 / 320
 
   /** Brute-force recall baseline for `embeddingLsh`: ALL pairs ≥ 0.45
     * cosine via an O(n²) theta join. Deliberately NOT a catalog entry —
@@ -1464,9 +1486,10 @@ object Dedup {
         |  FROM e),
         |bands AS (
         |  $embBandUnion),
+        |bcap AS (SELECT COUNT(*) * 13 // 320 AS bcap FROM embeddings),
         |okb AS (
         |  SELECT band_idx, band_val FROM bands
-        |  GROUP BY 1, 2 HAVING COUNT(*) <= $EmbBucketCap),
+        |  GROUP BY 1, 2 HAVING COUNT(*) <= (SELECT bcap FROM bcap)),
         |bandsc AS (
         |  SELECT b.vec_id, b.band_idx, b.band_val
         |  FROM bands b JOIN okb USING (band_idx, band_val)),

@@ -227,7 +227,7 @@ class PlanSpec extends SparkSpec {
         "dedup_lsh_curve", "events_holt_linear",
         // budget customers × parts candidate grid — the knn_brute serving
         // contract (|budget| constant, the corpus side never broadcast)
-        "rec_mf_rank1",
+        "rec_mf_rank1", "rec_mf_rankk",
         // grid-frame ⋈ broadcast 1-row stats/denominator (psi shape)
         "agg_chi2_independence", "events_acf_hourly",
         // 1-row broadcast mean-vector / max-norm rescale (A4 shape ×4)

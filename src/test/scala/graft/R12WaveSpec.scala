@@ -191,16 +191,33 @@ class R12WaveSpec extends SparkSpec {
     assert(cappedExpected != uncappedExpected)
   }
 
-  test("graft.dedup.lshBucketCap conf gate + capped pairs are a subset of uncapped") {
+  test("graft.dedup.lshBucketCap conf gate + occupancy-capped pairs are a subset of uncapped") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("vec_a", "vec_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val uncapped = pairs(Dedup.embeddingLshWith(spark, sf0001, None))
     val capped = pairs(Dedup.embeddingLshCapped(spark, sf0001))
     assert(capped.subsetOf(uncapped)) // dropping buckets can only remove candidates
-    spark.conf.set("graft.dedup.lshBucketCap", Dedup.EmbBucketCap.toString)
+    // the occupancy rule (13n DIV 320) equals an absolute conf cap at the
+    // same value — the twin implements the sizing, the conf the override
+    val nVec = Tables.embeddings(spark, sf0001).count()
+    val occCap = Dedup.embOccupancyCap(nVec)
+    spark.conf.set("graft.dedup.lshBucketCap", occCap.toString)
     try assert(pairs(Dedup.queries("dedup_embedding_lsh")(spark, sf0001)) == capped)
     finally spark.conf.unset("graft.dedup.lshBucketCap")
     assert(pairs(Dedup.queries("dedup_embedding_lsh")(spark, sf0001)) == uncapped)
+    // the rule BITES at this sf: over-cap buckets exist (recomputed
+    // driver-side from the same sign-band definition)
+    import graft.functions.VectorOps
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val bands = e.select(col("vec_id"), explode(array(
+      (0 until Dedup.EmbBands).map(b => struct(
+        lit(b).as("band_idx"),
+        VectorOps.signBand(col("v"), b, Dedup.EmbBandBits).as("band_val"))): _*
+    )).as("band")).select(col("band.band_idx"), col("band.band_val"))
+    val overCap = bands.groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > occCap).count()
+    assert(overCap > 0, s"no bucket exceeds the occupancy cap $occCap at sf0.001 — rule untested")
   }
 }
